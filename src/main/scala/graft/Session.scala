@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the graft engine.
+  *
+  * Single place that pins the settings every entry point (Verify, Bench,
+  * tests) must share for oracle parity and local-mode sanity:
+  *   - UTC session time zone (DuckDB hashes must agree on timestamps)
+  *   - shuffle partitions sized to the local core count, not the 200 default
+  *   - AQE on (runtime coalescing / skew-join handling — the 100 TB story)
+  *   - `nanosAsLong` so the ns-precision `events.ts` parquet column loads
+  *     (Spark has no TIMESTAMP(NANOS) type; see Tables.events for the cast)
+  */
+object Session {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def build(master: String = s"local[$cpus]", appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Apply the parity configs to an externally-built session (Verify/Bench
+    * receive theirs from the driver contract). Runtime-settable ones only. */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * All queries go through these so that type quirks are fixed in exactly one
+  * place. The interesting one is `events.ts`: the fixture stores parquet
+  * TIMESTAMP(NANOS), which Spark has no native type for. With
+  * `spark.sql.legacy.parquet.nanosAsLong=true` (set in [[Session]] / Verify /
+  * Bench) the column loads as nanosecond epoch LongType; we truncate to
+  * microseconds — exactly what DuckDB does when it reads the same file — so
+  * both engines see identical timestamp values.
+  */
+object Tables {
+
+  private def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, sfDir: String): DataFrame   = read(spark, sfDir, "region")
+  def nation(spark: SparkSession, sfDir: String): DataFrame   = read(spark, sfDir, "nation")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame     = read(spark, sfDir, "part")
+  def orders(spark: SparkSession, sfDir: String): DataFrame   = read(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "lineitem")
+  def documents(spark: SparkSession, sfDir: String): DataFrame  = read(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
+
+  /** events with `ts` normalized to a microsecond-precision TimestampType.
+    * Raw fixture column is TIMESTAMP(NANOS); `ts div 1000` truncates ns→µs
+    * (matching DuckDB's read of the same file). If a future fixture ships
+    * µs-precision instead, the column is already TimestampType and is kept. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = read(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
+}

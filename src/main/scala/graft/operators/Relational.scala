@@ -1,0 +1,346 @@
+package graft.operators
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational query pack: reference-parity operators (SURVEY.md §2.1 O2-O5,
+  * O14, O16) plus the relational core the checklist mandates (§2.2 — joins of
+  * every type, aggregation variants, windows, sorts/top-k, set ops).
+  *
+  * Everything here is declarative DataFrame code: Catalyst handles predicate
+  * pushdown, column pruning, partial aggregation and join selection. Small
+  * dimension tables (region/nation/supplier/customer at any SF that matters)
+  * are explicitly `broadcast()` so the plans stay shuffle-free on the probe
+  * side at 100 TB; big-big joins shuffle on their keys, which is the correct
+  * plan at scale.
+  */
+object Relational {
+
+  /** O3/O14-style pricing summary (TPC-H Q1 shape): scan+filter+agg with
+    * partial/final HashAggregate. Reference analog: the terms aggregation at
+    * Bootstrap.java:196-219 generalized to multi-measure. */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .lineitem(spark, sfDir)
+      .filter($"l_shipdate" <= lit("1999-01-01").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").as("sum_qty"),
+        Det.decSum($"l_extendedprice", 2).as("sum_base_price"),
+        Det.decSum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("sum_disc_price"),
+        Det
+          .decSum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"), 6)
+          .as("sum_charge"),
+        (sum($"l_quantity") / count(lit(1))).as("avg_qty"),
+        Det.decAvg($"l_extendedprice", 2).as("avg_price"),
+        Det.decAvg($"l_discount", 2).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** O3: group-count + top-k — the reference's headline "terms aggregation"
+    * (Bootstrap.java:204-218, size 10 at :211) over event_type in place of
+    * rule_name. TakeOrderedAndProject does the top-k without a full sort. */
+  def topEventTypes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy($"doc_count".desc, $"event_type")
+      .limit(10)
+  }
+
+  /** O2: "last N days" window pruning (getRecentNDaysIndices analog,
+    * Bootstrap.java:259-268) — resolve the window off max(ts) so the query is
+    * self-contained, then count per day. The scalar max is a broadcast of a
+    * 1-row aggregate, not a driver collect. */
+  def recentWindowDailyCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val mx = ev.agg(max($"ts").as("mx"))
+    ev.crossJoin(broadcast(mx))
+      .filter($"ts" >= $"mx" - expr("INTERVAL 7 DAYS"))
+      .groupBy(to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy($"day")
+  }
+
+  /** O4: equality predicate on a text field (match_phrase rule_name analog,
+    * EsParquetWriter.java:69) — pushed to the parquet scan by Catalyst. */
+  def filterEquality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .events(spark, sfDir)
+      .filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"value")
+      .orderBy($"event_id")
+  }
+
+  /** O5: deterministic 1-row sample (the `.size(1)` inference sample,
+    * Bootstrap.java:294) — made deterministic by keying on event_id. */
+  def sampleFirst(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .events(spark, sfDir)
+      .select($"event_id", $"event_type", $"user_id")
+      .orderBy($"event_id")
+      .limit(1)
+  }
+
+  // ---------------------------------------------------------------- joins
+
+  /** Shuffled big-big equi-join + agg (TPC-H Q3 shape): customer ⋈ orders ⋈
+    * lineitem. customer is broadcast; orders⋈lineitem shuffles on orderkey —
+    * the correct plan shape at 100 TB. */
+  def revenueByOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, sfDir).filter($"c_mktsegment" === "BUILDING")
+    val ord  = Tables.orders(spark, sfDir)
+    val li   = Tables.lineitem(spark, sfDir)
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", to_date($"o_orderdate").as("order_date"))
+      .agg(Det.decSum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(20)
+  }
+
+  /** Broadcast star join through the full dimension chain (TPC-H Q5 shape):
+    * region→nation→customer are all broadcast; only lineitem⋈orders is a
+    * shuffle. Demonstrates multi-hop broadcast planning. */
+  def revenueByNation(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nat  = Tables.nation(spark, sfDir)
+    val reg  = Tables.region(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    val ord  = Tables.orders(spark, sfDir)
+    val li   = Tables.lineitem(spark, sfDir)
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        Det.decSum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** Left outer join + null-aware agg: every customer with order stats,
+    * customers without orders kept (count=0). */
+  def customerOrderStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, sfDir)
+    val ord  = Tables.orders(spark, sfDir)
+    cust
+      .join(ord, $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(
+        count($"o_orderkey").as("n_orders"),
+        Det.decSum(coalesce($"o_totalprice", lit(0.0)), 2).as("total_spent")
+      )
+      .orderBy($"c_custkey")
+  }
+
+  /** Left-semi join (EXISTS): orders that have at least one high-quantity
+    * line item. No duplication of the left side, right columns dropped. */
+  def semiJoinOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, sfDir)
+    val big = Tables.lineitem(spark, sfDir).filter($"l_quantity" >= 45).select($"l_orderkey")
+    ord
+      .join(big, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .select($"o_orderkey", $"o_orderstatus", to_date($"o_orderdate").as("order_date"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no large order. */
+  def antiJoinCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, sfDir)
+    val ord  = Tables.orders(spark, sfDir).filter($"o_totalprice" > 200000).select($"o_custkey")
+    cust
+      .join(ord, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_nationkey")
+      .orderBy($"c_custkey")
+  }
+
+  /** Full outer join on grouped keys: per-nation customer vs supplier
+    * counts, nations present on either side kept. */
+  def fullOuterNationCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir).groupBy($"c_nationkey").agg(count(lit(1)).as("n_cust"))
+    val s = Tables.supplier(spark, sfDir).groupBy($"s_nationkey").agg(count(lit(1)).as("n_supp"))
+    c.join(s, $"c_nationkey" === $"s_nationkey", "full_outer")
+      .select(
+        coalesce($"c_nationkey", $"s_nationkey").as("nationkey"),
+        coalesce($"n_cust", lit(0L)).as("n_cust"),
+        coalesce($"n_supp", lit(0L)).as("n_supp")
+      )
+      .orderBy($"nationkey")
+  }
+
+  /** Theta (range-predicate) join: parts priced within a band of each
+    * supplier's account balance — a non-equi condition that plans as
+    * broadcast nested-loop on the small side. */
+  def thetaJoinPriceBand(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val supp = Tables.supplier(spark, sfDir)
+    val part = Tables.part(spark, sfDir)
+    part
+      .join(
+        broadcast(supp),
+        $"p_retailprice" >= $"s_acctbal" / 4 && $"p_retailprice" <= $"s_acctbal" / 4 + 50
+      )
+      .select($"s_suppkey", $"p_partkey", $"p_retailprice")
+      .orderBy($"s_suppkey", $"p_partkey")
+  }
+
+  // ----------------------------------------------------- aggregation variants
+
+  /** Distinct + approx-distinct aggregation. The HLL estimate is engine-
+    * specific, so only exact measures are oracle-checked; the approx column
+    * lives in [[approxDistinct]] (rows-only check). */
+  def distinctAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_orderkey").as("n_orders"),
+        countDistinct($"l_partkey").as("n_parts"),
+        count(lit(1)).as("n_rows")
+      )
+      .orderBy($"l_returnflag")
+  }
+
+  /** approx_count_distinct (HLL++) — rows-only check: estimates are not
+    * comparable across engines by design. */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** ROLLUP: order counts at (status, priority), (status), () levels.
+    * GROUPING() distinguishes the null-as-total rows from real nulls. */
+  def rollupOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .orders(spark, sfDir)
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        Det.decSum($"o_totalprice", 2).as("total"),
+        grouping($"o_orderstatus").cast("int").as("g_status"),
+        grouping($"o_orderpriority").cast("int").as("g_priority")
+      )
+      .select(
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"g_status",
+        $"g_priority",
+        $"n",
+        $"total"
+      )
+      .orderBy($"g_status", $"g_priority", $"status", $"priority")
+  }
+
+  /** CUBE over (returnflag, linestatus) with grouping id. */
+  def cubeLineitem(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .lineitem(spark, sfDir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping($"l_returnflag").cast("int").as("g_rf"),
+        grouping($"l_linestatus").cast("int").as("g_ls")
+      )
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"g_rf",
+        $"g_ls",
+        $"sum_qty",
+        $"n"
+      )
+      .orderBy($"g_rf", $"g_ls", $"returnflag", $"linestatus")
+  }
+
+  // ------------------------------------------------------------- windows
+
+  /** Window-function pack: row_number / rank / dense_rank / lag / lead /
+    * running sum, partitioned per order. */
+  def windowFunctions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w  = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables
+      .lineitem(spark, sfDir)
+      .filter($"l_orderkey" <= 100)
+      .select(
+        $"l_orderkey",
+        $"l_linenumber",
+        $"l_quantity",
+        row_number().over(w).as("rn"),
+        rank().over(Window.partitionBy($"l_orderkey").orderBy($"l_quantity".desc, $"l_linenumber")).as("qty_rank"),
+        lag($"l_quantity", 1).over(w).as("prev_qty"),
+        lead($"l_quantity", 1).over(w).as("next_qty"),
+        sum($"l_quantity").over(wr).as("running_qty")
+      )
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** Top-k per group via window + filter: 3 most expensive orders per
+    * customer (the scalable alternative to a global sort). */
+  def topOrdersPerCustomer(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables
+      .orders(spark, sfDir)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"o_custkey", $"rk", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_custkey", $"rk")
+  }
+
+  /** Global top-k: 10 most expensive orders (TakeOrderedAndProject — no full
+    * sort at scale). */
+  def globalTopOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  // ------------------------------------------------------------- set ops
+
+  /** UNION / INTERSECT / EXCEPT over the nation-key sets of customers vs
+    * suppliers, tagged per operation in one result. */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir).select($"c_nationkey".cast("int").as("nationkey")).distinct()
+    val s = Tables.supplier(spark, sfDir).select($"s_nationkey".cast("int").as("nationkey")).distinct()
+    val u = c.union(s).distinct().withColumn("op", lit("union"))
+    val i = c.intersect(s).withColumn("op", lit("intersect"))
+    val e = c.except(s).withColumn("op", lit("except"))
+    u.unionByName(i)
+      .unionByName(e)
+      .select($"op", $"nationkey")
+      .orderBy($"op", $"nationkey")
+  }
+}

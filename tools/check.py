@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), registers each
+testdata parquet as a DuckDB view, runs every oracle SQL, and compares it to
+the Spark result parquet at <verifyOutDir>/<name>/ — schema-insensitively:
+columns sorted by name, values normalized (floats rounded to 9 sig decimals,
+timestamps to ISO strings), then row-list equality.
+"""
+import sys, os, json, glob, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9e}"
+    if isinstance(v, (int, str, bool)):
+        return v
+    return str(v)
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return [c for c in sorted(cols)], out
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        spark_glob = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not spark_glob:
+            print(f"FAIL {name}: no spark result parquet")
+            n_fail += 1
+            continue
+        try:
+            ora = con.sql(oracle[name])
+            ocols, orows = ora.columns, ora.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}")
+            n_fail += 1
+            continue
+        got = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+        gcols, grows = got.columns, got.fetchall()
+        oc, orn = norm_rows(ocols, orows)
+        gc, grn = norm_rows(gcols, grows)
+        if oc != gc:
+            print(f"FAIL {name}: columns {gc} != oracle {oc}")
+            n_fail += 1
+        elif orn != grn:
+            n_fail += 1
+            print(f"FAIL {name}: rows differ (spark {len(grn)} vs oracle {len(orn)})")
+            for i, (a, b) in enumerate(zip(grn, orn)):
+                if a != b:
+                    print(f"  first diff row {i}:\n    spark : {a}\n    oracle: {b}")
+                    break
+        else:
+            n_pass += 1
+            print(f"PASS {name} ({len(grn)} rows)")
+    # rows-only entries (no oracle): just check non-empty
+    for d in sorted(os.listdir(out_dir)):
+        if os.path.isdir(f"{out_dir}/{d}") and d not in oracle:
+            files = glob.glob(f"{out_dir}/{d}/*.parquet")
+            n = con.sql(f"SELECT COUNT(*) FROM read_parquet('{out_dir}/{d}/*.parquet')").fetchone()[0] if files else 0
+            status = "PASS(rows-only)" if n > 0 else "FAIL(rows-only)"
+            if n == 0:
+                n_fail += 1
+            else:
+                n_pass += 1
+            print(f"{status} {d} ({n} rows)")
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
