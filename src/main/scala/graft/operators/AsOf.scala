@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of and range temporal joins — operators Spark lacks natively
+  * (SURVEY.md §2.2 join row), composed from built-ins so they stay
+  * shuffle-minimal at scale:
+  *
+  *   - as-of: the union-sort trick — tag both sides, sort once per key by
+  *     (ts, tag), carry the last left-side value forward with an ignoreNulls
+  *     window. ONE shuffle on the key, no join at all; this is the plan
+  *     you'd want at 100 TB (a naive inequality join is O(n·m) per key).
+  *   - range ("events within preceding interval"): a RANGE window frame over
+  *     epoch micros — again one shuffle, no self-join blow-up.
+  */
+object AsOf {
+
+  /** For each purchase event: the most recent view at-or-before it by the
+    * same user (timestamp and id carried). Null when no prior view. */
+  def lastViewBeforePurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val views     = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts", $"event_id", lit(0).as("tag"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id", lit(1).as("tag"))
+    // tag 0 sorts before tag 1 at equal ts → a view at the same instant counts
+    val w = Window
+      .partitionBy($"user_id")
+      .orderBy($"ts", $"tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views
+      .unionByName(purchases)
+      .withColumn("last_view_ts", last(when($"tag" === 0, $"ts"), ignoreNulls = true).over(w))
+      .filter($"tag" === 1)
+      .select(
+        $"event_id",
+        $"user_id",
+        unix_micros($"ts").as("ts_us"),
+        unix_micros($"last_view_ts").as("last_view_ts_us")
+      )
+      .orderBy($"event_id")
+  }
+
+  /** For each purchase: how many views the same user made in the preceding
+    * hour (exclusive of the purchase instant) — a range join expressed as a
+    * RANGE window frame, one shuffle total. */
+  def viewsInPrecedingHour(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables
+      .events(spark, sfDir)
+      .filter($"event_type".isin("view", "purchase"))
+      .withColumn("ts_us", unix_micros($"ts"))
+    val w = Window
+      .partitionBy($"user_id")
+      .orderBy($"ts_us")
+      .rangeBetween(-3600L * 1000 * 1000, -1L)
+    ev.withColumn(
+        "n_views_prior_hour",
+        coalesce(sum(when($"event_type" === "view", 1L)).over(w), lit(0L))
+      )
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"n_views_prior_hour")
+      .orderBy($"event_id")
+  }
+}
