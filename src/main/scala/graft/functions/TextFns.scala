@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared deterministic text/hash primitives used by the dedup, similarity
+  * and text-analysis packs.
+  *
+  * The hash is derived from md5 so the DuckDB oracle can compute the exact
+  * same value in SQL (`('0x' || substr(md5(x),1,N))::BIGINT`); engine-native
+  * hashes (xxhash64, DuckDB hash()) differ between engines and would make
+  * results unverifiable. md5 here is a deterministic fingerprint, not a
+  * security boundary. All built-ins → whole-stage codegen, no UDFs.
+  */
+object TextFns {
+
+  /** 60-bit positive hash of a string: first 15 hex digits of md5.
+    * DuckDB mirror: ('0x' || substr(md5(x),1,15))::BIGINT. */
+  def h60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** 48-bit positive hash — fits exactly in a double, so per-bit extraction
+    * via integer `div`/`%` is exact and engine-portable (used by simhash).
+    * DuckDB mirror: ('0x' || substr(md5(x),1,12))::BIGINT. */
+  def h48(c: Column): Column = conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
+  /** Whitespace tokens (the corpus is single-space joined). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word 3-gram shingles, 1-based positions 1..n-2 — matches DuckDB
+    * `list_transform(range(1, len-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))`.
+    * Empty when fewer than 3 tokens. */
+  def shingles3(toks: Column): Column =
+    when(
+      size(toks) >= 3,
+      transform(
+        sequence(lit(1), size(toks) - 2),
+        i =>
+          concat_ws(
+            " ",
+            element_at(toks, i),
+            element_at(toks, i + 1),
+            element_at(toks, i + 2)
+          )
+      )
+    ).otherwise(array().cast("array<string>"))
+
+  /** MinHash signature of a distinct-shingle set: for seed s in 0..k-1,
+    * min over shingles of h60(s || ':' || shingle). */
+  def minhashSig(dshingles: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      s => array_min(transform(dshingles, x => h60(concat(s.cast("string"), lit(":"), x))))
+    )
+}

@@ -15,7 +15,229 @@ import graft.sources.{JsonDecode, ParquetSink, SchemaInfer}
   * Spark's replace-all semantics.
   */
 object Registry {
-  def extra: Seq[Q] = temporal ++ scalars ++ schemaJson
+  def extra: Seq[Q] = temporal ++ scalars ++ schemaJson ++ textPack ++ dedupPack ++ simPack
+
+  /** Shared oracle CTE: the deterministic duplicate-injected corpus. */
+  private val dupCorpus =
+    """corpus AS (
+       SELECT doc_id, text FROM documents
+       UNION ALL
+       SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+     )"""
+
+  private def textPack: Seq[Q] = Seq(
+    Q(
+      "q60_token_counts",
+      Text.tokenCounts,
+      Some("""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS n_re_tokens,
+               CAST(length(text) AS INT) AS len_chars
+        FROM documents ORDER BY doc_id
+      """)
+    ),
+    Q(
+      "q61_quality_score",
+      Text.qualityScore,
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+                 CAST(length(replace(text, ' ', '')) AS DOUBLE) AS nsp
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS INT) AS n_tokens,
+                 nsp / len(toks) AS mean_tok_len,
+                 CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
+                 CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(toks) AS stop_ratio
+          FROM t
+        )
+        SELECT doc_id, n_tokens,
+               round(mean_tok_len, 6) AS mean_tok_len,
+               round(distinct_ratio, 6) AS distinct_ratio,
+               round(stop_ratio, 6) AS stop_ratio,
+               round(1.0 / (1.0 + exp(-(0.1*mean_tok_len + 2.0*distinct_ratio - 3.0*stop_ratio))), 6) AS quality
+        FROM m ORDER BY doc_id
+      """)
+    ),
+    Q(
+      "q62_lang_id",
+      Text.langId,
+      Some("""
+        WITH t AS (
+          SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+        ), c AS (
+          SELECT doc_id, lang,
+                 CAST(len(list_filter(toks, t -> t IN ('the','and','of','is'))) AS INT) AS c_en,
+                 CAST(len(list_filter(toks, t -> t IN ('der','die','das','und'))) AS INT) AS c_de,
+                 CAST(len(list_filter(toks, t -> t IN ('le','la','les','et'))) AS INT) AS c_fr
+          FROM t
+        )
+        SELECT doc_id, lang,
+               CASE WHEN c_en >= c_de AND c_en >= c_fr THEN 'en'
+                    WHEN c_de >= c_fr THEN 'de' ELSE 'fr' END AS pred_lang,
+               c_en, c_de, c_fr,
+               (lang = CASE WHEN c_en >= c_de AND c_en >= c_fr THEN 'en'
+                            WHEN c_de >= c_fr THEN 'de' ELSE 'fr' END) AS is_match
+        FROM c ORDER BY doc_id
+      """)
+    ),
+    Q(
+      "q63_fingerprint",
+      Text.fingerprint,
+      Some("""
+        WITH t AS (
+          SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+        ), s AS (
+          SELECT doc_id, text,
+                 list_transform(range(1, len(toks) - 1),
+                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS sh
+          FROM t
+        )
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5,
+               CAST(list_min(list_transform(sh, x -> ('0x' || substr(md5(x),1,15))::BIGINT)) AS BIGINT) AS min_shingle_h,
+               CAST(len(sh) AS INT) AS n_shingles
+        FROM s ORDER BY doc_id
+      """)
+    )
+  )
+
+  private def dedupPack: Seq[Q] = Seq(
+    Q(
+      "q64_exact_dedup",
+      Dedup.exactDedup,
+      Some(s"""
+        WITH $dupCorpus
+        SELECT md5(text) AS content_h, MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
+        FROM corpus GROUP BY content_h ORDER BY survivor_id
+      """)
+    ),
+    Q(
+      "q65_minhash_lsh_pairs",
+      Dedup.minhashLshPairs,
+      Some(s"""
+        WITH $dupCorpus, tk AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+        ), sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS dsh FROM tk
+        ), sg AS (
+          SELECT doc_id, list_transform(range(0, 16), s ->
+            CAST(list_min(list_transform(dsh,
+              x -> ('0x' || substr(md5(CAST(s AS VARCHAR) || ':' || x),1,15))::BIGINT)) AS BIGINT)) AS sig
+          FROM sh
+        ), bands AS (
+          SELECT doc_id, sig, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS key
+          FROM sg, (SELECT unnest([0,1,2,3]) AS b)
+        ), pairs AS (
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+        )
+        SELECT p.id1, p.id2,
+               CAST(list_sum(list_transform(range(1, 17),
+                 i -> CASE WHEN s1.sig[i] = s2.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 AS est_jaccard
+        FROM pairs p JOIN sg s1 ON p.id1 = s1.doc_id JOIN sg s2 ON p.id2 = s2.doc_id
+        ORDER BY id1, id2
+      """)
+    ),
+    Q(
+      "q66_simhash_pairs",
+      Dedup.simhashPairs,
+      Some(s"""
+        WITH $dupCorpus, tk AS (
+          SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
+            t -> ('0x' || substr(md5(t),1,12))::BIGINT) AS tokh FROM corpus
+        ), sm AS (
+          SELECT doc_id, CAST(list_sum(list_transform(range(0, 48), i ->
+            CASE WHEN CAST(list_sum(list_transform(tokh, x ->
+              CASE WHEN (x // CAST(POWER(2.0, i) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END)) AS BIGINT) > 0
+            THEN CAST(POWER(2.0, i) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+          FROM tk
+        ), bands AS (
+          SELECT doc_id, simhash, b, (simhash // CAST(POWER(2.0, 12*b) AS BIGINT)) % 4096 AS key
+          FROM sm, (SELECT unnest([0,1,2,3]) AS b)
+        ), pairs AS (
+          SELECT DISTINCT a.doc_id AS id1, a.simhash AS sh1, b.doc_id AS id2, b.simhash AS sh2
+          FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+        )
+        SELECT id1, id2, CAST(bit_count(xor(sh1, sh2)) AS INT) AS hamming
+        FROM pairs WHERE bit_count(xor(sh1, sh2)) <= 6
+        ORDER BY id1, id2
+      """)
+    ),
+    Q(
+      "q67_ngram_jaccard_pairs",
+      Dedup.ngramJaccardPairs,
+      Some(s"""
+        WITH $dupCorpus, tk AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+        ), sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS dsh FROM tk
+        ), ex AS (
+          SELECT doc_id, CAST(len(dsh) AS INT) AS n_sh, unnest(dsh) AS shingle FROM sh
+        ), j AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, a.n_sh AS n1, b.n_sh AS n2, COUNT(*) AS n_inter
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4
+        )
+        SELECT id1, id2, round(CAST(n_inter AS DOUBLE) / (n1 + n2 - n_inter), 6) AS jaccard
+        FROM j WHERE round(CAST(n_inter AS DOUBLE) / (n1 + n2 - n_inter), 6) >= 0.6
+        ORDER BY id1, id2
+      """)
+    ),
+    Q(
+      "q68_embedding_near_dup",
+      Dedup.embeddingNearDup,
+      Some("""
+        WITH corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+        ), e AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+          FROM corpus
+        ), p AS (
+          SELECT a.vec_id AS id1, b.vec_id AS id2,
+                 round(list_sum(list_transform(range(1, 65),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])) / (a.nrm * b.nrm), 6) AS cos
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+        )
+        SELECT id1, id2, cos FROM p WHERE cos >= 0.9 ORDER BY id1, id2
+      """)
+    )
+  )
+
+  private def simPack: Seq[Q] = Seq(
+    Q(
+      "q69_cosine_topk",
+      Similarity.cosineTopK,
+      Some("""
+        WITH e AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+          FROM embeddings
+        ), q AS (
+          SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM e WHERE vec_id < 10
+        ), s AS (
+          SELECT q.query_id, e.vec_id AS cand_id,
+                 round(list_sum(list_transform(range(1, 65),
+                   i -> CAST(qe[i] AS DOUBLE) * embedding[i])) / (qn * nrm), 6) AS cos
+          FROM e, q WHERE e.vec_id <> q.query_id
+        ), r AS (
+          SELECT query_id, cand_id, cos,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INT) AS rk
+          FROM s
+        )
+        SELECT query_id, rk, cand_id, cos FROM r WHERE rk <= 10 ORDER BY query_id, rk
+      """)
+    ),
+    // Approximate by design → rows-only; recall vs brute force asserted in tests.
+    Q("q70_lsh_cosine_topk", Similarity.lshCosineTopK, None)
+  )
 
   private def temporal: Seq[Q] = Seq(
     Q(

@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (north-star X3/X4):
+  * brute-force cosine top-k as the correctness baseline, and a
+  * random-hyperplane LSH-bucketed variant as the scale path.
+  *
+  * The query set is tiny (vec_id < 10) and broadcast, so the brute-force
+  * plan is a single pass over the candidate side — scan-parallel at any
+  * scale for a bounded query set. The LSH variant buckets BOTH sides by
+  * sign-pattern so the join is equi on the bucket id — a hash shuffle, no
+  * cross join — which is the plan that survives 1000 executors.
+  *
+  * All projection weights derive from md5 (computed driver-side into plan
+  * literals) so the pipeline is deterministic with no RNG state.
+  */
+object Similarity {
+
+  private val Dim = 64
+
+  /** Deterministic md5-derived pseudo-random weight in [-1, 1) for
+    * (plane, dim) — same arithmetic the DuckDB oracle can replay:
+    * (('0x'||substr(md5(p||'_'||d),1,15))::BIGINT % 2001 - 1000) / 1000.0 */
+  private def planeWeight(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${p}_$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    (h % 2001 - 1000) / 1000.0
+  }
+
+  private def dotLit(e: Column, w: Seq[Double]): Column =
+    aggregate(
+      zip_with(e, typedLit(w), (x, y) => x.cast("double") * y),
+      lit(0.0),
+      (acc, v) => acc + v
+    )
+
+  private def norm(e: Column): Column =
+    sqrt(aggregate(transform(e, x => x.cast("double") * x.cast("double")), lit(0.0), (a, v) => a + v))
+
+  private def cosine(e1: Column, n1: Column, e2: Column, n2: Column): Column =
+    aggregate(zip_with(e1, e2, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, v) => a + v) /
+      (n1 * n2)
+
+  /** Brute-force cosine top-10 per query (queries = vec_id < 10, self
+    * excluded). Rank on the 6-decimal-rounded cosine with vec_id tiebreak so
+    * the cut is deterministic across engines. */
+  def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    e.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .withColumn("cos", round(cosine($"qe", $"qn", $"embedding", $"nrm"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 10)
+      .select($"query_id", $"rk", $"vec_id".as("cand_id"), $"cos")
+      .orderBy($"query_id", $"rk")
+  }
+
+  /** Sign-pattern bucket id over `nPlanes` md5-derived hyperplanes. */
+  def lshBucket(e: Column, nPlanes: Int): Column =
+    (0 until nPlanes)
+      .map(p => when(dotLit(e, (0 until Dim).map(planeWeight(p, _))) > 0, 1L << p).otherwise(0L))
+      .reduce(_ + _)
+
+  /** LSH-bucketed approximate top-k: candidates restricted to the query's
+    * bucket (equi-join on bucket id — hash shuffle, no cross join). Recall
+    * vs the brute-force baseline is asserted in the test suite; results are
+    * rows-only checked by the driver (approximate by design). */
+  def lshCosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val nPlanes = 4
+    val e = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding", norm($"embedding").as("nrm"), lshBucket($"embedding", nPlanes).as("bucket"))
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"), $"bucket".as("qbucket"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    e.join(broadcast(q), $"bucket" === $"qbucket" && $"vec_id" =!= $"query_id")
+      .withColumn("cos", round(cosine($"qe", $"qn", $"embedding", $"nrm"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 10)
+      .select($"query_id", $"rk", $"vec_id".as("cand_id"), $"cos")
+      .orderBy($"query_id", $"rk")
+  }
+}

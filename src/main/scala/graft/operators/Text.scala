@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis pack over the `documents` table — the LLM-training-pipeline
+  * operators the north star mandates: token counting, quality scoring,
+  * language ID, document fingerprinting. All codegen'd built-ins (no UDFs);
+  * every computation is a per-row map, so the plans are a single scan stage
+  * with no shuffle other than the final presentation sort — embarrassingly
+  * parallel at 100 TB.
+  */
+object Text {
+
+  /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    * (letter runs | digit runs | single punctuation). */
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .documents(spark, sfDir)
+      .select(
+        $"doc_id",
+        size(tokens($"text")).as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"))
+          .as("n_re_tokens"),
+        length($"text").as("len_chars")
+      )
+      .orderBy($"doc_id")
+  }
+
+  /** Quality scoring: length / distinct-token ratio / stopword ratio /
+    * mean token length folded into a logistic score. */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    Tables
+      .documents(spark, sfDir)
+      .withColumn("toks", tokens($"text"))
+      .withColumn("n_tokens", size($"toks"))
+      .withColumn("n_stop", size(filter($"toks", t => t.isInCollection(stop))))
+      .withColumn(
+        "mean_tok_len",
+        length(regexp_replace($"text", " ", "")).cast("double") / $"n_tokens"
+      )
+      .withColumn("distinct_ratio", size(array_distinct($"toks")).cast("double") / $"n_tokens")
+      .withColumn("stop_ratio", $"n_stop".cast("double") / $"n_tokens")
+      .select(
+        $"doc_id",
+        $"n_tokens",
+        round($"mean_tok_len", 6).as("mean_tok_len"),
+        round($"distinct_ratio", 6).as("distinct_ratio"),
+        round($"stop_ratio", 6).as("stop_ratio"),
+        round(
+          lit(1.0) / (lit(1.0) +
+            exp(-(lit(0.1) * $"mean_tok_len" + lit(2.0) * $"distinct_ratio" - lit(3.0) * $"stop_ratio"))),
+          6
+        ).as("quality")
+      )
+      .orderBy($"doc_id")
+  }
+
+  /** Language ID by marker-word counts (n-gram heuristic): count hits in
+    * per-language function-word sets, argmax with fixed priority en>de>fr. */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val en = Seq("the", "and", "of", "is")
+    val de = Seq("der", "die", "das", "und")
+    val fr = Seq("le", "la", "les", "et")
+    Tables
+      .documents(spark, sfDir)
+      .withColumn("toks", tokens($"text"))
+      .withColumn("c_en", size(filter($"toks", t => t.isInCollection(en))))
+      .withColumn("c_de", size(filter($"toks", t => t.isInCollection(de))))
+      .withColumn("c_fr", size(filter($"toks", t => t.isInCollection(fr))))
+      .select(
+        $"doc_id",
+        $"lang",
+        when($"c_en" >= $"c_de" && $"c_en" >= $"c_fr", "en")
+          .when($"c_de" >= $"c_fr", "de")
+          .otherwise("fr")
+          .as("pred_lang"),
+        $"c_en",
+        $"c_de",
+        $"c_fr"
+      )
+      .withColumn("is_match", $"lang" === $"pred_lang")
+      .orderBy($"doc_id")
+  }
+
+  /** Document fingerprinting: md5 of whitespace-normalized text + the
+    * min-shingle rolling-hash fingerprint (MinHash with k=1). */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .documents(spark, sfDir)
+      .withColumn("sh", shingles3(tokens($"text")))
+      .select(
+        $"doc_id",
+        md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("fp_md5"),
+        array_min(transform($"sh", x => h60(x))).as("min_shingle_h"),
+        size($"sh").as("n_shingles")
+      )
+      .orderBy($"doc_id")
+  }
+}
