@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkEntry.Q
 import graft.sources.{JsonDecode, ParquetSink, SchemaInfer}
+import graft.streaming.Streaming
 
 /** Additional declared queries beyond the relational core — extension packs
   * (temporal joins, scalar functions, schema/JSON parity, sinks; dedup,
@@ -15,7 +16,8 @@ import graft.sources.{JsonDecode, ParquetSink, SchemaInfer}
   * Spark's replace-all semantics.
   */
 object Registry {
-  def extra: Seq[Q] = temporal ++ scalars ++ schemaJson ++ textPack ++ dedupPack ++ simPack
+  def extra: Seq[Q] =
+    temporal ++ scalars ++ schemaJson ++ textPack ++ dedupPack ++ simPack ++ multimodalPack ++ streamingPack
 
   /** Shared oracle CTE: the deterministic duplicate-injected corpus. */
   private val dupCorpus =
@@ -237,6 +239,99 @@ object Registry {
     ),
     // Approximate by design → rows-only; recall vs brute force asserted in tests.
     Q("q70_lsh_cosine_topk", Similarity.lshCosineTopK, None)
+  )
+
+  private def multimodalPack: Seq[Q] = Seq(
+    Q(
+      "q71_image_features",
+      Multimodal.imageFeatures,
+      Some("""
+        WITH b AS (
+          SELECT doc_id, md5(text) AS h,
+                 CAST(doc_id % 64 + 1 AS INT) AS width,
+                 CAST(doc_id % 32 + 1 AS INT) AS height
+          FROM documents
+        ), f AS (
+          SELECT doc_id,
+                 16 AS n_bytes,
+                 ('0x' || substr(h, 1, 2))::INT AS first_byte,
+                 ('0x' || substr(h, 31, 2))::INT AS last_byte,
+                 CAST(list_sum(list_transform(range(0, 16),
+                   i -> ('0x' || substr(h, i*2+1, 2))::INT)) AS INT) AS byte_sum,
+                 width * height * 3 AS n_pixels
+          FROM b
+        )
+        SELECT doc_id, n_bytes, first_byte, last_byte, byte_sum,
+               CAST(byte_sum AS DOUBLE) / 16.0 AS mean_byte, n_pixels
+        FROM f ORDER BY doc_id
+      """)
+    ),
+    Q(
+      "q72_frame_sample",
+      Multimodal.frameSample,
+      Some("""
+        WITH f AS (
+          SELECT doc_id, unnest([0, 2]) AS frame_idx, text FROM documents
+        ), h AS (
+          SELECT doc_id, frame_idx,
+                 md5(text || ':' || CAST(frame_idx AS VARCHAR)) AS fh
+          FROM f
+        )
+        SELECT doc_id, frame_idx,
+               ('0x' || substr(fh, 1, 2))::INT AS first_byte,
+               CAST(list_sum(list_transform(range(0, 16),
+                 i -> ('0x' || substr(fh, i*2+1, 2))::INT)) AS INT) AS byte_sum
+        FROM h ORDER BY doc_id, frame_idx
+      """)
+    )
+  )
+
+  private def streamingPack: Seq[Q] = Seq(
+    Q(
+      "q73_session_window",
+      Streaming.sessionizeBatch,
+      Some("""
+        WITH t AS (
+          SELECT user_id, epoch_us(ts) AS ts_us FROM events
+        ), g AS (
+          SELECT user_id, ts_us,
+                 CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+                        OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) >= 1800000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM t
+        ), s AS (
+          SELECT user_id, ts_us,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+          FROM g
+        )
+        SELECT user_id, MIN(ts_us) AS session_start_us,
+               MAX(ts_us) + 1800000000 AS session_end_us,
+               COUNT(*) AS n_events
+        FROM s GROUP BY user_id, sess ORDER BY user_id, session_start_us
+      """)
+    ),
+    Q(
+      "q74_tumbling_window",
+      Streaming.tumblingBatch,
+      Some("""
+        SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us,
+               COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY win_start_us ORDER BY win_start_us
+      """)
+    ),
+    Q(
+      "q75_sliding_window",
+      Streaming.slidingBatch,
+      Some("""
+        WITH w AS (
+          SELECT epoch_us(time_bucket(INTERVAL '30 minutes', ts)) AS b FROM events
+        ), x AS (
+          SELECT unnest([b, b - 1800000000]) AS win_start_us FROM w
+        )
+        SELECT win_start_us, COUNT(*) AS n FROM x GROUP BY win_start_us ORDER BY win_start_us
+      """)
+    )
   )
 
   private def temporal: Seq[Q] = Seq(

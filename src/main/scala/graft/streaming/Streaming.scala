@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface (SURVEY.md §2.2 streaming row).
+  *
+  * The transforms are written against plain DataFrames so the SAME code runs
+  * in batch (declared queries, DuckDB-verifiable) and on a streaming source
+  * (`readStream` / MemoryStream — exercised in the test suite with
+  * watermarks and state). This is the Spark-idiomatic split: logic is
+  * source-agnostic, only the boundary differs.
+  *
+  * At scale: windowed aggregation shuffles once on (window, key); the
+  * session_window agg keys state by user — state-store partitioning is the
+  * shuffle partitioning, which is the right plan for an unbounded stream.
+  */
+object Streaming {
+
+  /** Tumbling 1-hour windows: event counts + distinct users. */
+  def tumblingCounts(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .select(unix_micros(col("window.start")).as("win_start_us"), col("n"), col("n_users"))
+
+  /** Sliding 1-hour windows every 30 minutes: each event lands in 2 windows. */
+  def slidingCounts(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("win_start_us"), col("n"))
+
+  /** Gap-based sessionization via session_window (30-minute inactivity gap):
+    * per (user, session) event count and bounds. Window end = last event +
+    * gap (Spark semantics; the oracle reproduces it with a lag/cumsum). */
+  def sessionize(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events")
+      )
+
+  /** Streaming entry: replay the events table as a file stream (one file =
+    * one micro-batch analog of the reference's daily indices). */
+  def replayStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = Tables.events(spark, sfDir).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$sfDir/events.parquet")
+  }
+
+  /** Watermarked variant for unbounded sources (late data beyond 10 minutes
+    * dropped; state for closed windows evicted). */
+  def tumblingCountsWithWatermark(stream: DataFrame): DataFrame =
+    tumblingCounts(stream.withWatermark("ts", "10 minutes"))
+
+  def sessionizeWithWatermark(stream: DataFrame): DataFrame =
+    sessionize(stream.withWatermark("ts", "10 minutes"))
+
+  // ------------------------------------------------------- declared queries
+
+  def tumblingBatch(spark: SparkSession, sfDir: String): DataFrame =
+    tumblingCounts(Tables.events(spark, sfDir)).orderBy(col("win_start_us"))
+
+  def slidingBatch(spark: SparkSession, sfDir: String): DataFrame =
+    slidingCounts(Tables.events(spark, sfDir)).orderBy(col("win_start_us"))
+
+  def sessionizeBatch(spark: SparkSession, sfDir: String): DataFrame =
+    sessionize(Tables.events(spark, sfDir)).orderBy(col("user_id"), col("session_start_us"))
+}
