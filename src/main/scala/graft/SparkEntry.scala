@@ -147,7 +147,7 @@ object SparkEntry {
         SELECT c_custkey, c_name, c_nationkey
         FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders
-                          WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+                          WHERE o_custkey = c_custkey AND o_totalprice > 300000)
         ORDER BY c_custkey
       """)
     ),

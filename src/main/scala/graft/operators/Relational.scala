@@ -163,7 +163,7 @@ object Relational {
   def antiJoinCustomers(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val cust = Tables.customer(spark, sfDir)
-    val ord  = Tables.orders(spark, sfDir).filter($"o_totalprice" > 200000).select($"o_custkey")
+    val ord  = Tables.orders(spark, sfDir).filter($"o_totalprice" > 300000).select($"o_custkey")
     cust
       .join(ord, $"c_custkey" === $"o_custkey", "left_anti")
       .select($"c_custkey", $"c_name", $"c_nationkey")

@@ -64,26 +64,42 @@ object Similarity {
       .orderBy($"query_id", $"rk")
   }
 
-  /** Sign-pattern bucket id over `nPlanes` md5-derived hyperplanes. */
-  def lshBucket(e: Column, nPlanes: Int): Column =
+  /** Sign-pattern bucket id over `nPlanes` hyperplanes from table `table`
+    * (each table uses an independent md5-derived plane set). */
+  def lshBucket(e: Column, table: Int, nPlanes: Int): Column =
     (0 until nPlanes)
-      .map(p => when(dotLit(e, (0 until Dim).map(planeWeight(p, _))) > 0, 1L << p).otherwise(0L))
+      .map(p =>
+        when(dotLit(e, (0 until Dim).map(planeWeight(table * nPlanes + p, _))) > 0, 1L << p)
+          .otherwise(0L)
+      )
       .reduce(_ + _)
 
-  /** LSH-bucketed approximate top-k: candidates restricted to the query's
-    * bucket (equi-join on bucket id — hash shuffle, no cross join). Recall
-    * vs the brute-force baseline is asserted in the test suite; results are
-    * rows-only checked by the driver (approximate by design). */
+  /** LSH-bucketed approximate top-k with OR-amplification: `nTables`
+    * independent hash tables of `nPlanes` hyperplanes each; a candidate is
+    * scored if it shares a bucket with the query in ANY table. The join is
+    * equi on (table, bucket) — a hash shuffle, never a cross join — and the
+    * per-pair dedup + top-k are bounded by the bucket sizes: the plan that
+    * survives 1000 executors. Recall vs the brute-force baseline is
+    * asserted in the test suite; the driver does a rows-only check
+    * (approximate by design). */
   def lshCosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    val nTables = 4
     val nPlanes = 4
     val e = Tables.embeddings(spark, sfDir)
-      .select($"vec_id", $"embedding", norm($"embedding").as("nrm"), lshBucket($"embedding", nPlanes).as("bucket"))
-    val q = e.filter($"vec_id" < 10)
-      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"), $"bucket".as("qbucket"))
+      .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+    val buckets = array(
+      (0 until nTables).map(t => struct(lit(t).as("t"), lshBucket($"embedding", t, nPlanes).as("b"))): _*
+    )
+    val cand = e.select($"vec_id", $"embedding", $"nrm", explode(buckets).as("tb"))
+    val q = cand
+      .filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"), $"tb".as("qtb"))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
-    e.join(broadcast(q), $"bucket" === $"qbucket" && $"vec_id" =!= $"query_id")
+    cand
+      .join(broadcast(q), $"tb" === $"qtb" && $"vec_id" =!= $"query_id")
+      .dropDuplicates("query_id", "vec_id")
       .withColumn("cos", round(cosine($"qe", $"qn", $"embedding", $"nrm"), 6))
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= 10)

@@ -1,8 +1,9 @@
 package graft.streaming
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /** Structured Streaming surface (SURVEY.md §2.2 streaming row).
   *
@@ -18,11 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object Streaming {
 
-  /** Tumbling 1-hour windows: event counts + distinct users. */
-  def tumblingCounts(ev: DataFrame): DataFrame =
+  /** Tumbling 1-hour windows: event counts + distinct users. Streaming
+    * aggregation can't do exact distinct (unbounded per-window state), so
+    * the stream path uses approx_count_distinct (HLL) — the correct trade
+    * at scale; batch keeps the exact count for the oracle. */
+  def tumblingCounts(ev: DataFrame, exactDistinct: Boolean = true): DataFrame = {
+    val distinctUsers =
+      if (exactDistinct) countDistinct(col("user_id")) else approx_count_distinct(col("user_id"))
     ev.groupBy(window(col("ts"), "1 hour"))
-      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .agg(count(lit(1)).as("n"), distinctUsers.as("n_users"))
       .select(unix_micros(col("window.start")).as("win_start_us"), col("n"), col("n_users"))
+  }
 
   /** Sliding 1-hour windows every 30 minutes: each event lands in 2 windows. */
   def slidingCounts(ev: DataFrame): DataFrame =
@@ -56,10 +63,29 @@ object Streaming {
   /** Watermarked variant for unbounded sources (late data beyond 10 minutes
     * dropped; state for closed windows evicted). */
   def tumblingCountsWithWatermark(stream: DataFrame): DataFrame =
-    tumblingCounts(stream.withWatermark("ts", "10 minutes"))
+    tumblingCounts(stream.withWatermark("ts", "10 minutes"), exactDistinct = false)
 
   def sessionizeWithWatermark(stream: DataFrame): DataFrame =
     sessionize(stream.withWatermark("ts", "10 minutes"))
+
+  final case class UserCount(user_id: Long, n: Long)
+
+  /** Custom stateful streaming op: running per-user event count across
+    * micro-batches via mapGroupsWithState — the KeyValueGroupedDataset
+    * state API the checklist's "stateful" row asks for. State is keyed by
+    * user; at scale the state store partitions on the group key (one
+    * shuffle), the correct unbounded-stream plan. */
+  def runningCountPerUser(userIds: Dataset[Long]): Dataset[UserCount] = {
+    import userIds.sparkSession.implicits._
+    userIds
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          UserCount(user, n)
+      }
+  }
 
   // ------------------------------------------------------- declared queries
 

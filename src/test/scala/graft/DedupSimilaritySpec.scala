@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Semantic properties of the dedup + similarity packs that the row-hash
+  * oracle can't express: idempotence, injected-pair recovery, LSH recall. */
+class DedupSimilaritySpec extends SparkSpec {
+
+  test("exact dedup finds exactly the injected duplicates") {
+    import spark.implicits._
+    val out = Dedup.exactDedup(spark, sf).cache()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(out.count() === nDocs, "one group per distinct text")
+    val dupGroups = out.filter($"n_copies" === 2).count()
+    val expected = Tables.documents(spark, sf).filter($"doc_id" % 10 === 0).count()
+    assert(dupGroups === expected, "every injected copy pairs with its source")
+  }
+
+  test("exact dedup is idempotent: survivors contain no duplicate content") {
+    import spark.implicits._
+    val survivors = Dedup.exactDedup(spark, sf).select($"survivor_id")
+    val d = Dedup
+      .docsWithDups(spark, sf)
+      .join(survivors, $"doc_id" === $"survivor_id")
+      .groupBy(md5($"text"))
+      .count()
+      .filter($"count" > 1)
+    assert(d.count() === 0)
+  }
+
+  test("minhash LSH recovers every injected duplicate pair with est=1.0") {
+    import spark.implicits._
+    val pairs = Dedup.minhashLshPairs(spark, sf).cache()
+    val injected = Tables.documents(spark, sf).filter($"doc_id" % 10 === 0)
+      .select($"doc_id".as("id1"), ($"doc_id" + 1000000L).as("id2"))
+    val recovered = injected.join(pairs, Seq("id1", "id2"))
+    assert(recovered.count() === injected.count(), "identical docs always collide in every band")
+    assert(recovered.filter($"est_jaccard" === 1.0).count() === injected.count())
+  }
+
+  test("simhash assigns hamming distance 0 to identical docs") {
+    import spark.implicits._
+    val pairs = Dedup.simhashPairs(spark, sf).cache()
+    val injected = Tables.documents(spark, sf).filter($"doc_id" % 10 === 0)
+      .select($"doc_id".as("id1"), ($"doc_id" + 1000000L).as("id2"))
+    val recovered = injected.join(pairs, Seq("id1", "id2"))
+    assert(recovered.count() === injected.count())
+    assert(recovered.filter($"hamming" === 0).count() === injected.count())
+  }
+
+  test("ngram jaccard gives 1.0 exactly on the injected pairs") {
+    import spark.implicits._
+    val pairs = Dedup.ngramJaccardPairs(spark, sf)
+    val exact = pairs.filter($"jaccard" === 1.0)
+    val injected = Tables.documents(spark, sf).filter($"doc_id" % 10 === 0).count()
+    assert(exact.count() >= injected)
+  }
+
+  test("embedding near-dup finds the injected identical vectors at cos=1") {
+    import spark.implicits._
+    val nd = Dedup.embeddingNearDup(spark, sf)
+    val injected = Tables.embeddings(spark, sf).filter($"vec_id" % 10 === 0).count()
+    assert(nd.filter($"cos" === 1.0).count() === injected)
+  }
+
+  test("LSH top-k achieves >=30% recall@10 of brute force with 4 planes") {
+    import spark.implicits._
+    val brute = Similarity.cosineTopK(spark, sf).select($"query_id", $"cand_id")
+    val lsh   = Similarity.lshCosineTopK(spark, sf).select($"query_id", $"cand_id")
+    val hit   = brute.join(lsh, Seq("query_id", "cand_id")).count().toDouble
+    val total = brute.count().toDouble
+    // 4 planes ≈ 16 buckets; same-bucket fraction of true top-10 neighbors
+    // is well above a uniform 1/16 because near vectors share sign patterns.
+    assert(hit / total >= 0.3, s"recall ${hit / total} too low")
+  }
+
+  test("brute-force top-k is self-consistent: rank 1 has the max cosine") {
+    import spark.implicits._
+    val topk = Similarity.cosineTopK(spark, sf).cache()
+    val r1   = topk.filter($"rk" === 1).groupBy($"query_id").agg(max($"cos").as("c1"))
+    val mx   = topk.groupBy($"query_id").agg(max($"cos").as("cm"))
+    val bad  = r1.join(mx, "query_id").filter($"c1" =!= $"cm")
+    assert(bad.count() === 0)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.{AsOf, Multimodal}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Literal-data semantics tests for operators whose oracle check alone
+  * doesn't pin the interesting edge cases. */
+class OperatorSpec extends SparkSpec {
+
+  private def t(minute: Int): Timestamp = new Timestamp(minute * 60000L)
+
+  test("as-of join: purchase picks the latest view at-or-before it, else null") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: view@1, view@5, purchase@7 -> last view 5; purchase@3 -> view 1
+      (1L, t(1), 101L, "view"),
+      (1L, t(5), 102L, "view"),
+      (1L, t(3), 103L, "purchase"),
+      (1L, t(7), 104L, "purchase"),
+      // user 2: purchase with no prior view -> null
+      (2L, t(4), 201L, "purchase"),
+      // user 3: view at the same instant as purchase counts (at-or-before)
+      (3L, t(9), 301L, "view"),
+      (3L, t(9), 302L, "purchase")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    ev.createOrReplaceTempView("asof_fixture")
+
+    // run the same logic as lastViewBeforePurchase but over the fixture
+    val views     = ev.filter($"event_type" === "view").select($"user_id", $"ts", $"event_id", lit(0).as("tag"))
+    val purchases = ev.filter($"event_type" === "purchase").select($"user_id", $"ts", $"event_id", lit(1).as("tag"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = views.unionByName(purchases)
+      .withColumn("last_view_ts", last(when($"tag" === 0, $"ts"), ignoreNulls = true).over(w))
+      .filter($"tag" === 1)
+      .select($"event_id", $"last_view_ts")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Timestamp].getTime / 60000))
+      .toMap
+    assert(out(103L) === Some(1L))
+    assert(out(104L) === Some(5L))
+    assert(out(201L) === None)
+    assert(out(302L) === Some(9L), "view at the same instant is at-or-before")
+  }
+
+  test("as-of query runs on the fixture table with deterministic output") {
+    val df = AsOf.lastViewBeforePurchase(spark, sf)
+    assert(df.columns.toSeq === Seq("event_id", "user_id", "ts_us", "last_view_ts_us"))
+  }
+
+  test("image features: byte math matches an independent md5 computation") {
+    import spark.implicits._
+    val feats = Multimodal.imageFeatures(spark, sf).limit(5).collect()
+    val texts = Tables.documents(spark, sf).orderBy($"doc_id").limit(5)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    feats.foreach { r =>
+      val bytes = md.digest(texts(r.getAs[Long]("doc_id")).getBytes("UTF-8")).map(_ & 0xff)
+      assert(r.getAs[Int]("n_bytes") === 16)
+      assert(r.getAs[Int]("first_byte") === bytes.head)
+      assert(r.getAs[Int]("last_byte") === bytes.last)
+      assert(r.getAs[Int]("byte_sum") === bytes.sum)
+    }
+  }
+
+  test("frame sample emits exactly frames 0 and 2 per document") {
+    import spark.implicits._
+    val fs = Multimodal.frameSample(spark, sf).cache()
+    val perDoc = fs.groupBy($"doc_id").agg(count(lit(1)).as("n"), array_sort(collect_list($"frame_idx")).as("idx"))
+    assert(perDoc.filter($"n" =!= 2).count() === 0)
+    assert(perDoc.filter(!($"idx" === array(lit(0), lit(2)))).count() === 0)
+  }
+}

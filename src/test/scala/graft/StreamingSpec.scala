@@ -1,0 +1,119 @@
+package graft
+
+import graft.streaming.Streaming
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** Real Structured Streaming behavior: the batch-verified transforms run on
+  * a MemoryStream with watermarks, late data, and custom state. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp = new Timestamp(minute * 60000L)
+
+  test("tumbling window counts over a stream match batch semantics") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val ev = in.toDF().toDF("ts", "user_id")
+    val q = Streaming
+      .tumblingCountsWithWatermark(ev)
+      .writeStream
+      .format("memory")
+      .queryName("tumbling_test")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      in.addData((ts(5), 1L), (ts(10), 2L), (ts(65), 1L), (ts(70), 1L))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_test").orderBy($"win_start_us").collect()
+      assert(rows.length === 2)
+      assert(rows(0).getAs[Long]("n") === 2 && rows(0).getAs[Long]("n_users") === 2)
+      assert(rows(1).getAs[Long]("n") === 2 && rows(1).getAs[Long]("n_users") === 1)
+    } finally q.stop()
+  }
+
+  test("watermark drops late data in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val ev = in.toDF().toDF("ts", "user_id")
+    val q = Streaming
+      .tumblingCountsWithWatermark(ev)
+      .writeStream
+      .format("memory")
+      .queryName("late_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData((ts(5), 1L), (ts(30), 2L))
+      q.processAllAvailable()
+      // advance watermark far past hour 0 (wm = 200min - 10min >> 60min)
+      in.addData((ts(200), 3L))
+      q.processAllAvailable()
+      // hour-0 window is now closed and emitted; a very late event must not reopen it
+      in.addData((ts(6), 9L))
+      q.processAllAvailable()
+      val hour0 = spark.table("late_test").filter($"win_start_us" === 0L).collect()
+      assert(hour0.length === 1)
+      assert(hour0(0).getAs[Long]("n") === 2, "late event beyond watermark must be dropped")
+    } finally q.stop()
+  }
+
+  test("session_window sessionizes a stream (gap merge + split)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val ev = in.toDF().toDF("ts", "user_id")
+    val q = Streaming
+      .sessionizeWithWatermark(ev)
+      .writeStream
+      .format("memory")
+      .queryName("session_test")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      // user 1: events 0min,10min (one session), 60min (new session: gap >= 30)
+      in.addData((ts(0), 1L), (ts(10), 1L), (ts(60), 1L))
+      q.processAllAvailable()
+      val rows = spark.table("session_test").orderBy($"session_start_us").collect()
+      assert(rows.length === 2)
+      assert(rows(0).getAs[Long]("n_events") === 2)
+      assert(rows(0).getAs[Long]("session_end_us") === (10 * 60 + 30 * 60) * 1000000L)
+      assert(rows(1).getAs[Long]("n_events") === 1)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-user counts across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Long]
+    val q = Streaming
+      .runningCountPerUser(in.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("state_test")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      in.addData(1L, 1L, 2L)
+      q.processAllAvailable()
+      in.addData(1L, 2L, 2L)
+      q.processAllAvailable()
+      val latest = spark
+        .table("state_test")
+        .groupBy($"user_id")
+        .agg(max($"n").as("n"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      assert(latest === Map(1L -> 3L, 2L -> 3L))
+    } finally q.stop()
+  }
+
+  test("file-replay stream plans as a streaming source") {
+    val stream = Streaming.replayStream(spark, sf)
+    assert(stream.isStreaming)
+  }
+}
