@@ -36,14 +36,12 @@ object Bench {
     try SparkEntry.queries(names.head)(spark, sfDir).write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => () }
 
+    // best of 3: the first run carries janino codegen compilation + C2 JIT
+    // warm-up that a long-lived cluster amortizes away; steady state is the
+    // number comparable across rounds.
     val results = names.map { n =>
-      val a = materialize(n); val b = materialize(n)
-      val best = (a, b) match {
-        case (x, y) if x < 0 => y
-        case (x, y) if y < 0 => x
-        case (x, y)          => math.min(x, y)
-      }
-      n -> best
+      val runs = (1 to 3).map(_ => materialize(n)).filter(_ >= 0)
+      n -> (if (runs.isEmpty) -1.0 else runs.min)
     }
     val qs    = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Plan/perf probe: `runMain graft.Probe <sfDir> <queryName|all> [explain]`.
+  * Times a declared query (noop sink, best of 3 after warm-up) and
+  * optionally dumps the formatted physical plan — the iterate-on-plans loop
+  * the build guide asks for. */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val which = if (args.length > 1) args(1) else "all"
+    val doExplain = args.contains("explain")
+    val spark = Session.build()
+    def time1(name: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    if (which == "adhoc") {
+      // decimal vs double vs scaled-long aggregation cost on lineitem
+      import spark.implicits._
+      val li = Tables.lineitem(spark, sfDir)
+      def t(tag: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+        mk.write.mode("overwrite").format("noop").save() // warm
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          mk.write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[adhoc] $tag%-12s best=${runs.min}%.3f")
+      }
+      t("double") {
+        li.groupBy($"l_returnflag", $"l_linestatus")
+          .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("s"), count(lit(1)).as("n"))
+      }
+      t("decimal") {
+        li.groupBy($"l_returnflag", $"l_linestatus")
+          .agg(Det.decSum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("s"), count(lit(1)).as("n"))
+      }
+      t("scaledlong") {
+        li.groupBy($"l_returnflag", $"l_linestatus")
+          .agg((sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 10000).cast("long")) / 10000.0).as("s"), count(lit(1)).as("n"))
+      }
+      t("scan-only")(li.select($"l_extendedprice", $"l_discount"))
+      t("scan-all")(li)
+      // minhash stage decomposition
+      import graft.functions.TextFns._
+      import graft.operators.Dedup
+      val docs = Dedup.docsWithDups(spark, sfDir)
+      t("mh-shingle")(docs.select($"doc_id", array_distinct(shingles3(tokens($"text"))).as("dsh")))
+      t("mh-hash")(docs.select($"doc_id", minhashBaseHashes(array_distinct(shingles3(tokens($"text")))).as("hs")))
+      t("mh-sig") {
+        docs.select($"doc_id", minhashBaseHashes(array_distinct(shingles3(tokens($"text")))).as("hs"))
+          .repartition($"doc_id")
+          .select($"doc_id", minhashSigFromHashes($"hs", 16).as("sig"))
+      }
+      t("mh-full")(Dedup.minhashLshPairs(spark, sfDir))
+      spark.stop(); return
+    }
+    val names = if (which == "all") SparkEntry.queries.keys.toSeq.sorted else Seq(which)
+    names.foreach { n =>
+      if (doExplain) SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val runs = (1 to 3).map(_ => time1(n))
+      println(f"[probe] $n%-28s best=${runs.min}%.3f runs=${runs.map(r => f"$r%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

@@ -30,12 +30,12 @@ object SparkEntry {
       Some("""
         SELECT l_returnflag, l_linestatus,
                SUM(l_quantity) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+               CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+               CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_charge,
                SUM(l_quantity) / COUNT(*) AS avg_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
+               CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1999-01-01'
@@ -90,7 +90,7 @@ object SparkEntry {
       Relational.revenueByOrder,
       Some("""
         SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
-               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+               CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -105,7 +105,7 @@ object SparkEntry {
       Relational.revenueByNation,
       Some("""
         SELECT r_name, n_name,
-               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
                COUNT(*) AS n_items
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -122,7 +122,7 @@ object SparkEntry {
       Some("""
         SELECT c_custkey, c_name,
                COUNT(o_orderkey) AS n_orders,
-               CAST(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+               CAST(SUM(CAST(round(COALESCE(o_totalprice, 0.0) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_spent
         FROM customer
         LEFT JOIN orders ON c_custkey = o_custkey
         GROUP BY c_custkey, c_name
@@ -197,7 +197,7 @@ object SparkEntry {
                CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
                CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
                COUNT(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         ORDER BY g_status, g_priority, status, priority
@@ -282,7 +282,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
 
-  /** Headline subset timed by [[Bench]] (driver runs it at sf0.1). */
+  /** Headline subset timed by [[Bench]] (driver runs it at sf0.1):
+    * the relational core plus one representative per extension pack. */
   def benchQueries: Seq[String] = Seq(
     "q01_pricing_summary",
     "q02_top_event_types",
@@ -291,7 +292,11 @@ object SparkEntry {
     "q20_distinct_agg",
     "q23_cube_lineitem",
     "q25_topk_per_group",
-    "q26_global_topk"
+    "q26_global_topk",
+    "q61_quality_score",
+    "q65_minhash_lsh_pairs",
+    "q69_cosine_topk",
+    "q73_session_window"
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -32,6 +32,15 @@ object Tables {
     * Raw fixture column is TIMESTAMP(NANOS); `ts div 1000` truncates ns→µs
     * (matching DuckDB's read of the same file). If a future fixture ships
     * µs-precision instead, the column is already TimestampType and is kept. */
+  /** Round-robin repartition to the session's shuffle parallelism — put
+    * before compute-bound per-row stages (hashing, shingling, vector math).
+    * The local fixtures are single-row-group parquet files, so a scan is ONE
+    * task and everything fused into it runs single-threaded; at real scale
+    * the same barrier just rebalances skew ahead of heavy compute. The
+    * shuffle it inserts moves only the projected columns. */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = read(spark, sfDir, "events")
     raw.schema("ts").dataType match {

@@ -1,0 +1,173 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.types._
+
+/** Compiled compute kernels for the hot per-row loops, wired into Catalyst
+  * via StaticInvoke so whole-stage codegen emits a single static call per
+  * row (SURVEY.md §7.4: custom codegen only where the bench shows heat).
+  *
+  * Rationale: higher-order functions (`transform`, `aggregate`, `zip_with`)
+  * evaluate their lambda through the interpreter per ELEMENT — for
+  * md5-per-shingle hashing and 64-float dot products that per-element
+  * dispatch dominates (measured ~7× end-to-end on the minhash query). Each
+  * kernel computes byte-for-byte the same value as the declarative
+  * formulation it replaces (and as the DuckDB oracle SQL), so swapping it in
+  * changes no query result.
+  */
+object HashKernels {
+
+  /** md5-based 60-bit hash per array element, optionally reduced mod p
+    * (p <= 0 → no reduction). Equals
+    * `conv(substring(md5(x),1,15),16,10)::long [% p]` element-wise. */
+  def md5Mod60(arr: ArrayData, p: Long): ArrayData = {
+    val md  = java.security.MessageDigest.getInstance("MD5")
+    val n   = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      // first 15 hex digits = bytes 0..6 plus the high nibble of byte 7
+      var v = 0L
+      var j = 0
+      while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      v = (v << 4) | ((d(7) & 0xf0L) >>> 4)
+      out(i) = if (p > 0) v % p else v
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Word n-gram shingle hashes in one pass: md5-hash of
+    * `toks[i] + " " + ... + toks[i+n-1]` for each window, reduced mod p
+    * (p <= 0 → none). Identical values to
+    * `md5Mod60(transform(sequence(1, len-n+1), i -> concat_ws(' ', ...)), p)`
+    * without materializing the shingle strings. */
+  def shingleMd5Mod(toks: ArrayData, n: Int, p: Long): ArrayData = {
+    val md    = java.security.MessageDigest.getInstance("MD5")
+    val len   = toks.numElements()
+    val count = math.max(0, len - n + 1)
+    val out   = new Array[Long](count)
+    val space = " ".getBytes
+    var i = 0
+    while (i < count) {
+      md.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(space)
+        md.update(toks.getUTF8String(i + j).getBytes)
+        j += 1
+      }
+      val d = md.digest()
+      var v = 0L
+      var k = 0
+      while (k < 7) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+      v = (v << 4) | ((d(7) & 0xf0L) >>> 4)
+      out(i) = if (p > 0) v % p else v
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** MinHash signature from base hashes: k affine lanes
+    * h_s = ((2s+1)·h + 12289·s) mod p, min per lane. Identical values to the
+    * transform/array_min formulation (and the DuckDB mirror). Empty input →
+    * all-null lanes, matching list_min(empty) = null. */
+  def minhashSig(hs: ArrayData, k: Int, p: Long): ArrayData = {
+    val n = hs.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](k))
+    val out = new Array[Long](k)
+    var s = 0
+    while (s < k) {
+      val a = 2L * s + 1
+      val b = 12289L * s
+      var mn = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val v = (a * hs.getLong(i) + b) % p
+        if (v < mn) mn = v
+        i += 1
+      }
+      out(s) = mn
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Dot product of two float vectors accumulated in double, sequential
+    * element order — identical IEEE result to
+    * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0d, +)`. */
+  def dotFF(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+}
+
+object Kernels {
+  private val kernelClass: Class[_] = Class.forName("graft.functions.HashKernels")
+
+  /** Column form of [[HashKernels.md5Mod60]]: array<string> → array<long>. */
+  def md5Array60(c: Column, p: Long = -1L): Column =
+    GraftBridge.column(
+      StaticInvoke(
+        kernelClass,
+        ArrayType(LongType, containsNull = false),
+        "md5Mod60",
+        Seq(GraftBridge.expression(c), Literal(p, LongType)),
+        inputTypes = Nil,
+        propagateNull = true,
+        returnNullable = false
+      )
+    )
+
+  /** Column form of [[HashKernels.shingleMd5Mod]]: array<string> tokens →
+    * array<long> n-gram shingle hashes. */
+  def shingleHashes(toks: Column, n: Int, p: Long = -1L): Column =
+    GraftBridge.column(
+      StaticInvoke(
+        kernelClass,
+        ArrayType(LongType, containsNull = false),
+        "shingleMd5Mod",
+        Seq(GraftBridge.expression(toks), Literal(n, IntegerType), Literal(p, LongType)),
+        inputTypes = Nil,
+        propagateNull = true,
+        returnNullable = false
+      )
+    )
+
+  /** Column form of [[HashKernels.minhashSig]]: array<long> → array<long>(k). */
+  def minhashSigK(hs: Column, k: Int, p: Long): Column =
+    GraftBridge.column(
+      StaticInvoke(
+        kernelClass,
+        ArrayType(LongType, containsNull = true),
+        "minhashSig",
+        Seq(GraftBridge.expression(hs), Literal(k, IntegerType), Literal(p, LongType)),
+        inputTypes = Nil,
+        propagateNull = true,
+        returnNullable = false
+      )
+    )
+
+  /** Column form of [[HashKernels.dotFF]]: (array<float>, array<float>) → double. */
+  def dot(a: Column, b: Column): Column =
+    GraftBridge.column(
+      StaticInvoke(
+        kernelClass,
+        DoubleType,
+        "dotFF",
+        Seq(GraftBridge.expression(a), GraftBridge.expression(b)),
+        inputTypes = Nil,
+        propagateNull = true,
+        returnNullable = false
+      )
+    )
+}

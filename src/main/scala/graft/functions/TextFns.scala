@@ -44,11 +44,33 @@ object TextFns {
       )
     ).otherwise(array().cast("array<string>"))
 
-  /** MinHash signature of a distinct-shingle set: for seed s in 0..k-1,
-    * min over shingles of h60(s || ':' || shingle). */
-  def minhashSig(dshingles: Column, k: Int): Column =
+  /** Mersenne prime 2^31 - 1: keeps (2k+1)·h + 12289k < 2^62 (no overflow). */
+  val MinhashP = 2147483647L
+
+  /** Base hashes for MinHash: ONE md5 per shingle, reduced mod p, computed
+    * by the codegen'd kernel (same values as
+    * `transform(dsh, x -> h60(x) % p)` — see [[Kernels.md5Array60]]).
+    * IMPORTANT: materialize this (exchange/cache) before fanning out into
+    * the k signature lanes — higher-order-function lambdas are interpreted
+    * (no codegen CSE), so a nested `transform(baseHashes(...), ...)` would
+    * re-run every md5 once per lane (measured 60× slower). */
+  def minhashBaseHashes(dshingles: Column): Column =
+    Kernels.md5Array60(dshingles, MinhashP)
+
+  /** MinHash signature from materialized base hashes: k cheap derived hash
+    * functions h_s = ((2s+1)·h + 12289·s) mod p — the standard affine
+    * family, identical integer arithmetic in the DuckDB mirror. */
+  def minhashSigFromHashes(hs: Column, k: Int): Column =
     transform(
       sequence(lit(0), lit(k - 1)),
-      s => array_min(transform(dshingles, x => h60(concat(s.cast("string"), lit(":"), x))))
+      s =>
+        array_min(
+          transform(hs, h => ((s * 2 + 1).cast("long") * h + s.cast("long") * 12289L) % MinhashP)
+        )
     )
+
+  /** One-shot MinHash signature (small inputs / tests; see the CSE caveat
+    * on [[minhashBaseHashes]] before using in a hot path). */
+  def minhashSig(dshingles: Column, k: Int): Column =
+    minhashSigFromHashes(minhashBaseHashes(dshingles), k)
 }

@@ -41,7 +41,7 @@ object Multimodal {
   def imageTable(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables
-      .documents(spark, sfDir)
+      .spread(Tables.documents(spark, sfDir))
       .select(
         $"doc_id",
         unhex(md5($"text")).as("img"),
@@ -85,7 +85,7 @@ object Multimodal {
     import spark.implicits._
     val frames = (0 until 4).map(f => unhex(md5(concat($"text", lit(s":$f")))))
     Tables
-      .documents(spark, sfDir)
+      .spread(Tables.documents(spark, sfDir))
       .select($"doc_id", concat(frames: _*).as("video"), lit(4).as("n_frames"), lit(16).as("frame_bytes"))
       .as[VideoRow]
       .mapPartitions { rows =>

@@ -125,11 +125,15 @@ object Registry {
         ), sh AS (
           SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS dsh FROM tk
+        ), hsh AS (
+          SELECT doc_id, list_transform(dsh,
+            x -> ('0x' || substr(md5(x),1,15))::BIGINT % 2147483647) AS hs
+          FROM sh
         ), sg AS (
           SELECT doc_id, list_transform(range(0, 16), s ->
-            CAST(list_min(list_transform(dsh,
-              x -> ('0x' || substr(md5(CAST(s AS VARCHAR) || ':' || x),1,15))::BIGINT)) AS BIGINT)) AS sig
-          FROM sh
+            CAST(list_min(list_transform(hs,
+              h -> ((s*2+1) * h + s*12289) % 2147483647)) AS BIGINT)) AS sig
+          FROM hsh
         ), bands AS (
           SELECT doc_id, sig, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS key
           FROM sg, (SELECT unnest([0,1,2,3]) AS b)
@@ -399,7 +403,7 @@ object Registry {
                CAST(quarter(o_orderdate) AS INT) AS qtr,
                CAST(month(o_orderdate) AS INT) AS mo,
                COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total,
                MAX(CAST(date_trunc('month', o_orderdate) AS DATE)) AS month_start,
                CAST(MAX(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY) AS DATE) AS max_plus_30d
         FROM orders GROUP BY yr, qtr, mo ORDER BY yr, qtr, mo

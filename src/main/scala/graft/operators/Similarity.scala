@@ -38,12 +38,13 @@ object Similarity {
       (acc, v) => acc + v
     )
 
-  private def norm(e: Column): Column =
-    sqrt(aggregate(transform(e, x => x.cast("double") * x.cast("double")), lit(0.0), (a, v) => a + v))
+  /** L2 norm via the codegen'd dot kernel (same sequential-order IEEE sum
+    * as the aggregate/zip_with formulation — see [[graft.functions.Kernels]]). */
+  private[operators] def norm(e: Column): Column =
+    sqrt(graft.functions.Kernels.dot(e, e))
 
-  private def cosine(e1: Column, n1: Column, e2: Column, n2: Column): Column =
-    aggregate(zip_with(e1, e2, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, v) => a + v) /
-      (n1 * n2)
+  private[operators] def cosine(e1: Column, n1: Column, e2: Column, n2: Column): Column =
+    graft.functions.Kernels.dot(e1, e2) / (n1 * n2)
 
   /** Brute-force cosine top-10 per query (queries = vec_id < 10, self
     * excluded). Rank on the 6-decimal-rounded cosine with vec_id tiebreak so
@@ -51,7 +52,7 @@ object Similarity {
   def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val e = Tables.embeddings(spark, sfDir)
+    val e = Tables.spread(Tables.embeddings(spark, sfDir))
       .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
     val q = e.filter($"vec_id" < 10)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"))
@@ -87,7 +88,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val nTables = 4
     val nPlanes = 4
-    val e = Tables.embeddings(spark, sfDir)
+    val e = Tables.spread(Tables.embeddings(spark, sfDir))
       .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
     val buckets = array(
       (0 until nTables).map(t => struct(lit(t).as("t"), lshBucket($"embedding", t, nPlanes).as("b"))): _*

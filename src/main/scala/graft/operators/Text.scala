@@ -19,7 +19,7 @@ object Text {
   def tokenCounts(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables
-      .documents(spark, sfDir)
+      .spread(Tables.documents(spark, sfDir))
       .select(
         $"doc_id",
         size(tokens($"text")).as("n_ws_tokens"),
@@ -36,7 +36,7 @@ object Text {
     import spark.implicits._
     val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
     Tables
-      .documents(spark, sfDir)
+      .spread(Tables.documents(spark, sfDir))
       .withColumn("toks", tokens($"text"))
       .withColumn("n_tokens", size($"toks"))
       .withColumn("n_stop", size(filter($"toks", t => t.isInCollection(stop))))
@@ -69,7 +69,7 @@ object Text {
     val de = Seq("der", "die", "das", "und")
     val fr = Seq("le", "la", "les", "et")
     Tables
-      .documents(spark, sfDir)
+      .spread(Tables.documents(spark, sfDir))
       .withColumn("toks", tokens($"text"))
       .withColumn("c_en", size(filter($"toks", t => t.isInCollection(en))))
       .withColumn("c_de", size(filter($"toks", t => t.isInCollection(de))))
@@ -94,12 +94,12 @@ object Text {
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables
-      .documents(spark, sfDir)
+      .spread(Tables.documents(spark, sfDir))
       .withColumn("sh", shingles3(tokens($"text")))
       .select(
         $"doc_id",
         md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("fp_md5"),
-        array_min(transform($"sh", x => h60(x))).as("min_shingle_h"),
+        array_min(graft.functions.Kernels.md5Array60($"sh")).as("min_shingle_h"),
         size($"sh").as("n_shingles")
       )
       .orderBy($"doc_id")
