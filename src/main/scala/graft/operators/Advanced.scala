@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Advanced relational surface: SQL-API entry (temp views + spark.sql),
+  * correlated scalar subqueries, explicit GROUPING SETS, statistical
+  * aggregates, pivot, and the typed-Aggregator UDAF — the §2.2 checklist
+  * rows not yet covered by the DataFrame packs. */
+object Advanced {
+
+  /** Correlated scalar subquery through the SQL entry point (TPC-H Q17
+    * shape): line items whose quantity is below half their part's average.
+    * Catalyst decorrelates the subquery into a join against the per-part
+    * aggregate — the plan you'd hand-write, derived automatically.
+    * Deterministic because l_quantity is integral (exact double sums). */
+  def correlatedSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    spark.sql("""
+      SELECT l_partkey,
+             COUNT(*) AS n_small,
+             CAST(SUM(l_quantity) AS BIGINT) AS sum_small_qty
+      FROM lineitem l
+      WHERE l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+      GROUP BY l_partkey
+      ORDER BY l_partkey
+    """)
+  }
+
+  /** Explicit GROUPING SETS (beyond rollup/cube): status-only,
+    * priority-only, and grand-total groups in one pass. */
+  def groupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_gs")
+    spark.sql("""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             COALESCE(o_orderpriority, 'ALL') AS priority,
+             CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+             CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+             COUNT(*) AS n
+      FROM orders_gs
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY g_status, g_priority, status, priority
+    """)
+  }
+
+  /** Statistical aggregates: stddev/variance/correlation/covariance and an
+    * exact interpolated median — rounded to 6 decimals because the
+    * single-pass moment algorithms differ across engines in the last ulps. */
+  def statsAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(stddev_samp($"l_quantity"), 6).as("sd_qty"),
+        round(var_samp($"l_quantity"), 6).as("var_qty"),
+        round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qty_price"),
+        round(covar_samp($"l_quantity", $"l_discount"), 6).as("cov_qty_disc"),
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        min($"l_quantity").as("min_qty"),
+        max($"l_quantity").as("max_qty")
+      )
+      .orderBy($"l_returnflag")
+  }
+
+  /** Pivot: daily event counts spread into one column per event type. */
+  def pivotEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = Tables
+      .events(spark, sfDir)
+      .groupBy(to_date($"ts").as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    p.select(
+      $"day" +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*
+    ).orderBy($"day")
+  }
+
+  /** Geometric mean of extended price per return flag via the typed
+    * [[graft.functions.GeoMean]] Aggregator (UDAF surface) — plans as
+    * partial/final aggregation like a built-in. */
+  def geoMeanUdaf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val geomean = udaf(graft.functions.GeoMean)
+    Tables
+      .lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(round(geomean($"l_extendedprice"), 6).as("geomean_price"), count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+}

@@ -17,7 +17,82 @@ import graft.streaming.Streaming
   */
 object Registry {
   def extra: Seq[Q] =
-    temporal ++ scalars ++ schemaJson ++ textPack ++ dedupPack ++ simPack ++ multimodalPack ++ streamingPack
+    temporal ++ scalars ++ schemaJson ++ textPack ++ dedupPack ++ simPack ++
+      multimodalPack ++ streamingPack ++ advancedPack
+
+  private def advancedPack: Seq[Q] = Seq(
+    Q(
+      "q17_correlated_subquery",
+      Advanced.correlatedSubquery,
+      Some("""
+        SELECT l_partkey,
+               COUNT(*) AS n_small,
+               CAST(SUM(l_quantity) AS BIGINT) AS sum_small_qty
+        FROM lineitem l
+        WHERE l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY l_partkey
+        ORDER BY l_partkey
+      """)
+    ),
+    Q(
+      "q28_grouping_sets",
+      Advanced.groupingSets,
+      Some("""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_priority, status, priority
+      """)
+    ),
+    Q(
+      "q29_stats_agg",
+      Advanced.statsAgg,
+      Some("""
+        SELECT l_returnflag,
+               round(stddev_samp(l_quantity), 6) AS sd_qty,
+               round(var_samp(l_quantity), 6) AS var_qty,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc,
+               quantile_cont(l_quantity, 0.5) AS median_qty,
+               min(l_quantity) AS min_qty,
+               max(l_quantity) AS max_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+      """)
+    ),
+    Q(
+      "q32_pivot",
+      Advanced.pivotEventCounts,
+      Some("""
+        SELECT CAST(ts AS DATE) AS day,
+               COUNT(*) FILTER (event_type = 'click') AS click,
+               COUNT(*) FILTER (event_type = 'error') AS error,
+               COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+               COUNT(*) FILTER (event_type = 'signup') AS signup,
+               COUNT(*) FILTER (event_type = 'view') AS view
+        FROM events GROUP BY day ORDER BY day
+      """)
+    ),
+    Q(
+      "q33_geomean_udaf",
+      Advanced.geoMeanUdaf,
+      Some("""
+        SELECT l_returnflag,
+               round(EXP(AVG(LN(l_extendedprice))), 6) AS geomean_price,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+      """)
+    )
+  )
 
   /** Shared oracle CTE: the deterministic duplicate-injected corpus. */
   private val dupCorpus =
