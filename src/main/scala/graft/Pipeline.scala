@@ -1,0 +1,81 @@
+package graft
+
+import graft.sources.{JsonDecode, SchemaInfer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's complete workflow, end-to-end and Spark-first
+  * (Bootstrap.main → EsParquetWriter.call, SURVEY.md §3): resolve the recent
+  * time window (O2), slice by one event type (O4, the rule_name analog),
+  * infer the JSON props schema from samples (O5-O8), persist it beside the
+  * output (O9), decode tolerantly with dead-letter isolation (O10-O11),
+  * export day-partitioned parquet (O12), and return the re-read audit counts
+  * (O14). Parallelism is Spark's task scheduling (O13) — the reference's
+  * thread pool has no analog here.
+  *
+  * Scale shape: one pruned scan → per-row decode (no shuffle) → partitioned
+  * write; the audit is a group-count over the committed files, verifying the
+  * round trip rather than trusting an in-flight counter.
+  */
+object Pipeline {
+
+  /** Run the export for one event type over the last `windowDays` (resolved
+    * against max(ts) so the fixture stays self-contained). Returns the
+    * per-day audit: rows exported and dead-lettered per partition. */
+  def exportByType(
+      spark: SparkSession,
+      sfDir: String,
+      outDir: String,
+      eventType: String,
+      windowDays: Int
+  ): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val mx = ev.agg(max($"ts").as("mx"))
+    val windowed = ev
+      .crossJoin(broadcast(mx))
+      .filter($"ts" >= $"mx" - expr(s"INTERVAL $windowDays DAYS"))
+      .filter($"event_type" === eventType)
+      .drop("mx")
+
+    // O5-O8: infer the props schema from a deterministic sample, nullable.
+    val sample = windowed.orderBy($"event_id").limit(100).select($"props").as[String]
+    val propsSchema = SchemaInfer.allNullable(SchemaInfer.infer(spark, sample))
+    // O9: persist beside the output (overwrite ≡ the reference's dir wipe).
+    SchemaInfer.persist(propsSchema, s"$outDir/schema.json")
+
+    // O10-O11: tolerant decode, dead letters kept auditable.
+    val (good, bad) = JsonDecode.decodeWithDeadLetter(windowed, "props", propsSchema.toDDL)
+
+    // O12: day-partitioned export of the decoded rows.
+    good
+      .select($"event_id", $"user_id", $"ts", $"value", $"_parsed.*", to_date($"ts").as("day"))
+      .write
+      .mode("overwrite")
+      .partitionBy("day")
+      .parquet(s"$outDir/data")
+
+    // O14: audit = re-read counts joined with dead-letter counts per day.
+    val exported = spark.read
+      .parquet(s"$outDir/data")
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_rows"))
+    val dead = bad
+      .groupBy(to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n_dead"))
+    exported
+      .join(dead, Seq("day"), "full_outer")
+      .select(
+        $"day",
+        coalesce($"n_rows", lit(0L)).as("n_rows"),
+        coalesce($"n_dead", lit(0L)).as("n_dead")
+      )
+      .orderBy($"day")
+  }
+
+  /** Declared query: the full pipeline on the purchase slice, 30-day window. */
+  def exportPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_export_pipeline"
+    exportByType(spark, sfDir, out, "purchase", 30)
+  }
+}

@@ -18,7 +18,7 @@ import graft.streaming.Streaming
 object Registry {
   def extra: Seq[Q] =
     temporal ++ scalars ++ schemaJson ++ textPack ++ dedupPack ++ simPack ++
-      multimodalPack ++ streamingPack ++ advancedPack
+      multimodalPack ++ streamingPack ++ advancedPack ++ pipelinePack
 
   private def advancedPack: Seq[Q] = Seq(
     Q(
@@ -361,6 +361,25 @@ object Registry {
                CAST(list_sum(list_transform(range(0, 16),
                  i -> ('0x' || substr(fh, i*2+1, 2))::INT)) AS INT) AS byte_sum
         FROM h ORDER BY doc_id, frame_idx
+      """)
+    )
+  )
+
+  private def pipelinePack: Seq[Q] = Seq(
+    Q(
+      "q80_export_pipeline",
+      graft.Pipeline.exportPipeline,
+      Some("""
+        WITH w AS (
+          SELECT *, CAST(ts AS DATE) AS day
+          FROM events
+          WHERE event_type = 'purchase'
+            AND ts >= (SELECT MAX(ts) FROM events) - INTERVAL 30 DAY
+        )
+        SELECT day,
+               CAST(SUM(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS BIGINT) AS n_dead
+        FROM w GROUP BY day ORDER BY day
       """)
     )
   )
