@@ -57,6 +57,19 @@ object Probe {
           .select($"doc_id", minhashSigFromHashes($"hs", 16).as("sig"))
       }
       t("mh-full")(Dedup.minhashLshPairs(spark, sfDir))
+      // simhash decomposition
+      import graft.functions.Kernels
+      val sdocs = Tables.spread(Dedup.docsWithDups(spark, sfDir))
+      t("sh-split")(sdocs.select($"doc_id", split($"text", " ").as("t")))
+      t("sh-distinct")(sdocs.select($"doc_id", array_distinct(split($"text", " ")).as("t")))
+      t("sh-md5")(sdocs.select($"doc_id", Kernels.md5Array60(array_distinct(split($"text", " "))).as("h")))
+      t("sh-shift")(sdocs.select($"doc_id", transform(Kernels.md5Array60(array_distinct(split($"text", " "))), h => shiftright(h, 12)).as("h")))
+      t("sh-simhash") {
+        sdocs.select($"doc_id", transform(Kernels.md5Array60(array_distinct(split($"text", " "))), h => shiftright(h, 12)).as("tokh"))
+          .repartition($"doc_id")
+          .select($"doc_id", Kernels.simhash($"tokh").as("s"))
+      }
+      t("sh-full")(Dedup.simhashPairs(spark, sfDir))
       spark.stop(); return
     }
     val names = if (which == "all") SparkEntry.queries.keys.toSeq.sorted else Seq(which)

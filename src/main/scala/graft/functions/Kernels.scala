@@ -99,6 +99,34 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** 48-bit SimHash from 48-bit token hashes: bit i of the result is set
+    * when more tokens have bit i set than clear. Identical values to the
+    * SQL formulation
+    * `aggregate(sequence(0,47), 0L, (acc,i) -> acc + IF(aggregate(tokh, 0L,
+    *   (a,x) -> a + CASE WHEN (x div 2^i) % 2 = 1 THEN 1 ELSE -1 END) > 0,
+    *   2^i, 0L))`. */
+  def simhash48(hs: ArrayData): Long = {
+    val n      = hs.numElements()
+    val counts = new Array[Int](48)
+    var i = 0
+    while (i < n) {
+      val v = hs.getLong(i)
+      var b = 0
+      while (b < 48) {
+        if (((v >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b   = 0
+    while (b < 48) {
+      if (counts(b) > 0) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+
   /** Dot product of two float vectors accumulated in double, sequential
     * element order — identical IEEE result to
     * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0d, +)`. */
@@ -151,6 +179,20 @@ object Kernels {
         ArrayType(LongType, containsNull = true),
         "minhashSig",
         Seq(GraftBridge.expression(hs), Literal(k, IntegerType), Literal(p, LongType)),
+        inputTypes = Nil,
+        propagateNull = true,
+        returnNullable = false
+      )
+    )
+
+  /** Column form of [[HashKernels.simhash48]]: array<long> → long. */
+  def simhash(hs: Column): Column =
+    GraftBridge.column(
+      StaticInvoke(
+        kernelClass,
+        LongType,
+        "simhash48",
+        Seq(GraftBridge.expression(hs)),
         inputTypes = Nil,
         propagateNull = true,
         returnNullable = false

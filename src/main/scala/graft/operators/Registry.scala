@@ -227,9 +227,14 @@ object Registry {
       "q66_simhash_pairs",
       Dedup.simhashPairs,
       Some(s"""
-        WITH $dupCorpus, tk AS (
-          SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
-            t -> ('0x' || substr(md5(t),1,12))::BIGINT) AS tokh FROM corpus
+        WITH $dupCorpus, tok AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+        ), tk AS (
+          SELECT doc_id, list_transform(
+            list_transform(range(1, len(toks) - 1),
+              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])),
+            x -> ('0x' || substr(md5(x),1,12))::BIGINT) AS tokh
+          FROM tok
         ), sm AS (
           SELECT doc_id, CAST(list_sum(list_transform(range(0, 48), i ->
             CASE WHEN CAST(list_sum(list_transform(tokh, x ->

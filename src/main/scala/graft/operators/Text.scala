@@ -93,14 +93,16 @@ object Text {
     * min-shingle rolling-hash fingerprint (MinHash with k=1). */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // min over shingle hashes needs no shingle strings materialized: the
+    // kernel hashes the 3-gram windows straight off the token array.
     Tables
       .spread(Tables.documents(spark, sfDir))
-      .withColumn("sh", shingles3(tokens($"text")))
+      .withColumn("shs", graft.functions.Kernels.shingleHashes(tokens($"text"), 3))
       .select(
         $"doc_id",
         md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("fp_md5"),
-        array_min(graft.functions.Kernels.md5Array60($"sh")).as("min_shingle_h"),
-        size($"sh").as("n_shingles")
+        array_min($"shs").as("min_shingle_h"),
+        size($"shs").as("n_shingles")
       )
       .orderBy($"doc_id")
   }
