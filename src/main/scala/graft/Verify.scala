@@ -14,6 +14,7 @@ object Verify {
       // events.ts is parquet TIMESTAMP(NANOS); load as long, Tables casts µs
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
