@@ -595,6 +595,16 @@ object Registry {
       """)
     ),
     Q(
+      "q54_json_csv_roundtrip",
+      ParquetSink.jsonCsvRoundTrip,
+      Some("""
+        SELECT COUNT(*) AS n_rows,
+               CAST(0 AS BIGINT) AS json_mismatches,
+               CAST(0 AS BIGINT) AS csv_mismatches
+        FROM events WHERE event_type = 'signup'
+      """)
+    ),
+    Q(
       "q53_sink_audit",
       ParquetSink.sinkAudit,
       Some("""

@@ -43,4 +43,35 @@ object ParquetSink {
     val ev  = Tables.events(spark, sfDir).filter($"event_type" === "purchase")
     writePartitionedWithAudit(spark, ev, out).orderBy($"day")
   }
+
+  /** Declared query: JSON-lines and CSV sink/source round trip (the
+    * checklist's "+ json/csv" file formats). A deterministic slice goes out
+    * through both writers, comes back through both readers with explicit
+    * schemas, and the audit proves both round trips preserved every row and
+    * value (join on the key, compare columns, count mismatches = 0). */
+  def jsonCsvRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_fmt_roundtrip"
+    val src = Tables
+      .events(spark, sfDir)
+      .filter($"event_type" === "signup")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"), $"value")
+    src.write.mode("overwrite").json(s"$base/json")
+    src.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    val schema = "event_id BIGINT, user_id BIGINT, ts_us BIGINT, value DOUBLE"
+    val fromJson = spark.read.schema(schema).json(s"$base/json")
+    val fromCsv  = spark.read.schema(schema).option("header", "true").csv(s"$base/csv")
+    val j = fromJson.select($"event_id", $"user_id".as("j_user"), $"ts_us".as("j_ts"), $"value".as("j_val"))
+    val c = fromCsv.select($"event_id", $"user_id".as("c_user"), $"ts_us".as("c_ts"), $"value".as("c_val"))
+    src
+      .join(j, "event_id")
+      .join(c, "event_id")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when($"user_id" <=> $"j_user" && $"ts_us" <=> $"j_ts" && $"value" <=> $"j_val", 0L).otherwise(1L))
+          .as("json_mismatches"),
+        sum(when($"user_id" <=> $"c_user" && $"ts_us" <=> $"c_ts" && $"value" <=> $"c_val", 0L).otherwise(1L))
+          .as("csv_mismatches")
+      )
+  }
 }
