@@ -322,7 +322,8 @@ object Registry {
       """)
     ),
     // Approximate by design → rows-only; recall vs brute force asserted in tests.
-    Q("q70_lsh_cosine_topk", Similarity.lshCosineTopK, None)
+    Q("q70_lsh_cosine_topk", Similarity.lshCosineTopK, None),
+    Q("q76_ivf_cosine_topk", Similarity.ivfCosineTopK, None)
   )
 
   private def multimodalPack: Seq[Q] = Seq(

@@ -75,6 +75,67 @@ object Similarity {
       )
       .reduce(_ + _)
 
+  /** IVF (inverted-file) approximate top-k — the other standard ANN scale
+    * path next to LSH: a small centroid table (the coarse quantizer; here
+    * the per-label mean vectors, a deterministic stand-in for k-means),
+    * every vector assigned to its nearest centroid (one broadcast pass), and
+    * queries probing the `nprobe` nearest inverted lists via an equi-join on
+    * centroid id — a hash shuffle over ~nprobe/k of the data instead of a
+    * full scan. Approximate by design → rows-only driver check; recall vs
+    * brute force asserted in the test suite. */
+  def ivfCosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val nprobe = 4
+    val e = Tables.spread(Tables.embeddings(spark, sfDir))
+      .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+
+    // Coarse quantizer: per-label mean vector (k = #labels inverted lists).
+    val cents = Tables.embeddings(spark, sfDir)
+      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"label", $"pos")
+      .agg(avg($"v").as("m"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+      .select(
+        $"label".as("cent_id"),
+        transform($"pm", p => p.getField("m").cast("float")).as("cvec")
+      )
+      .withColumn("cnrm", norm($"cvec"))
+
+    // Assign every vector to its nearest centroid (broadcast the tiny
+    // centroid table; rank by cosine).
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
+    val assigned = e
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine($"embedding", $"nrm", $"cvec", $"cnrm"))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter($"crk" === 1)
+      .select($"vec_id", $"embedding", $"nrm", $"cent_id")
+
+    // Queries probe their nprobe nearest lists.
+    val wProbe = Window.partitionBy($"query_id").orderBy($"ccos".desc, $"probe_cent")
+    val probes = e
+      .filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine($"qe", $"qn", $"cvec", $"cnrm"))
+      .withColumn("probe_cent", $"cent_id")
+      .withColumn("crk", row_number().over(wProbe))
+      .filter($"crk" <= nprobe)
+      .select($"query_id", $"qe", $"qn", $"probe_cent")
+
+    // Score only candidates in the probed lists (equi-join on centroid id).
+    val wRank = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    assigned
+      .join(broadcast(probes), $"cent_id" === $"probe_cent" && $"vec_id" =!= $"query_id")
+      .withColumn("cos", round(cosine($"qe", $"qn", $"embedding", $"nrm"), 6))
+      .withColumn("rk", row_number().over(wRank))
+      .filter($"rk" <= 10)
+      .select($"query_id", $"rk", $"vec_id".as("cand_id"), $"cos")
+      .orderBy($"query_id", $"rk")
+  }
+
   /** LSH-bucketed approximate top-k with OR-amplification: `nTables`
     * independent hash tables of `nPlanes` hyperplanes each; a candidate is
     * scored if it shares a bucket with the query in ANY table. The join is
