@@ -175,6 +175,51 @@ object SparkEntry {
       """)
     ),
     Q(
+      "q18_late_priority_count",
+      Relational.latePriorityCount,
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+      """)
+    ),
+    Q(
+      "q19_cross_nation_volume",
+      Relational.crossNationVolume,
+      Some("""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS yr,
+               CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS volume
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+           OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3')
+        GROUP BY supp_nation, cust_nation, yr
+        ORDER BY supp_nation, cust_nation, yr
+      """)
+    ),
+    Q(
+      "q19b_disjunctive_predicates",
+      Relational.disjunctivePredicates,
+      Some("""
+        SELECT CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 25)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
+      """)
+    ),
+    Q(
       "q20_distinct_agg",
       Relational.distinctAgg,
       Some("""

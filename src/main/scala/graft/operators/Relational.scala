@@ -201,6 +201,66 @@ object Relational {
       .orderBy($"s_suppkey", $"p_partkey")
   }
 
+  /** TPC-H Q4 shape: order-priority count over a date range where at least
+    * one line item was received late — semi join inside a windowed slice. */
+  def latePriorityCount(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables
+      .orders(spark, sfDir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp"))
+      .filter($"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+    val lateLines = Tables.lineitem(spark, sfDir).filter($"l_quantity" >= 48).select($"l_orderkey")
+    ord
+      .join(lateLines, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** TPC-H Q7 shape: shipping volume between two nation pairs by year —
+    * lineitem joined through supplier-nation AND customer-nation with a
+    * symmetric pair predicate; dimensions broadcast, fact shuffles once. */
+  def crossNationVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val n1 = Tables.nation(spark, sfDir).select($"n_nationkey".as("sk"), $"n_name".as("supp_nation"))
+    val n2 = Tables.nation(spark, sfDir).select($"n_nationkey".as("ck"), $"n_name".as("cust_nation"))
+    val li = Tables.lineitem(spark, sfDir)
+    val or = Tables.orders(spark, sfDir)
+    val cu = Tables.customer(spark, sfDir)
+    val su = Tables.supplier(spark, sfDir)
+    li.join(or, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cu), $"o_custkey" === $"c_custkey")
+      .join(broadcast(su), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(n1), $"s_nationkey" === $"sk")
+      .join(broadcast(n2), $"c_nationkey" === $"ck")
+      .filter(
+        ($"supp_nation" === "NATION_3" && $"cust_nation" === "NATION_8") ||
+          ($"supp_nation" === "NATION_8" && $"cust_nation" === "NATION_3")
+      )
+      .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").as("yr"))
+      .agg(graft.Det.decSum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("volume"))
+      .orderBy($"supp_nation", $"cust_nation", $"yr")
+  }
+
+  /** TPC-H Q19 shape: disjunctive multi-attribute predicates (OR of ANDed
+    * brand/size/quantity bands) — Catalyst pushes the common part join key
+    * and evaluates the residual disjunction post-join. */
+  def disjunctivePredicates(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+    val pt = Tables.part(spark, sfDir)
+    li.join(broadcast(pt), $"l_partkey" === $"p_partkey")
+      .filter(
+        ($"p_brand" === "Brand#1" && $"p_size".between(1, 15) && $"l_quantity".between(1, 15)) ||
+          ($"p_brand" === "Brand#2" && $"p_size".between(10, 30) && $"l_quantity".between(10, 25)) ||
+          ($"p_brand" === "Brand#3" && $"p_size".between(20, 50) && $"l_quantity".between(20, 40))
+      )
+      .agg(
+        graft.Det.decSum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+  }
+
   // ----------------------------------------------------- aggregation variants
 
   /** Distinct + approx-distinct aggregation. The HLL estimate is engine-
