@@ -51,13 +51,21 @@ object Streaming {
       )
 
   /** Streaming entry: replay the events table as a file stream (one file =
-    * one micro-batch analog of the reference's daily indices). */
+    * one micro-batch analog of the reference's daily indices). The file
+    * source needs a directory + the RAW schema (ts is a nanos long on disk);
+    * the same ns→µs normalization as [[Tables.events]] is applied on top. */
   def replayStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = Tables.events(spark, sfDir).schema
-    spark.readStream
-      .schema(schema)
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val stream = spark.readStream
+      .schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet")
       .option("maxFilesPerTrigger", 1)
-      .parquet(s"$sfDir/events.parquet")
+      .parquet(sfDir)
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => stream
+    }
   }
 
   /** Watermarked variant for unbounded sources (late data beyond 10 minutes

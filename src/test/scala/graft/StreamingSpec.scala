@@ -116,4 +116,21 @@ class StreamingSpec extends SparkSpec {
     val stream = Streaming.replayStream(spark, sf)
     assert(stream.isStreaming)
   }
+
+  test("file-replay tumbling counts equal the batch result end-to-end") {
+    import spark.implicits._
+    val stream = Streaming.tumblingCounts(Streaming.replayStream(spark, sf), exactDistinct = false)
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("replay_test")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("replay_test").select($"win_start_us", $"n")
+      val batch    = Streaming.tumblingCounts(Tables.events(spark, sf)).select($"win_start_us", $"n")
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+    } finally q.stop()
+  }
 }
