@@ -31,10 +31,16 @@ object Session {
     spark
   }
 
-  /** Apply the parity configs to an externally-built session (Verify/Bench
-    * receive theirs from the driver contract). Runtime-settable ones only. */
+  /** Apply the parity configs to an externally-built session (the driver
+    * may smoke-call `SparkEntry.entry` with its own session). Best-effort:
+    * anything static in that session is skipped rather than failed. */
   def tune(spark: SparkSession): SparkSession = {
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    def trySet(k: String, v: String): Unit =
+      try spark.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    trySet("spark.sql.session.timeZone", "UTC")
+    // events.ts is parquet TIMESTAMP(NANOS); without this the read fails
+    trySet("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark
   }
 }
