@@ -18,7 +18,7 @@ import graft.streaming.Streaming
 object Registry {
   def extra: Seq[Q] =
     temporal ++ scalars ++ schemaJson ++ textPack ++ dedupPack ++ simPack ++
-      multimodalPack ++ streamingPack ++ advancedPack ++ pipelinePack
+      multimodalPack ++ streamingPack ++ advancedPack ++ pipelinePack ++ shardingPack
 
   private def advancedPack: Seq[Q] = Seq(
     Q(
@@ -324,6 +324,36 @@ object Registry {
     // Approximate by design → rows-only; recall vs brute force asserted in tests.
     Q("q70_lsh_cosine_topk", Similarity.lshCosineTopK, None),
     Q("q76_ivf_cosine_topk", Similarity.ivfCosineTopK, None)
+  )
+
+  private def shardingPack: Seq[Q] = Seq(
+    Q(
+      "q77_shard_assignment",
+      Sharding.shardAssignment,
+      Some("""
+        WITH s AS (
+          SELECT doc_id, n_chars,
+                 ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 16 AS shard
+          FROM documents
+        )
+        SELECT shard, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM s GROUP BY shard ORDER BY shard
+      """)
+    ),
+    Q(
+      "q78_deterministic_shuffle",
+      Sharding.deterministicShuffle,
+      Some("""
+        WITH o AS (
+          SELECT doc_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS pos
+          FROM documents
+        )
+        SELECT pos, doc_id FROM o WHERE pos <= 100 ORDER BY pos
+      """)
+    )
   )
 
   private def multimodalPack: Seq[Q] = Seq(

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns.h60
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data sharding operators: deterministic shard assignment and a
+  * reproducible global shuffle order — the materialization step of a
+  * training pipeline (write N shard files in a fixed pseudo-random order,
+  * identically on every rerun and every engine).
+  *
+  * Both key off the md5-derived hash so the DuckDB oracle reproduces them
+  * exactly; engine-native hash functions would not be portable. At scale:
+  * shard assignment is a per-row map (no shuffle until the write
+  * partitions by shard), and the deterministic shuffle is a sort by hash —
+  * Spark's range-partitioned sort, the scalable form of "shuffle the
+  * dataset reproducibly".
+  */
+object Sharding {
+
+  /** Deterministic shard id per document + per-shard audit stats. */
+  def shardAssignment(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .documents(spark, sfDir)
+      .withColumn("shard", h60(concat(lit("shard:"), $"doc_id".cast("string"))) % 16)
+      .groupBy($"shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"),
+        min($"doc_id").as("min_doc"),
+        max($"doc_id").as("max_doc")
+      )
+      .orderBy($"shard")
+  }
+
+  /** Reproducible global shuffle: order documents by their key hash (a
+    * fixed pseudo-random permutation), emit the first 100 positions. */
+  def deterministicShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    Tables
+      .documents(spark, sfDir)
+      .select($"doc_id", row_number().over(w).as("pos"))
+      .filter($"pos" <= 100)
+      .select($"pos", $"doc_id")
+      .orderBy($"pos")
+  }
+}
