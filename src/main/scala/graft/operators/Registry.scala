@@ -18,7 +18,7 @@ import graft.streaming.Streaming
 object Registry {
   def extra: Seq[Q] =
     temporal ++ scalars ++ schemaJson ++ textPack ++ dedupPack ++ simPack ++
-      multimodalPack ++ streamingPack ++ advancedPack ++ pipelinePack ++ shardingPack
+      multimodalPack ++ streamingPack ++ advancedPack ++ pipelinePack ++ shardingPack ++ timeseriesPack
 
   private def advancedPack: Seq[Q] = Seq(
     Q(
@@ -324,6 +324,34 @@ object Registry {
     // Approximate by design → rows-only; recall vs brute force asserted in tests.
     Q("q70_lsh_cosine_topk", Similarity.lshCosineTopK, None),
     Q("q76_ivf_cosine_topk", Similarity.ivfCosineTopK, None)
+  )
+
+  private def timeseriesPack: Seq[Q] = Seq(
+    Q(
+      "q81_resample_ffill",
+      TimeSeries.resampleDailyFfill,
+      Some("""
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day, round(avg(value), 6) AS v
+          FROM events GROUP BY user_id, day
+        ), spans AS (
+          SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+        ), cal AS (
+          SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+          FROM spans
+        ), j AS (
+          SELECT c.user_id, c.day, d.v
+          FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+        )
+        SELECT user_id, day,
+               last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+               v IS NULL AS was_gap
+        FROM j ORDER BY user_id, day
+      """)
+    ),
+    // HLL estimates are engine-specific → rows-only; accuracy tested in-suite.
+    Q("q82_hll_sketch_union", TimeSeries.hllSketchUnion, None)
   )
 
   private def shardingPack: Seq[Q] = Seq(

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Time-series resampling: regularize each user's event stream onto a daily
+  * calendar (gap rows injected via a per-user `sequence` explode) and
+  * forward-fill the last observed value across gaps — the standard
+  * prepare-for-training resample+ffill. One shuffle on user_id for the
+  * window; the calendar explode is a per-row map. */
+object TimeSeries {
+
+  def resampleDailyFfill(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables
+      .events(spark, sfDir)
+      .groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(round(avg($"value"), 6).as("v"))
+    val cal = daily
+      .groupBy($"user_id")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"user_id", explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val w = Window
+      .partitionBy($"user_id")
+      .orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal
+      .join(daily, Seq("user_id", "day"), "left")
+      .select(
+        $"user_id",
+        $"day",
+        last($"v", ignoreNulls = true).over(w).as("value_ffill"),
+        $"v".isNull.as("was_gap")
+      )
+      .orderBy($"user_id", $"day")
+  }
+
+  /** Mergeable distinct-count sketches (the "novel sketch" surface): one
+    * HLL sketch per day, unioned into a single weekly estimate — the
+    * pre-aggregate-then-merge pattern that replaces exact distinct at
+    * 100 TB. Estimate is engine-specific → rows-only check; accuracy vs the
+    * exact count is asserted in the test suite. */
+  def hllSketchUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .events(spark, sfDir)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(hll_sketch_agg($"user_id").as("sk"))
+      .agg(
+        hll_sketch_estimate(hll_union_agg($"sk")).as("distinct_users_est"),
+        count(lit(1)).as("n_days_merged")
+      )
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression tests: the properties that make these queries
+  * scale are structural (broadcast vs shuffle, partial agg, top-k without
+  * global sort, no cartesian products) — assert them so a refactor can't
+  * silently regress the 100 TB story. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01 aggregates split partial/final (two HashAggregates)") {
+    val p = planOf("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("q01 pushes the shipdate filter into the parquet scan") {
+    val p = planOf("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(2000))
+  }
+
+  test("q01 prunes columns at the scan (no full-width read)") {
+    val p = planOf("q01_pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && readSchema.contains("l_quantity"), readSchema)
+  }
+
+  test("q11 dimension joins broadcast (no shuffle join)") {
+    val p = planOf("q11_join_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "dimensions must not sort-merge at this size")
+  }
+
+  test("q26 global top-k avoids a full sort (TakeOrderedAndProject)") {
+    val p = planOf("q26_global_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q65 minhash LSH never plans a cartesian or nested-loop join") {
+    val p = planOf("q65_minhash_lsh_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("q13 semi join plans as a semi join (no row duplication)") {
+    val p = planOf("q13_semi_join_orders")
+    assert(p.contains("LeftSemi"), p.take(2000))
+  }
+
+  test("q69 cosine top-k broadcasts the query side") {
+    val p = planOf("q69_cosine_topk")
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+  }
+}
+
+/** Det.decSum must be invariant to partitioning/merge order. */
+class DetOrderIndependenceSpec extends SparkSpec {
+  test("scaled-long sum is identical across repartitionings") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf).select($"l_extendedprice", $"l_discount")
+    def total(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(Det.decSum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("s"))
+        .head().getDouble(0)
+    val base = total(li)
+    assert(total(li.repartition(1)) === base)
+    assert(total(li.repartition(13)) === base)
+    assert(total(li.orderBy($"l_extendedprice".desc)) === base)
+  }
+}

@@ -52,6 +52,24 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(one.select($"day").distinct().count() === 1)
   }
 
+  test("HLL union estimate is within 5% of the exact distinct count") {
+    import spark.implicits._
+    val est = graft.operators.TimeSeries
+      .hllSketchUnion(spark, sf)
+      .head()
+      .getLong(0)
+      .toDouble
+    val exact = Tables.events(spark, sf).select($"user_id").distinct().count().toDouble
+    assert(math.abs(est - exact) / exact <= 0.05, s"est=$est exact=$exact")
+  }
+
+  test("resample forward-fill leaves no null after each user's first observation") {
+    import spark.implicits._
+    val rs = graft.operators.TimeSeries.resampleDailyFfill(spark, sf).cache()
+    assert(rs.filter($"value_ffill".isNull).count() === 0, "first day per user is always observed")
+    assert(rs.filter($"was_gap").count() > 0, "calendar must contain injected gap rows")
+  }
+
   test("observe() exposes write-audit metrics (O14 without a re-read)") {
     import spark.implicits._
     val obs = new org.apache.spark.sql.Observation("audit")
