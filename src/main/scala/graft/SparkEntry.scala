@@ -281,6 +281,34 @@ object SparkEntry {
       """)
     ),
     Q(
+      "q24b_window_extended",
+      Relational.windowFunctionsExtended,
+      Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(NTILE(4) OVER w AS INT) AS quartile,
+               round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               round(CUME_DIST() OVER w, 6) AS cume,
+               FIRST_VALUE(o_orderkey) OVER w AS cheapest_order,
+               NTH_VALUE(o_orderkey, 2) OVER w AS second_cheapest
+        FROM orders
+        WHERE o_custkey <= 50
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_custkey, o_totalprice, o_orderkey
+      """)
+    ),
+    Q(
+      "q24c_fuzzy_match",
+      Relational.fuzzyNameMatch,
+      Some("""
+        SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+               CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        WHERE a.p_partkey <= 100 AND b.p_partkey <= 100
+          AND levenshtein(a.p_name, b.p_name) <= 6
+        ORDER BY id1, id2
+      """)
+    ),
+    Q(
       "q25_topk_per_group",
       Relational.topOrdersPerCustomer,
       Some("""

@@ -362,6 +362,42 @@ object Relational {
       .orderBy($"l_orderkey", $"l_linenumber")
   }
 
+  /** Extended window-function pack: ntile / percent_rank / cume_dist /
+    * first / nth_value over per-customer order histories. */
+  def windowFunctionsExtended(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice", $"o_orderkey")
+    Tables
+      .orders(spark, sfDir)
+      .filter($"o_custkey" <= 50)
+      .select(
+        $"o_custkey",
+        $"o_orderkey",
+        $"o_totalprice",
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        first($"o_orderkey").over(w).as("cheapest_order"),
+        nth_value($"o_orderkey", 2).over(w).as("second_cheapest")
+      )
+      .orderBy($"o_custkey", $"o_totalprice", $"o_orderkey")
+  }
+
+  /** Fuzzy string matching (levenshtein) — the scalar edit-distance used by
+    * fuzzy dedup; bounded self-join on a key slice, broadcast one side. */
+  def fuzzyNameMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, sfDir).filter($"p_partkey" <= 100).select($"p_partkey", $"p_name")
+    val a = p.select($"p_partkey".as("id1"), $"p_name".as("name1"))
+    val b = p.select($"p_partkey".as("id2"), $"p_name".as("name2"))
+    a.join(broadcast(b), $"id1" < $"id2")
+      .withColumn("dist", levenshtein($"name1", $"name2"))
+      .filter($"dist" <= 6)
+      .select($"id1", $"id2", $"dist")
+      .orderBy($"id1", $"id2")
+  }
+
   /** Top-k per group via window + filter: 3 most expensive orders per
     * customer (the scalable alternative to a global sort). */
   def topOrdersPerCustomer(spark: SparkSession, sfDir: String): DataFrame = {
