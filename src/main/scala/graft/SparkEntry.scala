@@ -270,6 +270,7 @@ object SparkEntry {
         SELECT l_orderkey, l_linenumber, l_quantity,
                ROW_NUMBER() OVER w AS rn,
                RANK() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC, l_linenumber) AS qty_rank,
+               DENSE_RANK() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC) AS qty_dense_rank,
                LAG(l_quantity, 1) OVER w AS prev_qty,
                LEAD(l_quantity, 1) OVER w AS next_qty,
                SUM(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber

@@ -355,6 +355,7 @@ object Relational {
         $"l_quantity",
         row_number().over(w).as("rn"),
         rank().over(Window.partitionBy($"l_orderkey").orderBy($"l_quantity".desc, $"l_linenumber")).as("qty_rank"),
+        dense_rank().over(Window.partitionBy($"l_orderkey").orderBy($"l_quantity".desc)).as("qty_dense_rank"),
         lag($"l_quantity", 1).over(w).as("prev_qty"),
         lead($"l_quantity", 1).over(w).as("next_qty"),
         sum($"l_quantity").over(wr).as("running_qty")
