@@ -76,6 +76,42 @@ object Streaming {
   def sessionizeWithWatermark(stream: DataFrame): DataFrame =
     sessionize(stream.withWatermark("ts", "10 minutes"))
 
+  /** Streaming exact dedup: drop repeated event_ids arriving within the
+    * watermark horizon — the unbounded form of the batch exact-dedup
+    * operator (state for old keys is evicted once the watermark passes,
+    * which is what makes dedup feasible on an infinite stream). */
+  def dedupStream(stream: DataFrame): DataFrame =
+    stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark("event_id")
+
+  final case class SessionOut(user_id: Long, n_events: Long, closed: Boolean)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState with an
+    * event-time timeout: accumulate per-user counts, emit nothing while the
+    * session is open, emit one closed-session row when the watermark passes
+    * the timeout — the arbitrary-state API the session_window aggregation
+    * compiles to, exposed for logic windows can't express. */
+  def statefulSessions(ev: DataFrame): Dataset[SessionOut] = {
+    import ev.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    ev.withWatermark("ts", "1 minute")
+      .select(col("user_id").as[Long], col("ts").as[java.sql.Timestamp])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            val n = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, n, closed = true))
+          } else {
+            val n = state.getOption.getOrElse(0L) + rows.size
+            state.update(n)
+            // close the session 30 min of event time after the last batch
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 30 * 60 * 1000)
+            Iterator.empty
+          }
+      }
+  }
+
   final case class UserCount(user_id: Long, n: Long)
 
   /** Custom stateful streaming op: running per-user event count across

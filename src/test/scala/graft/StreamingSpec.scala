@@ -112,6 +112,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark dedups repeats across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long)]
+    val ev = in.toDF().toDF("event_id", "ts", "user_id")
+    val q = graft.streaming.Streaming
+      .dedupStream(ev)
+      .writeStream
+      .format("memory")
+      .queryName("dedup_stream_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData((1L, ts(1), 10L), (2L, ts(2), 11L), (1L, ts(1), 10L))
+      q.processAllAvailable()
+      in.addData((1L, ts(3), 10L), (3L, ts(4), 12L)) // event 1 repeats within watermark
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream_test").select($"event_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState closes sessions via event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val ev = in.toDF().toDF("ts", "user_id")
+    val q = graft.streaming.Streaming
+      .statefulSessions(ev)
+      .writeStream
+      .format("memory")
+      .queryName("stateful_session_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData((ts(1), 1L), (ts(2), 1L), (ts(3), 2L))
+      q.processAllAvailable()
+      // advance watermark far beyond the 30-minute timeout -> sessions close
+      in.addData((ts(500), 99L))
+      q.processAllAvailable()
+      in.addData((ts(1000), 99L)) // one more advance to flush timeouts
+      q.processAllAvailable()
+      val rows = spark.table("stateful_session_test")
+        .filter($"closed")
+        .select($"user_id", $"n_events").as[(Long, Long)].collect().toMap
+      assert(rows.get(1L) === Some(2L))
+      assert(rows.get(2L) === Some(1L))
+    } finally q.stop()
+  }
+
   test("file-replay stream plans as a streaming source") {
     val stream = Streaming.replayStream(spark, sf)
     assert(stream.isStreaming)
