@@ -368,9 +368,14 @@ object SparkEntry {
     "q25_topk_per_group",
     "q26_global_topk",
     "q61_quality_score",
+    "q64_exact_dedup",
     "q65_minhash_lsh_pairs",
+    "q66_simhash_pairs",
+    "q67_ngram_jaccard_pairs",
     "q69_cosine_topk",
-    "q73_session_window"
+    "q71_image_features",
+    "q73_session_window",
+    "q80_export_pipeline"
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -80,6 +80,23 @@ object Advanced {
     ).orderBy($"day")
   }
 
+  /** Unpivot (melt): wide measure columns to long (key, measure, value)
+    * rows — the inverse of pivot, the long-format step of feature
+    * pipelines. Pure per-row expansion, no shuffle before the sort. */
+  def unpivotMeasures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .lineitem(spark, sfDir)
+      .filter($"l_orderkey" <= 100)
+      .unpivot(
+        ids = Array($"l_orderkey", $"l_linenumber"),
+        values = Array($"l_quantity", $"l_extendedprice", $"l_discount"),
+        variableColumnName = "measure",
+        valueColumnName = "value"
+      )
+      .orderBy($"l_orderkey", $"l_linenumber", $"measure")
+  }
+
   /** Geometric mean of extended price per return flag via the typed
     * [[graft.functions.GeoMean]] Aggregator (UDAF surface) — plans as
     * partial/final aggregation like a built-in. */

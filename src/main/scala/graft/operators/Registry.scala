@@ -81,6 +81,23 @@ object Registry {
       """)
     ),
     Q(
+      "q34_unpivot",
+      Advanced.unpivotMeasures,
+      Some("""
+        SELECT l_orderkey, l_linenumber, measure, value FROM (
+          SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+          FROM lineitem WHERE l_orderkey <= 100
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+          FROM lineitem WHERE l_orderkey <= 100
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+          FROM lineitem WHERE l_orderkey <= 100
+        )
+        ORDER BY l_orderkey, l_linenumber, measure
+      """)
+    ),
+    Q(
       "q33_geomean_udaf",
       Advanced.geoMeanUdaf,
       Some("""
