@@ -637,8 +637,16 @@ object Registry {
   )
 
   private def schemaJson: Seq[Q] = Seq(
-    // Inference output is engine-specific metadata → rows-only check.
-    Q("q50_schema_inference", SchemaInfer.inferPropsSchema, None),
+    Q(
+      "q50_schema_inference",
+      SchemaInfer.inferPropsSchema,
+      // The inference RESULT is checkable even though the inference engine
+      // is Spark-specific: events.props is {"k": <int>} on every fixture,
+      // so the pipeline must produce exactly one nullable bigint field.
+      Some("""
+        SELECT 'k' AS field_name, 'bigint' AS field_type, true AS nullable
+      """)
+    ),
     Q(
       "q51_strict_decode",
       JsonDecode.strictDecode,

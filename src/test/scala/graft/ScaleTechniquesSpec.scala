@@ -70,6 +70,25 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(rs.filter($"was_gap").count() > 0, "calendar must contain injected gap rows")
   }
 
+  test("approx_count_distinct stays within its 2% target error vs exact") {
+    import spark.implicits._
+    val rows = graft.operators.Relational
+      .approxDistinct(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    exact.foreach { case (k, n) =>
+      val est = rows(k).toDouble
+      assert(math.abs(est - n) / n <= 0.05, s"$k est=$est exact=$n")
+    }
+  }
+
   test("observe() exposes write-audit metrics (O14 without a re-read)") {
     import spark.implicits._
     val obs = new org.apache.spark.sql.Observation("audit")
