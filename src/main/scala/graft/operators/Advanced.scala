@@ -80,6 +80,27 @@ object Advanced {
     ).orderBy($"day")
   }
 
+  /** approx_percentile (t-digest style sketch): quartiles per return flag —
+    * the sketch-based quantiles that replace exact percentile at scale.
+    * Estimates are engine-specific → rows-only check; accuracy vs the exact
+    * percentile asserted in the test suite. */
+  def approxPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)").as("quartiles")
+      )
+      .select(
+        $"l_returnflag",
+        $"quartiles".getItem(0).as("p25"),
+        $"quartiles".getItem(1).as("p50"),
+        $"quartiles".getItem(2).as("p75")
+      )
+      .orderBy($"l_returnflag")
+  }
+
   /** Unpivot (melt): wide measure columns to long (key, measure, value)
     * rows — the inverse of pivot, the long-format step of feature
     * pipelines. Pure per-row expansion, no shuffle before the sort. */

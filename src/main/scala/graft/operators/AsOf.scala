@@ -45,6 +45,30 @@ object AsOf {
       .orderBy($"event_id")
   }
 
+  /** Interval-overlap join: gap-based user sessions (30-min inactivity)
+    * joined against the calendar days they overlap — a session spanning
+    * midnight lands in both days. The day side is tiny and broadcast; the
+    * overlap predicate (start < day_end AND end > day_start) is the residual
+    * condition — the standard interval-join shape. */
+  def sessionDayOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sessions = graft.streaming.Streaming.sessionize(Tables.events(spark, sfDir))
+    val days = Tables
+      .events(spark, sfDir)
+      .select(to_date($"ts").as("day"))
+      .distinct()
+      .withColumn("day_start_us", unix_micros($"day".cast("timestamp")))
+      .withColumn("day_end_us", $"day_start_us" + 86400000000L)
+    sessions
+      .join(
+        broadcast(days),
+        $"session_start_us" < $"day_end_us" && $"session_end_us" > $"day_start_us"
+      )
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_sessions"), countDistinct($"user_id").as("n_users"))
+      .orderBy($"day")
+  }
+
   /** For each purchase: how many views the same user made in the preceding
     * hour (exclusive of the purchase instant) — a range join expressed as a
     * RANGE window frame, one shuffle total. */

@@ -80,6 +80,8 @@ object Registry {
         FROM events GROUP BY day ORDER BY day
       """)
     ),
+    // Sketch-based estimate → rows-only; accuracy asserted in-suite.
+    Q("q36_approx_percentile", Advanced.approxPercentiles, None),
     Q(
       "q34_unpivot",
       Advanced.unpivotMeasures,
@@ -531,6 +533,38 @@ object Registry {
         )
         SELECT event_id, user_id, ts_us, last_view_ts_us
         FROM w WHERE tag = 1 ORDER BY event_id
+      """)
+    ),
+    Q(
+      "q35_interval_join",
+      AsOf.sessionDayOverlap,
+      Some("""
+        WITH t AS (
+          SELECT user_id, epoch_us(ts) AS ts_us FROM events
+        ), g AS (
+          SELECT user_id, ts_us,
+                 CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+                        OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) >= 1800000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM t
+        ), s AS (
+          SELECT user_id, ts_us,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+          FROM g
+        ), ses AS (
+          SELECT user_id, MIN(ts_us) AS session_start_us,
+                 MAX(ts_us) + 1800000000 AS session_end_us
+          FROM s GROUP BY user_id, sess
+        ), days AS (
+          SELECT DISTINCT CAST(ts AS DATE) AS day,
+                 epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS d0
+          FROM events
+        )
+        SELECT day, COUNT(*) AS n_sessions, COUNT(DISTINCT user_id) AS n_users
+        FROM ses JOIN days
+          ON session_start_us < d0 + 86400000000 AND session_end_us > d0
+        GROUP BY day ORDER BY day
       """)
     ),
     Q(

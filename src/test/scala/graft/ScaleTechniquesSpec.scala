@@ -89,6 +89,24 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile quartiles within 2% of exact percentiles") {
+    import spark.implicits._
+    val approx = graft.operators.Advanced.approxPercentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("q"))
+      .select($"l_returnflag", $"q".getItem(0), $"q".getItem(1), $"q".getItem(2))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    exact.foreach { case (k, (e25, e50, e75)) =>
+      val (a25, a50, a75) = approx(k)
+      Seq((a25, e25), (a50, e50), (a75, e75)).foreach { case (a, e) =>
+        assert(math.abs(a - e) / e <= 0.02, s"$k approx=$a exact=$e")
+      }
+    }
+  }
+
   test("observe() exposes write-audit metrics (O14 without a re-read)") {
     import spark.implicits._
     val obs = new org.apache.spark.sql.Observation("audit")
