@@ -18,7 +18,8 @@ import graft.streaming.Streaming
 object Registry {
   def extra: Seq[Q] =
     temporal ++ scalars ++ schemaJson ++ textPack ++ dedupPack ++ simPack ++
-      multimodalPack ++ streamingPack ++ advancedPack ++ pipelinePack ++ shardingPack ++ timeseriesPack
+      multimodalPack ++ streamingPack ++ advancedPack ++ pipelinePack ++ shardingPack ++
+      timeseriesPack ++ chunkingPack
 
   private def advancedPack: Seq[Q] = Seq(
     Q(
@@ -343,6 +344,47 @@ object Registry {
     // Approximate by design → rows-only; recall vs brute force asserted in tests.
     Q("q70_lsh_cosine_topk", Similarity.lshCosineTopK, None),
     Q("q76_ivf_cosine_topk", Similarity.ivfCosineTopK, None)
+  )
+
+  private def chunkingPack: Seq[Q] = Seq(
+    Q(
+      "q83_chunk_documents",
+      Chunking.chunkDocuments,
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), st AS (
+          SELECT doc_id, toks,
+                 unnest(range(1, greatest(len(toks) - 32 + 1, 1) + 1, 16)) AS chunk_start
+          FROM t
+        ), c AS (
+          SELECT doc_id, chunk_start, toks[chunk_start : chunk_start + 31] AS chunk
+          FROM st
+        )
+        SELECT doc_id, CAST(chunk_start AS INT) AS chunk_start,
+               CAST(len(chunk) AS INT) AS n_chunk_toks,
+               md5(array_to_string(chunk, ' ')) AS chunk_md5
+        FROM c ORDER BY doc_id, chunk_start
+      """)
+    ),
+    Q(
+      "q84_pack_sequences",
+      Chunking.packSequences,
+      Some("""
+        WITH t AS (
+          SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+          FROM documents
+        ), o AS (
+          SELECT doc_id, n_toks,
+                 CAST(SUM(n_toks) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_offset
+          FROM t
+        )
+        SELECT doc_id, n_toks, end_offset - n_toks AS start_offset,
+               (end_offset - n_toks) // 4096 AS bin
+        FROM o ORDER BY start_offset
+      """)
+    )
   )
 
   private def timeseriesPack: Seq[Q] = Seq(
