@@ -18,11 +18,6 @@ object TextFns {
     * DuckDB mirror: ('0x' || substr(md5(x),1,15))::BIGINT. */
   def h60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** 48-bit positive hash — fits exactly in a double, so per-bit extraction
-    * via integer `div`/`%` is exact and engine-portable (used by simhash).
-    * DuckDB mirror: ('0x' || substr(md5(x),1,12))::BIGINT. */
-  def h48(c: Column): Column = conv(substring(md5(c), 1, 12), 16, 10).cast("long")
-
   /** Whitespace tokens (the corpus is single-space joined). */
   def tokens(text: Column): Column = split(text, " ")
 
