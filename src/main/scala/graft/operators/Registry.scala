@@ -432,6 +432,25 @@ object Registry {
       """)
     ),
     Q(
+      "q79_train_val_test_split",
+      Sharding.trainValTestSplit,
+      Some("""
+        WITH s AS (
+          SELECT doc_id, n_chars,
+                 ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 100 AS h
+          FROM documents
+        ), t AS (
+          SELECT doc_id, n_chars,
+                 CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split
+          FROM s
+        )
+        SELECT split, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               MIN(doc_id) AS min_doc
+        FROM t GROUP BY split ORDER BY split
+      """)
+    ),
+    Q(
       "q78_deterministic_shuffle",
       Sharding.deterministicShuffle,
       Some("""

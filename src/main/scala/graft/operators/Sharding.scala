@@ -35,6 +35,27 @@ object Sharding {
       .orderBy($"shard")
   }
 
+  /** Deterministic train/val/test split (90/5/5 by key hash) — the standard
+    * leakage-safe split: assignment depends only on the key, so it is stable
+    * across reruns, engines, and data reshuffles. */
+  def trainValTestSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .documents(spark, sfDir)
+      .withColumn("h", h60(concat(lit("split:"), $"doc_id".cast("string"))) % 100)
+      .withColumn(
+        "split",
+        when($"h" < 90, "train").when($"h" < 95, "val").otherwise("test")
+      )
+      .groupBy($"split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"),
+        min($"doc_id").as("min_doc")
+      )
+      .orderBy($"split")
+  }
+
   /** Reproducible global shuffle: order documents by their key hash (a
     * fixed pseudo-random permutation), emit the first 100 positions. */
   def deterministicShuffle(spark: SparkSession, sfDir: String): DataFrame = {
