@@ -29,11 +29,13 @@ class PipelineSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("graft_febatch").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     val in = MemoryStream[(Timestamp, Long)]
     val q = in
       .toDF()
       .toDF("ts", "user_id")
       .writeStream
+      .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
         batch.withColumn("batch_id", lit(id)).write.mode("append").parquet(out)
       }
@@ -46,6 +48,26 @@ class PipelineSpec extends SparkSpec {
       val back = spark.read.parquet(out)
       assert(back.count() === 3)
       assert(back.select($"batch_id").distinct().count() === 2)
+      // checkpoint recorded progress (offsets/commits written)
+      assert(new java.io.File(s"$ckpt/commits").list().nonEmpty)
     } finally q.stop()
+  }
+
+  test("sortWithinPartitions orders rows inside each partition without a global sort") {
+    import spark.implicits._
+    val df = Tables
+      .lineitem(spark, sf)
+      .select($"l_orderkey", $"l_quantity")
+      .repartition(4, $"l_orderkey")
+      .sortWithinPartitions($"l_orderkey", $"l_quantity")
+    val violations = df
+      .mapPartitions { it =>
+        val rows = it.map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        Iterator.single(if (rows == rows.sorted) 0 else 1)
+      }
+      .reduce(_ + _)
+    assert(violations === 0, "each partition must be locally sorted")
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange rangepartitioning"),
+      "no global range-partitioned sort may appear")
   }
 }
