@@ -13,7 +13,12 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default to the machine's core count (the driver runs local[32]); a
+    // hardcoded small default would silently benchmark a 4-thread session.
+    val cpus = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString
+    )
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -41,15 +41,23 @@ object Pipeline {
     // O5-O8: infer the props schema from a deterministic sample, nullable.
     val sample = windowed.orderBy($"event_id").limit(100).select($"props").as[String]
     val propsSchema = SchemaInfer.allNullable(SchemaInfer.infer(spark, sample))
-    // O9: persist beside the output (overwrite ≡ the reference's dir wipe).
+    // O9: persist beside the output (overwrite ≡ the reference's dir wipe):
+    // the engine-native StructType JSON plus the reference's byte-exact
+    // .asvc rendering of the first sample (golden-tested in SchemaInferSpec).
     SchemaInfer.persist(propsSchema, s"$outDir/schema.json")
+    sample.take(1).headOption.foreach { first =>
+      graft.sources.AvroAsvc.persist(eventType, first, s"$outDir/schema.asvc")
+    }
 
     // O10-O11: tolerant decode, dead letters kept auditable.
     val (good, bad) = JsonDecode.decodeWithDeadLetter(windowed, "props", propsSchema.toDDL)
 
-    // O12: day-partitioned export of the decoded rows.
+    // O12: day-partitioned export of the decoded rows — repartitioned by
+    // day first so each partition is one file (the reference's
+    // one-file-per-index layout, EsParquetWriter.java:56).
     good
       .select($"event_id", $"user_id", $"ts", $"value", $"_parsed.*", to_date($"ts").as("day"))
+      .repartition($"day")
       .write
       .mode("overwrite")
       .partitionBy("day")
@@ -75,7 +83,7 @@ object Pipeline {
 
   /** Declared query: the full pipeline on the purchase slice, 30-day window. */
   def exportPipeline(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_export_pipeline"
+    val out = graft.sources.ParquetSink.scratchDir(spark, "export_pipeline")
     exportByType(spark, sfDir, out, "purchase", 30)
   }
 }

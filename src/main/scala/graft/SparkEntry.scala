@@ -232,7 +232,20 @@ object SparkEntry {
         ORDER BY l_returnflag
       """)
     ),
-    Q("q21_approx_distinct", Relational.approxDistinct, None),
+    // Sketch estimate itself is engine-specific; the declared output is the
+    // exact count + a Spark-side tolerance check the oracle replays as true.
+    Q(
+      "q21_approx_distinct",
+      Relational.approxDistinct,
+      Some("""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_orderkey) AS n_orders_exact,
+               true AS within_tolerance
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+      """)
+    ),
     Q(
       "q22_rollup_orders",
       Relational.rollupOrders,

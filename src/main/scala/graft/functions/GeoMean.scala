@@ -6,15 +6,26 @@ import org.apache.spark.sql.expressions.Aggregator
 /** Typed UDAF surface (SURVEY.md §2.2 UDF/UDAF row): geometric mean as an
   * `Aggregator[IN, BUF, OUT]` — log-space sum + count buffer, associative
   * merge, so it plans as partial/final aggregation like any built-in.
-  * Equals `EXP(AVG(LN(x)))` for positive inputs. */
-object GeoMean extends Aggregator[Double, (Double, Long), Double] {
-  override def zero: (Double, Long) = (0.0, 0L)
-  override def reduce(b: (Double, Long), x: Double): (Double, Long) =
-    (b._1 + math.log(x), b._2 + 1)
-  override def merge(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+  *
+  * The log-sum accumulates on the [[graft.Det]] scaled-long grid
+  * (round(ln(x)·1e9) summed as LONG) rather than as a raw double: long
+  * addition is exact and therefore independent of Spark's nondeterministic
+  * shuffle-merge order, which keeps the driver's hash compare stable. The
+  * DuckDB oracle mirrors the same grid. Per-term grid error is 5e-10 on
+  * ln(x) ≤ ~28, so the sum stays < 2^63 up to ~3e8 rows per group at
+  * TPC-H-like magnitudes; the scale constant is the knob if a deployment
+  * needs more headroom. */
+object GeoMean extends Aggregator[Double, (Long, Long), Double] {
+  /** Grid: 1e9 true decimal digits of ln(x). */
+  val LogScale = 1e9
+
+  override def zero: (Long, Long) = (0L, 0L)
+  override def reduce(b: (Long, Long), x: Double): (Long, Long) =
+    (b._1 + math.round(math.log(x) * LogScale), b._2 + 1)
+  override def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
     (a._1 + b._1, a._2 + b._2)
-  override def finish(r: (Double, Long)): Double =
-    if (r._2 == 0) Double.NaN else math.exp(r._1 / r._2)
-  override def bufferEncoder: Encoder[(Double, Long)] = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+  override def finish(r: (Long, Long)): Double =
+    if (r._2 == 0) Double.NaN else math.exp(r._1 / LogScale / r._2)
+  override def bufferEncoder: Encoder[(Long, Long)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }

@@ -129,12 +129,50 @@ object HashKernels {
 
   /** Dot product of two float vectors accumulated in double, sequential
     * element order — identical IEEE result to
-    * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0d, +)`. */
-  def dotFF(a: ArrayData, b: ArrayData): Double = {
+    * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0d, +)`.
+    * Unequal lengths return null (boxed), matching the declarative form:
+    * zip_with pads the shorter side with nulls, the products go null, and
+    * `acc + null` nulls the whole aggregate. Null ELEMENTS are excluded
+    * upstream — [[graft.plans.KernelizeDotProduct]] only rewrites
+    * containsNull=false inputs, and the direct call sites feed parquet
+    * float vectors with no null entries. */
+  def dotFF(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Null-checking variant of [[dotFF]] for arrays whose schema allows null
+    * elements (e.g. parquet-loaded vectors): any null element nulls the
+    * result — exactly the declarative semantics, where the null product
+    * poisons `acc + v`. The per-element null check is a bitset probe, so
+    * this stays a single static call inside codegen. */
+  def dotFFChecked(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  /** Dot product of a float vector against a double weight vector (LSH
+    * hyperplane projections — the weights arrive as a plan literal).
+    * Same sequential IEEE semantics and null-on-length-mismatch contract
+    * as [[dotFF]]. */
+  def dotFD(a: ArrayData, w: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != w.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * w.getDouble(i); i += 1 }
     s
   }
 }
@@ -199,7 +237,24 @@ object Kernels {
       )
     )
 
-  /** Column form of [[HashKernels.dotFF]]: (array<float>, array<float>) → double. */
+  /** Column form of [[HashKernels.dotFD]]: (array<float>, array<double>) →
+    * double, null on length mismatch. */
+  def dotWeights(a: Column, w: Column): Column =
+    GraftBridge.column(
+      StaticInvoke(
+        kernelClass,
+        DoubleType,
+        "dotFD",
+        Seq(GraftBridge.expression(a), GraftBridge.expression(w)),
+        inputTypes = Nil,
+        propagateNull = true,
+        returnNullable = true
+      )
+    )
+
+  /** Column form of [[HashKernels.dotFF]]: (array<float>, array<float>) →
+    * double, null on length mismatch (returnNullable so codegen checks the
+    * boxed result). */
   def dot(a: Column, b: Column): Column =
     GraftBridge.column(
       StaticInvoke(
@@ -209,7 +264,7 @@ object Kernels {
         Seq(GraftBridge.expression(a), GraftBridge.expression(b)),
         inputTypes = Nil,
         propagateNull = true,
-        returnNullable = false
+        returnNullable = true
       )
     )
 }

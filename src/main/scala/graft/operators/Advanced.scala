@@ -80,23 +80,30 @@ object Advanced {
     ).orderBy($"day")
   }
 
-  /** approx_percentile (t-digest style sketch): quartiles per return flag —
-    * the sketch-based quantiles that replace exact percentile at scale.
-    * Estimates are engine-specific → rows-only check; accuracy vs the exact
-    * percentile asserted in the test suite. */
+  /** approx_percentile (sketch quantiles) made fully oracle-checkable: the
+    * declared output is the EXACT interpolated quartiles (deterministic,
+    * identical in DuckDB's quantile_cont) plus `within_tolerance` — computed
+    * Spark-side as every approximate quartile landing within 2% of its exact
+    * value. The oracle emits the same exact quartiles with
+    * `within_tolerance = true`. */
   def approxPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables
       .lineitem(spark, sfDir)
       .groupBy($"l_returnflag")
       .agg(
-        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)").as("quartiles")
+        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)").as("aq"),
+        expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("xq")
       )
       .select(
         $"l_returnflag",
-        $"quartiles".getItem(0).as("p25"),
-        $"quartiles".getItem(1).as("p50"),
-        $"quartiles".getItem(2).as("p75")
+        round($"xq".getItem(0), 6).as("p25_exact"),
+        round($"xq".getItem(1), 6).as("p50_exact"),
+        round($"xq".getItem(2), 6).as("p75_exact"),
+        (abs($"aq".getItem(0) - $"xq".getItem(0)) <= $"xq".getItem(0) * 0.02 &&
+          abs($"aq".getItem(1) - $"xq".getItem(1)) <= $"xq".getItem(1) * 0.02 &&
+          abs($"aq".getItem(2) - $"xq".getItem(2)) <= $"xq".getItem(2) * 0.02)
+          .as("within_tolerance")
       )
       .orderBy($"l_returnflag")
   }

@@ -8,9 +8,9 @@ import org.apache.spark.sql.functions._
 /** Context-window preparation operators — the step between a cleaned corpus
   * and a token stream: overlapping chunking and greedy sequence packing.
   * Chunking is a pure per-row explode (embarrassingly parallel); packing is
-  * one global sort by the reproducible-shuffle hash plus a running sum —
-  * Spark's range-partitioned sort, the scalable form of "concatenate the
-  * corpus in a fixed pseudo-random order and chop into windows". */
+  * a global running sum over the reproducible-shuffle hash order, computed
+  * as a two-pass distributed prefix sum (per-bucket partial sums + broadcast
+  * cumulative offsets) — no single-partition window anywhere in the plan. */
 object Chunking {
 
   private val ChunkSize = 32
@@ -40,19 +40,64 @@ object Chunking {
   }
 
   /** Greedy sequence packing: documents laid out in the reproducible
-    * hash-shuffle order, token offsets by running sum, each doc assigned to
-    * the 4096-token bin its first token lands in. */
+    * hash-shuffle order, token offsets by global running sum, each doc
+    * assigned to the 4096-token bin its first token lands in.
+    *
+    * The running sum is a two-pass distributed prefix sum (a naive
+    * `Window.orderBy` with no partition would funnel every row through ONE
+    * task — the classic global-window bottleneck):
+    *   1. bucket each row by the leading hex digits of its md5 sort key —
+    *      deterministic and monotone in the sort order, so every bucket owns
+    *      a contiguous slice of the global order;
+    *   2. aggregate per-bucket token totals (one tiny row per bucket on the
+    *      driver — bounded by the bucket count, never by the data) and
+    *      prefix-scan them into cumulative offsets, shipped back as a map
+    *      literal;
+    *   3. per-bucket running sum (a PARTITIONED window — parallel across
+    *      buckets) plus the bucket's offset = the exact global running sum.
+    * At 100 TB, raise the bucket count with the shuffle parallelism; the
+    * driver still only ever sees one row per bucket. */
   def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val binTokens = 4096L
-    val w = Window
-      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables
+    val nBuckets  = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val base = Tables
       .documents(spark, sfDir)
-      .select($"doc_id", size(tokens($"text")).cast("long").as("n_toks"))
-      .withColumn("end_offset", sum($"n_toks").over(w))
+      .select(
+        $"doc_id",
+        size(tokens($"text")).cast("long").as("n_toks"),
+        md5($"doc_id".cast("string")).as("hk")
+      )
+      // first 4 hex digits → [0, 65536) → scaled to nBuckets: monotone in
+      // hk, so bucket boundaries respect the global (hk, doc_id) order
+      .withColumn(
+        "bucket",
+        (conv(substring($"hk", 1, 4), 16, 10).cast("long") * nBuckets / 65536L).cast("int")
+      )
+    val perBucket = base
+      .groupBy($"bucket")
+      .agg(sum($"n_toks").as("t"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      (0 until nBuckets).map { b =>
+        val o = acc
+        acc += perBucket.getOrElse(b, 0L)
+        b -> o
+      }.toMap
+    }
+    val wLocal = Window
+      .partitionBy($"bucket")
+      .orderBy($"hk", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn(
+        "end_offset",
+        sum($"n_toks").over(wLocal) + coalesce(element_at(typedLit(offsets), $"bucket"), lit(0L))
+      )
       .select(
         $"doc_id",
         $"n_toks",

@@ -81,8 +81,22 @@ object Registry {
         FROM events GROUP BY day ORDER BY day
       """)
     ),
-    // Sketch-based estimate → rows-only; accuracy asserted in-suite.
-    Q("q36_approx_percentile", Advanced.approxPercentiles, None),
+    // Sketch quantiles: declared output = exact quartiles + Spark-side
+    // tolerance boolean; the oracle replays the exact part.
+    Q(
+      "q36_approx_percentile",
+      Advanced.approxPercentiles,
+      Some("""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_exact,
+               round(quantile_cont(l_extendedprice, 0.50), 6) AS p50_exact,
+               round(quantile_cont(l_extendedprice, 0.75), 6) AS p75_exact,
+               true AS within_tolerance
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+      """)
+    ),
     Q(
       "q34_unpivot",
       Advanced.unpivotMeasures,
@@ -105,7 +119,7 @@ object Registry {
       Advanced.geoMeanUdaf,
       Some("""
         SELECT l_returnflag,
-               round(EXP(AVG(LN(l_extendedprice))), 6) AS geomean_price,
+               round(EXP(CAST(SUM(CAST(round(LN(l_extendedprice) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*)), 6) AS geomean_price,
                COUNT(*) AS n
         FROM lineitem
         GROUP BY l_returnflag
@@ -341,9 +355,100 @@ object Registry {
         SELECT query_id, rk, cand_id, cos FROM r WHERE rk <= 10 ORDER BY query_id, rk
       """)
     ),
-    // Approximate by design → rows-only; recall vs brute force asserted in tests.
-    Q("q70_lsh_cosine_topk", Similarity.lshCosineTopK, None),
-    Q("q76_ivf_cosine_topk", Similarity.ivfCosineTopK, None)
+    // Approximate by DESIGN but deterministic by CONSTRUCTION: the md5-seeded
+    // hyperplanes let DuckDB replay the whole LSH pipeline (bucket signs →
+    // candidate join → exact rescoring → ranks) for a full hash compare.
+    Q(
+      "q70_lsh_cosine_topk",
+      Similarity.lshCosineTopK,
+      Some("""
+        WITH planes AS (
+          SELECT t.t AS t, p.p AS p,
+                 list_transform(range(0, 64), d ->
+                   (('0x' || substr(md5(CAST(t.t*4 + p.p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 15))::BIGINT % 2001 - 1000) / 1000.0) AS w
+          FROM (SELECT unnest(range(0, 4)) AS t) t, (SELECT unnest(range(0, 4)) AS p) p
+        ), e AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+          FROM embeddings
+        ), proj AS (
+          SELECT e.vec_id, pl.t, pl.p,
+                 list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i])) AS dp
+          FROM e, planes pl
+        ), bkt AS (
+          SELECT vec_id, t,
+                 CAST(SUM(CASE WHEN dp > 0 THEN CAST(POWER(2.0, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS b
+          FROM proj GROUP BY vec_id, t
+        ), cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+          FROM bkt q JOIN bkt c ON q.t = c.t AND q.b = c.b
+          WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+        ), scored AS (
+          SELECT cand.query_id, cand.cand_id,
+                 round(list_sum(list_transform(range(1, 65),
+                   i -> CAST(qe.embedding[i] AS DOUBLE) * ce.embedding[i])) / (qe.nrm * ce.nrm), 6) AS cos
+          FROM cand
+          JOIN e qe ON cand.query_id = qe.vec_id
+          JOIN e ce ON cand.cand_id = ce.vec_id
+        ), ranked AS (
+          SELECT query_id, cand_id, cos,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INT) AS rk
+          FROM scored
+        )
+        SELECT query_id, rk, cand_id, cos FROM ranked WHERE rk <= 10 ORDER BY query_id, rk
+      """)
+    ),
+    // Same discipline for IVF: scaled-long centroid means + sequential IEEE
+    // dots make the inverted-list probe fully replayable in DuckDB.
+    Q(
+      "q76_ivf_cosine_topk",
+      Similarity.ivfCosineTopK,
+      Some("""
+        WITH e AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+          FROM embeddings
+        ), cpos AS (
+          SELECT label, i.i AS pos,
+                 CAST(CAST(SUM(CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*) AS FLOAT) AS m
+          FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
+          GROUP BY label, i.i
+        ), cents AS (
+          SELECT label AS cent_id, list(m ORDER BY pos) AS cvec
+          FROM cpos GROUP BY label
+        ), c2 AS (
+          SELECT cent_id, cvec,
+                 sqrt(list_sum(list_transform(cvec, x -> CAST(x AS DOUBLE) * x))) AS cnrm
+          FROM cents
+        ), assign AS (
+          SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                   (list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i])) / (e.nrm * c.cnrm)) DESC,
+                   c.cent_id) AS crk
+          FROM e, c2 c
+        ), assigned AS (
+          SELECT vec_id, embedding, nrm, cent_id FROM assign WHERE crk = 1
+        ), probe AS (
+          SELECT q.vec_id AS query_id, q.embedding AS qe, q.nrm AS qn, c.cent_id AS probe_cent,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                   (list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * c.cvec[i])) / (q.nrm * c.cnrm)) DESC,
+                   c.cent_id) AS crk
+          FROM e q, c2 c WHERE q.vec_id < 10
+        ), probes AS (
+          SELECT query_id, qe, qn, probe_cent FROM probe WHERE crk <= 4
+        ), scored AS (
+          SELECT p.query_id, a.vec_id AS cand_id,
+                 round(list_sum(list_transform(range(1, 65),
+                   i -> CAST(p.qe[i] AS DOUBLE) * a.embedding[i])) / (p.qn * a.nrm), 6) AS cos
+          FROM assigned a JOIN probes p ON a.cent_id = p.probe_cent AND a.vec_id <> p.query_id
+        ), ranked AS (
+          SELECT query_id, cand_id, cos,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INT) AS rk
+          FROM scored
+        )
+        SELECT query_id, rk, cand_id, cos FROM ranked WHERE rk <= 10 ORDER BY query_id, rk
+      """)
+    )
   )
 
   private def chunkingPack: Seq[Q] = Seq(
@@ -411,8 +516,18 @@ object Registry {
         FROM j ORDER BY user_id, day
       """)
     ),
-    // HLL estimates are engine-specific → rows-only; accuracy tested in-suite.
-    Q("q82_hll_sketch_union", TimeSeries.hllSketchUnion, None)
+    // Merged-sketch estimate is engine-specific; declared output = exact
+    // distinct + day count + Spark-side tolerance boolean.
+    Q(
+      "q82_hll_sketch_union",
+      TimeSeries.hllSketchUnion,
+      Some("""
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users_exact,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days_merged,
+               true AS within_tolerance
+        FROM events
+      """)
+    )
   )
 
   private def shardingPack: Seq[Q] = Seq(

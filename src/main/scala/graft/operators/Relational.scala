@@ -279,14 +279,27 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
-  /** approx_count_distinct (HLL++) — rows-only check: estimates are not
-    * comparable across engines by design. */
+  /** approx_count_distinct (HLL++) made fully oracle-checkable: the
+    * estimate itself is engine-specific, so the declared output is the
+    * deterministic part (the exact count) plus `within_tolerance`, computed
+    * Spark-side as |est − exact| ≤ 5% · exact (rsd 0.02 → ~2σ headroom).
+    * The oracle emits the same exact counts with `within_tolerance = true`,
+    * so the driver hash-checks both the exact values AND that the sketch
+    * estimate landed inside its error contract. */
   def approxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables
       .lineitem(spark, sfDir)
       .groupBy($"l_returnflag")
-      .agg(approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"))
+      .agg(
+        approx_count_distinct($"l_orderkey", 0.02).as("est"),
+        countDistinct($"l_orderkey").as("n_orders_exact")
+      )
+      .select(
+        $"l_returnflag",
+        $"n_orders_exact",
+        (abs($"est" - $"n_orders_exact") <= $"n_orders_exact" * 0.05).as("within_tolerance")
+      )
       .orderBy($"l_returnflag")
   }
 
@@ -385,18 +398,47 @@ object Relational {
       .orderBy($"o_custkey", $"o_totalprice", $"o_orderkey")
   }
 
-  /** Fuzzy string matching (levenshtein) — the scalar edit-distance used by
-    * fuzzy dedup; bounded self-join on a key slice, broadcast one side. */
+  /** Fuzzy string matching (levenshtein ≤ 6) with LOSSLESS length-band
+    * blocking — the candidate generator that makes edit-distance dedup work
+    * unsliced: strings within edit distance k differ in length by at most k,
+    * so with band = len/(k+1) a qualifying pair's bands differ by at most 1.
+    * One side explodes to {band-1, band, band+1}, the other keeps its band,
+    * and the join is EQUI on the band — a hash shuffle whose cost is
+    * bucket-bounded, never an all-pairs theta join. Each pair meets on
+    * exactly one band value, so no dedup pass is needed. A cheap
+    * length-delta prefilter skips hopeless levenshtein calls. The p_partkey
+    * slice only bounds the declared output size; the plan does not depend
+    * on it. (Production upgrade path for tighter candidate sets: PassJoin
+    * segment signatures.) */
   def fuzzyNameMatch(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val p = Tables.part(spark, sfDir).filter($"p_partkey" <= 100).select($"p_partkey", $"p_name")
-    val a = p.select($"p_partkey".as("id1"), $"p_name".as("name1"))
-    val b = p.select($"p_partkey".as("id2"), $"p_name".as("name2"))
-    a.join(broadcast(b), $"id1" < $"id2")
+    fuzzyPairs(
+      Tables.part(spark, sfDir).filter($"p_partkey" <= 100).select($"p_partkey", $"p_name"),
+      "p_partkey",
+      "p_name",
+      6
+    ).orderBy($"id1", $"id2")
+  }
+
+  /** The reusable blocked fuzzy self-match over any (id, string) relation —
+    * unsliced, scale-shaped. Returns (id1, id2, dist) for all pairs with
+    * levenshtein ≤ maxDist. */
+  def fuzzyPairs(df: DataFrame, id: String, s: String, maxDist: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    val bandW = maxDist + 1
+    val p     = df.select(col(id), col(s), (length(col(s)) / bandW).cast("int").as("band"))
+    val a = p.select(
+      col(id).as("id1"),
+      col(s).as("name1"),
+      explode(array($"band" - 1, $"band", $"band" + 1)).as("jb")
+    )
+    val b = p.select(col(id).as("id2"), col(s).as("name2"), $"band".as("jb"))
+    a.hint("shuffle_hash")
+      .join(b.hint("shuffle_hash"), Seq("jb"))
+      .filter($"id1" < $"id2" && abs(length($"name1") - length($"name2")) <= maxDist)
       .withColumn("dist", levenshtein($"name1", $"name2"))
-      .filter($"dist" <= 6)
+      .filter($"dist" <= maxDist)
       .select($"id1", $"id2", $"dist")
-      .orderBy($"id1", $"id2")
   }
 
   /** Top-k per group via window + filter: 3 most expensive orders per

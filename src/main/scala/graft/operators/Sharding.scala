@@ -13,9 +13,9 @@ import org.apache.spark.sql.functions._
   * Both key off the md5-derived hash so the DuckDB oracle reproduces them
   * exactly; engine-native hash functions would not be portable. At scale:
   * shard assignment is a per-row map (no shuffle until the write
-  * partitions by shard), and the deterministic shuffle is a sort by hash —
-  * Spark's range-partitioned sort, the scalable form of "shuffle the
-  * dataset reproducibly".
+  * partitions by shard), and the deterministic shuffle's top-k cut is a
+  * TakeOrderedAndProject — per-partition heaps merged on the driver, never
+  * a full global sort or an unpartitioned window.
   */
 object Sharding {
 
@@ -57,15 +57,25 @@ object Sharding {
   }
 
   /** Reproducible global shuffle: order documents by their key hash (a
-    * fixed pseudo-random permutation), emit the first 100 positions. */
+    * fixed pseudo-random permutation), emit the first 100 positions.
+    *
+    * Scale shape: the cut happens FIRST via `orderBy().limit(100)` — Spark
+    * plans a TakeOrderedAndProject (per-partition top-k + merge of 100-row
+    * heaps, no global sort, no full-table single-partition window). Only the
+    * surviving 100 rows flow through the numbering window, so its
+    * single-partition frame is bounded by the constant k, not the data. For
+    * an UNBOUNDED global rank the two-pass bucket prefix sum in
+    * [[Chunking.packSequences]] is the pattern to reuse. */
   def deterministicShuffle(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(md5($"doc_id".cast("string")), $"doc_id")
-    Tables
+    val top = Tables
       .documents(spark, sfDir)
-      .select($"doc_id", row_number().over(w).as("pos"))
-      .filter($"pos" <= 100)
+      .select($"doc_id", md5($"doc_id".cast("string")).as("hk"))
+      .orderBy($"hk", $"doc_id")
+      .limit(100)
+    top
+      .withColumn("pos", row_number().over(Window.orderBy($"hk", $"doc_id")))
       .select($"pos", $"doc_id")
       .orderBy($"pos")
   }

@@ -31,12 +31,12 @@ object Similarity {
     (h % 2001 - 1000) / 1000.0
   }
 
+  /** Projection of a float vector onto a literal hyperplane — the compiled
+    * [[graft.functions.Kernels.dotWeights]] kernel (one static call per row
+    * inside codegen; the declarative zip_with form pays per-element
+    * interpreted dispatch × planes × tables). */
   private def dotLit(e: Column, w: Seq[Double]): Column =
-    aggregate(
-      zip_with(e, typedLit(w), (x, y) => x.cast("double") * y),
-      lit(0.0),
-      (acc, v) => acc + v
-    )
+    graft.functions.Kernels.dotWeights(e, typedLit(w))
 
   /** L2 norm via the codegen'd dot kernel (same sequential-order IEEE sum
     * as the aggregate/zip_with formulation — see [[graft.functions.Kernels]]). */
@@ -81,8 +81,11 @@ object Similarity {
     * every vector assigned to its nearest centroid (one broadcast pass), and
     * queries probing the `nprobe` nearest inverted lists via an equi-join on
     * centroid id — a hash shuffle over ~nprobe/k of the data instead of a
-    * full scan. Approximate by design → rows-only driver check; recall vs
-    * brute force asserted in the test suite. */
+    * full scan. Every ingredient (scaled-long centroid means, md5-free
+    * deterministic assignment, sequential-order IEEE dots) is deliberately
+    * engine-replayable, so the DuckDB oracle reproduces the FULL approximate
+    * result hash-exactly; recall vs brute force is additionally asserted in
+    * the test suite. */
   def ivfCosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -91,10 +94,14 @@ object Similarity {
       .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
 
     // Coarse quantizer: per-label mean vector (k = #labels inverted lists).
+    // The mean goes through the Det scaled-long grid (round(v·1e6) summed as
+    // LONG) so it is independent of shuffle-merge order AND bit-replayable
+    // by the DuckDB oracle — a raw double avg would differ in final ulps
+    // between engines and across runs.
     val cents = Tables.embeddings(spark, sfDir)
       .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
       .groupBy($"label", $"pos")
-      .agg(avg($"v").as("m"))
+      .agg((sum(round($"v" * 1e6).cast("long")) / 1e6 / count(lit(1))).as("m"))
       .groupBy($"label")
       .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
       .select(
@@ -141,9 +148,11 @@ object Similarity {
     * scored if it shares a bucket with the query in ANY table. The join is
     * equi on (table, bucket) — a hash shuffle, never a cross join — and the
     * per-pair dedup + top-k are bounded by the bucket sizes: the plan that
-    * survives 1000 executors. Recall vs the brute-force baseline is
-    * asserted in the test suite; the driver does a rows-only check
-    * (approximate by design). */
+    * survives 1000 executors. The md5-derived plane weights exist precisely
+    * so the DuckDB oracle can replay the whole pipeline — buckets, candidate
+    * join, exact rescoring, ranks — and hash-compare the full approximate
+    * output; recall vs the brute-force baseline is additionally asserted in
+    * the test suite. */
   def lshCosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -44,13 +44,27 @@ object TimeSeries {
     * exact count is asserted in the test suite. */
   def hllSketchUnion(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables
-      .events(spark, sfDir)
+    // Oracle-checkable form: per-day DataSketches HLL sketches merged via
+    // hll_union_agg (the mergeable-sketch pattern that replaces exact
+    // distinct at scale), output = the deterministic exact count + day
+    // count + `within_tolerance` (merged estimate within 5% of exact).
+    // The oracle replays the exact values with within_tolerance = true.
+    val ev = Tables.events(spark, sfDir)
+    val merged = ev
       .groupBy(to_date($"ts").as("day"))
       .agg(hll_sketch_agg($"user_id").as("sk"))
       .agg(
-        hll_sketch_estimate(hll_union_agg($"sk")).as("distinct_users_est"),
+        hll_sketch_estimate(hll_union_agg($"sk")).as("est"),
         count(lit(1)).as("n_days_merged")
+      )
+    val exact = ev.agg(countDistinct($"user_id").as("distinct_users_exact"))
+    merged
+      .crossJoin(exact)
+      .select(
+        $"distinct_users_exact",
+        $"n_days_merged",
+        (abs($"est" - $"distinct_users_exact") <= $"distinct_users_exact" * 0.05)
+          .as("within_tolerance")
       )
   }
 }

@@ -28,6 +28,15 @@ object KernelizeDotProduct extends Rule[LogicalPlan] {
     case _                       => false
   }
 
+  /** Nullable-element inputs route to the null-checking kernel variant: a
+    * null element must null the whole aggregate (the null product poisons
+    * `acc + v`), which the unchecked primitive loop would silently read as
+    * a number. */
+  private def mayContainNull(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _                          => true
+  }
+
   /** The lambda body `double(x)` — a cast of exactly the lambda variable. */
   private def castOf(e: Expression, v: NamedLambdaVariable): Boolean = e match {
     case c: Cast => c.dataType == DoubleType && (c.child match {
@@ -45,14 +54,18 @@ object KernelizeDotProduct extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case agg: ArrayAggregate if matches(agg) =>
       val zw = agg.argument.asInstanceOf[ZipWith]
+      val method =
+        if (mayContainNull(zw.left) || mayContainNull(zw.right)) "dotFFChecked" else "dotFF"
       StaticInvoke(
         kernelClass,
         DoubleType,
-        "dotFF",
+        method,
         Seq(zw.left, zw.right),
         inputTypes = Nil,
         propagateNull = true,
-        returnNullable = false
+        // null on length mismatch, matching zip_with's null-pad + `acc +
+        // null` semantics in the declarative form this replaces
+        returnNullable = true
       )
   }
 

@@ -15,8 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object ParquetSink {
 
+  /** Per-run scratch root: namespaced by the Spark applicationId so
+    * concurrent drivers (bench vs verify vs parallel test JVMs) never race
+    * on the same sink directory. */
+  def scratchDir(spark: SparkSession, tag: String): String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      s"/graft_${tag}_${spark.sparkContext.applicationId}"
+
   /** Write `df` partitioned by `day` (derived from ts) and return the
-    * re-read audit: rows per day partition. */
+    * re-read audit: rows per day partition. `repartition(day)` first, so
+    * each day partition is exactly ONE file — the reference's
+    * one-file-per-source-partition layout (EsParquetWriter.java:56) and the
+    * small-files fix at scale (without it every task writes a sliver into
+    * every day directory). */
   def writePartitionedWithAudit(
       spark: SparkSession,
       df: DataFrame,
@@ -24,6 +35,7 @@ object ParquetSink {
   ): DataFrame = {
     import spark.implicits._
     df.withColumn("day", to_date($"ts"))
+      .repartition($"day")
       .write
       .mode("overwrite")
       .partitionBy("day")
@@ -39,9 +51,8 @@ object ParquetSink {
     * audit counts per partition. */
   def sinkAudit(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val out = sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_sink_audit"
-    val ev  = Tables.events(spark, sfDir).filter($"event_type" === "purchase")
-    writePartitionedWithAudit(spark, ev, out).orderBy($"day")
+    val ev = Tables.events(spark, sfDir).filter($"event_type" === "purchase")
+    writePartitionedWithAudit(spark, ev, scratchDir(spark, "sink_audit")).orderBy($"day")
   }
 
   /** Declared query: JSON-lines and CSV sink/source round trip (the
@@ -51,7 +62,7 @@ object ParquetSink {
     * value (join on the key, compare columns, count mismatches = 0). */
   def jsonCsvRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_fmt_roundtrip"
+    val base = scratchDir(spark, "fmt_roundtrip")
     val src = Tables
       .events(spark, sfDir)
       .filter($"event_type" === "signup")

@@ -4,6 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -22,6 +23,14 @@ import scala.jdk.CollectionConverters._
   *   - column pruning: implements SupportsPushDownRequiredColumns, so
   *     `SELECT event_type` reads only that column (visible as the pruned
   *     readSchema in the scan node)
+  *   - filter pushdown: implements SupportsPushDownFilters — equality /
+  *     range / IN predicates are evaluated at row GENERATION, so
+  *     non-matching rows never leave the source (the reference pushes its
+  *     `match_phrase(rule_name)` into every ES query the same way,
+  *     EsParquetWriter.java:69, Bootstrap.java:293)
+  *   - limit pushdown: implements SupportsPushDownLimit — each partition
+  *     reader stops after `limit` matching rows (the reference's sampling
+  *     reads push `.size(1)` server-side, Bootstrap.java:294)
   *
   * Usage: spark.read.format("graft.sources.dsv2.SyntheticEventsSource")
   *   .option("rows", 1000).option("partitions", 8).load()
@@ -45,6 +54,55 @@ object SyntheticEventsSource {
     StructField("event_type", StringType, nullable = false)
   ))
   val EventTypes: Array[String] = Array("click", "view", "purchase", "signup", "error")
+
+  /** The generated cell for (column, rowId) — single source of truth shared
+    * by the reader and the pushed-filter evaluator. */
+  private[dsv2] def cell(column: String, i: Long): Any = column match {
+    case "event_id"   => i
+    case "ts_us"      => 1704067200000000L + i * 1000000L
+    case "user_id"    => i % 97
+    case "event_type" => EventTypes((i % 5).toInt)
+  }
+
+  /** Evaluate one pushed source filter against the generated row `i`.
+    * Only called for filters accepted by `supported`. */
+  private[dsv2] def eval(f: Filter, i: Long): Boolean = f match {
+    case EqualTo(a, v)            => cell(a, i) == v
+    case GreaterThan(a, v)        => compare(cell(a, i), v) > 0
+    case GreaterThanOrEqual(a, v) => compare(cell(a, i), v) >= 0
+    case LessThan(a, v)           => compare(cell(a, i), v) < 0
+    case LessThanOrEqual(a, v)    => compare(cell(a, i), v) <= 0
+    case In(a, vs)                => vs.contains(cell(a, i))
+    case IsNotNull(_)             => true // nothing generated is null
+    case And(l, r)                => eval(l, i) && eval(r, i)
+    case Or(l, r)                 => eval(l, i) || eval(r, i)
+    case Not(c)                   => !eval(c, i)
+    case _                        => true
+  }
+
+  private def compare(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Number)   => java.lang.Long.compare(x, y.longValue())
+    case (x: String, y: String) => x.compareTo(y)
+    case _                      => 0
+  }
+
+  /** A filter is pushable when every referenced column is generated and the
+    * shape is one this evaluator understands. */
+  private[dsv2] def supported(f: Filter): Boolean = f match {
+    case EqualTo(a, _)            => hasCol(a)
+    case GreaterThan(a, _)        => hasCol(a)
+    case GreaterThanOrEqual(a, _) => hasCol(a)
+    case LessThan(a, _)           => hasCol(a)
+    case LessThanOrEqual(a, _)    => hasCol(a)
+    case In(a, _)                 => hasCol(a)
+    case IsNotNull(a)             => hasCol(a)
+    case And(l, r)                => supported(l) && supported(r)
+    case Or(l, r)                 => supported(l) && supported(r)
+    case Not(c)                   => supported(c)
+    case _                        => false
+  }
+
+  private def hasCol(a: String): Boolean = schema.fieldNames.contains(a)
 }
 
 private class SyntheticTable(props: Map[String, String]) extends Table with SupportsRead {
@@ -61,15 +119,40 @@ private class SyntheticTable(props: Map[String, String]) extends Table with Supp
 
 private class SyntheticScanBuilder(rows: Long, partitions: Int)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns {
-  private var required: StructType = SyntheticEventsSource.schema
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters
+    with SupportsPushDownLimit {
+  private var required: StructType    = SyntheticEventsSource.schema
+  private var pushed: Array[Filter]   = Array.empty
+  private var limit: Option[Int]      = None
+
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new SyntheticScan(rows, partitions, required)
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition(SyntheticEventsSource.supported)
+    pushed = accepted
+    rejected // evaluated post-scan by Spark
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+
+  override def build(): Scan = new SyntheticScan(rows, partitions, required, pushed, limit)
 }
 
-private class SyntheticScan(rows: Long, partitions: Int, required: StructType) extends Scan with Batch {
+private class SyntheticScan(
+    rows: Long,
+    partitions: Int,
+    required: StructType,
+    pushed: Array[Filter],
+    limit: Option[Int]
+) extends Scan
+    with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"synthetic_events PushedFilters: [${pushed.mkString(", ")}], " +
+      s"PushedLimit: ${limit.getOrElse(-1)}, ReadSchema: ${required.catalogString}"
   override def planInputPartitions(): Array[InputPartition] = {
     val per = (rows + partitions - 1) / partitions
     (0 until partitions).map { p =>
@@ -78,25 +161,35 @@ private class SyntheticScan(rows: Long, partitions: Int, required: StructType) e
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new SyntheticReaderFactory(required)
+    new SyntheticReaderFactory(required, pushed, limit.getOrElse(Int.MaxValue))
 }
 
 private case class SyntheticPartition(start: Long, end: Long) extends InputPartition
 
-private class SyntheticReaderFactory(required: StructType) extends PartitionReaderFactory {
+private class SyntheticReaderFactory(required: StructType, pushed: Array[Filter], limit: Int)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SyntheticPartition]
     new PartitionReader[InternalRow] {
-      private var i = p.start - 1
-      override def next(): Boolean = { i += 1; i < p.end }
+      private var i       = p.start - 1
+      private var emitted = 0
+      // generation-time filtering: advance past rows the pushed predicates
+      // reject, stop once the pushed per-partition limit is satisfied
+      override def next(): Boolean = {
+        if (emitted >= limit) return false
+        i += 1
+        while (i < p.end && !pushed.forall(SyntheticEventsSource.eval(_, i))) i += 1
+        val has = i < p.end
+        if (has) emitted += 1
+        has
+      }
       override def get(): InternalRow = {
-        // deterministic row derived purely from the id
-        val values = required.fieldNames.map {
-          case "event_id"   => java.lang.Long.valueOf(i)
-          case "ts_us"      => java.lang.Long.valueOf(1704067200000000L + i * 1000000L)
-          case "user_id"    => java.lang.Long.valueOf(i % 97)
-          case "event_type" =>
-            UTF8String.fromString(SyntheticEventsSource.EventTypes((i % 5).toInt))
+        val values = required.fieldNames.map { c =>
+          SyntheticEventsSource.cell(c, i) match {
+            case l: Long   => java.lang.Long.valueOf(l)
+            case s: String => UTF8String.fromString(s)
+            case other     => other
+          }
         }
         InternalRow.fromSeq(values.toIndexedSeq)
       }

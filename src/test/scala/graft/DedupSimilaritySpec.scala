@@ -64,6 +64,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(nd.filter($"cos" === 1.0).count() === injected)
   }
 
+  test("bucketed embedding near-dup equals the brute-force baseline exactly") {
+    import spark.implicits._
+    val bucketed = Dedup.embeddingNearDup(spark, sf)
+    val brute    = Dedup.embeddingNearDupBrute(spark, sf)
+    val onlyBrute    = brute.exceptAll(bucketed).count()
+    val onlyBucketed = bucketed.exceptAll(brute).count()
+    assert(onlyBrute === 0, s"$onlyBrute pairs >=0.9 missed by the LSH candidate generator")
+    assert(onlyBucketed === 0, s"$onlyBucketed spurious pairs from the bucketed plan")
+  }
+
   test("LSH top-k achieves >=30% recall@10 of brute force with 4 planes") {
     import spark.implicits._
     val brute = Similarity.cosineTopK(spark, sf).select($"query_id", $"cand_id")
@@ -73,6 +83,22 @@ class DedupSimilaritySpec extends SparkSpec {
     // 4 planes ≈ 16 buckets; same-bucket fraction of true top-10 neighbors
     // is well above a uniform 1/16 because near vectors share sign patterns.
     assert(hit / total >= 0.3, s"recall ${hit / total} too low")
+  }
+
+  test("length-band fuzzy blocking is lossless vs brute force on the FULL table") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val p = Tables.part(spark, sf).select($"p_partkey", $"p_name")
+    val blocked = Relational.fuzzyPairs(p, "p_partkey", "p_name", 6)
+    val a = p.select($"p_partkey".as("id1"), $"p_name".as("name1"))
+    val b = p.select($"p_partkey".as("id2"), $"p_name".as("name2"))
+    val brute = a
+      .join(b, $"id1" < $"id2")
+      .withColumn("dist", levenshtein($"name1", $"name2"))
+      .filter($"dist" <= 6)
+      .select($"id1", $"id2", $"dist")
+    assert(brute.exceptAll(blocked).count() === 0, "blocking must lose no qualifying pair")
+    assert(blocked.exceptAll(brute).count() === 0, "blocking must add no spurious pair")
   }
 
   test("brute-force top-k is self-consistent: rank 1 has the max cosine") {

@@ -31,6 +31,38 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(pruned.distinct().count() === 5)
   }
 
+  test("equality filter pushes into the scan and skips rows at generation") {
+    import spark.implicits._
+    val filtered = read(1000, 4).filter($"event_type" === "click")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("EqualTo(event_type,click)"),
+      s"filter must be pushed into the scan node:\n$plan")
+    // 1000 rows cycle 5 types → exactly 200 clicks, generated not post-filtered
+    assert(filtered.count() === 200)
+    assert(filtered.select($"event_type").distinct().collect().map(_.getString(0)).toSeq === Seq("click"))
+  }
+
+  test("range + IN filters push and evaluate correctly at the source") {
+    import spark.implicits._
+    val df = read(1000, 4).filter($"event_id" >= 10 && $"event_id" < 20 && $"user_id".isin(10L, 11L, 12L))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(event_id,10)"), plan)
+    assert(df.collect().map(_.getAs[Long]("event_id")).toSeq === Seq(10L, 11L, 12L))
+  }
+
+  test("limit pushdown stops the readers early (PushedLimit in the scan)") {
+    import spark.implicits._
+    val lim = read(1000000, 4).limit(3)
+    val plan = lim.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit: 3"), s"limit must reach the scan:\n$plan")
+    assert(lim.count() === 3)
+    // the reference's sample read: filter + size(1) both pushed
+    val one = read(1000000, 4).filter($"event_type" === "purchase").limit(1)
+    val p1 = one.queryExecution.executedPlan.toString
+    assert(p1.contains("EqualTo(event_type,purchase)") && p1.contains("PushedLimit: 1"), p1)
+    assert(one.collect().map(_.getAs[String]("event_type")).toSeq === Seq("purchase"))
+  }
+
   test("connector output joins with the relational core like any table") {
     import spark.implicits._
     val agg = read(500, 4)

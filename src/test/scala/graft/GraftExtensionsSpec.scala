@@ -38,6 +38,33 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(direct.exceptAll(viaRule).count() === 0)
   }
 
+  test("nullable-element arrays route to the checked kernel and null-poison") {
+    import spark.implicits._
+    // element arrays built via array() of nullable exprs → containsNull=true
+    // (spark.range, not a local Seq — a LocalRelation would constant-fold
+    // the whole query away before the plan can be inspected)
+    val df = spark
+      .range(2)
+      .select(
+        array(
+          when($"id" > 0, $"id".cast("float")), // null for row id=0
+          lit(2.0f)
+        ).as("v")
+      )
+      .select(
+        aggregate(
+          zip_with($"v", $"v", (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0),
+          (acc, p) => acc + p
+        ).as("dot")
+      )
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("dotFFChecked"), s"checked kernel expected:\n$optimized")
+    val rows = df.orderBy($"dot".asc_nulls_first).collect()
+    assert(rows(0).isNullAt(0), "null element must null the aggregate")
+    assert(rows(1).getDouble(0) === (1.0 + 4.0))
+  }
+
   test("non-matching aggregates are left untouched") {
     import spark.implicits._
     val other = Tables

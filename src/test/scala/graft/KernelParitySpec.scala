@@ -70,16 +70,45 @@ class KernelParitySpec extends SparkSpec {
 
   test("dot kernel == aggregate(zip_with(...)) IEEE-exactly on embeddings") {
     import spark.implicits._
-    val e = Tables.embeddings(spark, sf).limit(100)
-    val cmp = e.select(
-      Kernels.dot($"embedding", $"embedding").as("k"),
-      aggregate(
-        zip_with($"embedding", $"embedding", (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0),
-        (a, v) => a + v
-      ).as("d")
-    )
-    // bit-exact: same element order, same double ops
-    assert(cmp.filter($"k" =!= $"d").count() === 0)
+    // Exclude the KernelizeDotProduct rewrite for the declarative branch —
+    // otherwise the session extension rewrites it into the very kernel under
+    // test and the comparison is vacuous.
+    spark.conf.set("spark.sql.optimizer.excludedRules", "graft.plans.KernelizeDotProduct")
+    try {
+      val e = Tables.embeddings(spark, sf).limit(100)
+      val cmp = e.select(
+        Kernels.dot($"embedding", $"embedding").as("k"),
+        aggregate(
+          zip_with($"embedding", $"embedding", (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0),
+          (a, v) => a + v
+        ).as("d")
+      )
+      // the declarative branch must really be the interpreted HOF path
+      val physical = cmp.queryExecution.executedPlan.toString
+      assert(physical.contains("aggregate("), s"declarative branch was rewritten away:\n$physical")
+      // bit-exact: same element order, same double ops
+      assert(cmp.filter($"k" =!= $"d").count() === 0)
+    } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+  }
+
+  test("dot kernel nulls on length mismatch, matching zip_with null-pad semantics") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.optimizer.excludedRules", "graft.plans.KernelizeDotProduct")
+    try {
+      val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      val row = df
+        .select(
+          Kernels.dot($"a", $"b").as("k"),
+          aggregate(
+            zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+            lit(0.0),
+            (acc, v) => acc + v
+          ).as("d")
+        )
+        .head()
+      assert(row.isNullAt(0), "kernel must return null for unequal lengths")
+      assert(row.isNullAt(1), "declarative form must return null for unequal lengths")
+    } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
   }
 }

@@ -52,6 +52,34 @@ class PlanShapeSpec extends SparkSpec {
     val p = planOf("q69_cosine_topk")
     assert(p.contains("BroadcastExchange"), p.take(2000))
   }
+
+  test("q68 embedding near-dup is bucketed: no nested-loop or cartesian join") {
+    val p = planOf("q68_embedding_near_dup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q67 jaccard self-join never broadcasts the exploded shingle side") {
+    val p = planOf("q67_ngram_jaccard_pairs")
+    assert(p.contains("ShuffledHashJoin"), p.take(3000))
+    assert(!p.contains("BroadcastHashJoin"), "exploded inverted index must not broadcast")
+  }
+
+  test("q84 pack-sequences runs no single-partition window (two-pass prefix sum)") {
+    // AQE wraps the physical tree, so assert on the optimized logical plan:
+    // every Window node must carry a partition spec (the bucket column)
+    val ws = SparkEntry
+      .queries("q84_pack_sequences")(spark, sf)
+      .queryExecution
+      .optimizedPlan
+      .collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(ws.nonEmpty, "expected a partitioned running-sum window")
+    ws.foreach(w => assert(w.partitionSpec.nonEmpty, s"unpartitioned window: $w"))
+  }
+
+  test("q78 deterministic shuffle cuts with TakeOrderedAndProject before numbering") {
+    val p = planOf("q78_deterministic_shuffle")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
 }
 
 /** Det.decSum must be invariant to partitioning/merge order. */

@@ -46,6 +46,38 @@ class SchemaInferSpec extends SparkSpec {
     }
   }
 
+  test("golden BYTES: asvc writer regenerates the reference schema.asvc exactly") {
+    // The doc strings embed each field's original sample value; rebuild the
+    // sample document from them, run the writer, byte-diff against the
+    // committed artifact — "type":"error" quirk, unions, docs, escaping,
+    // single-line layout, no trailing newline, all of it.
+    val mapper = new ObjectMapper()
+    val root   = mapper.readTree(new java.io.File(asvcPath))
+    val ruleName = root.get("name").asText()
+    val fields   = root.get("fields").elements().asScala.toSeq
+    val sampleJson = fields
+      .map { f =>
+        val name = f.get("name").asText()
+        val doc  = f.get("doc").asText()
+        val raw  = doc.stripPrefix("Type inferred from '").stripSuffix("'")
+        s"${mapper.writeValueAsString(name)}:$raw"
+      }
+      .mkString("{", ",", "}")
+    val regenerated = graft.sources.AvroAsvc.fromSampleJson(ruleName, sampleJson)
+    val original    = java.nio.file.Files.readString(java.nio.file.Paths.get(asvcPath))
+    assert(regenerated === original, "asvc byte stream must match the reference artifact")
+  }
+
+  test("asvc writer sanitizes rule names and persists without trailing newline") {
+    val out = java.nio.file.Files.createTempDirectory("graft_asvc").resolve("schema.asvc")
+    graft.sources.AvroAsvc.persist("my-rule-x", """{"k":1,"s":"v"}""", out.toString)
+    val bytes = java.nio.file.Files.readAllBytes(out)
+    val text  = new String(bytes, "UTF-8")
+    assert(text.startsWith("""{"type":"error","name":"my_rule_x","""), text)
+    assert(text.contains(""""type":["null","int"]"""), text)
+    assert(!text.endsWith("\n"))
+  }
+
   test("widenMaxFields keeps the widest candidate (reference width-max semantics)") {
     val narrow = StructType(Seq(StructField("a", LongType)))
     val wide   = StructType(Seq(StructField("a", LongType), StructField("b", StringType)))
