@@ -25,6 +25,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // keep AQE's parallelism-first coalescing (the default): advisory-size
+      // coalescing was measured to collapse the shuffle-hash self-joins to
+      // 1-2 fat partitions at this scale (q67 1.1 s → 3.8 s)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

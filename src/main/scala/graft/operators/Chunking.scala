@@ -59,9 +59,24 @@ object Chunking {
     * driver still only ever sees one row per bucket. */
   def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val binTokens = 4096L
-    val nBuckets  = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    globalTokenOffsets(spark, sfDir)
+      .select(
+        $"doc_id",
+        $"n_toks",
+        ($"end_offset" - $"n_toks").as("start_offset"),
+        (($"end_offset" - $"n_toks") / binTokens).cast("long").as("bin")
+      )
+      .orderBy($"start_offset")
+  }
+
+  /** Global token offsets in the reproducible hash-shuffle order — the
+    * shared two-pass prefix sum behind [[packSequences]] and
+    * [[tokenBudgetSample]]. Returns (doc_id, n_toks, hk, end_offset). */
+  private[graft] def globalTokenOffsets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val nBuckets = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val base = Tables
       .documents(spark, sfDir)
       .select(
@@ -93,17 +108,24 @@ object Chunking {
       .partitionBy($"bucket")
       .orderBy($"hk", $"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base
-      .withColumn(
-        "end_offset",
-        sum($"n_toks").over(wLocal) + coalesce(element_at(typedLit(offsets), $"bucket"), lit(0L))
-      )
-      .select(
-        $"doc_id",
-        $"n_toks",
-        ($"end_offset" - $"n_toks").as("start_offset"),
-        (($"end_offset" - $"n_toks") / binTokens).cast("long").as("bin")
-      )
-      .orderBy($"start_offset")
+    base.withColumn(
+      "end_offset",
+      sum($"n_toks").over(wLocal) + coalesce(element_at(typedLit(offsets), $"bucket"), lit(0L))
+    )
+  }
+
+  /** Token-budget sampling: the first `budget` tokens of the corpus in the
+    * reproducible shuffle order — "give me a deterministic 10k-token
+    * training slice" as one filter over the global prefix sum. Same
+    * scalable two-pass plan as [[packSequences]]; at 100 TB the budget
+    * filter prunes whole buckets whose starting offset already exceeds the
+    * budget. */
+  def tokenBudgetSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 10000L
+    globalTokenOffsets(spark, sfDir)
+      .filter($"end_offset" <= budget)
+      .select($"doc_id", $"n_toks", $"end_offset")
+      .orderBy($"end_offset")
   }
 }

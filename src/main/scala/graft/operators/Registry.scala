@@ -17,7 +17,7 @@ import graft.streaming.Streaming
   */
 object Registry {
   def extra: Seq[Q] =
-    temporal ++ scalars ++ schemaJson ++ textPack ++ dedupPack ++ simPack ++
+    temporal ++ scalars ++ schemaJson ++ textPack ++ textPack2 ++ dedupPack ++ simPack ++
       multimodalPack ++ streamingPack ++ advancedPack ++ pipelinePack ++ shardingPack ++
       timeseriesPack ++ chunkingPack
 
@@ -211,6 +211,56 @@ object Registry {
                CAST(list_min(list_transform(sh, x -> ('0x' || substr(md5(x),1,15))::BIGINT)) AS BIGINT) AS min_shingle_h,
                CAST(len(sh) AS INT) AS n_shingles
         FROM s ORDER BY doc_id
+      """)
+    )
+  )
+
+  private def textPack2: Seq[Q] = Seq(
+    Q(
+      "q85_repetition_score",
+      Text.repetitionScore,
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), s AS (
+          SELECT doc_id, list_transform(range(1, len(toks) - 1),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS sh
+          FROM t
+        ), m AS (
+          SELECT doc_id, CAST(len(sh) AS INT) AS n_shingles,
+                 CAST(len(list_distinct(sh)) AS INT) AS n_distinct
+          FROM s
+        )
+        SELECT doc_id, n_shingles, n_distinct,
+               CASE WHEN n_shingles > 0
+                    THEN round(1.0 - CAST(n_distinct AS DOUBLE) / n_shingles, 6) END AS repetition_ratio,
+               CASE WHEN n_shingles > 0
+                    THEN round(1.0 - CAST(n_distinct AS DOUBLE) / n_shingles, 6) >= 0.2 END AS is_repetitive
+        FROM m ORDER BY doc_id
+      """)
+    ),
+    Q(
+      "q86_decontaminate",
+      Dedup.decontaminate,
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), s AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+          FROM t
+        ), ev AS (
+          SELECT doc_id AS eval_id, unnest(sh) AS shingle FROM s WHERE doc_id % 50 = 0
+        ), tr AS (
+          SELECT doc_id AS train_id, CAST(len(sh) AS INT) AS n_sh, unnest(sh) AS shingle FROM s
+        )
+        SELECT train_id, n_sh,
+               COUNT(DISTINCT tr.shingle) AS n_overlap,
+               COUNT(DISTINCT eval_id) AS n_eval_docs,
+               COUNT(DISTINCT tr.shingle) >= 5 AS contaminated
+        FROM tr JOIN ev ON tr.shingle = ev.shingle
+        GROUP BY train_id, n_sh
+        ORDER BY train_id
       """)
     )
   )
@@ -488,6 +538,22 @@ object Registry {
         SELECT doc_id, n_toks, end_offset - n_toks AS start_offset,
                (end_offset - n_toks) // 4096 AS bin
         FROM o ORDER BY start_offset
+      """)
+    ),
+    Q(
+      "q87_token_budget_sample",
+      Chunking.tokenBudgetSample,
+      Some("""
+        WITH t AS (
+          SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+          FROM documents
+        ), o AS (
+          SELECT doc_id, n_toks,
+                 CAST(SUM(n_toks) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_offset
+          FROM t
+        )
+        SELECT doc_id, n_toks, end_offset FROM o WHERE end_offset <= 10000 ORDER BY end_offset
       """)
     )
   )
@@ -872,6 +938,31 @@ object Registry {
         FROM ev
         WHERE len(list_filter(json_keys(props2), x -> x <> 'k')) = 0
         ORDER BY event_id
+      """)
+    ),
+    Q(
+      "q55_nested_decode",
+      JsonDecode.nestedDecode,
+      // independent recomputation of every leaf from the base columns —
+      // the slice arithmetic mirrors the synthesized documents
+      Some("""
+        WITH base AS (
+          SELECT event_id, event_type, user_id,
+                 json_extract(props, '$.k')::BIGINT AS k
+          FROM events
+        )
+        SELECT event_id,
+               CASE WHEN event_id % 13 = 0 THEN 'dead' ELSE 'ok' END AS status,
+               CASE WHEN event_id % 13 = 0 THEN NULL ELSE k END AS k,
+               CASE WHEN event_id % 13 = 0 OR event_id % 17 = 0 THEN NULL
+                    ELSE 'ev_' || event_type END AS meta_src,
+               CASE WHEN event_id % 13 = 0 OR event_id % 17 = 0 THEN NULL
+                    ELSE event_id % 5 END AS meta_depth,
+               CAST(CASE WHEN event_id % 13 = 0 THEN NULL ELSE 2 END AS INT) AS n_tags,
+               CASE WHEN event_id % 13 = 0 THEN NULL ELSE event_id % 7 END AS attr_a,
+               CASE WHEN event_id % 13 = 0 THEN NULL
+                    ELSE CAST(event_id % 9 AS VARCHAR) END AS nstr
+        FROM base ORDER BY event_id
       """)
     ),
     Q(

@@ -265,7 +265,7 @@ object Relational {
 
   /** Distinct + approx-distinct aggregation. The HLL estimate is engine-
     * specific, so only exact measures are oracle-checked; the approx column
-    * lives in [[approxDistinct]] (rows-only check). */
+    * lives in [[approxDistinct]] (exact-part + tolerance oracle). */
   def distinctAgg(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables

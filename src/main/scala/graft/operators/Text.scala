@@ -106,4 +106,26 @@ object Text {
       )
       .orderBy($"doc_id")
   }
+
+  /** Intra-document repetition score (the Gopher-style quality rule
+    * "fraction of duplicated n-grams"): 3-gram shingles per doc, repetition
+    * ratio = 1 − distinct/total, flag above 20%. Per-row map over the
+    * compiled shingle kernel — no shuffle, linear at any scale. */
+  def repetitionScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .spread(Tables.documents(spark, sfDir))
+      .withColumn("shs", graft.functions.Kernels.shingleHashes(tokens($"text"), 3))
+      .select(
+        $"doc_id",
+        size($"shs").as("n_shingles"),
+        size(array_distinct($"shs")).as("n_distinct")
+      )
+      .withColumn(
+        "repetition_ratio",
+        when($"n_shingles" > 0, round(lit(1.0) - $"n_distinct" / $"n_shingles", 6))
+      )
+      .withColumn("is_repetitive", $"repetition_ratio" >= 0.2)
+      .orderBy($"doc_id")
+  }
 }

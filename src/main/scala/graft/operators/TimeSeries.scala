@@ -40,7 +40,8 @@ object TimeSeries {
   /** Mergeable distinct-count sketches (the "novel sketch" surface): one
     * HLL sketch per day, unioned into a single weekly estimate — the
     * pre-aggregate-then-merge pattern that replaces exact distinct at
-    * 100 TB. Estimate is engine-specific → rows-only check; accuracy vs the
+    * 100 TB. Estimate is engine-specific → the declared output carries the
+    * exact count + tolerance boolean for the hash oracle; accuracy vs the
     * exact count is asserted in the test suite. */
   def hllSketchUnion(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -67,6 +67,96 @@ object JsonDecode {
       .orderBy($"event_id")
   }
 
+  /** Declared query: the reference decoder's NESTED type matrix
+    * (ExtendedJsonDecoder.java:260-461) exercised end-to-end on real data —
+    * nested struct, array, map, number→string coercion, missing-subtree
+    * null injection, and wrong-type dead-lettering, each on a deterministic
+    * slice:
+    *
+    *   - every row gets a synthesized nested document
+    *     `{"k":…,"meta":{"src":…,"depth":…},"tags":[…,…],"nstr":<number>,
+    *     "attrs":{"a":…}}` built from its own columns
+    *   - `event_id % 13 == 0`: `depth` carries a STRING where the schema
+    *     declares BIGINT → the record dead-letters (the decoder's
+    *     type-mismatch rejection, readLong :184-193)
+    *   - else `event_id % 17 == 0`: the whole `meta` subtree is absent →
+    *     decoded as null struct (default injection, :719-747)
+    *   - `nstr` is declared STRING but always arrives as a JSON number →
+    *     coerced to its literal text (readString's relaxed scalar
+    *     acceptance, :219-241)
+    *
+    * Output: one row per event with the extracted leaf values and a
+    * `status` column ('ok' | 'dead'); the oracle recomputes every leaf
+    * independently from the base columns. */
+  def nestedDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables
+      .events(spark, sfDir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .withColumn(
+        "meta_json",
+        when(
+          $"event_id" % 13 === 0,
+          concat(lit("{\"src\":\"ev_"), $"event_type", lit("\",\"depth\":\"deep\"}"))
+        ).otherwise(
+          concat(
+            lit("{\"src\":\"ev_"),
+            $"event_type",
+            lit("\",\"depth\":"),
+            ($"event_id" % 5).cast("string"),
+            lit("}")
+          )
+        )
+      )
+      .withColumn(
+        "tail_json",
+        concat(
+          lit(",\"tags\":[\"t"),
+          ($"user_id" % 3).cast("string"),
+          lit("\",\"u"),
+          ($"user_id" % 5).cast("string"),
+          lit("\"],\"nstr\":"),
+          ($"event_id" % 9).cast("string"),
+          lit(",\"attrs\":{\"a\":"),
+          ($"event_id" % 7).cast("string"),
+          lit("}}")
+        )
+      )
+      .withColumn(
+        "props3",
+        when(
+          $"event_id" % 13 =!= 0 && $"event_id" % 17 === 0,
+          concat(lit("{\"k\":"), $"k".cast("string"), $"tail_json")
+        ).otherwise(
+          concat(lit("{\"k\":"), $"k".cast("string"), lit(",\"meta\":"), $"meta_json", $"tail_json")
+        )
+      )
+    val schemaDdl =
+      "k BIGINT, meta STRUCT<src: STRING, depth: BIGINT>, tags ARRAY<STRING>, nstr STRING, attrs MAP<STRING, BIGINT>"
+    val (good, bad) = decodeWithDeadLetter(ev, "props3", schemaDdl)
+    val okRows = good.select(
+      $"event_id",
+      lit("ok").as("status"),
+      $"_parsed.k".as("k"),
+      $"_parsed.meta.src".as("meta_src"),
+      $"_parsed.meta.depth".as("meta_depth"),
+      size($"_parsed.tags").as("n_tags"),
+      element_at($"_parsed.attrs", "a").as("attr_a"),
+      $"_parsed.nstr".as("nstr")
+    )
+    val deadRows = bad.select(
+      $"event_id",
+      lit("dead").as("status"),
+      lit(null).cast("long").as("k"),
+      lit(null).cast("string").as("meta_src"),
+      lit(null).cast("long").as("meta_depth"),
+      lit(null).cast("int").as("n_tags"),
+      lit(null).cast("long").as("attr_a"),
+      lit(null).cast("string").as("nstr")
+    )
+    okRows.unionByName(deadRows).orderBy($"event_id")
+  }
+
   /** Declared query: dead-letter audit. A deterministic slice
     * (event_id % 11 == 0) is corrupted; output the per-side counts the
     * reference only logged (EsParquetWriter.java:96). */

@@ -39,4 +39,53 @@ class JsonDecodeSpec extends SparkSpec {
     val parsed = df.select(from_json($"js", lit("a BIGINT, b STRING")).as("p")).distinct()
     assert(parsed.count() === 1)
   }
+
+  // ---- nested type matrix (reference ExtendedJsonDecoder.java:260-461) ----
+
+  private val nestedDdl =
+    "k BIGINT, meta STRUCT<src: STRING, depth: BIGINT>, tags ARRAY<STRING>, nstr STRING, attrs MAP<STRING, BIGINT>"
+
+  test("nested struct / array / map decode end-to-end") {
+    import spark.implicits._
+    val df = Seq(
+      """{"k":7,"meta":{"src":"s1","depth":3},"tags":["a","b","c"],"nstr":"x","attrs":{"a":1,"b":2}}"""
+    ).toDF("js")
+    val (good, bad) = JsonDecode.decodeWithDeadLetter(df, "js", nestedDdl)
+    assert(bad.count() === 0)
+    val r = good
+      .select(
+        $"_parsed.meta.src",
+        $"_parsed.meta.depth",
+        size($"_parsed.tags"),
+        element_at($"_parsed.attrs", "b")
+      )
+      .head()
+    assert((r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)) === (("s1", 3L, 3, 2L)))
+  }
+
+  test("missing nested subtree decodes to null struct (default injection)") {
+    import spark.implicits._
+    val df = Seq("""{"k":7,"tags":["a"],"nstr":"x","attrs":{"a":1}}""").toDF("js")
+    val (good, bad) = JsonDecode.decodeWithDeadLetter(df, "js", nestedDdl)
+    assert(bad.count() === 0)
+    assert(good.select($"_parsed.meta").head().isNullAt(0))
+  }
+
+  test("wrong scalar type inside a nested struct dead-letters the record") {
+    import spark.implicits._
+    val df = Seq(
+      """{"k":7,"meta":{"src":"s1","depth":"deep"},"tags":["a"],"nstr":"x","attrs":{"a":1}}"""
+    ).toDF("js")
+    val (good, bad) = JsonDecode.decodeWithDeadLetter(df, "js", nestedDdl)
+    assert(good.count() === 0, "BIGINT field receiving a string must reject the record")
+    assert(bad.count() === 1)
+  }
+
+  test("number arriving where STRING is declared coerces to its literal text") {
+    import spark.implicits._
+    val df = Seq("""{"k":7,"meta":{"src":"s","depth":1},"tags":[],"nstr":42,"attrs":{}}""").toDF("js")
+    val (good, bad) = JsonDecode.decodeWithDeadLetter(df, "js", nestedDdl)
+    assert(bad.count() === 0)
+    assert(good.select($"_parsed.nstr").as[String].head() === "42")
+  }
 }
