@@ -24,6 +24,26 @@ object JsonDecode {
   def keysSubsetOf(jsonCol: Column, allowed: Seq[String]): Column =
     size(array_except(json_object_keys(jsonCol), array(allowed.map(lit): _*))) === 0
 
+  // --- the decoder's non-JSON-native scalar branches (ExtendedJsonDecoder) ---
+
+  /** Avro `bytes` semantics (readBytes :260-274, charset constant :77): the
+    * reference carries binary payloads as JSON strings, one ISO-8859-1 char
+    * per byte. Codegen'd built-in `encode`; null in → null out. */
+  def bytesIso88591(c: Column): Column = encode(c, "ISO-8859-1")
+
+  /** Avro `fixed(n)` semantics (readFixed :286-336): ISO-8859-1 bytes plus
+    * the exact-width gate — a wrong-length value yields null so the caller
+    * can dead-letter it (the reference throws per record). */
+  def fixedIso88591(c: Column, n: Int): Column = {
+    val b = encode(c, "ISO-8859-1")
+    when(length(b) === n, b)
+  }
+
+  /** Avro `enum` semantics (readEnum :338-353): symbol-membership gate —
+    * a non-member yields null for dead-letter routing. */
+  def enumSymbol(c: Column, symbols: Seq[String]): Column =
+    when(c.isInCollection(symbols), c)
+
   /** PERMISSIVE decode splitting valid rows from a dead-letter side.
     * Returns (valid, deadLetter); `valid` carries the parsed struct.
     * from_json in PERMISSIVE mode yields an all-null struct (not a null

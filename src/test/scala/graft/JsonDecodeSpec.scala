@@ -81,6 +81,34 @@ class JsonDecodeSpec extends SparkSpec {
     assert(bad.count() === 1)
   }
 
+  test("bytes decode as ISO-8859-1, one char per byte (reference readBytes)") {
+    import spark.implicits._
+    // chars 0x00, 0x41 ('A'), 0xFF — the full latin-1 byte range shape
+    val s  = new String(Array[Char](0x00, 0x41, 0xff))
+    val df = Seq(s).toDF("s")
+    val bytes = df.select(JsonDecode.bytesIso88591($"s")).as[Array[Byte]].head()
+    assert(bytes.toSeq === Seq(0x00.toByte, 0x41.toByte, 0xff.toByte))
+  }
+
+  test("fixed(n) enforces exact width, wrong length nulls for dead-lettering") {
+    import spark.implicits._
+    val df = Seq(("abc", "abcd")).toDF("ok", "bad")
+    val r = df.select(JsonDecode.fixedIso88591($"ok", 3), JsonDecode.fixedIso88591($"bad", 3)).head()
+    assert(!r.isNullAt(0) && r.getAs[Array[Byte]](0).length === 3)
+    assert(r.isNullAt(1), "length 4 into fixed(3) must null")
+  }
+
+  test("enum gates on symbol membership (reference readEnum)") {
+    import spark.implicits._
+    val df = Seq(("click", "bogus")).toDF("ok", "bad")
+    val r = df.select(
+      JsonDecode.enumSymbol($"ok", Seq("click", "view")),
+      JsonDecode.enumSymbol($"bad", Seq("click", "view"))
+    ).head()
+    assert(r.getString(0) === "click")
+    assert(r.isNullAt(1))
+  }
+
   test("number arriving where STRING is declared coerces to its literal text") {
     import spark.implicits._
     val df = Seq("""{"k":7,"meta":{"src":"s","depth":1},"tags":[],"nstr":42,"attrs":{}}""").toDF("js")
