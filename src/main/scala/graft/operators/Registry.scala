@@ -359,6 +359,37 @@ object Registry {
       """)
     ),
     Q(
+      "q89_capped_jaccard_pairs",
+      Dedup.cappedJaccardPairs,
+      Some(s"""
+        WITH $dupCorpus, tk AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+        ), sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS dsh FROM tk
+        ), ex AS (
+          SELECT doc_id, unnest(dsh) AS shingle FROM sh
+        ), rare AS (
+          SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= 50
+        ), exf AS (
+          SELECT ex.doc_id, ex.shingle FROM ex JOIN rare USING (shingle)
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM exf a JOIN exf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        ), v AS (
+          SELECT c.id1, c.id2,
+                 CAST(len(list_intersect(s1.dsh, s2.dsh)) AS INT) AS n_inter,
+                 CAST(len(s1.dsh) AS INT) AS n1, CAST(len(s2.dsh) AS INT) AS n2
+          FROM cand c JOIN sh s1 ON c.id1 = s1.doc_id JOIN sh s2 ON c.id2 = s2.doc_id
+        )
+        SELECT id1, id2,
+               round(CAST(n_inter AS DOUBLE) / (n1 + n2 - n_inter), 6) AS jaccard
+        FROM v
+        WHERE round(CAST(n_inter AS DOUBLE) / (n1 + n2 - n_inter), 6) >= 0.6
+        ORDER BY id1, id2
+      """)
+    ),
+    Q(
       "q68_embedding_near_dup",
       Dedup.embeddingNearDup,
       Some("""
@@ -732,6 +763,23 @@ object Registry {
                MAX(ts_us) + 1800000000 AS session_end_us,
                COUNT(*) AS n_events
         FROM s GROUP BY user_id, sess ORDER BY user_id, session_start_us
+      """)
+    ),
+    Q(
+      "q88_stream_join_attribution",
+      Streaming.attributionBatch,
+      Some("""
+        WITH v AS (
+          SELECT user_id, ts FROM events WHERE event_type = 'view'
+        ), p AS (
+          SELECT user_id, ts, event_id AS purchase_id FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.purchase_id, COUNT(*) AS n_views_attributed,
+               MAX(epoch_us(v.ts)) AS last_view_us
+        FROM p JOIN v ON p.user_id = v.user_id
+                     AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+        GROUP BY p.purchase_id
+        ORDER BY purchase_id
       """)
     ),
     Q(

@@ -131,6 +131,43 @@ object Streaming {
       }
   }
 
+  /** Stream-stream interval join (purchase attribution): each purchase
+    * joined to the same user's views in the preceding hour, then one
+    * aggregate row per purchase. Written source-agnostically: batch runs it
+    * as an equi-join on user with a time-range predicate (the declared
+    * oracle query); [[purchaseAttributionJoinStream]] is the watermarked
+    * unbounded form, where the bounded event-time range is precisely what
+    * lets Spark evict join state — the canonical stream-stream join shape. */
+  def purchaseAttribution(ev: DataFrame): DataFrame =
+    purchaseAttributionJoin(viewsOf(ev), purchasesOf(ev))
+      .groupBy(col("purchase_id"))
+      .agg(
+        count(lit(1)).as("n_views_attributed"),
+        max(unix_micros(col("v_ts"))).as("last_view_us")
+      )
+
+  private[streaming] def viewsOf(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+
+  private[streaming] def purchasesOf(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+
+  private[streaming] def purchaseAttributionJoin(views: DataFrame, purchases: DataFrame): DataFrame =
+    purchases.join(
+      views,
+      expr("p_user = v_user AND v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts < p_ts")
+    )
+
+  /** The unbounded form: both sides watermarked, the range condition bounds
+    * how long view state must be retained (1 h + watermark delay). */
+  def purchaseAttributionJoinStream(views: DataFrame, purchases: DataFrame): DataFrame =
+    purchaseAttributionJoin(
+      views.withWatermark("v_ts", "10 minutes"),
+      purchases.withWatermark("p_ts", "10 minutes")
+    )
+
   // ------------------------------------------------------- declared queries
 
   def tumblingBatch(spark: SparkSession, sfDir: String): DataFrame =
@@ -141,4 +178,7 @@ object Streaming {
 
   def sessionizeBatch(spark: SparkSession, sfDir: String): DataFrame =
     sessionize(Tables.events(spark, sfDir)).orderBy(col("user_id"), col("session_start_us"))
+
+  def attributionBatch(spark: SparkSession, sfDir: String): DataFrame =
+    purchaseAttribution(Tables.events(spark, sfDir)).orderBy(col("purchase_id"))
 }

@@ -57,6 +57,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(exact.count() >= injected)
   }
 
+  test("capped-jaccard recovers every injected duplicate and agrees with uncapped on them") {
+    import spark.implicits._
+    val pairs = Dedup.cappedJaccardPairs(spark, sf).cache()
+    val injected = Tables.documents(spark, sf).filter($"doc_id" % 10 === 0)
+      .select($"doc_id".as("id1"), ($"doc_id" + 1000000L).as("id2"))
+    val recovered = injected.join(pairs, Seq("id1", "id2"))
+    assert(recovered.count() === injected.count(), "identical docs share rare shingles")
+    assert(recovered.filter($"jaccard" === 1.0).count() === injected.count(),
+      "exact verification must report the TRUE jaccard despite capped candidates")
+  }
+
   test("embedding near-dup finds the injected identical vectors at cos=1") {
     import spark.implicits._
     val nd = Dedup.embeddingNearDup(spark, sf)

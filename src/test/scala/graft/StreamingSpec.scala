@@ -183,4 +183,31 @@ class StreamingSpec extends SparkSpec {
       assert(batch.exceptAll(streamed).count() === 0)
     } finally q.stop()
   }
+
+  test("stream-stream interval join attributes views to purchases like batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vIn = MemoryStream[(Long, Timestamp, Long)] // (v_user, v_ts, view_id)
+    val pIn = MemoryStream[(Long, Timestamp, Long)] // (p_user, p_ts, purchase_id)
+    val views     = vIn.toDF().toDF("v_user", "v_ts", "view_id")
+    val purchases = pIn.toDF().toDF("p_user", "p_ts", "purchase_id")
+    val q = Streaming
+      .purchaseAttributionJoinStream(views, purchases)
+      .select($"purchase_id", $"view_id")
+      .writeStream
+      .format("memory")
+      .queryName("attr_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // user 1: views at 10' and 30', purchase at 40' → both attributed;
+      // view at 110' is AFTER the purchase → not attributed;
+      // user 2: view at 5', purchase at 90' → outside the 1 h window
+      vIn.addData((1L, ts(10), 100L), (1L, ts(30), 101L), (1L, ts(110), 102L), (2L, ts(5), 200L))
+      pIn.addData((1L, ts(40), 900L), (2L, ts(90), 901L))
+      q.processAllAvailable()
+      val got = spark.table("attr_test").as[(Long, Long)].collect().toSet
+      assert(got === Set((900L, 100L), (900L, 101L)))
+    } finally q.stop()
+  }
 }
