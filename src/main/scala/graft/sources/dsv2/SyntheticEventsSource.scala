@@ -2,7 +2,8 @@ package graft.sources.dsv2
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -31,6 +32,12 @@ import scala.jdk.CollectionConverters._
   *   - limit pushdown: implements SupportsPushDownLimit — each partition
   *     reader stops after `limit` matching rows (the reference's sampling
   *     reads push `.size(1)` server-side, Bootstrap.java:294)
+  *   - aggregate pushdown: implements SupportsPushDownAggregates for
+  *     `COUNT(*) [GROUP BY <one generated column>]` — the source returns
+  *     per-partition partial counts instead of rows, and Spark merges them.
+  *     This is exactly the reference's server-side `terms` aggregation
+  *     (NewAggregationRequestGenerator at Bootstrap.java:266-283): the
+  *     discovery group-count never ships raw documents
   *
   * Usage: spark.read.format("graft.sources.dsv2.SyntheticEventsSource")
   *   .option("rows", 1000).option("partitions", 8).load()
@@ -121,10 +128,13 @@ private class SyntheticScanBuilder(rows: Long, partitions: Int)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
   private var required: StructType    = SyntheticEventsSource.schema
   private var pushed: Array[Filter]   = Array.empty
   private var limit: Option[Int]      = None
+  private var aggGroup: Option[String] = None
+  private var aggPushed: Boolean       = false
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
@@ -135,9 +145,94 @@ private class SyntheticScanBuilder(rows: Long, partitions: Int)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def pushLimit(l: Int): Boolean =
+    if (aggPushed) false else { limit = Some(l); true }
 
-  override def build(): Scan = new SyntheticScan(rows, partitions, required, pushed, limit)
+  /** COUNT(*) grouped by at most one generated column — the reference's
+    * server-side terms aggregation. Partial pushdown: each partition emits
+    * its local counts; Spark's final aggregate merges them (so
+    * supportCompletePushDown stays false, the default). */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val groupCols = agg.groupByExpressions.flatMap {
+      case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
+      case _                                               => None
+    }
+    val ok = groupCols.length == agg.groupByExpressions.length &&
+      groupCols.length <= 1 &&
+      groupCols.forall(SyntheticEventsSource.schema.fieldNames.contains) &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head.isInstanceOf[CountStar]
+    if (ok) { aggGroup = groupCols.headOption; aggPushed = true }
+    ok
+  }
+
+  override def build(): Scan =
+    if (aggPushed) new SyntheticAggScan(rows, partitions, aggGroup, pushed)
+    else new SyntheticScan(rows, partitions, required, pushed, limit)
+}
+
+/** Scan for a pushed COUNT(*) [GROUP BY col]: per partition, iterate the
+  * generated id range, apply the pushed filters, and emit (group, count)
+  * partials — never materializing a single raw row to Spark. */
+private class SyntheticAggScan(
+    rows: Long,
+    partitions: Int,
+    group: Option[String],
+    pushed: Array[Filter]
+) extends Scan
+    with Batch {
+  override def readSchema(): StructType = {
+    val groupFields = group.toSeq.map(c => SyntheticEventsSource.schema(c))
+    StructType(groupFields :+ StructField("count(*)", LongType, nullable = false))
+  }
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"synthetic_events PushedAggregation: [COUNT(*)${group.fold("")(g => s" GROUP BY $g")}], " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = (rows + partitions - 1) / partitions
+    (0 until partitions).map { p =>
+      val start = p * per
+      SyntheticPartition(start, math.min(start + per, rows)): InputPartition
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val g  = group
+    val fs = pushed
+    (partition: InputPartition) => {
+      val p = partition.asInstanceOf[SyntheticPartition]
+      new PartitionReader[InternalRow] {
+        private var out: Iterator[InternalRow] = _
+        private var current: InternalRow       = _
+        override def next(): Boolean = {
+          if (out == null) {
+            val counts = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+            var i = p.start
+            while (i < p.end) {
+              if (fs.forall(SyntheticEventsSource.eval(_, i))) {
+                val key = g.map(SyntheticEventsSource.cell(_, i)).orNull
+                counts(key) = counts.getOrElse(key, 0L) + 1L
+              }
+              i += 1
+            }
+            out = counts.iterator.map { case (k, n) =>
+              val kv = k match {
+                case s: String => UTF8String.fromString(s)
+                case other     => other
+              }
+              val values = if (g.isDefined) Seq(kv, n) else Seq(n)
+              InternalRow.fromSeq(values)
+            }
+          }
+          val has = out.hasNext
+          if (has) current = out.next()
+          has
+        }
+        override def get(): InternalRow = current
+        override def close(): Unit = ()
+      }
+    }
+  }
 }
 
 private class SyntheticScan(

@@ -63,6 +63,36 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(one.collect().map(_.getAs[String]("event_type")).toSeq === Seq("purchase"))
   }
 
+  test("COUNT(*) GROUP BY pushes into the source (the reference's server-side terms agg)") {
+    import spark.implicits._
+    val agg  = read(1000, 4).groupBy($"event_type").count()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation: [COUNT(*) GROUP BY event_type]"),
+      s"aggregate must reach the scan:\n$plan")
+    val rows = agg.orderBy($"event_type").collect()
+    assert(rows.length === 5)
+    assert(rows.forall(_.getLong(1) === 200L), "1000 rows cycle 5 types evenly")
+  }
+
+  test("global COUNT(*) and filtered grouped count push down together") {
+    import spark.implicits._
+    val total = read(1000, 4).agg(count(lit(1)).as("n"))
+    assert(total.queryExecution.executedPlan.toString.contains("PushedAggregation: [COUNT(*)]"))
+    assert(total.head().getLong(0) === 1000L)
+    val filtered = read(1000, 4).filter($"event_type" === "click").groupBy($"event_type").count()
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation") && plan.contains("EqualTo(event_type,click)"), plan)
+    assert(filtered.head().getLong(1) === 200L)
+  }
+
+  test("unsupported aggregates fall back to normal row scan") {
+    import spark.implicits._
+    // SUM over a generated column is not in the pushable set — must still answer
+    val sums = read(100, 2).groupBy($"event_type").agg(sum($"user_id").as("s"))
+    assert(!sums.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    assert(sums.count() === 5)
+  }
+
   test("connector output joins with the relational core like any table") {
     import spark.implicits._
     val agg = read(500, 4)
