@@ -31,12 +31,17 @@ object Pipeline {
   ): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, sfDir)
-    val mx = ev.agg(max($"ts").as("mx"))
+    // Resolve the window bound ONCE driver-side (one tiny max-aggregate
+    // job — the reference's index-discovery round trip). Inlining the bound
+    // as a literal lets every downstream job push `ts >= <bound>` into its
+    // parquet scan instead of re-running the scalar subquery + broadcast
+    // per action (this pipeline is multi-action by nature: sample, write,
+    // audit).
+    val mx = ev.agg(max($"ts")).head().getTimestamp(0)
+    val lo = java.sql.Timestamp.from(mx.toInstant.minus(java.time.Duration.ofDays(windowDays)))
     val windowed = ev
-      .crossJoin(broadcast(mx))
-      .filter($"ts" >= $"mx" - expr(s"INTERVAL $windowDays DAYS"))
+      .filter($"ts" >= lit(lo))
       .filter($"event_type" === eventType)
-      .drop("mx")
 
     // O5-O8: infer the props schema from a deterministic sample, nullable.
     val sample = windowed.orderBy($"event_id").limit(100).select($"props").as[String]
