@@ -17,7 +17,7 @@ import graft.streaming.Streaming
   */
 object Registry {
   def extra: Seq[Q] =
-    temporal ++ scalars ++ schemaJson ++ textPack ++ textPack2 ++ dedupPack ++ simPack ++
+    temporal ++ scalars ++ schemaJson ++ textPack ++ textPack2 ++ hygienePack ++ dedupPack ++ simPack ++
       multimodalPack ++ streamingPack ++ advancedPack ++ pipelinePack ++ shardingPack ++
       timeseriesPack ++ chunkingPack
 
@@ -261,6 +261,45 @@ object Registry {
         FROM tr JOIN ev ON tr.shingle = ev.shingle
         GROUP BY train_id, n_sh
         ORDER BY train_id
+      """)
+    )
+  )
+
+  private def hygienePack: Seq[Q] = Seq(
+    Q(
+      "q90_pii_scrub",
+      Text.piiScrub,
+      Some("""
+        WITH inj AS (
+          SELECT doc_id,
+                 text ||
+                 CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+                 CASE WHEN doc_id % 11 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+                 CASE WHEN doc_id % 13 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id // 7) % 256 AS VARCHAR) ELSE '' END AS text2
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text2, '[A-Za-z0-9._]+@[A-Za-z0-9.]+')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(text2, '555-[0-9]{4}')) AS INT) AS n_phones,
+               CAST(len(regexp_extract_all(text2, '10\.0\.[0-9]{1,3}\.[0-9]{1,3}')) AS INT) AS n_ips,
+               md5(regexp_replace(regexp_replace(regexp_replace(text2,
+                 '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+                 '555-[0-9]{4}', '<PHONE>', 'g'),
+                 '10\.0\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS scrubbed_md5
+        FROM inj ORDER BY doc_id
+      """)
+    ),
+    Q(
+      "q91_stratified_sample",
+      Sharding.stratifiedSample,
+      Some("""
+        WITH r AS (
+          SELECT lang, doc_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS pos
+          FROM documents
+        )
+        SELECT lang, pos, doc_id FROM r WHERE pos <= 20 ORDER BY lang, pos
       """)
     )
   )

@@ -56,6 +56,27 @@ object Sharding {
       .orderBy($"split")
   }
 
+  /** Deterministic stratified sample: the first `k` documents of every
+    * language stratum in md5-hash order — "same N examples per class on
+    * every run and every engine". The rank window partitions by the
+    * stratum, so it parallelizes across strata (never a global window);
+    * at scale this is one shuffle on the stratum key. */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val k = 20
+    val w = Window
+      .partitionBy($"lang")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    Tables
+      .documents(spark, sfDir)
+      .select($"doc_id", $"lang")
+      .withColumn("pos", row_number().over(w))
+      .filter($"pos" <= k)
+      .select($"lang", $"pos", $"doc_id")
+      .orderBy($"lang", $"pos")
+  }
+
   /** Reproducible global shuffle: order documents by their key hash (a
     * fixed pseudo-random permutation), emit the first 100 positions.
     *

@@ -128,4 +128,47 @@ object Text {
       .withColumn("is_repetitive", $"repetition_ratio" >= 0.2)
       .orderBy($"doc_id")
   }
+
+  // Patterns kept to the Java-regex ∩ RE2 subset so the DuckDB oracle runs
+  // the IDENTICAL expressions (no backrefs, no lookaround).
+  private val EmailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+  private val PhoneRe = "555-[0-9]{4}"
+  private val IpRe    = "10\\.0\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII scrubbing — the redaction pass of a training-data pipeline:
+    * detect + replace emails / phone numbers / IPs with typed placeholder
+    * tokens, report per-doc match counts and the digest of the scrubbed
+    * text. The corpus is synthetic, so deterministic slices get PII
+    * appended first (same injection discipline as the dedup queries) and
+    * the operator must find exactly those. Pure per-row regex maps —
+    * codegen'd, no shuffle, linear at any scale. */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val injected = Tables
+      .spread(Tables.documents(spark, sfDir))
+      .withColumn(
+        "text2",
+        concat(
+          $"text",
+          when($"doc_id" % 7 === 0, concat(lit(" contact user"), $"doc_id", lit("@example.com"))).otherwise(lit("")),
+          when($"doc_id" % 11 === 0, concat(lit(" call 555-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+          when($"doc_id" % 13 === 0, concat(lit(" from 10.0."), ($"doc_id" % 256).cast("string"), lit("."), (($"doc_id" / 7).cast("long") % 256).cast("string"))).otherwise(lit(""))
+        )
+      )
+    injected
+      .select(
+        $"doc_id",
+        size(expr(s"regexp_extract_all(text2, '$EmailRe', 0)")).as("n_emails"),
+        size(expr(s"regexp_extract_all(text2, '$PhoneRe', 0)")).as("n_phones"),
+        size(expr(s"regexp_extract_all(text2, '$IpRe', 0)")).as("n_ips"),
+        md5(
+          regexp_replace(
+            regexp_replace(regexp_replace($"text2", EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"),
+            IpRe,
+            "<IP>"
+          )
+        ).as("scrubbed_md5")
+      )
+      .orderBy($"doc_id")
+  }
 }

@@ -80,6 +80,26 @@ class PlanShapeSpec extends SparkSpec {
     val p = planOf("q78_deterministic_shuffle")
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
   }
+
+  test("q86 decontamination broadcasts the (small) eval side only") {
+    val p = planOf("q86_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q89 capped jaccard keeps the candidate self-join off broadcast") {
+    val p = planOf("q89_capped_jaccard_pairs")
+    assert(p.contains("ShuffledHashJoin"), p.take(3000))
+  }
+
+  test("q91 stratified sample uses a PARTITIONED rank window (no global window)") {
+    val ws = SparkEntry
+      .queries("q91_stratified_sample")(spark, sf)
+      .queryExecution
+      .optimizedPlan
+      .collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty), ws.mkString("\n"))
+  }
 }
 
 /** Det.decSum must be invariant to partitioning/merge order. */
