@@ -17,7 +17,7 @@ import graft.streaming.Streaming
   */
 object Registry {
   def extra: Seq[Q] =
-    temporal ++ scalars ++ schemaJson ++ textPack ++ textPack2 ++ hygienePack ++ dedupPack ++ simPack ++
+    temporal ++ scalars ++ schemaJson ++ textPack ++ textPack2 ++ hygienePack ++ vocabPack ++ dedupPack ++ simPack ++
       multimodalPack ++ streamingPack ++ advancedPack ++ pipelinePack ++ shardingPack ++
       timeseriesPack ++ chunkingPack
 
@@ -300,6 +300,51 @@ object Registry {
           FROM documents
         )
         SELECT lang, pos, doc_id FROM r WHERE pos <= 20 ORDER BY lang, pos
+      """)
+    )
+  )
+
+  private def vocabPack: Seq[Q] = Seq(
+    Q(
+      "q92_vocab_build",
+      Vocab.vocabBuild,
+      Some("""
+        WITH tf AS (
+          SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ), f AS (
+          SELECT token, COUNT(*) AS freq FROM tf GROUP BY token
+          ORDER BY freq DESC, token LIMIT 20
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) - 1 AS INT) AS token_id,
+               token, freq
+        FROM f ORDER BY token_id
+      """)
+    ),
+    Q(
+      "q93_encode_docs",
+      Vocab.encodeDocs,
+      Some("""
+        WITH tf AS (
+          SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ), f AS (
+          SELECT token, COUNT(*) AS freq FROM tf GROUP BY token
+          ORDER BY freq DESC, token LIMIT 20
+        ), fid AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) - 1 AS INT) AS token_id, token
+          FROM f
+        ), t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), tp AS (
+          SELECT doc_id, CAST(r.i AS INT) AS pos, toks[r.i] AS token
+          FROM t, unnest(range(1, len(toks) + 1)) AS r(i)
+        ), enc AS (
+          SELECT tp.doc_id, tp.pos, COALESCE(fid.token_id, -1) AS id
+          FROM tp LEFT JOIN fid ON tp.token = fid.token
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+               CAST(SUM(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+               md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos)) AS ids_md5
+        FROM enc GROUP BY doc_id ORDER BY doc_id
       """)
     )
   )

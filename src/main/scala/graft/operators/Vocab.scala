@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns.tokens
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tokenizer-pipeline operators: frequency-ranked vocabulary construction
+  * and corpus encoding against it — the step between a cleaned corpus and
+  * token-id tensors.
+  *
+  * Scale shape: vocabulary building is one hash aggregation over exploded
+  * tokens followed by a TakeOrderedAndProject cut to the vocab size (the
+  * id-assignment window runs over the CUT result — bounded by vocab size,
+  * never by the corpus). Encoding is a broadcast join of that small vocab
+  * against (doc, position, token) triples — map-side only against the
+  * corpus — then one per-doc re-aggregation.
+  */
+object Vocab {
+
+  // Deliberately SMALLER than the fixture's distinct-token count so the
+  // out-of-vocab (-1 / UNK) path carries real weight in the oracle compare.
+  private val VocabSize = 20
+
+  /** Internal: (token_id, token, freq), ids contiguous from 0 in
+    * (freq desc, token asc) order — deterministic across engines. */
+  private[graft] def vocab(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cut = Tables
+      .spread(Tables.documents(spark, sfDir))
+      .select(explode(tokens($"text")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"token")
+      .limit(VocabSize)
+    // the numbering window's input is the bounded cut (cf. q78's pattern)
+    cut
+      .withColumn("token_id", row_number().over(Window.orderBy($"freq".desc, $"token")) - 1)
+      .select($"token_id", $"token", $"freq")
+  }
+
+  /** Declared query: the vocabulary itself. */
+  def vocabBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    vocab(spark, sfDir).orderBy($"token_id")
+  }
+
+  /** Declared query: encode every document against the vocabulary —
+    * out-of-vocab tokens map to -1 (the UNK accounting every tokenizer
+    * pipeline needs). Output keeps the declared schema narrow: token
+    * count, UNK count, and a digest of the ordered id sequence. */
+  def encodeDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val v = vocab(spark, sfDir).select($"token", $"token_id")
+    val tokPos = Tables
+      .spread(Tables.documents(spark, sfDir))
+      .select($"doc_id", posexplode(tokens($"text")).as(Seq("pos", "token")))
+    tokPos
+      .join(broadcast(v), Seq("token"), "left")
+      .withColumn("id", coalesce($"token_id", lit(-1)))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_toks"),
+        sum(when($"id" === -1, 1L).otherwise(0L)).as("n_unk"),
+        md5(
+          concat_ws(
+            ",",
+            transform(
+              array_sort(collect_list(struct($"pos".as("p"), $"id".as("i")))),
+              s => s.getField("i").cast("string")
+            )
+          )
+        ).as("ids_md5")
+      )
+      .orderBy($"doc_id")
+  }
+}

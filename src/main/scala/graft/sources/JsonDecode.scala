@@ -151,30 +151,33 @@ object JsonDecode {
           concat(lit("{\"k\":"), $"k".cast("string"), lit(",\"meta\":"), $"meta_json", $"tail_json")
         )
       )
-    val schemaDdl =
-      "k BIGINT, meta STRUCT<src: STRING, depth: BIGINT>, tags ARRAY<STRING>, nstr STRING, attrs MAP<STRING, BIGINT>"
-    val (good, bad) = decodeWithDeadLetter(ev, "props3", schemaDdl)
-    val okRows = good.select(
-      $"event_id",
-      lit("ok").as("status"),
-      $"_parsed.k".as("k"),
-      $"_parsed.meta.src".as("meta_src"),
-      $"_parsed.meta.depth".as("meta_depth"),
-      size($"_parsed.tags").as("n_tags"),
-      element_at($"_parsed.attrs", "a").as("attr_a"),
-      $"_parsed.nstr".as("nstr")
+    // Single-pass assembly: a good/dead union would scan + synthesize +
+    // decode everything twice (one branch per side); a conditional
+    // projection over ONE from_json keeps it a single scan stage. The
+    // physical dead-letter SPLIT (separate outputs) stays the domain of
+    // [[decodeWithDeadLetter]] / q52.
+    val st = org.apache.spark.sql.types.StructType
+      .fromDDL(
+        "k BIGINT, meta STRUCT<src: STRING, depth: BIGINT>, tags ARRAY<STRING>, nstr STRING, attrs MAP<STRING, BIGINT>"
+      )
+      .add("_corrupt", org.apache.spark.sql.types.StringType)
+    val parsed = ev.withColumn(
+      "_parsed",
+      from_json($"props3", st, Map("columnNameOfCorruptRecord" -> "_corrupt"))
     )
-    val deadRows = bad.select(
-      $"event_id",
-      lit("dead").as("status"),
-      lit(null).cast("long").as("k"),
-      lit(null).cast("string").as("meta_src"),
-      lit(null).cast("long").as("meta_depth"),
-      lit(null).cast("int").as("n_tags"),
-      lit(null).cast("long").as("attr_a"),
-      lit(null).cast("string").as("nstr")
-    )
-    okRows.unionByName(deadRows).orderBy($"event_id")
+    val isBad = $"props3".isNull || $"_parsed".isNull || $"_parsed._corrupt".isNotNull
+    parsed
+      .select(
+        $"event_id",
+        when(isBad, lit("dead")).otherwise(lit("ok")).as("status"),
+        when(!isBad, $"_parsed.k").as("k"),
+        when(!isBad, $"_parsed.meta.src").as("meta_src"),
+        when(!isBad, $"_parsed.meta.depth").as("meta_depth"),
+        when(!isBad, size($"_parsed.tags")).as("n_tags"),
+        when(!isBad, element_at($"_parsed.attrs", "a")).as("attr_a"),
+        when(!isBad, $"_parsed.nstr").as("nstr")
+      )
+      .orderBy($"event_id")
   }
 
   /** Declared query: dead-letter audit. A deterministic slice
