@@ -17,7 +17,7 @@ import graft.streaming.Streaming
   */
 object Registry {
   def extra: Seq[Q] =
-    temporal ++ scalars ++ schemaJson ++ textPack ++ textPack2 ++ hygienePack ++ vocabPack ++ dedupPack ++ simPack ++
+    temporal ++ scalars ++ schemaJson ++ textPack ++ textPack2 ++ hygienePack ++ vocabPack ++ graphPack ++ dedupPack ++ simPack ++
       multimodalPack ++ streamingPack ++ advancedPack ++ pipelinePack ++ shardingPack ++
       timeseriesPack ++ chunkingPack
 
@@ -345,6 +345,35 @@ object Registry {
                CAST(SUM(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
                md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos)) AS ids_md5
         FROM enc GROUP BY doc_id ORDER BY doc_id
+      """)
+    )
+  )
+
+  private def graphPack: Seq[Q] = Seq(
+    Q(
+      "q94_connected_components",
+      Graph.connectedComponents,
+      Some("""
+        WITH RECURSIVE e0 AS (
+          SELECT doc_id AS src, doc_id + 1 AS dst FROM documents WHERE doc_id % 7 < 2
+          UNION ALL
+          SELECT doc_id, doc_id + 10 FROM documents WHERE doc_id % 13 = 0
+        ), e1 AS (
+          SELECT src, dst FROM e0 WHERE dst IN (SELECT doc_id FROM documents)
+        ), sym AS (
+          SELECT src, dst FROM e1 UNION SELECT dst, src FROM e1
+        ), reach(node, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT s.src, r.r FROM sym s JOIN reach r ON s.dst = r.node
+        ), comp AS (
+          SELECT node, MIN(r) AS comp FROM reach GROUP BY node
+        ), sizes AS (
+          SELECT comp, COUNT(*) AS comp_size FROM comp GROUP BY comp
+        )
+        SELECT c.node, c.comp, s.comp_size
+        FROM comp c JOIN sizes s USING (comp)
+        ORDER BY node
       """)
     )
   )
