@@ -1150,6 +1150,49 @@ object Registry {
         FROM events WHERE event_type = 'signup'
       """)
     ),
+    // The DSv2 connector under the oracle: generation is a pure function of
+    // the row id, so DuckDB replays it from range(). q56 exercises the
+    // pushed filter + pruned columns; q57 the pushed COUNT(*) GROUP BY.
+    Q(
+      "q56_dsv2_source",
+      (spark, _) =>
+        spark.read
+          .format("graft.sources.dsv2.SyntheticEventsSource")
+          .option("rows", 10000)
+          .option("partitions", 8)
+          .load()
+          .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+          .select("event_id", "ts_us", "user_id")
+          .orderBy("event_id"),
+      Some("""
+        SELECT i AS event_id,
+               1704067200000000 + i * 1000000 AS ts_us,
+               i % 97 AS user_id
+        FROM range(0, 10000) t(i)
+        WHERE i % 5 = 0
+        ORDER BY event_id
+      """)
+    ),
+    Q(
+      "q57_dsv2_pushdown_agg",
+      (spark, _) =>
+        spark.read
+          .format("graft.sources.dsv2.SyntheticEventsSource")
+          .option("rows", 100000)
+          .option("partitions", 8)
+          .load()
+          .groupBy("event_type")
+          .count()
+          .orderBy("event_type"),
+      Some("""
+        SELECT CASE i % 5 WHEN 0 THEN 'click' WHEN 1 THEN 'view' WHEN 2 THEN 'purchase'
+                          WHEN 3 THEN 'signup' ELSE 'error' END AS event_type,
+               COUNT(*) AS count
+        FROM range(0, 100000) t(i)
+        GROUP BY event_type
+        ORDER BY event_type
+      """)
+    ),
     Q(
       "q53_sink_audit",
       ParquetSink.sinkAudit,
