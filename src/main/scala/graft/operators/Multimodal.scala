@@ -78,6 +78,47 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  final case class AudioRow(doc_id: Long, pcm: Array[Byte], sample_rate: Int, n_windows: Int, window_bytes: Int)
+
+  final case class AudioFeature(
+      doc_id: Long,
+      window_idx: Int,
+      energy: Long,
+      peak: Int,
+      is_silence: Boolean
+  )
+
+  /** "Audio" = 3 concatenated 16-byte PCM windows (md5(text || '#' || w));
+    * per-window energy / peak / silence-gate features via the same typed
+    * mapPartitions batch plumbing — the windowed DSP call-out shape of an
+    * audio pipeline with the codec stubbed. Samples are unsigned bytes;
+    * energy = Σ(s−128)², the silence gate fires below a fixed threshold. */
+  def audioFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val windows = (0 until 3).map(w => unhex(md5(concat($"text", lit(s"#$w")))))
+    Tables
+      .spread(Tables.documents(spark, sfDir))
+      .select(
+        $"doc_id",
+        concat(windows: _*).as("pcm"),
+        lit(16000).as("sample_rate"),
+        lit(3).as("n_windows"),
+        lit(16).as("window_bytes")
+      )
+      .as[AudioRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          (0 until r.n_windows).iterator.map { w =>
+            val win = r.pcm.slice(w * r.window_bytes, (w + 1) * r.window_bytes).map(_ & 0xff)
+            val energy = win.map(s => { val d = (s - 128).toLong; d * d }).sum
+            AudioFeature(r.doc_id, w, energy, win.max, energy < 20000L)
+          }
+        }
+      }
+      .toDF()
+      .orderBy($"doc_id", $"window_idx")
+  }
+
   /** "Video" = 4 concatenated 16-byte frames (md5(text || ':' || f)); sample
     * every 2nd frame and extract per-frame features — the frame-sampling
     * plumbing of a video pipeline with the codec stubbed out. */

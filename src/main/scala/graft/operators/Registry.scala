@@ -815,6 +815,25 @@ object Registry {
       """)
     ),
     Q(
+      "q58_audio_features",
+      Multimodal.audioFeatures,
+      Some("""
+        WITH w AS (
+          SELECT doc_id, ww.w AS window_idx, md5(text || '#' || CAST(ww.w AS VARCHAR)) AS h
+          FROM documents, (SELECT unnest([0, 1, 2]) AS w) ww
+        ), s AS (
+          SELECT doc_id, CAST(window_idx AS INT) AS window_idx,
+                 list_transform(range(0, 16), i -> ('0x' || substr(h, i*2+1, 2))::INT) AS samples
+          FROM w
+        )
+        SELECT doc_id, window_idx,
+               CAST(list_sum(list_transform(samples, x -> CAST((x - 128) * (x - 128) AS BIGINT))) AS BIGINT) AS energy,
+               CAST(list_max(samples) AS INT) AS peak,
+               list_sum(list_transform(samples, x -> CAST((x - 128) * (x - 128) AS BIGINT))) < 20000 AS is_silence
+        FROM s ORDER BY doc_id, window_idx
+      """)
+    ),
+    Q(
       "q72_frame_sample",
       Multimodal.frameSample,
       Some("""
