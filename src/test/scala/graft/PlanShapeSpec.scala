@@ -92,6 +92,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin"), p.take(3000))
   }
 
+  private def finalAdaptivePlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.write.mode("overwrite").format("noop").save()
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.finalPhysicalPlan.toString
+      case p => p.toString
+    }
+  }
+
+  test("dedup self-joins materialize their heavy pipeline ONCE (AQE ReusedExchange)") {
+    // the shared repartition-on-the-join-key before the per-side renames is
+    // what makes both sides' exchanges canonically identical — regression
+    // here means the signature/band pipeline silently runs twice
+    for (q <- Seq("q65_minhash_lsh_pairs", "q66_simhash_pairs", "q67_ngram_jaccard_pairs", "q68_embedding_near_dup")) {
+      val p = finalAdaptivePlan(q)
+      assert(p.contains("ReusedExchange"), s"$q: no exchange reuse in final adaptive plan:\n${p.take(2000)}")
+    }
+  }
+
   test("q91 stratified sample uses a PARTITIONED rank window (no global window)") {
     val ws = SparkEntry
       .queries("q91_stratified_sample")(spark, sf)
