@@ -17,7 +17,7 @@ import graft.streaming.Streaming
   */
 object Registry {
   def extra: Seq[Q] =
-    temporal ++ scalars ++ schemaJson ++ textPack ++ textPack2 ++ hygienePack ++ vocabPack ++ graphPack ++ dedupPack ++ simPack ++
+    temporal ++ scalars ++ schemaJson ++ textPack ++ textPack2 ++ hygienePack ++ vocabPack ++ graphPack ++ trainingPack ++ dedupPack ++ simPack ++
       multimodalPack ++ streamingPack ++ advancedPack ++ pipelinePack ++ shardingPack ++
       timeseriesPack ++ chunkingPack
 
@@ -345,6 +345,53 @@ object Registry {
                CAST(SUM(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
                md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos)) AS ids_md5
         FROM enc GROUP BY doc_id ORDER BY doc_id
+      """)
+    )
+  )
+
+  private def trainingPack: Seq[Q] = Seq(
+    Q(
+      "q95_training_pipeline",
+      Training.trainingPipeline,
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+                 CAST(length(replace(text, ' ', '')) AS DOUBLE) AS nsp
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS INT) AS n_tokens,
+                 nsp / len(toks) AS mean_tok_len,
+                 CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
+                 CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(toks) AS stop_ratio
+          FROM t
+        ), q AS (
+          SELECT doc_id, n_tokens,
+                 round(1.0 / (1.0 + exp(-(0.1*mean_tok_len + 2.0*distinct_ratio - 3.0*stop_ratio))), 6) AS quality
+          FROM m
+        ), sdoc AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+          FROM t
+        ), ev AS (
+          SELECT doc_id AS eval_id, unnest(sh) AS shingle FROM sdoc WHERE doc_id % 50 = 0
+        ), tr AS (
+          SELECT doc_id AS train_id, unnest(sh) AS shingle FROM sdoc
+        ), cont AS (
+          SELECT train_id FROM tr JOIN ev ON tr.shingle = ev.shingle
+          GROUP BY train_id HAVING COUNT(DISTINCT tr.shingle) >= 5
+        ), base AS (
+          SELECT doc_id, n_tokens FROM q
+          WHERE quality >= 0.5 AND doc_id NOT IN (SELECT train_id FROM cont)
+        ), s AS (
+          SELECT doc_id, n_tokens,
+                 ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS shard
+          FROM base
+        )
+        SELECT shard, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+               MIN(doc_id) AS min_doc
+        FROM s GROUP BY shard ORDER BY shard
       """)
     )
   )
