@@ -55,6 +55,24 @@ object ParquetSink {
     writePartitionedWithAudit(spark, ev, scratchDir(spark, "sink_audit")).orderBy($"day")
   }
 
+  /** Idempotent incremental re-ingest: rewrite ONLY the day partitions
+    * present in `delta` (dynamic partition overwrite), leaving every other
+    * partition untouched — the restartable daily-backfill pattern (the
+    * reference wipes the whole rule directory per run,
+    * Bootstrap.java:182-194; partition-scoped overwrite is the at-scale
+    * replacement: re-running one day never disturbs the rest). */
+  def overwriteDayPartitions(spark: SparkSession, delta: DataFrame, outDir: String): Unit = {
+    import spark.implicits._
+    delta
+      .withColumn("day", to_date($"ts"))
+      .repartition($"day")
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day")
+      .parquet(outDir)
+  }
+
   /** Declared query: JSON-lines and CSV sink/source round trip (the
     * checklist's "+ json/csv" file formats). A deterministic slice goes out
     * through both writers, comes back through both readers with explicit
