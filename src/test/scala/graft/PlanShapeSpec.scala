@@ -106,7 +106,7 @@ class PlanShapeSpec extends SparkSpec {
     // the shared repartition-on-the-join-key before the per-side renames is
     // what makes both sides' exchanges canonically identical — regression
     // here means the signature/band pipeline silently runs twice
-    for (q <- Seq("q65_minhash_lsh_pairs", "q66_simhash_pairs", "q67_ngram_jaccard_pairs", "q68_embedding_near_dup")) {
+    for (q <- Seq("q65_minhash_lsh_pairs", "q66_simhash_pairs", "q67_ngram_jaccard_pairs", "q68_embedding_near_dup", "q89_capped_jaccard_pairs")) {
       val p = finalAdaptivePlan(q)
       assert(p.contains("ReusedExchange"), s"$q: no exchange reuse in final adaptive plan:\n${p.take(2000)}")
     }
