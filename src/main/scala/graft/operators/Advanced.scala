@@ -47,21 +47,49 @@ object Advanced {
   }
 
   /** Statistical aggregates: stddev/variance/correlation/covariance and an
-    * exact interpolated median — rounded to 6 decimals because the
-    * single-pass moment algorithms differ across engines in the last ulps. */
+    * exact interpolated median. The moments are derived from EXACT power
+    * sums on the [[graft.Det]] scaled-integer grid (quantity is integral;
+    * price/discount terms are rounded onto their true decimal grids and
+    * summed as LONG/DECIMAL(38)) instead of the built-in Welford-style
+    * aggregates, whose merge order follows the shuffle and can flip the
+    * 6th rounded decimal between runs. With exact integer sums and the
+    * identical closed-form expressions on both engines, the result is
+    * bit-deterministic. (Scale caps documented inline; the price² sum uses
+    * DECIMAL(38) because its 1e4 grid would overflow LONG near 1e19.) */
   def statsAgg(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables
       .lineitem(spark, sfDir)
       .groupBy($"l_returnflag")
       .agg(
-        round(stddev_samp($"l_quantity"), 6).as("sd_qty"),
-        round(var_samp($"l_quantity"), 6).as("var_qty"),
-        round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qty_price"),
-        round(covar_samp($"l_quantity", $"l_discount"), 6).as("cov_qty_disc"),
+        count(lit(1)).cast("double").as("n"),
+        sum($"l_quantity".cast("long")).cast("double").as("sx"),
+        sum(($"l_quantity" * $"l_quantity").cast("long")).cast("double").as("sxx"),
+        sum(round($"l_extendedprice" * 100).cast("long")).cast("double").as("sy"),
+        sum(round($"l_extendedprice" * $"l_extendedprice" * 10000).cast("decimal(38,0)"))
+          .cast("double")
+          .as("syy"),
+        sum(round($"l_extendedprice" * $"l_quantity" * 100).cast("long")).cast("double").as("sxy"),
+        sum(round($"l_discount" * 100).cast("long")).cast("double").as("sdc"),
+        sum(round($"l_discount" * $"l_quantity" * 100).cast("long")).cast("double").as("sxd"),
         expr("percentile(l_quantity, 0.5)").as("median_qty"),
         min($"l_quantity").as("min_qty"),
         max($"l_quantity").as("max_qty")
+      )
+      .select(
+        $"l_returnflag",
+        round(sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)), 6).as("sd_qty"),
+        round(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1), 6).as("var_qty"),
+        // the 1e2/1e4 grid factors cancel exactly in this symmetric form
+        round(
+          ($"n" * $"sxy" - $"sx" * $"sy") /
+            sqrt(($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy")),
+          6
+        ).as("corr_qty_price"),
+        round(($"sxd" - $"sx" * $"sdc" / $"n") / 100.0 / ($"n" - 1), 6).as("cov_qty_disc"),
+        $"median_qty",
+        $"min_qty",
+        $"max_qty"
       )
       .orderBy($"l_returnflag")
   }

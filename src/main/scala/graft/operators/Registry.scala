@@ -55,17 +55,28 @@ object Registry {
       "q29_stats_agg",
       Advanced.statsAgg,
       Some("""
+        WITH s AS (
+          SELECT l_returnflag,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(l_quantity * l_quantity AS BIGINT)) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(round(l_extendedprice * l_extendedprice * 10000) AS HUGEINT)) AS DOUBLE) AS syy,
+                 CAST(SUM(CAST(round(l_extendedprice * l_quantity * 100) AS BIGINT)) AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) AS sdc,
+                 CAST(SUM(CAST(round(l_discount * l_quantity * 100) AS BIGINT)) AS DOUBLE) AS sxd,
+                 quantile_cont(l_quantity, 0.5) AS median_qty,
+                 MIN(l_quantity) AS min_qty,
+                 MAX(l_quantity) AS max_qty
+          FROM lineitem GROUP BY l_returnflag
+        )
         SELECT l_returnflag,
-               round(stddev_samp(l_quantity), 6) AS sd_qty,
-               round(var_samp(l_quantity), 6) AS var_qty,
-               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-               round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc,
-               quantile_cont(l_quantity, 0.5) AS median_qty,
-               min(l_quantity) AS min_qty,
-               max(l_quantity) AS max_qty
-        FROM lineitem
-        GROUP BY l_returnflag
-        ORDER BY l_returnflag
+               round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS sd_qty,
+               round((sxx - sx * sx / n) / (n - 1), 6) AS var_qty,
+               round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price,
+               round((sxd - sx * sdc / n) / 100.0 / (n - 1), 6) AS cov_qty_disc,
+               median_qty, min_qty, max_qty
+        FROM s ORDER BY l_returnflag
       """)
     ),
     Q(

@@ -135,4 +135,17 @@ class DetOrderIndependenceSpec extends SparkSpec {
     assert(total(li.repartition(13)) === base)
     assert(total(li.orderBy($"l_extendedprice".desc)) === base)
   }
+
+  test("q29 power-sum moments are bit-identical across shuffle layouts") {
+    // the Welford-style builtins this replaced vary in the last ulps with
+    // merge order; the exact power-sum formulation must not
+    val spark2 = spark
+    def run(parts: String): Seq[org.apache.spark.sql.Row] = {
+      val prev = spark2.conf.get("spark.sql.shuffle.partitions")
+      spark2.conf.set("spark.sql.shuffle.partitions", parts)
+      try SparkEntry.queries("q29_stats_agg")(spark2, sf).collect().toSeq
+      finally spark2.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    assert(run("1") === run("7"), "moments must not depend on partition count")
+  }
 }
