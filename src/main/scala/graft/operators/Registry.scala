@@ -766,7 +766,8 @@ object Registry {
       TimeSeries.resampleDailyFfill,
       Some("""
         WITH daily AS (
-          SELECT user_id, CAST(ts AS DATE) AS day, round(avg(value), 6) AS v
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 round(CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*), 6) AS v
           FROM events GROUP BY user_id, day
         ), spans AS (
           SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id

@@ -17,7 +17,9 @@ object TimeSeries {
     val daily = Tables
       .events(spark, sfDir)
       .groupBy($"user_id", to_date($"ts").as("day"))
-      .agg(round(avg($"value"), 6).as("v"))
+      // per-day mean on the Det scaled-long grid: a raw double avg's merge
+      // order follows the shuffle and can flip the 6th rounded decimal
+      .agg(round((sum(round($"value" * 1e6).cast("long")) / 1e6) / count(lit(1)), 6).as("v"))
     val cal = daily
       .groupBy($"user_id")
       .agg(min($"day").as("d0"), max($"day").as("d1"))
