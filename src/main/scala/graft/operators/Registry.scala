@@ -17,7 +17,7 @@ import graft.streaming.Streaming
   */
 object Registry {
   def extra: Seq[Q] =
-    temporal ++ scalars ++ schemaJson ++ textPack ++ textPack2 ++ hygienePack ++ vocabPack ++ graphPack ++ trainingPack ++ dedupPack ++ simPack ++
+    temporal ++ scalars ++ schemaJson ++ textPack ++ textPack2 ++ hygienePack ++ vocabPack ++ lmPack ++ graphPack ++ trainingPack ++ dedupPack ++ simPack ++
       multimodalPack ++ streamingPack ++ advancedPack ++ pipelinePack ++ shardingPack ++
       timeseriesPack ++ chunkingPack
 
@@ -432,6 +432,28 @@ object Registry {
         SELECT c.node, c.comp, s.comp_size
         FROM comp c JOIN sizes s USING (comp)
         ORDER BY node
+      """)
+    )
+  )
+
+  private def lmPack: Seq[Q] = Seq(
+    Q(
+      "q96_unigram_logprob",
+      Vocab.unigramLogprob,
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        ), f AS (
+          SELECT token, COUNT(*) AS freq FROM tok GROUP BY token
+        ), tot AS (
+          SELECT CAST(SUM(freq) AS DOUBLE) AS total FROM f
+        ), lp AS (
+          SELECT token, CAST(round(ln(freq / total) * 1e6) AS BIGINT) AS lp6 FROM f, tot
+        )
+        SELECT doc_id, COUNT(*) AS n_toks,
+               round(CAST(SUM(lp6) AS DOUBLE) / 1e6 / COUNT(*), 6) AS mean_logprob
+        FROM tok JOIN lp USING (token)
+        GROUP BY doc_id ORDER BY doc_id
       """)
     )
   )

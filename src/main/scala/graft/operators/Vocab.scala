@@ -46,6 +46,38 @@ object Vocab {
     vocab(spark, sfDir).orderBy($"token_id")
   }
 
+  /** Declared query: unigram log-probability scoring — the language-model
+    * quality proxy used by data-filtering pipelines (score each document by
+    * the mean corpus-unigram log-likelihood of its tokens; outliers in
+    * either direction are candidates for removal). Per-token logprobs are
+    * snapped onto a 1e6 grid and summed as LONG, so the score is
+    * order-independent and engine-replayable despite ln() being involved
+    * (ulp-level libm differences sit ~9 orders of magnitude below the
+    * grid). The unigram table is a broadcast of the full (tiny) vocabulary;
+    * scoring is one broadcast join + one per-doc aggregate. */
+  def unigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables
+      .spread(Tables.documents(spark, sfDir))
+      .select($"doc_id", explode(tokens($"text")).as("token"))
+    val freqs = tok.groupBy($"token").agg(count(lit(1)).as("freq"))
+    val total = freqs.agg(sum($"freq")).head().getLong(0)
+    val lp = freqs.select(
+      $"token",
+      round(log($"freq" / lit(total.toDouble)) * 1e6).cast("long").as("lp6")
+    )
+    tok
+      .join(broadcast(lp), Seq("token"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum($"lp6").as("slp"))
+      .select(
+        $"doc_id",
+        $"n_toks",
+        round(($"slp" / 1e6) / $"n_toks", 6).as("mean_logprob")
+      )
+      .orderBy($"doc_id")
+  }
+
   /** Declared query: encode every document against the vocabulary —
     * out-of-vocab tokens map to -1 (the UNK accounting every tokenizer
     * pipeline needs). Output keeps the declared schema narrow: token
