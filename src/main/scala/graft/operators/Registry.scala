@@ -19,7 +19,7 @@ object Registry {
   def extra: Seq[Q] =
     temporal ++ scalars ++ schemaJson ++ textPack ++ textPack2 ++ hygienePack ++ vocabPack ++ lmPack ++ graphPack ++ trainingPack ++ dedupPack ++ simPack ++
       multimodalPack ++ streamingPack ++ advancedPack ++ pipelinePack ++ shardingPack ++
-      timeseriesPack ++ chunkingPack
+      timeseriesPack ++ chunkingPack ++ corpusPack
 
   private def advancedPack: Seq[Q] = Seq(
     Q(
@@ -146,6 +146,137 @@ object Registry {
        UNION ALL
        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
      )"""
+
+  /** Round-3 corpus-engineering pack: substring-level dedup, domain
+    * mixing, TF-IDF, frequency sketches, weighted sampling, embedding
+    * quantization. */
+  private def corpusPack: Seq[Q] = Seq(
+    Q(
+      "q97_span_dedup",
+      Dedup.spanDedup,
+      Some(s"""
+        WITH $dupCorpus, t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+        ), s AS (
+          SELECT doc_id, unnest(range(1, len(toks) - 14)) AS i, toks
+          FROM t WHERE len(toks) >= 16
+        ), h AS (
+          SELECT doc_id, md5(array_to_string(toks[i : i + 15], ' ')) AS span_md5 FROM s
+        )
+        SELECT span_md5, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ,
+               MIN(doc_id) AS first_doc
+        FROM h GROUP BY span_md5 HAVING COUNT(DISTINCT doc_id) >= 2
+        ORDER BY span_md5
+      """)
+    ),
+    Q(
+      "q98_domain_mixture",
+      Sharding.domainMixture,
+      Some("""
+        WITH d AS (
+          SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+                 md5(CAST(doc_id AS VARCHAR)) AS hk
+          FROM documents
+        ), m AS (
+          SELECT MIN(cnt) AS cap FROM (SELECT COUNT(*) AS cnt FROM d GROUP BY source)
+        ), r AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rk FROM d
+        )
+        SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_toks) AS BIGINT) AS toks_kept
+        FROM r, m WHERE rk <= cap GROUP BY source ORDER BY source
+      """)
+    ),
+    Q(
+      "q99_tfidf_topk",
+      Vocab.tfidfTopTerms,
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        ), idf AS (
+          SELECT token,
+                 CAST(round(ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df) * 1e6) AS BIGINT) AS idf6
+          FROM (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token)
+        ), tf AS (
+          SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+        ), s AS (
+          SELECT doc_id, token, tf * idf6 AS score6 FROM tf JOIN idf USING (token)
+        ), r AS (
+          SELECT doc_id, token, score6,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score6 DESC, token) AS INT) AS rk
+          FROM s
+        )
+        SELECT doc_id, rk, token, round(score6 / 1e6, 6) AS tfidf
+        FROM r WHERE rk <= 3 ORDER BY doc_id, rk
+      """)
+    ),
+    Q(
+      "q100_cms_heavy_hitters",
+      Sketch.cmsHeavyHitters,
+      Some("""
+        WITH tok AS (
+          SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ), jb AS (
+          SELECT j, ('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':' || token), 1, 15))::BIGINT % 64 AS b
+          FROM tok, range(0, 4) r(j)
+        ), sk AS (
+          SELECT j, b, COUNT(*) AS c FROM jb GROUP BY j, b
+        ), top AS (
+          SELECT token, COUNT(*) AS exact FROM tok GROUP BY token
+          ORDER BY exact DESC, token LIMIT 10
+        ), cand AS (
+          SELECT token, exact, j,
+                 ('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':' || token), 1, 15))::BIGINT % 64 AS b
+          FROM top, range(0, 4) r(j)
+        )
+        SELECT token, exact, MIN(c) AS cms_est, MIN(c) - exact AS overcount
+        FROM cand JOIN sk USING (j, b)
+        GROUP BY token, exact
+        ORDER BY exact DESC, token
+      """)
+    ),
+    Q(
+      "q101_weighted_sample",
+      Sharding.weightedSample,
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM documents
+        ), kd AS (
+          SELECT doc_id, n_toks,
+                 CAST(round(ln((h + 1) / 1152921504606846976.0) / n_toks * 1e6) AS BIGINT) AS key6
+          FROM d
+        ), r AS (
+          SELECT doc_id, n_toks, key6,
+                 CAST(ROW_NUMBER() OVER (ORDER BY key6 DESC, doc_id) AS INT) AS rk
+          FROM kd
+        )
+        SELECT rk, doc_id, n_toks, round(key6 / 1e6, 6) AS log_key
+        FROM r WHERE rk <= 20 ORDER BY rk
+      """)
+    ),
+    Q(
+      "q102_quantize_embeddings",
+      Similarity.quantizeEmbeddings,
+      Some("""
+        SELECT vec_id,
+               round(mx, 6) AS max_abs,
+               md5(array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ',')) AS q_md5,
+               CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS l1_q
+        FROM (
+          SELECT vec_id, mx,
+                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / mx) AS INT)) AS q
+          FROM (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+            FROM embeddings
+          )
+        )
+        ORDER BY vec_id
+      """)
+    )
+  )
 
   private def textPack: Seq[Q] = Seq(
     Q(

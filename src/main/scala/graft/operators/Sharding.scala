@@ -77,6 +77,73 @@ object Sharding {
       .orderBy($"lang", $"pos")
   }
 
+  /** Domain-mixture rebalancing — cap every source domain at the smallest
+    * domain's document count, keeping each domain's lowest-md5-rank slice
+    * (the deterministic analog of "downsample over-represented domains to a
+    * target mixture"). Output: per-domain kept-doc and kept-token audit.
+    *
+    * Scale shape: the per-domain counts are a tiny aggregate (one row per
+    * domain — bounded by the domain vocabulary, never the corpus) collected
+    * once and folded into the plan as a literal; the rank window partitions
+    * by domain, so it parallelizes across domains exactly like
+    * [[stratifiedSample]]. One shuffle on the domain key. */
+  def domainMixture(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFns.tokens
+    val d = Tables
+      .documents(spark, sfDir)
+      .select(
+        $"doc_id",
+        $"source",
+        size(tokens($"text")).cast("long").as("n_toks"),
+        md5($"doc_id".cast("string")).as("hk")
+      )
+    // one row per domain; the min is the shared cap (driver-side by design:
+    // the domain set is small and the cap must be a plan literal)
+    val cap = d.groupBy($"source").agg(count(lit(1)).as("n")).agg(min($"n")).head().getLong(0)
+    val w   = Window.partitionBy($"source").orderBy($"hk", $"doc_id")
+    d.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= cap)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_kept"), sum($"n_toks").as("toks_kept"))
+      .orderBy($"source")
+  }
+
+  /** Deterministic weighted sampling without replacement (Efraimidis–
+    * Spirakis A-ES): each document draws u from its md5 hash, gets key
+    * ln(u)/weight (weight = token count — longer docs proportionally more
+    * likely), and the k largest keys win. The log-space key is snapped to a
+    * 1e6 grid so the DuckDB oracle replays it exactly (ulp-level libm
+    * differences sit far below the grid).
+    *
+    * Scale shape: the key is a per-row map; the cut is `orderBy().limit(k)`
+    * — a TakeOrderedAndProject (per-partition heaps, no global sort). The
+    * numbering window runs over the k surviving rows only. */
+  def weightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFns.tokens
+    val k = 20
+    val top = Tables
+      .documents(spark, sfDir)
+      .select(
+        $"doc_id",
+        size(tokens($"text")).cast("long").as("n_toks"),
+        h60($"doc_id".cast("string")).as("h")
+      )
+      // u ∈ (0, 1]: (h+1) / 2^60 — both engines convert BIGINT→DOUBLE the
+      // same way, and ln on the 1e6 grid is engine-replayable
+      .withColumn("u", ($"h" + 1).cast("double") / lit(1152921504606846976.0d))
+      .withColumn("key6", round(log($"u") / $"n_toks" * 1e6).cast("long"))
+      .orderBy($"key6".desc, $"doc_id")
+      .limit(k)
+    top
+      .withColumn("rk", row_number().over(Window.orderBy($"key6".desc, $"doc_id")))
+      .select($"rk", $"doc_id", $"n_toks", round($"key6" / 1e6, 6).as("log_key"))
+      .orderBy($"rk")
+  }
+
   /** Reproducible global shuffle: order documents by their key hash (a
     * fixed pseudo-random permutation), emit the first 100 positions.
     *

@@ -177,4 +177,36 @@ object Similarity {
       .select($"query_id", $"rk", $"vec_id".as("cand_id"), $"cos")
       .orderBy($"query_id", $"rk")
   }
+
+  /** Symmetric int8 quantization of the embedding column — the storage /
+    * ANN-index compression step (4× smaller than float32): per-vector scale
+    * = 127 / max|x|, q_i = round(x_i · 127 / max|x|) ∈ [-127, 127]. Output
+    * keeps the declared schema narrow: the scale denominator, a digest of
+    * the quantized ints, and their L1 mass as an integrity sum.
+    *
+    * Pure per-row map — no shuffle at any scale. Determinism: every float
+    * widens to the same double in both engines, the product/divide sequence
+    * is identical IEEE arithmetic, and round() on doubles rounds half away
+    * from zero in both — so the int codes hash-compare exactly. */
+  def quantizeEmbeddings(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .spread(Tables.embeddings(spark, sfDir))
+      .select(
+        $"vec_id",
+        $"embedding",
+        array_max(transform($"embedding", x => abs(x.cast("double")))).as("mx")
+      )
+      .withColumn(
+        "q",
+        transform($"embedding", x => round(x.cast("double") * 127.0 / $"mx").cast("int"))
+      )
+      .select(
+        $"vec_id",
+        round($"mx", 6).as("max_abs"),
+        md5(concat_ws(",", transform($"q", _.cast("string")))).as("q_md5"),
+        aggregate($"q", lit(0L), (acc, x) => acc + abs(x)).as("l1_q")
+      )
+      .orderBy($"vec_id")
+  }
 }

@@ -78,6 +78,45 @@ object Vocab {
       .orderBy($"doc_id")
   }
 
+  /** Declared query: TF-IDF top terms per document — the classic keyword /
+    * relevance signal (idf = ln(N/df) on the 1e6 grid → integer score
+    * tf·idf6, order-independent and engine-replayable; ties broken by
+    * token).
+    *
+    * Scale shape: tf is one hash aggregation on (doc, token); df is one on
+    * token. The idf table is vocabulary-sized — broadcast here (at a scale
+    * where the vocabulary outgrows broadcast, the same plan works as a
+    * shuffle join on token). The per-doc top-k window partitions by doc_id
+    * — parallel, never global. */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val k = 3
+    val tok = Tables
+      .spread(Tables.documents(spark, sfDir))
+      .select($"doc_id", explode(tokens($"text")).as("token"))
+    // corpus size as a plan literal (tiny driver-side count, same pattern
+    // as the unigram total above)
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val idf = tok
+      .groupBy($"token")
+      .agg(countDistinct($"doc_id").as("df"))
+      .select(
+        $"token",
+        round(log(lit(nDocs.toDouble) / $"df") * 1e6).cast("long").as("idf6")
+      )
+    val w = Window.partitionBy($"doc_id").orderBy($"score6".desc, $"token")
+    tok
+      .groupBy($"doc_id", $"token")
+      .agg(count(lit(1)).as("tf"))
+      .join(broadcast(idf), Seq("token"))
+      .withColumn("score6", $"tf" * $"idf6")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"doc_id", $"rk", $"token", round($"score6" / 1e6, 6).as("tfidf"))
+      .orderBy($"doc_id", $"rk")
+  }
+
   /** Declared query: encode every document against the vocabulary —
     * out-of-vocab tokens map to -1 (the UNK accounting every tokenizer
     * pipeline needs). Output keeps the declared schema narrow: token
