@@ -257,6 +257,30 @@ object Registry {
       """)
     ),
     Q(
+      "q103_bigram_logprob",
+      Vocab.bigramLogprob,
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        ), b AS (
+          SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+          FROM t WHERE len(tk) >= 2
+        ), c1 AS (
+          SELECT w1, COUNT(*) AS c1 FROM (SELECT unnest(tk) AS w1 FROM t) GROUP BY w1
+        ), c12 AS (
+          SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY w1, w2
+        ), v AS (
+          SELECT COUNT(*) AS v FROM c1
+        ), lp AS (
+          SELECT doc_id, CAST(round(ln((c12 + 1.0) / (c1 + v)) * 1e6) AS BIGINT) AS lp6
+          FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+        )
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               round(CAST(SUM(lp6) AS DOUBLE) / 1e6 / COUNT(*), 6) AS mean_logprob
+        FROM lp GROUP BY doc_id ORDER BY doc_id
+      """)
+    ),
+    Q(
       "q102_quantize_embeddings",
       Similarity.quantizeEmbeddings,
       Some("""

@@ -117,6 +117,51 @@ object Vocab {
       .orderBy($"doc_id", $"rk")
   }
 
+  /** Declared query: bigram conditional log-probability scoring with add-1
+    * smoothing — the next step up from [[unigramLogprob]] toward the
+    * KenLM-style perplexity filters production pipelines use: score each
+    * document by mean ln P(w_i | w_{i-1}) under the corpus bigram model.
+    * Same 1e6-grid determinism contract as the unigram query.
+    *
+    * Scale shape: bigram extraction is a per-row explode; the bigram count
+    * and the score join share ONE exchange on (w1, w2) (the repartition
+    * ahead of both — same reuse discipline as the dedup self-joins); the
+    * unigram table is vocabulary-sized and broadcasts. */
+  def bigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables
+      .spread(Tables.documents(spark, sfDir))
+      .select($"doc_id", tokens($"text").as("tk"))
+    val big = toks
+      .filter(size($"tk") >= 2)
+      .select(
+        $"doc_id",
+        explode(
+          transform(
+            sequence(lit(1), size($"tk") - 1),
+            i => struct(element_at($"tk", i).as("w1"), element_at($"tk", i + 1).as("w2"))
+          )
+        ).as("bg")
+      )
+      .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+      .repartition($"w1", $"w2")
+    val uni       = toks.select(explode($"tk").as("w1")).groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val vocabSize = uni.count()
+    val bic       = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    big
+      .join(bic, Seq("w1", "w2"))
+      .join(broadcast(uni), Seq("w1"))
+      .withColumn("lp6", round(log(($"c12" + 1.0) / ($"c1" + vocabSize)) * 1e6).cast("long"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"lp6").as("slp"))
+      .select(
+        $"doc_id",
+        $"n_bigrams",
+        round(($"slp" / 1e6) / $"n_bigrams", 6).as("mean_logprob")
+      )
+      .orderBy($"doc_id")
+  }
+
   /** Declared query: encode every document against the vocabulary —
     * out-of-vocab tokens map to -1 (the UNK accounting every tokenizer
     * pipeline needs). Output keeps the declared schema narrow: token

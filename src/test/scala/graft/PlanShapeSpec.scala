@@ -112,6 +112,43 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q25 per-group top-k prunes inside the window (WindowGroupLimit)") {
+    // rank-filter queries must plan the group-limit optimization: each
+    // partition keeps only k rows per group BEFORE the shuffle+window,
+    // instead of windowing the full table and filtering after
+    val p = planOf("q25_topk_per_group")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // Spark's InjectRuntimeFilter: a selective dimension filter becomes a
+    // bloom filter applied to the fact scan — the 100 TB defense against
+    // shuffling fact rows that can never join. Thresholds are lowered to
+    // make the tiny fixture eligible.
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+    )
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val ord = Tables.orders(spark, sf).filter($"o_orderpriority" === "1-URGENT")
+      val j = Tables
+        .lineitem(spark, sf)
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter"), p.take(3000))
+      assert(j.collect().map(_.getLong(1)).sum > 0)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("q91 stratified sample uses a PARTITIONED rank window (no global window)") {
     val ws = SparkEntry
       .queries("q91_stratified_sample")(spark, sf)
