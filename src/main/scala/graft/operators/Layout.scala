@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical file-layout operators — the write-side half of scan pruning.
+  *
+  * Parquet row-group skipping only works when the values a predicate
+  * touches are CLUSTERED: min/max footer stats on a randomly-ordered file
+  * span the whole domain and prune nothing. Sorting the write by a
+  * Z-order (Morton) curve interleaves the bits of two columns so that
+  * range predicates on EITHER column land in a small number of row
+  * groups — the standard multi-dimensional clustering technique for
+  * 100 TB tables (one extra range-partitioned sort at write time, no read
+  * cost ever). The curve math is integer-exact, so the DuckDB oracle
+  * replays it bit-for-bit; the actual pruning win is asserted in
+  * ScaleTechniquesSpec by comparing per-file key spans of a z-ordered vs
+  * naturally-ordered write of the same rows.
+  */
+object Layout {
+
+  /** Bits per dimension for the Morton curve (10 bits → domains of 1024).
+    * The curve assumes BOTH dimensions use their full bit width — skewed
+    * domains (one column spanning 4 bits, the other 9) leave the high
+    * interleaved bits dominated by one column and degrade clustering, so
+    * production z-ordering (cf. Delta OPTIMIZE ZORDER BY) first normalizes
+    * each dimension to rank/min-max space; the pruning test does exactly
+    * that scaling before the write. */
+  private val Bits = 10
+
+  /** Morton/Z-value: interleave the low `Bits` bits of x (even positions)
+    * and y (odd positions). Disjoint bit positions, so the sum IS the
+    * bitwise-or. DuckDB mirror:
+    * `list_sum(list_transform(range(0, 10), i -> ((x >> i) & 1) * 2**(2*i) + ((y >> i) & 1) * 2**(2*i+1)))`. */
+  def zValue(x: Column, y: Column): Column =
+    (0 until Bits)
+      .map { i =>
+        shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+          shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      }
+      .reduce(_ + _)
+
+  /** Declared query: the Z-order curve over (user_id, value-bucket) for the
+    * events table — per-curve-segment audit of how many rows and how narrow
+    * a user_id span each 4096-cell z-range holds (narrow per-segment spans
+    * are exactly what makes the layout prunable). */
+  def zorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .events(spark, sfDir)
+      .select(
+        $"event_id",
+        $"user_id".cast("long").as("xb"),
+        (floor($"value").cast("long") % 1024L).as("yb")
+      )
+      .withColumn("zval", zValue($"xb", $"yb"))
+      // 2^12-cell segments via bit shift — exact integer semantics in both
+      // engines (long `/` would be double division in Spark and a rounding
+      // cast in DuckDB)
+      .groupBy(shiftright($"zval", 12).as("z_segment"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min($"xb").as("min_user"),
+        max($"xb").as("max_user"),
+        min($"zval").as("min_z"),
+        max($"zval").as("max_z")
+      )
+      .orderBy($"z_segment")
+  }
+
+  /** Write `df` clustered by the z-value of (xCol, yCol): range partition on
+    * the curve, sort within partitions, one parquet file per range — the
+    * layout the pruning test reads back. */
+  private[graft] def writeZOrdered(df: DataFrame, xCol: String, yCol: String, out: String, nFiles: Int): Unit = {
+    val z = df.withColumn("__z", zValue(col(xCol), col(yCol)))
+    z.repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write
+      .mode("overwrite")
+      .parquet(out)
+  }
+}

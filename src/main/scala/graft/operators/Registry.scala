@@ -281,6 +281,38 @@ object Registry {
       """)
     ),
     Q(
+      "q104_zorder_curve",
+      Layout.zorderLayout,
+      Some("""
+        WITH e AS (
+          SELECT event_id, CAST(user_id AS BIGINT) AS xb,
+                 CAST(floor(value) AS BIGINT) % 1024 AS yb
+          FROM events
+        ), z AS (
+          SELECT xb,
+                 CAST(list_sum(list_transform(range(0, 10),
+                   i -> ((xb >> i) & 1) * (1::BIGINT << (2 * i)) +
+                        ((yb >> i) & 1) * (1::BIGINT << (2 * i + 1))
+                 )) AS BIGINT) AS zval
+          FROM e
+        )
+        SELECT zval >> 12 AS z_segment,
+               COUNT(*) AS n_rows,
+               MIN(xb) AS min_user, MAX(xb) AS max_user,
+               MIN(zval) AS min_z, MAX(zval) AS max_z
+        FROM z GROUP BY z_segment ORDER BY z_segment
+      """)
+    ),
+    Q(
+      "q105_orc_roundtrip",
+      ParquetSink.orcRoundTrip,
+      Some("""
+        SELECT COUNT(*) AS n_rows,
+               CAST(0 AS BIGINT) AS orc_mismatches
+        FROM events WHERE event_type = 'signup'
+      """)
+    ),
+    Q(
       "q102_quantize_embeddings",
       Similarity.quantizeEmbeddings,
       Some("""

@@ -78,6 +78,33 @@ object ParquetSink {
     * through both writers, comes back through both readers with explicit
     * schemas, and the audit proves both round trips preserved every row and
     * value (join on the key, compare columns, count mismatches = 0). */
+  /** ORC sink/source round trip — same audit shape as
+    * [[jsonCsvRoundTrip]]: write the slice as ORC (Spark's built-in
+    * columnar alternative; schema + stats preserved natively, unlike
+    * json/csv), read it back, and count value mismatches against the
+    * source (zero on success). */
+  def orcRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = scratchDir(spark, "orc_roundtrip")
+    val src = graft.Tables
+      .events(spark, sfDir)
+      .filter($"event_type" === "signup")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"), $"value")
+    src.write.mode("overwrite").orc(s"$base/orc")
+    val o = spark.read
+      .orc(s"$base/orc")
+      .select($"event_id", $"user_id".as("o_user"), $"ts_us".as("o_ts"), $"value".as("o_val"))
+    src
+      .join(o, "event_id")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(
+          when($"user_id" <=> $"o_user" && $"ts_us" <=> $"o_ts" && $"value" <=> $"o_val", 0L)
+            .otherwise(1L)
+        ).as("orc_mismatches")
+      )
+  }
+
   def jsonCsvRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val base = scratchDir(spark, "fmt_roundtrip")

@@ -7,6 +7,51 @@ import org.apache.spark.sql.functions._
   * skew salting, partition pruning, observe() metrics. */
 class ScaleTechniquesSpec extends SparkSpec {
 
+  test("z-ordered layout clusters keys: per-file user span shrinks vs time order") {
+    import spark.implicits._
+    import graft.operators.Layout
+    // the write-side pruning story: footer min/max stats only skip row
+    // groups when the predicate column is clustered — a z-ordered write of
+    // the SAME rows must yield much narrower per-file user_id spans than
+    // the natural time-ordered layout
+    val raw = Tables
+      .events(spark, sf)
+      .select(
+        $"event_id",
+        $"user_id".cast("long").as("xb"),
+        floor($"value").cast("long").as("yb"),
+        $"ts"
+      )
+    // normalize both dimensions to the curve's full 10-bit width (min/max
+    // scaling — the standard pre-step; without it the narrow dimension's
+    // high bits are constant and the curve degenerates to a sort on the
+    // wide one)
+    val st = raw.agg(min($"xb"), max($"xb"), min($"yb"), max($"yb")).head()
+    val (x0, x1, y0, y1) = (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+    val ev = raw
+      .withColumn("xs", (($"xb" - x0).cast("double") * 1023.0 / (x1 - x0)).cast("long"))
+      .withColumn("ys", (($"yb" - y0).cast("double") * 1023.0 / (y1 - y0)).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    Layout.writeZOrdered(ev.drop("ts"), "xs", "ys", s"$dir/z", 8)
+    ev.repartitionByRange(8, $"ts")
+      .sortWithinPartitions($"ts")
+      .drop("ts")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/nat")
+    def meanSpan(path: String): Double =
+      spark.read
+        .parquet(path)
+        .groupBy(input_file_name())
+        .agg((max($"xb") - min($"xb")).as("span"))
+        .agg(avg($"span"))
+        .head()
+        .getDouble(0)
+    val zSpan   = meanSpan(s"$dir/z")
+    val natSpan = meanSpan(s"$dir/nat")
+    assert(zSpan < 0.7 * natSpan, s"z-ordered span $zSpan vs natural $natSpan")
+  }
+
   test("IVF top-k reaches >=50% recall@10 with nprobe=4 of 10 lists") {
     import spark.implicits._
     val brute = Similarity.cosineTopK(spark, sf).select($"query_id", $"cand_id")
