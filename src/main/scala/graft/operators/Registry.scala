@@ -276,7 +276,7 @@ object Registry {
           FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
         )
         SELECT doc_id, COUNT(*) AS n_bigrams,
-               round(CAST(SUM(lp6) AS DOUBLE) / 1e6 / COUNT(*), 6) AS mean_logprob
+               CAST(-((2 * (-SUM(lp6)) + COUNT(*)) // (2 * COUNT(*))) AS BIGINT) / 1e6 AS mean_logprob
         FROM lp GROUP BY doc_id ORDER BY doc_id
       """)
     ),
@@ -638,7 +638,7 @@ object Registry {
           SELECT token, CAST(round(ln(freq / total) * 1e6) AS BIGINT) AS lp6 FROM f, tot
         )
         SELECT doc_id, COUNT(*) AS n_toks,
-               round(CAST(SUM(lp6) AS DOUBLE) / 1e6 / COUNT(*), 6) AS mean_logprob
+               CAST(-((2 * (-SUM(lp6)) + COUNT(*)) // (2 * COUNT(*))) AS BIGINT) / 1e6 AS mean_logprob
         FROM tok JOIN lp USING (token)
         GROUP BY doc_id ORDER BY doc_id
       """)

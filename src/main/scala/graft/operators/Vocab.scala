@@ -70,10 +70,14 @@ object Vocab {
       .join(broadcast(lp), Seq("token"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_toks"), sum($"lp6").as("slp"))
+      // the mean is rounded in INTEGER space: slp is negative, so round
+      // half-away-from-zero is -((2·(-slp)+n) truncdiv (2n)) — exact and
+      // identical in both engines, where round(double, 6) can flip when
+      // slp/n lands exactly on a .5 grid boundary (observed at sf0.1)
       .select(
         $"doc_id",
         $"n_toks",
-        round(($"slp" / 1e6) / $"n_toks", 6).as("mean_logprob")
+        (expr("-((2 * (-slp) + n_toks) div (2 * n_toks))") / 1e6).as("mean_logprob")
       )
       .orderBy($"doc_id")
   }
@@ -154,10 +158,12 @@ object Vocab {
       .withColumn("lp6", round(log(($"c12" + 1.0) / ($"c1" + vocabSize)) * 1e6).cast("long"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum($"lp6").as("slp"))
+      // integer-space mean rounding — same boundary defense as
+      // [[unigramLogprob]] (a .5 mean grid hit flipped one sf0.1 row)
       .select(
         $"doc_id",
         $"n_bigrams",
-        round(($"slp" / 1e6) / $"n_bigrams", 6).as("mean_logprob")
+        (expr("-((2 * (-slp) + n_bigrams) div (2 * n_bigrams))") / 1e6).as("mean_logprob")
       )
       .orderBy($"doc_id")
   }
