@@ -313,6 +313,47 @@ object Registry {
       """)
     ),
     Q(
+      "q106_incremental_dedup",
+      Dedup.incrementalDedup,
+      Some("""
+        WITH nb AS (
+          SELECT doc_id + 2000000 AS new_id, text FROM documents WHERE doc_id % 7 = 3
+          UNION ALL
+          SELECT doc_id + 3000000 AS new_id,
+                 array_to_string(tk[1 : greatest(len(tk) - 2, 1)], ' ') AS text
+          FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+          WHERE doc_id % 13 = 5
+        ), ex AS (
+          SELECT DISTINCT new_id FROM nb JOIN documents d ON md5(nb.text) = md5(d.text)
+        ), csh AS (
+          SELECT doc_id AS corpus_id, unnest(sh) AS sh FROM (
+            SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+              i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+            FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+          )
+        ), nsh AS (
+          SELECT new_id, CAST(len(sh) AS BIGINT) AS n_sh, unnest(sh) AS sh FROM (
+            SELECT new_id, list_distinct(list_transform(range(1, len(tk) - 1),
+              i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+            FROM (SELECT new_id, string_split(text, ' ') AS tk FROM nb)
+          )
+        ), nr AS (
+          SELECT DISTINCT new_id FROM (
+            SELECT n.new_id, c.corpus_id, n.n_sh, COUNT(*) AS inter
+            FROM csh c JOIN nsh n USING (sh)
+            GROUP BY 1, 2, 3
+          ) WHERE inter * 10 >= n_sh * 9
+        )
+        SELECT nb.new_id AS new_id,
+               CASE WHEN ex.new_id IS NOT NULL THEN 'exact_dup'
+                    WHEN nr.new_id IS NOT NULL THEN 'near_dup'
+                    ELSE 'kept' END AS verdict
+        FROM nb LEFT JOIN ex ON nb.new_id = ex.new_id
+                LEFT JOIN nr ON nb.new_id = nr.new_id
+        ORDER BY new_id
+      """)
+    ),
+    Q(
       "q102_quantize_embeddings",
       Similarity.quantizeEmbeddings,
       Some("""

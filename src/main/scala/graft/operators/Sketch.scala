@@ -33,14 +33,14 @@ object Sketch {
     * the d rows. `overcount` = est − exact ≥ 0 always (CMS never
     * undercounts) — emitted so the oracle verifies the guarantee, not just
     * the numbers. */
-  def cmsHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val tok = Tables
-      .spread(Tables.documents(spark, sfDir))
-      .select(explode(tokens($"text")).as("token"))
-    // the sketch: one shuffle over (row, bucket) — partial map-side counts
-    // merge into ≤256 cells, the mergeable-sketch property in plan form
-    val sketch = tok
+  /** The sketch of a token column: (row j, bucket b, count c) — one shuffle
+    * over (row, bucket), partial map-side counts merging into ≤ d·w cells.
+    * MERGEABLE by construction: the sketch of a union is the cell-wise sum
+    * of the parts' sketches (asserted in Round3OpsSpec), which is what lets
+    * shards/streams sketch independently and combine. */
+  private[graft] def cmsSketchOf(tok: DataFrame): DataFrame = {
+    import tok.sparkSession.implicits._
+    tok
       .select(
         explode(
           array((0 until Depth).map(j => struct(lit(j).as("j"), cmsBucket(j, $"token").as("b"))): _*)
@@ -48,6 +48,14 @@ object Sketch {
       )
       .groupBy($"jb.j".as("j"), $"jb.b".as("b"))
       .agg(count(lit(1)).as("c"))
+  }
+
+  def cmsHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables
+      .spread(Tables.documents(spark, sfDir))
+      .select(explode(tokens($"text")).as("token"))
+    val sketch = cmsSketchOf(tok)
     val top = tok
       .groupBy($"token")
       .agg(count(lit(1)).as("exact"))

@@ -73,6 +73,44 @@ class Round3OpsSpec extends SparkSpec {
     assert(mismatch.count() === 0, "candidate counts are the exact counts")
   }
 
+  test("CMS sketches merge: half-corpus sketches sum to the full sketch") {
+    import spark.implicits._
+    def toks(filter: org.apache.spark.sql.Column) =
+      Tables
+        .documents(spark, sf)
+        .filter(filter)
+        .select(explode(split($"text", " ")).as("token"))
+    val full = Sketch.cmsSketchOf(toks(lit(true)))
+    val merged = Sketch
+      .cmsSketchOf(toks($"doc_id" % 2 === 0))
+      .unionByName(Sketch.cmsSketchOf(toks($"doc_id" % 2 === 1)))
+      .groupBy($"j", $"b")
+      .agg(sum($"c").as("c"))
+    assert(full.except(merged).count() === 0 && merged.except(full).count() === 0)
+  }
+
+  test("incremental dedup: verbatim re-ingests exact, truncated near, rest kept") {
+    import spark.implicits._
+    val out = Dedup.incrementalDedup(spark, sf).cache()
+    // every verbatim re-ingested doc must be flagged exact
+    val exactIds = Tables
+      .documents(spark, sf)
+      .filter($"doc_id" % 7 === 3)
+      .select(($"doc_id" + 2000000L).as("new_id"))
+    val misExact =
+      exactIds.join(out.filter($"verdict" =!= "exact_dup"), Seq("new_id"))
+    assert(misExact.count() === 0, "all verbatim re-ingests detected as exact")
+    // truncated docs with enough shingles must be flagged (exact or near);
+    // near-verdict docs must exist (the truncation makes them non-exact)
+    assert(out.filter($"verdict" === "near_dup").count() > 0)
+    val truncatedLong = Tables
+      .documents(spark, sf)
+      .filter($"doc_id" % 13 === 5 && size(split($"text", " ")) >= 30)
+      .select(($"doc_id" + 3000000L).as("new_id"))
+    val missedNear = truncatedLong.join(out.filter($"verdict" === "kept"), Seq("new_id"))
+    assert(missedNear.count() === 0, "long truncated docs are containment-caught")
+  }
+
   test("weighted sample equals the brute-force A-ES top-20") {
     import spark.implicits._
     import graft.functions.TextFns.h60
