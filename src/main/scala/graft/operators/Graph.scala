@@ -24,7 +24,7 @@ object Graph {
   /** Deterministic test graph over `documents`: chain edges (i, i+1) where
     * i % 7 < 2 and jump edges (i, i+10) where i % 13 == 0 — small
     * multi-node components with nontrivial shapes, replayable in SQL. */
-  private def edges(spark: SparkSession, sfDir: String): DataFrame = {
+  private[operators] def edges(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir).select($"doc_id")
     val e1 = docs.filter($"doc_id" % 7 < 2).select($"doc_id".as("src"), ($"doc_id" + 1).as("dst"))

@@ -19,7 +19,7 @@ object Registry {
   def extra: Seq[Q] =
     temporal ++ scalars ++ schemaJson ++ textPack ++ textPack2 ++ hygienePack ++ vocabPack ++ lmPack ++ graphPack ++ trainingPack ++ dedupPack ++ simPack ++
       multimodalPack ++ streamingPack ++ advancedPack ++ pipelinePack ++ shardingPack ++
-      timeseriesPack ++ chunkingPack ++ corpusPack
+      timeseriesPack ++ chunkingPack ++ corpusPack ++ versioningPack
 
   private def advancedPack: Seq[Q] = Seq(
     Q(
@@ -660,6 +660,167 @@ object Registry {
         SELECT c.node, c.comp, s.comp_size
         FROM comp c JOIN sizes s USING (comp)
         ORDER BY node
+      """)
+    ),
+    // Fixed-iteration k-means on the Det grid: scaled-long centroid means +
+    // sequential IEEE dots (the q76 discipline) make both Lloyd iterations
+    // bit-replayable, so the oracle re-runs the whole seed→assign→update→
+    // reassign cycle and hash-compares the final cluster audit.
+    Q(
+      "q107_kmeans_clusters",
+      Clustering.kmeansClusters,
+      Some("""
+        WITH e AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+          FROM embeddings
+        ), m0 AS (
+          SELECT CAST(vec_id % 8 AS INT) AS cluster, i.i AS pos,
+                 CAST(CAST(SUM(CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*) AS FLOAT) AS m
+          FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
+          GROUP BY cluster, i.i
+        ), c0 AS (
+          SELECT cluster AS cent_id, cvec,
+                 sqrt(list_sum(list_transform(cvec, x -> CAST(x AS DOUBLE) * x))) AS cnrm
+          FROM (SELECT cluster, list(m ORDER BY pos) AS cvec FROM m0 GROUP BY cluster)
+        ), s1 AS (
+          SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
+                 list_sum(list_transform(range(1, 65),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i])) / (e.nrm * c.cnrm) AS ccos
+          FROM e, c0 c
+        ), a1 AS (
+          SELECT vec_id, embedding, cent_id AS cluster FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+            FROM s1
+          ) WHERE crk = 1
+        ), m1 AS (
+          SELECT cluster, i.i AS pos,
+                 CAST(CAST(SUM(CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*) AS FLOAT) AS m
+          FROM a1, (SELECT unnest(range(1, 65)) AS i) i
+          GROUP BY cluster, i.i
+        ), c1 AS (
+          SELECT cluster AS cent_id, cvec,
+                 sqrt(list_sum(list_transform(cvec, x -> CAST(x AS DOUBLE) * x))) AS cnrm
+          FROM (SELECT cluster, list(m ORDER BY pos) AS cvec FROM m1 GROUP BY cluster)
+        ), s2 AS (
+          SELECT e.vec_id, c.cent_id,
+                 list_sum(list_transform(range(1, 65),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i])) / (e.nrm * c.cnrm) AS ccos
+          FROM e, c1 c
+        ), a2 AS (
+          SELECT vec_id, cent_id AS cluster, ccos FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+            FROM s2
+          ) WHERE crk = 1
+        )
+        SELECT cluster, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec,
+               round(CAST(SUM(CAST(round(ccos * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*), 6) AS mean_cos
+        FROM a2 GROUP BY cluster ORDER BY cluster
+      """)
+    ),
+    // PageRank on a pure integer grid (floor-division rank flow) — every
+    // iteration replays exactly; the oracle unrolls the three rounds.
+    Q(
+      "q108_pagerank",
+      Clustering.pagerankDocs,
+      Some("""
+        WITH n AS (
+          SELECT doc_id AS node FROM documents
+        ), consts AS (
+          SELECT CAST(floor(0.15 * 1e6 / COUNT(*) + 0.5) AS BIGINT) AS base6,
+                 CAST(floor(1e6 / COUNT(*) + 0.5) AS BIGINT) AS init6
+          FROM n
+        ), e0 AS (
+          SELECT doc_id AS src, doc_id + 1 AS dst FROM documents WHERE doc_id % 7 < 2
+          UNION ALL
+          SELECT doc_id, doc_id + 10 FROM documents WHERE doc_id % 13 = 0
+        ), e AS (
+          SELECT src, dst FROM e0 WHERE dst IN (SELECT node FROM n)
+        ), deg AS (
+          SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src
+        ), r0 AS (
+          SELECT node, init6 AS rank6 FROM n, consts
+        ), c1 AS (
+          SELECT dst, CAST(SUM((85 * (rank6 // outdeg)) // 100) AS BIGINT) AS in6
+          FROM e JOIN r0 ON e.src = r0.node JOIN deg USING (src) GROUP BY dst
+        ), r1 AS (
+          SELECT node, base6 + COALESCE(in6, 0) AS rank6
+          FROM n CROSS JOIN consts LEFT JOIN c1 ON n.node = c1.dst
+        ), c2 AS (
+          SELECT dst, CAST(SUM((85 * (rank6 // outdeg)) // 100) AS BIGINT) AS in6
+          FROM e JOIN r1 ON e.src = r1.node JOIN deg USING (src) GROUP BY dst
+        ), r2 AS (
+          SELECT node, base6 + COALESCE(in6, 0) AS rank6
+          FROM n CROSS JOIN consts LEFT JOIN c2 ON n.node = c2.dst
+        ), c3 AS (
+          SELECT dst, CAST(SUM((85 * (rank6 // outdeg)) // 100) AS BIGINT) AS in6
+          FROM e JOIN r2 ON e.src = r2.node JOIN deg USING (src) GROUP BY dst
+        ), r3 AS (
+          SELECT node, base6 + COALESCE(in6, 0) AS rank6
+          FROM n CROSS JOIN consts LEFT JOIN c3 ON n.node = c3.dst
+        )
+        SELECT node, round(rank6 / 1e6, 6) AS pagerank FROM r3 ORDER BY node
+      """)
+    )
+  )
+
+  private def versioningPack: Seq[Q] = Seq(
+    Q(
+      "q109_snapshot_diff",
+      Versioning.snapshotDiff,
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey, o_totalprice FROM orders
+        ), next_v AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 100.0
+                      ELSE o_totalprice END AS o_totalprice
+          FROM base WHERE o_orderkey % 97 <> 0
+          UNION ALL
+          SELECT o_orderkey + 10000000, o_totalprice FROM base WHERE o_orderkey % 50 = 7
+        ), d AS (
+          SELECT COALESCE(b.o_orderkey, n.o_orderkey) AS o_orderkey,
+                 b.o_totalprice AS old_price, n.o_totalprice AS new_price
+          FROM base b FULL OUTER JOIN next_v n ON b.o_orderkey = n.o_orderkey
+        ), v AS (
+          SELECT o_orderkey,
+                 CASE WHEN old_price IS NULL THEN 'added'
+                      WHEN new_price IS NULL THEN 'removed'
+                      WHEN old_price <> new_price THEN 'changed'
+                      ELSE 'unchanged' END AS verdict,
+                 old_price, new_price
+          FROM d
+        )
+        SELECT o_orderkey, verdict, old_price, new_price
+        FROM v WHERE verdict <> 'unchanged' ORDER BY o_orderkey
+      """)
+    ),
+    Q(
+      "q110_scd2_history",
+      Versioning.scd2History,
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey, o_orderdate, o_totalprice FROM orders WHERE o_orderkey <= 2000
+        ), feed AS (
+          SELECT o_orderkey, o_orderdate AS change_ts, o_totalprice AS price FROM base
+          UNION ALL
+          SELECT o_orderkey, o_orderdate + INTERVAL 30 DAY, o_totalprice + 10.0
+          FROM base WHERE o_orderkey % 3 = 0
+          UNION ALL
+          SELECT o_orderkey, o_orderdate + INTERVAL 60 DAY, o_totalprice + 25.0
+          FROM base WHERE o_orderkey % 9 = 0
+        ), v AS (
+          SELECT o_orderkey,
+                 CAST(ROW_NUMBER() OVER w AS INT) AS version,
+                 price,
+                 change_ts AS valid_from,
+                 LEAD(change_ts, 1) OVER w AS valid_to
+          FROM feed
+          WINDOW w AS (PARTITION BY o_orderkey ORDER BY change_ts)
+        )
+        SELECT o_orderkey, version, price, valid_from, valid_to,
+               (valid_to IS NULL) AS is_current
+        FROM v ORDER BY o_orderkey, version
       """)
     )
   )

@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.{Clustering, Versioning}
+import org.apache.spark.sql.functions._
+
+/** Semantic properties of the round-4 iterative/versioning pack that the
+  * row-hash oracle can't express: k-means partition totals, PageRank mass
+  * conservation bounds, snapshot-diff verdict arithmetic, SCD2 interval
+  * chaining. */
+class Round4OpsSpec extends SparkSpec {
+
+  test("kmeans clusters partition the embedding set; cosines are valid") {
+    import spark.implicits._
+    val out  = Clustering.kmeansClusters(spark, sf).cache()
+    val nVec = Tables.embeddings(spark, sf).count()
+    assert(out.agg(sum($"n_vecs")).head().getLong(0) === nVec, "every vector assigned once")
+    assert(out.select($"cluster").distinct().count() === out.count(), "cluster ids unique")
+    assert(out.filter($"mean_cos" > 1.000001 || $"mean_cos" < -1.000001).count() === 0)
+    assert(out.count() <= 8, "at most k clusters survive")
+  }
+
+  test("pagerank: every node ranked, floor = teleport mass, total mass bounded") {
+    import spark.implicits._
+    val out = Clustering.pagerankDocs(spark, sf).cache()
+    val n   = Tables.documents(spark, sf).count()
+    assert(out.count() === n, "one rank per document")
+    val base = math.round(0.15 * 1e6 / n) / 1e6
+    assert(out.filter($"pagerank" < base - 1e-9).count() === 0, "teleport floor")
+    // dangling mass is dropped each round, so total mass can only shrink
+    val total = out.agg(sum($"pagerank")).head().getDouble(0)
+    assert(total <= 1.0 + 1e-6, s"rank mass bounded by 1 (got $total)")
+    assert(total > 0.15, "teleport mass alone keeps the total above 0.15·1")
+  }
+
+  test("snapshot diff verdicts match the generating predicates exactly") {
+    import spark.implicits._
+    val out  = Versioning.snapshotDiff(spark, sf).cache()
+    val keys = Tables.orders(spark, sf).select($"o_orderkey")
+    val nRemoved = keys.filter($"o_orderkey" % 97 === 0).count()
+    val nAdded   = keys.filter($"o_orderkey" % 50 === 7).count()
+    val nChanged = keys.filter($"o_orderkey" % 10 === 3 && $"o_orderkey" % 97 =!= 0).count()
+    val byVerdict = out.groupBy($"verdict").count().as[(String, Long)].collect().toMap
+    assert(byVerdict.getOrElse("removed", 0L) === nRemoved)
+    assert(byVerdict.getOrElse("added", 0L) === nAdded)
+    assert(byVerdict.getOrElse("changed", 0L) === nChanged)
+    assert(!byVerdict.contains("unchanged"), "unchanged rows filtered out")
+  }
+
+  test("scd2 history chains validity intervals with one open row per key") {
+    import spark.implicits._
+    val out = Versioning.scd2History(spark, sf).cache()
+    assert(out.filter($"version" === 1).count() ===
+      out.select($"o_orderkey").distinct().count(), "every key starts at version 1")
+    assert(out.filter($"is_current").count() ===
+      out.select($"o_orderkey").distinct().count(), "exactly one current row per key")
+    // lead() chaining: valid_to of version v equals valid_from of version v+1
+    val chained = out.as("a")
+      .join(out.as("b"),
+        $"a.o_orderkey" === $"b.o_orderkey" && $"a.version" + 1 === $"b.version")
+      .filter($"a.valid_to" =!= $"b.valid_from")
+    assert(chained.count() === 0, "intervals chain exactly")
+    assert(out.filter(!$"is_current" && $"valid_to".isNull).count() === 0)
+  }
+}
