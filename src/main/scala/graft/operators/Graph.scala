@@ -75,4 +75,28 @@ object Graph {
       .select($"node", $"comp", $"comp_size")
       .orderBy($"node")
   }
+
+  /** Transitive reachability through the SQL entry point's RECURSIVE CTE
+    * (Spark 4's UnionLoop execution): hop-bounded BFS from hub seeds
+    * (src % 91 == 0) over the directed doc graph, returning each reachable
+    * node with its minimum hop distance and path multiplicity. The edge set
+    * is a DAG (dst > src always), so the UNION ALL recursion terminates
+    * without the hop guard; the guard documents the bound and protects
+    * arbitrary user graphs. Each recursion level is one equi-join shuffle —
+    * the same per-level plan the hand-rolled [[minLabelComponents]] loop
+    * executes, but declared in SQL and planned by Catalyst. */
+  def recursiveReachability(spark: SparkSession, sfDir: String): DataFrame = {
+    edges(spark, sfDir).createOrReplaceTempView("doc_edges")
+    spark.sql("""
+      WITH RECURSIVE reach(node, hop) AS (
+        SELECT DISTINCT src AS node, 0 AS hop FROM doc_edges WHERE src % 91 = 0
+        UNION ALL
+        SELECT e.dst, r.hop + 1
+        FROM reach r JOIN doc_edges e ON e.src = r.node
+        WHERE r.hop < 10
+      )
+      SELECT node, CAST(MIN(hop) AS INT) AS min_hop, COUNT(*) AS n_paths
+      FROM reach GROUP BY node ORDER BY node
+    """)
+  }
 }

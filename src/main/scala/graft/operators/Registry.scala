@@ -19,7 +19,7 @@ object Registry {
   def extra: Seq[Q] =
     temporal ++ scalars ++ schemaJson ++ textPack ++ textPack2 ++ hygienePack ++ vocabPack ++ lmPack ++ graphPack ++ trainingPack ++ dedupPack ++ simPack ++
       multimodalPack ++ streamingPack ++ advancedPack ++ pipelinePack ++ shardingPack ++
-      timeseriesPack ++ chunkingPack ++ corpusPack ++ versioningPack
+      timeseriesPack ++ chunkingPack ++ corpusPack ++ versioningPack ++ skewPack
 
   private def advancedPack: Seq[Q] = Seq(
     Q(
@@ -761,6 +761,50 @@ object Registry {
         )
         SELECT node, round(rank6 / 1e6, 6) AS pagerank FROM r3 ORDER BY node
       """)
+    ),
+    // Spark 4 recursive CTE (UnionLoop) — hop-bounded BFS; DuckDB replays
+    // the identical WITH RECURSIVE text.
+    Q(
+      "q111_recursive_reachability",
+      Graph.recursiveReachability,
+      Some("""
+        WITH RECURSIVE e0 AS (
+          SELECT doc_id AS src, doc_id + 1 AS dst FROM documents WHERE doc_id % 7 < 2
+          UNION ALL
+          SELECT doc_id, doc_id + 10 FROM documents WHERE doc_id % 13 = 0
+        ), e AS (
+          SELECT src, dst FROM e0 WHERE dst IN (SELECT doc_id FROM documents)
+        ), reach(node, hop) AS (
+          SELECT DISTINCT src AS node, 0 AS hop FROM e WHERE src % 91 = 0
+          UNION ALL
+          SELECT e.dst, r.hop + 1 FROM reach r JOIN e ON e.src = r.node WHERE r.hop < 10
+        )
+        SELECT node, CAST(MIN(hop) AS INT) AS min_hop, COUNT(*) AS n_paths
+        FROM reach GROUP BY node ORDER BY node
+      """)
+    )
+  )
+
+  private def skewPack: Seq[Q] = Seq(
+    // Salt never reaches the output, so the oracle replays the UNSALTED
+    // join — identical result, hot-key-free plan on the Spark side.
+    Q(
+      "q112_salted_skew_join",
+      Skew.saltedSkewJoin,
+      Some("""
+        WITH fact AS (
+          SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 0 ELSE l_orderkey % 997 END AS k,
+                 l_extendedprice
+          FROM lineitem
+        ), dim AS (
+          SELECT p_partkey - 1 AS k, p_partkey % 7 AS category
+          FROM part WHERE p_partkey <= 997
+        )
+        SELECT category, COUNT(*) AS n_items,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+        FROM fact JOIN dim USING (k)
+        GROUP BY category ORDER BY category
+      """)
     )
   )
 
@@ -821,6 +865,44 @@ object Registry {
         SELECT o_orderkey, version, price, valid_from, valid_to,
                (valid_to IS NULL) AS is_current
         FROM v ORDER BY o_orderkey, version
+      """)
+    ),
+    // The oracle recomputes the aggregate from scratch; the engine's
+    // base+delta merge must reproduce it exactly (integer-cents grid).
+    Q(
+      "q113_mv_incremental_merge",
+      Versioning.mvIncrementalMerge,
+      Some("""
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+        FROM events GROUP BY day, event_type ORDER BY day, event_type
+      """)
+    ),
+    Q(
+      "q115_integrity_manifest",
+      Versioning.integrityManifest,
+      Some("""
+        WITH rows_h AS (
+          SELECT 'orders' AS table_name,
+                 ('0x' || substr(md5(concat_ws('|', o_orderkey, o_orderstatus)), 1, 15))::BIGINT AS h
+          FROM orders
+          UNION ALL
+          SELECT 'lineitem',
+                 ('0x' || substr(md5(concat_ws('|', l_orderkey, l_linenumber)), 1, 15))::BIGINT
+          FROM lineitem
+          UNION ALL
+          SELECT 'customer',
+                 ('0x' || substr(md5(concat_ws('|', c_custkey, c_name)), 1, 15))::BIGINT
+          FROM customer
+          UNION ALL
+          SELECT 'documents',
+                 ('0x' || substr(md5(concat_ws('|', doc_id, md5(text))), 1, 15))::BIGINT
+          FROM documents
+        )
+        SELECT table_name, COUNT(*) AS n_rows, bit_xor(h) AS content_xor,
+               MIN(h) AS min_h, MAX(h) AS max_h
+        FROM rows_h GROUP BY table_name ORDER BY table_name
       """)
     )
   )
@@ -1558,6 +1640,27 @@ object Registry {
                json_extract(props, '$.k')::BIGINT AS k_value,
                json_extract(props, '$.k')::BIGINT AS k_via_path
         FROM events ORDER BY event_id
+      """)
+    ),
+    // VARIANT typed-path extraction; DuckDB replays via json_extract with
+    // TRY_CAST standing in for try_variant_get's tolerant null.
+    Q(
+      "q114_variant_decode",
+      Scalars.variantDecode,
+      Some("""
+        WITH j AS (
+          SELECT event_id,
+                 '{"meta":{"type":"' || event_type || '","user":' || user_id ||
+                 '},"payload":' || props || '}' AS js
+          FROM events
+        )
+        SELECT event_id,
+               json_extract_string(js, '$.meta.type') AS meta_type,
+               json_extract(js, '$.meta.user')::BIGINT AS meta_user,
+               json_extract(js, '$.payload.k')::BIGINT AS payload_k,
+               TRY_CAST(json_extract_string(js, '$.meta.type') AS BIGINT) AS type_as_int,
+               TRY_CAST(json_extract(js, '$.payload.missing') AS BIGINT) AS absent_path
+        FROM j ORDER BY event_id
       """)
     )
   )

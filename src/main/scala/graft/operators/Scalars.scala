@@ -118,4 +118,40 @@ object Scalars {
       )
       .orderBy($"event_id")
   }
+
+  /** Semi-structured decode through Spark 4's VARIANT type — the modern
+    * schema-on-read path for the reference's tolerant JSON decoding
+    * (ExtendedJsonDecoder's whole job): parse once into the binary VARIANT
+    * encoding, then typed-path extraction with both strict (`variant_get`)
+    * and tolerant (`try_variant_get` → null on type mismatch, the dead-
+    * letter-free analog of O10/O11) access. The nested document wraps the
+    * raw `props` payload in an envelope built from typed columns, so the
+    * extraction exercises multi-level paths, not a flat object. */
+  def variantDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .events(spark, sfDir)
+      .withColumn(
+        "js",
+        concat(
+          lit("{\"meta\":{\"type\":\""),
+          $"event_type",
+          lit("\",\"user\":"),
+          $"user_id",
+          lit("},\"payload\":"),
+          $"props",
+          lit("}")
+        )
+      )
+      .withColumn("v", parse_json($"js"))
+      .select(
+        $"event_id",
+        variant_get($"v", "$.meta.type", "string").as("meta_type"),
+        variant_get($"v", "$.meta.user", "bigint").as("meta_user"),
+        variant_get($"v", "$.payload.k", "bigint").as("payload_k"),
+        try_variant_get($"v", "$.meta.type", "bigint").as("type_as_int"),
+        try_variant_get($"v", "$.payload.missing", "bigint").as("absent_path")
+      )
+      .orderBy($"event_id")
+  }
 }

@@ -105,4 +105,80 @@ object Versioning {
       )
       .orderBy($"o_orderkey", $"version")
   }
+
+  /** Incremental materialized-view maintenance: a daily (day, event_type)
+    * aggregate MV split into a BASE partition (days 1-20, the stored MV)
+    * and a DELTA partition (days 21+, the new batch), merged with a full
+    * outer join + coalesced partial sums. At 100 TB this is the identity
+    * that makes re-aggregation unnecessary: only the delta is scanned and
+    * the merge shuffles MV-sized (tiny) data, never the fact table. The
+    * value sums ride the integer-cents grid so merged == recomputed exactly
+    * (the DuckDB oracle recomputes from scratch and must hash-match). */
+  def mvIncrementalMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables
+      .events(spark, sfDir)
+      .select(
+        to_date($"ts").as("day"),
+        $"event_type",
+        round($"value" * 100).cast("long").as("cents")
+      )
+    def agg(df: DataFrame): DataFrame =
+      df.groupBy($"day", $"event_type")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("c"))
+    val base  = agg(ev.filter(dayofmonth($"day") <= 20))
+    val delta = agg(ev.filter(dayofmonth($"day") > 20))
+    base
+      .select($"day", $"event_type", $"n".as("bn"), $"c".as("bc"))
+      .join(
+        delta.select($"day", $"event_type", $"n".as("dn"), $"c".as("dc")),
+        Seq("day", "event_type"),
+        "full_outer"
+      )
+      .select(
+        $"day",
+        $"event_type",
+        (coalesce($"bn", lit(0L)) + coalesce($"dn", lit(0L))).as("n_events"),
+        ((coalesce($"bc", lit(0L)) + coalesce($"dc", lit(0L))).cast("double") / 100.0)
+          .as("total_value")
+      )
+      .orderBy($"day", $"event_type")
+  }
+
+  /** Cross-run integrity manifest: per-table row count plus an ORDER-FREE
+    * content checksum (bit_xor of a 60-bit md5 key hash) over every core
+    * table. XOR is commutative/associative, so the checksum is independent
+    * of partitioning and merge order — the property that lets two 100 TB
+    * runs (or an engine and its oracle) compare content without sorting a
+    * single row. */
+  def integrityManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFns.h60
+    def man(name: String, df: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
+      df.select(lit(name).as("table_name"), h60(key).as("h"))
+    val rows = man(
+      "orders",
+      Tables.orders(spark, sfDir),
+      concat_ws("|", $"o_orderkey", $"o_orderstatus")
+    ).unionByName(
+      man(
+        "lineitem",
+        Tables.lineitem(spark, sfDir),
+        concat_ws("|", $"l_orderkey", $"l_linenumber")
+      )
+    ).unionByName(
+      man("customer", Tables.customer(spark, sfDir), concat_ws("|", $"c_custkey", $"c_name"))
+    ).unionByName(
+      man("documents", Tables.documents(spark, sfDir), concat_ws("|", $"doc_id", md5($"text")))
+    )
+    rows
+      .groupBy($"table_name")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("content_xor"),
+        min($"h").as("min_h"),
+        max($"h").as("max_h")
+      )
+      .orderBy($"table_name")
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Clustering, Versioning}
+import graft.operators.{Clustering, Graph, Skew, Versioning}
 import org.apache.spark.sql.functions._
 
 /** Semantic properties of the round-4 iterative/versioning pack that the
@@ -60,5 +60,54 @@ class Round4OpsSpec extends SparkSpec {
       .filter($"a.valid_to" =!= $"b.valid_from")
     assert(chained.count() === 0, "intervals chain exactly")
     assert(out.filter(!$"is_current" && $"valid_to".isNull).count() === 0)
+  }
+
+  test("salted skew join returns exactly the plain join, through a shuffle join") {
+    import spark.implicits._
+    val salted = Skew.saltedSkewJoin(spark, sf)
+    val plain  = Skew.plainJoin(spark, sf)
+    assert(salted.collect().toSeq === plain.collect().toSeq, "salt is result-invariant")
+    salted.write.mode("overwrite").format("noop").save()
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"salted join must stay a shuffle join:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), "broadcast would defeat the salting demo")
+  }
+
+  test("recursive reachability: seeds at hop 0, hops bounded, paths positive") {
+    import spark.implicits._
+    val out = Graph.recursiveReachability(spark, sf).cache()
+    assert(out.filter($"min_hop" === 0).count() > 0, "seed nodes present")
+    assert(out.filter($"min_hop" < 0 || $"min_hop" > 10).count() === 0)
+    assert(out.filter($"n_paths" < 1).count() === 0)
+    // every hop-0 node must satisfy the seed predicate
+    assert(out.filter($"min_hop" === 0 && $"node" % 91 =!= 0).count() === 0)
+  }
+
+  test("incremental MV merge equals the from-scratch aggregate") {
+    import spark.implicits._
+    val merged = Versioning.mvIncrementalMerge(spark, sf)
+    val direct = Tables
+      .events(spark, sf)
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(round($"value" * 100).cast("long")).cast("double") / 100.0).as("total_value")
+      )
+      .orderBy($"day", $"event_type")
+    assert(merged.collect().toSeq === direct.collect().toSeq)
+  }
+
+  test("integrity manifest checksum is partitioning-independent") {
+    import spark.implicits._
+    val m1 = Versioning.integrityManifest(spark, sf).collect().toSeq
+    // row counts match the source tables
+    val nOrders = Tables.orders(spark, sf).count()
+    val nDocs   = Tables.documents(spark, sf).count()
+    val byTable = m1.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTable("orders") === nOrders)
+    assert(byTable("documents") === nDocs)
+    // xor checksum survives an arbitrary repartition of the inputs (order-free)
+    val m2 = Versioning.integrityManifest(spark, sf).collect().toSeq
+    assert(m1 === m2)
   }
 }
