@@ -129,8 +129,11 @@ object Scalars {
     * extraction exercises multi-level paths, not a flat object. */
   def variantDecode(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // spread BEFORE the parse: the single-row-group scan would otherwise run
+    // every parse_json in one task (same trap as the md5 kernels — see
+    // BASELINE.md round-2 notes)
     Tables
-      .events(spark, sfDir)
+      .spread(Tables.events(spark, sfDir))
       .withColumn(
         "js",
         concat(

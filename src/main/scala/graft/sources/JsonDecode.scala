@@ -110,8 +110,9 @@ object JsonDecode {
     * independently from the base columns. */
   def nestedDecode(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // spread: JSON synthesis + from_json must not run in the one scan task
     val ev = Tables
-      .events(spark, sfDir)
+      .spread(Tables.events(spark, sfDir))
       .withColumn("k", get_json_object($"props", "$.k").cast("long"))
       .withColumn(
         "meta_json",
