@@ -165,4 +165,25 @@ object Advanced {
       .agg(round(geomean($"l_extendedprice"), 6).as("geomean_price"), count(lit(1)).as("n"))
       .orderBy($"l_returnflag")
   }
+
+  /** Correlated LATERAL subquery (SQL:2016 LATERAL derived table): per-
+    * nation top-3 customers by balance. Catalyst decorrelates the ORDER BY
+    * ... LIMIT lateral into a ranked window join — the same plan as the
+    * DataFrame row_number idiom (q25), but declared in the SQL dialect a
+    * reference user migrating hand-written analytics would reach for. */
+  def lateralTopPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.nation(spark, sfDir).createOrReplaceTempView("nation_lv")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer_lv")
+    spark.sql("""
+      SELECT n.n_name, t.c_name, t.c_acctbal
+      FROM nation_lv n,
+      LATERAL (
+        SELECT c_name, c_acctbal FROM customer_lv c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name
+        LIMIT 3
+      ) t
+      ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+    """)
+  }
 }

@@ -128,4 +128,67 @@ object Chunking {
       .select($"doc_id", $"n_toks", $"end_offset")
       .orderBy($"end_offset")
   }
+
+  /** Content-defined chunking: boundaries where the token's 60-bit md5 hash
+    * is 0 mod 16 (expected chunk ≈ 16 tokens), so chunk boundaries are
+    * INSERT-STABLE — editing one token only reshapes its local chunk, which
+    * is what makes CDC chunks dedup-friendly across document revisions
+    * (fixed-width windows shift every downstream chunk). The running
+    * boundary count is a per-doc window — parallel across docs, no global
+    * state. Chunk text reassembles through sort_array(collect_list) (exact
+    * order restored after the shuffle, same discipline as the centroid
+    * builds). */
+  def cdcChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFns.{h60, tokens}
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy($"doc_id")
+      .orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables
+      .spread(Tables.documents(spark, sfDir))
+      .select($"doc_id", posexplode(tokens($"text")).as(Seq("pos", "tok")))
+      .withColumn("b", when(h60($"tok") % 16 === 0, 1L).otherwise(0L))
+      .withColumn("chunk_id", sum($"b").over(w))
+      .groupBy($"doc_id", $"chunk_id")
+      .agg(
+        count(lit(1)).as("n_toks"),
+        md5(
+          array_join(
+            transform(
+              array_sort(collect_list(struct($"pos", $"tok"))),
+              p => p.getField("tok")
+            ),
+            " "
+          )
+        ).as("chunk_md5")
+      )
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  /** Length-bucketed inference batching: docs bucketed by token count
+    * (width 32), then packed 8-per-batch in doc_id order within each
+    * bucket. Serving systems batch same-length inputs to cut padding
+    * waste; the audit reports exactly that waste (Σ max_toks − n_toks per
+    * batch). Ranking windows are per-bucket — parallel, never global. */
+  def lengthBucketedBatches(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFns.tokens
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"bucket").orderBy($"doc_id")
+    Tables
+      .documents(spark, sfDir)
+      .select($"doc_id", size(tokens($"text")).cast("long").as("n_toks"))
+      .withColumn("bucket", ($"n_toks" / 32L).cast("long"))
+      .withColumn("batch_no", ((row_number().over(w) - 1) / 8).cast("long"))
+      .groupBy($"bucket", $"batch_no")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max($"n_toks").as("max_toks"),
+        min($"doc_id").as("first_doc"),
+        (max($"n_toks") * count(lit(1)) - sum($"n_toks")).as("padding_waste")
+      )
+      .orderBy($"bucket", $"batch_no")
+  }
 }

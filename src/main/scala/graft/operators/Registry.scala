@@ -52,6 +52,21 @@ object Registry {
       """)
     ),
     Q(
+      "q116_lateral_topk",
+      Advanced.lateralTopPerGroup,
+      Some("""
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation n,
+        LATERAL (
+          SELECT c_name, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name
+          LIMIT 3
+        ) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+      """)
+    ),
+    Q(
       "q29_stats_agg",
       Advanced.statsAgg,
       Some("""
@@ -544,6 +559,30 @@ object Registry {
   )
 
   private def vocabPack: Seq[Q] = Seq(
+    Q(
+      "q117_domain_kl_divergence",
+      Vocab.domainKlDivergence,
+      Some("""
+        WITH tok AS (
+          SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+        ), by_src AS (
+          SELECT source, tok, COUNT(*) AS cnt_s FROM tok GROUP BY source, tok
+        ), tot_src AS (
+          SELECT source, CAST(SUM(cnt_s) AS BIGINT) AS tot_s FROM by_src GROUP BY source
+        ), allc AS (
+          SELECT tok, CAST(SUM(cnt_s) AS BIGINT) AS cnt_all FROM by_src GROUP BY tok
+        ), tot_all AS (
+          SELECT CAST(SUM(cnt_all) AS BIGINT) AS tot_all FROM allc
+        ), term AS (
+          SELECT source, cnt_s, tot_s,
+                 CAST(round(ln(CAST(cnt_s * tot_all AS DOUBLE) / (cnt_all * tot_s)) * 1e6) AS BIGINT) AS term6
+          FROM by_src JOIN allc USING (tok) JOIN tot_src USING (source), tot_all
+        )
+        SELECT source, tot_s AS n_tokens,
+               round(CAST(SUM(cnt_s * term6) AS BIGINT) / tot_s / 1e6, 6) AS kl_vs_corpus
+        FROM term GROUP BY source, tot_s ORDER BY source
+      """)
+    ),
     Q(
       "q92_vocab_build",
       Vocab.vocabBuild,
@@ -1197,6 +1236,51 @@ object Registry {
   )
 
   private def chunkingPack: Seq[Q] = Seq(
+    Q(
+      "q118_cdc_chunks",
+      Chunking.cdcChunks,
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        ), x AS (
+          SELECT doc_id,
+                 unnest(range(1, len(tk) + 1)) AS pos,
+                 unnest(tk) AS tok
+          FROM t
+        ), h AS (
+          SELECT doc_id, pos, tok,
+                 CASE WHEN ('0x' || substr(md5(tok), 1, 15))::BIGINT % 16 = 0
+                      THEN 1 ELSE 0 END AS b
+          FROM x
+        ), c AS (
+          SELECT doc_id, pos, tok,
+                 CAST(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS chunk_id
+          FROM h
+        )
+        SELECT doc_id, chunk_id, COUNT(*) AS n_toks,
+               md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+        FROM c GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id
+      """)
+    ),
+    Q(
+      "q119_length_bucketed_batches",
+      Chunking.lengthBucketedBatches,
+      Some("""
+        WITH d AS (
+          SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+          FROM documents
+        ), r AS (
+          SELECT doc_id, n_toks, n_toks // 32 AS bucket,
+                 CAST((ROW_NUMBER() OVER (PARTITION BY (n_toks // 32) ORDER BY doc_id) - 1) // 8 AS BIGINT) AS batch_no
+          FROM d
+        )
+        SELECT bucket, batch_no, COUNT(*) AS n_docs, MAX(n_toks) AS max_toks,
+               MIN(doc_id) AS first_doc,
+               CAST(MAX(n_toks) * COUNT(*) - SUM(n_toks) AS BIGINT) AS padding_waste
+        FROM r GROUP BY bucket, batch_no ORDER BY bucket, batch_no
+      """)
+    ),
     Q(
       "q83_chunk_documents",
       Chunking.chunkDocuments,

@@ -197,4 +197,48 @@ object Vocab {
       )
       .orderBy($"doc_id")
   }
+
+  /** Per-source KL divergence of the token distribution vs the whole
+    * corpus — the statistical drift check a mixture pipeline runs before
+    * reweighting domains (large KL = the source's language is far from the
+    * mix). Grid-exact: each token's log-ratio term rides the 1e6 grid as
+    * an INTEGER (the products stay < 2^53 so the double division is exact),
+    * weighted by the integer count, so the aggregate is order-independent
+    * and DuckDB-replayable. One token-explode shuffle + two small joins —
+    * the corpus-side totals broadcast. */
+  def domainKlDivergence(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFns.tokens
+    val tok = Tables
+      .spread(Tables.documents(spark, sfDir))
+      .select($"source", explode(tokens($"text")).as("tok"))
+    val bySrc = tok.groupBy($"source", $"tok").agg(count(lit(1)).as("cnt_s"))
+    val totS  = bySrc.groupBy($"source").agg(sum($"cnt_s").as("tot_s"))
+    val all   = bySrc.groupBy($"tok").agg(sum($"cnt_s").as("cnt_all"))
+    val totAll = all.agg(sum($"cnt_all").as("tot_all"))
+    // token-keyed join stays a shuffle join (the vocabulary is unbounded at
+    // corpus scale — only the per-source totals and the 1-row grand total
+    // broadcast)
+    bySrc
+      .join(all, "tok")
+      .join(broadcast(totS), "source")
+      .crossJoin(broadcast(totAll))
+      .withColumn(
+        "term6",
+        round(
+          log(($"cnt_s" * $"tot_all").cast("double") / ($"cnt_all" * $"tot_s")) * 1e6
+        ).cast("long")
+      )
+      .groupBy($"source")
+      .agg(
+        first($"tot_s").as("n_tokens"),
+        sum($"cnt_s" * $"term6").as("kl6")
+      )
+      .select(
+        $"source",
+        $"n_tokens",
+        round($"kl6" / $"n_tokens" / 1e6, 6).as("kl_vs_corpus")
+      )
+      .orderBy($"source")
+  }
 }

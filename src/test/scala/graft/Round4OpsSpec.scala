@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Clustering, Graph, Skew, Versioning}
+import graft.operators.{Advanced, Chunking, Clustering, Graph, Skew, Versioning, Vocab}
 import org.apache.spark.sql.functions._
 
 /** Semantic properties of the round-4 iterative/versioning pack that the
@@ -109,5 +109,60 @@ class Round4OpsSpec extends SparkSpec {
     // xor checksum survives an arbitrary repartition of the inputs (order-free)
     val m2 = Versioning.integrityManifest(spark, sf).collect().toSeq
     assert(m1 === m2)
+  }
+
+  test("lateral top-k: at most 3 per nation, balances non-increasing") {
+    import spark.implicits._
+    val out = Advanced.lateralTopPerGroup(spark, sf).cache()
+    val over = out.groupBy($"n_name").count().filter($"count" > 3)
+    assert(over.count() === 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"n_name").orderBy($"c_acctbal".desc, $"c_name")
+    val bad = out
+      .withColumn("prev", lag($"c_acctbal", 1).over(w))
+      .filter($"prev".isNotNull && $"prev" < $"c_acctbal")
+    assert(bad.count() === 0, "per-nation balances non-increasing")
+  }
+
+  test("domain KL divergence is non-negative and covers every source") {
+    import spark.implicits._
+    val out  = Vocab.domainKlDivergence(spark, sf).cache()
+    val nSrc = Tables.documents(spark, sf).select($"source").distinct().count()
+    assert(out.count() === nSrc)
+    // q (corpus) covers p's support, so KL >= 0 up to grid rounding
+    assert(out.filter($"kl_vs_corpus" < -1e-4).count() === 0)
+  }
+
+  test("cdc chunks partition every document's tokens exactly") {
+    import spark.implicits._
+    import graft.functions.TextFns.tokens
+    val out = Chunking.cdcChunks(spark, sf).cache()
+    val perDoc = out.groupBy($"doc_id").agg(sum($"n_toks").as("total"))
+    val src = Tables
+      .documents(spark, sf)
+      .select($"doc_id", size(tokens($"text")).cast("long").as("n"))
+    assert(perDoc.join(src, "doc_id").filter($"total" =!= $"n").count() === 0)
+    assert(out.filter($"n_toks" < 1).count() === 0)
+  }
+
+  test("length-bucketed batches: 8-doc cap, non-negative padding, full cover") {
+    import spark.implicits._
+    val out = Chunking.lengthBucketedBatches(spark, sf).cache()
+    assert(out.filter($"n_docs" > 8).count() === 0)
+    assert(out.filter($"padding_waste" < 0).count() === 0)
+    assert(
+      out.agg(sum($"n_docs")).head().getLong(0) ===
+        Tables.documents(spark, sf).count()
+    )
+    // only the last batch of a bucket may be short
+    val shortNonLast = out
+      .withColumn(
+        "max_batch",
+        max($"batch_no").over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"bucket")
+        )
+      )
+      .filter($"n_docs" < 8 && $"batch_no" =!= $"max_batch")
+    assert(shortNonLast.count() === 0)
   }
 }
