@@ -172,18 +172,28 @@ object Advanced {
     * DataFrame row_number idiom (q25), but declared in the SQL dialect a
     * reference user migrating hand-written analytics would reach for. */
   def lateralTopPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.nation(spark, sfDir).createOrReplaceTempView("nation_lv")
-    Tables.customer(spark, sfDir).createOrReplaceTempView("customer_lv")
-    spark.sql("""
-      SELECT n.n_name, t.c_name, t.c_acctbal
-      FROM nation_lv n,
-      LATERAL (
-        SELECT c_name, c_acctbal FROM customer_lv c
-        WHERE c.c_nationkey = n.n_nationkey
-        ORDER BY c_acctbal DESC, c_name
-        LIMIT 3
-      ) t
-      ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
-    """)
+    // Unique per-call view names (session-global temp views would race
+    // across concurrent queries); sql() resolves eagerly, so drop after.
+    val sfx  = java.util.UUID.randomUUID().toString.replace("-", "")
+    val natV = s"nation_lv_$sfx"
+    val cusV = s"customer_lv_$sfx"
+    Tables.nation(spark, sfDir).createOrReplaceTempView(natV)
+    Tables.customer(spark, sfDir).createOrReplaceTempView(cusV)
+    try
+      spark.sql(s"""
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM $natV n,
+        LATERAL (
+          SELECT c_name, c_acctbal FROM $cusV c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name
+          LIMIT 3
+        ) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+      """)
+    finally {
+      spark.catalog.dropTempView(natV)
+      spark.catalog.dropTempView(cusV)
+    }
   }
 }

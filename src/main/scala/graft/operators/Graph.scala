@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Connected components — the clustering step a dedup pipeline runs AFTER
@@ -36,11 +36,29 @@ object Graph {
   }
 
   /** Min-label propagation over an undirected edge list; returns
-    * (node, comp) with comp = min node id reachable. */
-  def minLabelComponents(nodes: DataFrame, edgeList: DataFrame, maxIter: Int = 20): DataFrame = {
+    * (node, comp) with comp = min node id reachable.
+    *
+    * One ACTION per round: the convergence metric rides the same
+    * cache-populating count as the new labels via `observe` (a
+    * `CollectMetrics` node in the plan — the accumulator is filled during
+    * the pass, no separate filtered-count job, and no second cached copy of
+    * the round's output). Every `checkpointEvery` rounds the cached labels
+    * are `localCheckpoint`ed to truncate the join-on-join lineage — at
+    * 100 TB a 20-deep cached-plan chain is a recompute bomb if an executor
+    * loses a cache block. */
+  def minLabelComponents(
+      nodes: DataFrame,
+      edgeList: DataFrame,
+      maxIter: Int = 20,
+      checkpointEvery: Int = 5
+  ): DataFrame = {
     import nodes.sparkSession.implicits._
+    // cache the symmetrized edges: the edge list may itself be an expensive
+    // plan (q120 feeds the Jaccard pair self-join in here) and is read once
+    // per round — without the cache every round re-executes it from scratch
     val sym = edgeList
       .unionByName(edgeList.select($"dst".as("src"), $"src".as("dst")))
+      .cache()
     var labels  = nodes.select($"node", $"node".as("comp")).cache()
     var changed = 1L
     var iter    = 0
@@ -49,17 +67,33 @@ object Graph {
         .join(labels, $"dst" === $"node")
         .groupBy($"src")
         .agg(min($"comp").as("nbr_comp"))
+      val obs = Observation(s"cc_round_$iter")
       val next = labels
         .join(nbrMin, $"node" === $"src", "left")
-        .select($"node", $"comp", least($"comp", coalesce($"nbr_comp", $"comp")).as("comp2"))
+        .select(
+          $"node",
+          least($"comp", coalesce($"nbr_comp", $"comp")).as("comp"),
+          when($"nbr_comp" < $"comp", 1L).otherwise(0L).as("ch")
+        )
+        .observe(obs, sum($"ch").as("changed"))
+        .select($"node", $"comp")
         .cache()
-      changed = next.filter($"comp2" < $"comp").count()
+      next.count() // the round's single action: fills cache + observation
+      changed = obs.get("changed") match {
+        case n: Number => n.longValue()
+        case _         => 0L
+      }
       val prev = labels
-      labels = next.select($"node", $"comp2".as("comp")).cache()
+      labels = next
       prev.unpersist()
-      next.unpersist()
+      if (changed > 0 && (iter + 1) % checkpointEvery == 0) {
+        val chk = labels.localCheckpoint(true)
+        labels.unpersist()
+        labels = chk
+      }
       iter += 1
     }
+    sym.unpersist()
     labels
   }
 
@@ -86,17 +120,24 @@ object Graph {
     * the same per-level plan the hand-rolled [[minLabelComponents]] loop
     * executes, but declared in SQL and planned by Catalyst. */
   def recursiveReachability(spark: SparkSession, sfDir: String): DataFrame = {
-    edges(spark, sfDir).createOrReplaceTempView("doc_edges")
-    spark.sql("""
-      WITH RECURSIVE reach(node, hop) AS (
-        SELECT DISTINCT src AS node, 0 AS hop FROM doc_edges WHERE src % 91 = 0
-        UNION ALL
-        SELECT e.dst, r.hop + 1
-        FROM reach r JOIN doc_edges e ON e.src = r.node
-        WHERE r.hop < 10
-      )
-      SELECT node, CAST(MIN(hop) AS INT) AS min_hop, COUNT(*) AS n_paths
-      FROM reach GROUP BY node ORDER BY node
-    """)
+    // Unique per-call view name: createOrReplaceTempView is session-global
+    // mutable state, and a fixed name would race if two queries ran
+    // concurrently in one SparkSession. sql() resolves the view eagerly, so
+    // it can be dropped before returning.
+    val v = s"doc_edges_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    edges(spark, sfDir).createOrReplaceTempView(v)
+    try
+      spark.sql(s"""
+        WITH RECURSIVE reach(node, hop) AS (
+          SELECT DISTINCT src AS node, 0 AS hop FROM $v WHERE src % 91 = 0
+          UNION ALL
+          SELECT e.dst, r.hop + 1
+          FROM reach r JOIN $v e ON e.src = r.node
+          WHERE r.hop < 10
+        )
+        SELECT node, CAST(MIN(hop) AS INT) AS min_hop, COUNT(*) AS n_paths
+        FROM reach GROUP BY node ORDER BY node
+      """)
+    finally spark.catalog.dropTempView(v)
   }
 }

@@ -575,7 +575,8 @@ object Registry {
           SELECT CAST(SUM(cnt_all) AS BIGINT) AS tot_all FROM allc
         ), term AS (
           SELECT source, cnt_s, tot_s,
-                 CAST(round(ln(CAST(cnt_s * tot_all AS DOUBLE) / (cnt_all * tot_s)) * 1e6) AS BIGINT) AS term6
+                 CAST(round(ln((CAST(cnt_s AS DOUBLE) * CAST(tot_all AS DOUBLE)) /
+                   (CAST(cnt_all AS DOUBLE) * CAST(tot_s AS DOUBLE))) * 1e6) AS BIGINT) AS term6
           FROM by_src JOIN allc USING (tok) JOIN tot_src USING (source), tot_all
         )
         SELECT source, tot_s AS n_tokens,
@@ -716,7 +717,7 @@ object Registry {
         ), m0 AS (
           SELECT CAST(vec_id % 8 AS INT) AS cluster, i.i AS pos,
                  CAST(CAST(SUM(CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*) AS FLOAT) AS m
-          FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
+          FROM embeddings, (SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i) i
           GROUP BY cluster, i.i
         ), c0 AS (
           SELECT cluster AS cent_id, cvec,
@@ -724,7 +725,7 @@ object Registry {
           FROM (SELECT cluster, list(m ORDER BY pos) AS cvec FROM m0 GROUP BY cluster)
         ), s1 AS (
           SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
-                 list_sum(list_transform(range(1, 65),
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
                    i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i])) / (e.nrm * c.cnrm) AS ccos
           FROM e, c0 c
         ), a1 AS (
@@ -735,7 +736,7 @@ object Registry {
         ), m1 AS (
           SELECT cluster, i.i AS pos,
                  CAST(CAST(SUM(CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*) AS FLOAT) AS m
-          FROM a1, (SELECT unnest(range(1, 65)) AS i) i
+          FROM a1, (SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i) i
           GROUP BY cluster, i.i
         ), c1 AS (
           SELECT cluster AS cent_id, cvec,
@@ -743,7 +744,7 @@ object Registry {
           FROM (SELECT cluster, list(m ORDER BY pos) AS cvec FROM m1 GROUP BY cluster)
         ), s2 AS (
           SELECT e.vec_id, c.cent_id,
-                 list_sum(list_transform(range(1, 65),
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
                    i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i])) / (e.nrm * c.cnrm) AS ccos
           FROM e, c1 c
         ), a2 AS (
@@ -860,7 +861,7 @@ object Registry {
                       ELSE o_totalprice END AS o_totalprice
           FROM base WHERE o_orderkey % 97 <> 0
           UNION ALL
-          SELECT o_orderkey + 10000000, o_totalprice FROM base WHERE o_orderkey % 50 = 7
+          SELECT o_orderkey + 10000000000000, o_totalprice FROM base WHERE o_orderkey % 50 = 7
         ), d AS (
           SELECT COALESCE(b.o_orderkey, n.o_orderkey) AS o_orderkey,
                  b.o_totalprice AS old_price, n.o_totalprice AS new_price
@@ -1195,7 +1196,7 @@ object Registry {
         ), cpos AS (
           SELECT label, i.i AS pos,
                  CAST(CAST(SUM(CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*) AS FLOAT) AS m
-          FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
+          FROM embeddings, (SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i) i
           GROUP BY label, i.i
         ), cents AS (
           SELECT label AS cent_id, list(m ORDER BY pos) AS cvec

@@ -37,8 +37,12 @@ object Versioning {
       )
       .unionByName(
         base
+          // synthetic "added" keys: TPC-H orderkeys reach 6M·SF, so the
+          // offset must sit far above any real key at any plausible SF
+          // (1e13 clears SF 100k = 100 TB by 16×) or adds silently
+          // collide with real rows and stop modelling an add.
           .filter($"o_orderkey" % 50 === 7)
-          .select(($"o_orderkey" + 10000000L).as("o_orderkey"), $"o_totalprice")
+          .select(($"o_orderkey" + 10000000000000L).as("o_orderkey"), $"o_totalprice")
       )
     base
       .select($"o_orderkey", $"o_totalprice".as("old_price"))

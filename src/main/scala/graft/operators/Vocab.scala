@@ -224,9 +224,17 @@ object Vocab {
       .join(broadcast(totS), "source")
       .crossJoin(broadcast(totAll))
       .withColumn(
+        // each factor is cast to double BEFORE the multiply: cnt_s·tot_all
+        // as a long product overflows at large corpus scale (Spark would
+        // silently wrap non-ANSI, DuckDB would error — parity breaks
+        // exactly when it matters); double·double just loses ulps, and the
+        // oracle mirrors the same association.
         "term6",
         round(
-          log(($"cnt_s" * $"tot_all").cast("double") / ($"cnt_all" * $"tot_s")) * 1e6
+          log(
+            ($"cnt_s".cast("double") * $"tot_all".cast("double")) /
+              ($"cnt_all".cast("double") * $"tot_s".cast("double"))
+          ) * 1e6
         ).cast("long")
       )
       .groupBy($"source")
