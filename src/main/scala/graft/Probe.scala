@@ -18,6 +18,28 @@ object Probe {
       SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
+    if (which == "ccdiag") {
+      import spark.implicits._
+      import graft.operators.Graph
+      val nodes = Tables.documents(spark, sfDir).select($"doc_id".as("node"))
+      def t[A](tag: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[ccdiag] $tag%-16s ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+      }
+      // warm
+      Graph.connectedComponents(spark, sfDir).write.mode("overwrite").format("noop").save()
+      val e = t("edges-build") {
+        val e0 = Graph.edges(spark, sfDir).cache(); e0.count(); e0
+      }
+      val comp = t("label-loop")(Graph.minLabelComponents(nodes, e))
+      t("final-agg") {
+        val sizes = comp.groupBy($"comp").agg(count(lit(1)).as("comp_size"))
+        comp.join(sizes, "comp").select($"node", $"comp", $"comp_size").orderBy($"node")
+          .write.mode("overwrite").format("noop").save()
+      }
+      t("full-query")(Graph.connectedComponents(spark, sfDir).write.mode("overwrite").format("noop").save())
+      spark.stop(); return
+    }
     if (which == "adhoc") {
       // decimal vs double vs scaled-long aggregation cost on lineitem
       import spark.implicits._

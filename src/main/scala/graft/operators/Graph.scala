@@ -24,7 +24,7 @@ object Graph {
   /** Deterministic test graph over `documents`: chain edges (i, i+1) where
     * i % 7 < 2 and jump edges (i, i+10) where i % 13 == 0 — small
     * multi-node components with nontrivial shapes, replayable in SQL. */
-  private[operators] def edges(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def edges(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir).select($"doc_id")
     val e1 = docs.filter($"doc_id" % 7 < 2).select($"doc_id".as("src"), ($"doc_id" + 1).as("dst"))
@@ -38,37 +38,38 @@ object Graph {
   /** Min-label propagation over an undirected edge list; returns
     * (node, comp) with comp = min node id reachable.
     *
-    * One ACTION per round: the convergence metric rides the same
-    * cache-populating count as the new labels via `observe` (a
-    * `CollectMetrics` node in the plan — the accumulator is filled during
-    * the pass, no separate filtered-count job, and no second cached copy of
-    * the round's output). Every `checkpointEvery` rounds the cached labels
+    * TWO propagation rounds per ACTION: each driver action evaluates the
+    * label-update plan twice back-to-back — same shuffles per round, half
+    * the job-launch / cache / convergence-check barriers (at 1000
+    * executors every action is a full cluster sync). The convergence
+    * metric rides the cache-populating count via `observe` (a
+    * `CollectMetrics` node per round, no separate filtered-count job); a
+    * zero-change round is a fixpoint, so stopping on the second round's
+    * counter is exact. Every `checkpointEvery` actions the cached labels
     * are `localCheckpoint`ed to truncate the join-on-join lineage — at
-    * 100 TB a 20-deep cached-plan chain is a recompute bomb if an executor
+    * 100 TB a deep cached-plan chain is a recompute bomb if an executor
     * loses a cache block. */
   def minLabelComponents(
       nodes: DataFrame,
       edgeList: DataFrame,
       maxIter: Int = 20,
-      checkpointEvery: Int = 5
+      checkpointEvery: Int = 3
   ): DataFrame = {
     import nodes.sparkSession.implicits._
     // cache the symmetrized edges: the edge list may itself be an expensive
-    // plan (q120 feeds the Jaccard pair self-join in here) and is read once
-    // per round — without the cache every round re-executes it from scratch
+    // plan (the dedup endgame feeds a pair self-join in here) and is read
+    // twice per action — without the cache every round re-executes it
     val sym = edgeList
       .unionByName(edgeList.select($"dst".as("src"), $"src".as("dst")))
       .cache()
-    var labels  = nodes.select($"node", $"node".as("comp")).cache()
-    var changed = 1L
-    var iter    = 0
-    while (changed > 0 && iter < maxIter) {
+    // one min-label round: neighborhood-min join + label update, with the
+    // changed-row count observed in-pass
+    def step(lbl: DataFrame, obs: Observation): DataFrame = {
       val nbrMin = sym
-        .join(labels, $"dst" === $"node")
+        .join(lbl, $"dst" === $"node")
         .groupBy($"src")
         .agg(min($"comp").as("nbr_comp"))
-      val obs = Observation(s"cc_round_$iter")
-      val next = labels
+      lbl
         .join(nbrMin, $"node" === $"src", "left")
         .select(
           $"node",
@@ -77,21 +78,32 @@ object Graph {
         )
         .observe(obs, sum($"ch").as("changed"))
         .select($"node", $"comp")
-        .cache()
-      next.count() // the round's single action: fills cache + observation
-      changed = obs.get("changed") match {
-        case n: Number => n.longValue()
-        case _         => 0L
-      }
+    }
+    def metric(obs: Observation): Long = obs.get("changed") match {
+      case n: Number => n.longValue()
+      case _         => 0L
+    }
+    var labels     = nodes.select($"node", $"node".as("comp")).cache()
+    var changed    = 1L
+    var action     = 0
+    val maxActions = (maxIter + 1) / 2
+    while (changed > 0 && action < maxActions) {
+      val obs1 = Observation(s"cc_a${action}_r1")
+      val obs2 = Observation(s"cc_a${action}_r2")
+      val next = step(step(labels, obs1), obs2).cache()
+      next.count() // the action: fills cache + both rounds' observations
+      changed = metric(obs2)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] action=$action changed=${metric(obs1)},$changed")
       val prev = labels
       labels = next
       prev.unpersist()
-      if (changed > 0 && (iter + 1) % checkpointEvery == 0) {
+      if (changed > 0 && (action + 1) % checkpointEvery == 0) {
         val chk = labels.localCheckpoint(true)
         labels.unpersist()
         labels = chk
       }
-      iter += 1
+      action += 1
     }
     sym.unpersist()
     labels

@@ -18,6 +18,46 @@ class GraphSpec extends SparkSpec {
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("label loop runs at most one job per two rounds and cleans its caches") {
+    import spark.implicits._
+    // long chain 1-2-3-...-10: min label needs 9 propagation rounds to
+    // reach the tail, so the loop genuinely iterates (5 two-round actions
+    // + the zero-change detection ride along in the 5th)
+    val nodes = (1L to 10L).toDF("node")
+    val edges = (1L until 10L).map(i => (i, i + 1)).toDF("src", "dst")
+
+    // count driver ACTIONS (SQL executions), not raw jobs: under AQE every
+    // shuffle-stage materialization is its own job, so job count measures
+    // AQE granularity, not loop round trips
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          jobs.incrementAndGet(); ()
+        case _ => ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    try {
+      val comp = Graph.minLabelComponents(nodes, edges).as[(Long, Long)].collect().toMap
+      assert(comp === (1L to 10L).map(_ -> 1L).toMap)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // 9 rounds of propagation + 1 zero-change detection round = 5 actions;
+    // each action is ONE count execution (convergence metric observed
+    // in-pass), plus the final collect = 6. The old shape ran a cache-fill
+    // count AND a filter().count() per round (= 20+). Assert well under
+    // that with slack, failing loudly if a per-round action ever returns.
+    // listener events are delivered async; poll briefly before asserting
+    val deadline = System.nanoTime() + 5_000_000_000L
+    while (jobs.get() == 0 && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(jobs.get() <= 9, s"expected <=9 SQL executions for the 9-round loop, saw ${jobs.get()}")
+    // cache hygiene: everything the loop pinned is released except the
+    // final labels (one RDD; a localCheckpoint can pin one more)
+    val leaked = spark.sparkContext.getPersistentRDDs.size - before
+    assert(leaked <= 2, s"expected <=2 persistent RDDs after the loop, saw $leaked extra")
+  }
+
   test("minhash pairs cluster into duplicate components with the source as survivor") {
     import spark.implicits._
     val pairs = Dedup.minhashLshPairs(spark, sf)
