@@ -1113,6 +1113,53 @@ object Registry {
         )
         SELECT id1, id2, cos FROM p WHERE cos >= 0.9 ORDER BY id1, id2
       """)
+    ),
+    // The dedup ENDGAME: the q65 pair pipeline replayed verbatim, then
+    // recursive min-label propagation (the q94 discipline) and survivor
+    // election. The propagation CTE is transitive closure over the pair
+    // graph — exact because the fixture components have small diameter.
+    Q(
+      "q120_dedup_endgame",
+      Dedup.dedupEndgame,
+      Some(s"""
+        WITH RECURSIVE $dupCorpus, tk AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+        ), sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS dsh FROM tk
+        ), hsh AS (
+          SELECT doc_id, list_transform(dsh,
+            x -> ('0x' || substr(md5(x),1,15))::BIGINT % 2147483647) AS hs
+          FROM sh
+        ), sg AS (
+          SELECT doc_id, list_transform(range(0, 16), s ->
+            CAST(list_min(list_transform(hs,
+              h -> ((s*2+1) * h + s*12289) % 2147483647)) AS BIGINT)) AS sig
+          FROM hsh
+        ), bands AS (
+          SELECT doc_id, sig, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS key
+          FROM sg, (SELECT unnest([0,1,2,3]) AS b)
+        ), pairs AS (
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+        ), sym AS (
+          SELECT id1 AS src, id2 AS dst FROM pairs
+          UNION
+          SELECT id2, id1 FROM pairs
+        ), reach(node, r) AS (
+          SELECT doc_id, doc_id FROM corpus
+          UNION
+          SELECT s.src, r.r FROM sym s JOIN reach r ON s.dst = r.node
+        ), comp AS (
+          SELECT node, MIN(r) AS comp FROM reach GROUP BY node
+        ), clusters AS (
+          SELECT comp, COUNT(*) AS cluster_size FROM comp GROUP BY comp
+        )
+        SELECT c.doc_id AS survivor_id, cl.cluster_size,
+               CAST(length(c.text) AS INT) AS text_len
+        FROM corpus c JOIN clusters cl ON c.doc_id = cl.comp
+        ORDER BY survivor_id
+      """)
     )
   )
 

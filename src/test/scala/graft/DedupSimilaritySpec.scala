@@ -120,4 +120,38 @@ class DedupSimilaritySpec extends SparkSpec {
     val bad  = r1.join(mx, "query_id").filter($"c1" =!= $"cm")
     assert(bad.count() === 0)
   }
+
+  test("CDC span candidates: full recall on verbatim copies at a fraction of stride-1's hash count") {
+    import spark.implicits._
+    val chunks = Dedup.cdcSpans(spark, sf).cache()
+    // recall: a verbatim copy produces an identical chunk sequence
+    // (boundaries are content-derived), so EVERY injected copy doc must
+    // appear in at least one multi-doc span
+    val flaggedDocs = chunks
+      .join(
+        chunks.groupBy($"span_md5").agg(countDistinct($"doc_id").as("n_docs")).filter($"n_docs" >= 2),
+        "span_md5"
+      )
+      .select($"doc_id")
+      .distinct()
+    val copies = Dedup
+      .docsWithDups(spark, sf)
+      .filter($"doc_id" >= 1000000L)
+      .select($"doc_id")
+    val missed = copies.exceptAll(flaggedDocs).count()
+    assert(missed === 0, s"every verbatim copy must share a CDC span with its source; missed $missed")
+    // cost model: CDC hashes one span per ~16 tokens where stride-1
+    // hashes ~one per token — assert at least 8x fewer candidate hashes
+    val cdcHashes = chunks.count()
+    val stride1Hashes = Dedup
+      .docsWithDups(spark, sf)
+      .select(greatest(size(graft.functions.TextFns.tokens($"text")) - 15, lit(0)).as("n"))
+      .agg(sum($"n"))
+      .as[Long]
+      .head()
+    assert(
+      cdcHashes * 8 <= stride1Hashes,
+      s"CDC candidate generation must hash >=8x fewer spans (cdc=$cdcHashes, stride1=$stride1Hashes)"
+    )
+  }
 }
