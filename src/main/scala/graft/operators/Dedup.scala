@@ -49,6 +49,14 @@ object Dedup {
     * Shuffles on the band key — the at-scale plan; no cross join. */
   def minhashLshPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    minhashPairsUnsorted(spark, sfDir).orderBy($"id1", $"id2")
+  }
+
+  /** [[minhashLshPairs]] without the presentation sort — the form consumers
+    * like [[dedupEndgame]] compose (their next stage is a shuffle anyway,
+    * so a global sort here would be pure waste). */
+  private[graft] def minhashPairsUnsorted(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     // Whole signature computed by compiled kernels in one projection (md5
     // shingle hashes + 16 affine min-lanes; distinct-ness of shingles is
     // irrelevant under min). The spread parallelizes past the single-task
@@ -101,7 +109,6 @@ object Dedup {
           (acc, v) => acc + v
         ) / 16.0).as("est_jaccard")
       )
-      .orderBy($"id1", $"id2")
   }
 
   /** SimHash (48-bit over word-3-gram shingles) near-dup: pairs within
@@ -509,7 +516,7 @@ object Dedup {
   def dedupEndgame(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val corpus = docsWithDups(spark, sfDir)
-    val pairs  = minhashLshPairs(spark, sfDir).select($"id1".as("src"), $"id2".as("dst"))
+    val pairs  = minhashPairsUnsorted(spark, sfDir).select($"id1".as("src"), $"id2".as("dst"))
     val nodes  = corpus.select($"doc_id".as("node"))
     val comp   = Graph.minLabelComponents(nodes, pairs)
     val clusters = comp.groupBy($"comp").agg(count(lit(1)).as("cluster_size"))

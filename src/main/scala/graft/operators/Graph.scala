@@ -56,12 +56,14 @@ object Graph {
       checkpointEvery: Int = 3
   ): DataFrame = {
     import nodes.sparkSession.implicits._
-    // cache the symmetrized edges: the edge list may itself be an expensive
-    // plan (the dedup endgame feeds a pair self-join in here) and is read
-    // twice per action — without the cache every round re-executes it
-    val sym = edgeList
-      .unionByName(edgeList.select($"dst".as("src"), $"src".as("dst")))
-      .cache()
+    // cache the DIRECTED edges, not the symmetrized union: the edge list
+    // may itself be an expensive plan (the dedup endgame feeds the minhash
+    // pair pipeline in here), and a cache placed above the union would
+    // evaluate that plan once per union branch during fill — both branches
+    // below share ONE InMemoryRelation, so the plan runs once and every
+    // round's symmetrize is two cheap cached scans
+    val e = edgeList.cache()
+    val sym = e.unionByName(e.select($"dst".as("src"), $"src".as("dst")))
     // one min-label round: neighborhood-min join + label update, with the
     // changed-row count observed in-pass
     def step(lbl: DataFrame, obs: Observation): DataFrame = {
@@ -105,7 +107,7 @@ object Graph {
       }
       action += 1
     }
-    sym.unpersist()
+    e.unpersist()
     labels
   }
 

@@ -1850,6 +1850,25 @@ object Registry {
         FROM base ORDER BY event_id
       """)
     ),
+    // General union decode: the oracle recomputes branch + value + verdict
+    // independently from the base columns (the q55 discipline) — the slice
+    // arithmetic mirrors the synthesized union encodings.
+    Q(
+      "q121_union_decode",
+      JsonDecode.unionDecode,
+      Some("""
+        SELECT event_id,
+               CASE event_id % 5 WHEN 0 THEN 'long' WHEN 1 THEN 'string'
+                                 WHEN 2 THEN 'null' ELSE NULL END AS u_branch,
+               CASE WHEN user_id % 2 = 0 THEN 'long' ELSE 'null' END AS v_branch,
+               CASE WHEN event_id % 5 = 0 THEN event_id % 100 ELSE NULL END AS u_long,
+               CASE WHEN event_id % 5 = 1 THEN 's' || CAST(user_id % 10 AS VARCHAR)
+                    ELSE NULL END AS u_str,
+               CASE WHEN user_id % 2 = 0 THEN user_id % 50 ELSE NULL END AS v_long,
+               CASE WHEN event_id % 5 IN (3, 4) THEN 'dead' ELSE 'ok' END AS status
+        FROM events ORDER BY event_id
+      """)
+    ),
     Q(
       "q52_dead_letter_audit",
       JsonDecode.deadLetterAudit,

@@ -44,6 +44,50 @@ object JsonDecode {
   def enumSymbol(c: Column, symbols: Seq[String]): Column =
     when(c.isInCollection(symbols), c)
 
+  // --- general Avro union decode (readIndex :436-461) ---
+
+  /** Resolve the Avro union branch for record field `field` from the raw
+    * record JSON, with the reference decoder's exact rules
+    * (ExtendedJsonDecoder.java readIndex :436-461):
+    *
+    *   - JSON `null` (or an absent field — the reference's default
+    *     injection turns those into null before the union resolves) → the
+    *     `"null"` branch, which must be a member, else reject
+    *   - a wrapped single-key object `{"label": v}` → that label; an
+    *     unknown label rejects (`Unknown union branch`, :456-458)
+    *   - a BARE value is only legal for a two-branch union containing
+    *     `"null"` — it resolves to the non-null branch (:448-451); for any
+    *     other union shape a bare value rejects (:452-453)
+    *
+    * Reject = null result, so the caller routes the record to the same
+    * auditable dead-letter side as malformed JSON. This closes the declared
+    * [null, T]-only divergence: arbitrary `[null, long, string, …]` unions
+    * resolve exactly as the reference does. All probes are codegen'd JSON
+    * built-ins over the raw text — no UDFs. */
+  def unionLabel(rec: Column, field: String, branches: Seq[String]): Column = {
+    val raw     = get_json_object(rec, s"$$.$field")
+    val keys    = json_object_keys(raw)
+    val key1    = element_at(keys, 1)
+    val nonNull = branches.filter(_ != "null")
+    val bareOk  = branches.size == 2 && branches.contains("null")
+    val reject = lit(null).cast("string")
+    when(raw.isNull, if (branches.contains("null")) lit("null") else reject)
+      .when(keys.isNotNull && size(keys) === 1 && key1.isInCollection(nonNull), key1)
+      .when(keys.isNull, if (bareOk) lit(nonNull.head) else reject)
+    // multi-key / unknown-label wrapped objects fall through → null (reject)
+  }
+
+  /** The resolved union value's raw text for `label`: the wrapped branch
+    * payload when present, else the bare value (only reachable for the
+    * two-branch nullable shortcut). Cast/decode per branch type at the call
+    * site — e.g. `.cast("long")` for a `long` branch, [[bytesIso88591]] for
+    * a `bytes` branch. */
+  def unionValue(rec: Column, field: String, label: String): Column =
+    coalesce(
+      get_json_object(rec, s"$$.$field.$label"),
+      get_json_object(rec, s"$$.$field")
+    )
+
   /** PERMISSIVE decode splitting valid rows from a dead-letter side.
     * Returns (valid, deadLetter); `valid` carries the parsed struct.
     * from_json in PERMISSIVE mode yields an all-null struct (not a null
@@ -179,6 +223,53 @@ object JsonDecode {
         when(!isBad, $"_parsed.nstr").as("nstr")
       )
       .orderBy($"event_id")
+  }
+
+  /** Declared query: general union decode (the [[unionLabel]] rules) on
+    * real data. Every event carries two synthesized union-typed fields
+    * built from its own columns:
+    *
+    *   - `u`, union `["null","long","string"]`, WRAPPED encoding:
+    *     `event_id % 5 == 0` → `{"long": id%100}`; `% 5 == 1` →
+    *     `{"string": "s<user%10>"}`; `% 5 == 2` → JSON null; `% 5 == 3` →
+    *     `{"double": 1.5}` (unknown branch → dead); `% 5 == 4` → bare `7`
+    *     (bare value with a 3-branch union → dead, :452-453)
+    *   - `v`, union `["null","long"]`, BARE encoding (the two-branch
+    *     shortcut, :448-451): even `user_id` → the number, odd → null
+    *
+    * Output: per event the resolved branches, the typed branch values, and
+    * the ok/dead verdict; the oracle recomputes all of it independently
+    * from the base columns. */
+  def unionDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // spread: JSON synthesis + three json probes per row must not run in
+    // the one scan task (same discipline as nestedDecode)
+    val ev = Tables
+      .spread(Tables.events(spark, sfDir))
+      .withColumn(
+        "u_json",
+        when($"event_id" % 5 === 0, concat(lit("{\"long\":"), ($"event_id" % 100).cast("string"), lit("}")))
+          .when($"event_id" % 5 === 1, concat(lit("{\"string\":\"s"), ($"user_id" % 10).cast("string"), lit("\"}")))
+          .when($"event_id" % 5 === 2, lit("null"))
+          .when($"event_id" % 5 === 3, lit("{\"double\":1.5}"))
+          .otherwise(lit("7"))
+      )
+      .withColumn(
+        "v_json",
+        when($"user_id" % 2 === 0, ($"user_id" % 50).cast("string")).otherwise(lit("null"))
+      )
+      .withColumn("rec", concat(lit("{\"u\":"), $"u_json", lit(",\"v\":"), $"v_json", lit("}")))
+    val uB = unionLabel($"rec", "u", Seq("null", "long", "string"))
+    val vB = unionLabel($"rec", "v", Seq("null", "long"))
+    ev.select(
+      $"event_id",
+      uB.as("u_branch"),
+      vB.as("v_branch"),
+      when(uB === "long", unionValue($"rec", "u", "long").cast("long")).as("u_long"),
+      when(uB === "string", unionValue($"rec", "u", "string")).as("u_str"),
+      when(vB === "long", unionValue($"rec", "v", "long").cast("long")).as("v_long"),
+      when(uB.isNull || vB.isNull, lit("dead")).otherwise(lit("ok")).as("status")
+    ).orderBy($"event_id")
   }
 
   /** Declared query: dead-letter audit. A deterministic slice

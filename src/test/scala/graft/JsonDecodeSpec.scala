@@ -116,4 +116,50 @@ class JsonDecodeSpec extends SparkSpec {
     assert(bad.count() === 0)
     assert(good.select($"_parsed.nstr").as[String].head() === "42")
   }
+
+  // ---- general union resolution (reference readIndex :436-461) ----
+
+  private def resolve(rec: String, branches: Seq[String]): Option[String] = {
+    import spark.implicits._
+    Seq(rec).toDF("rec")
+      .select(JsonDecode.unionLabel(col("rec"), "u", branches).as("b"))
+      .as[Option[String]]
+      .head()
+  }
+
+  test("union: JSON null resolves to the null branch only when the union has one") {
+    assert(resolve("""{"u":null}""", Seq("null", "long", "string")) === Some("null"))
+    assert(resolve("""{"u":null}""", Seq("long", "string")) === None, "no null branch -> reject")
+    // absent field: the reference's default injection nulls it before the
+    // union resolves, so absent behaves as JSON null
+    assert(resolve("""{}""", Seq("null", "long")) === Some("null"))
+  }
+
+  test("union: wrapped single-key object picks that branch; unknown label rejects") {
+    assert(resolve("""{"u":{"long":3}}""", Seq("null", "long", "string")) === Some("long"))
+    assert(resolve("""{"u":{"string":"x"}}""", Seq("null", "long", "string")) === Some("string"))
+    assert(resolve("""{"u":{"double":1.5}}""", Seq("null", "long", "string")) === None)
+    assert(resolve("""{"u":{"long":1,"string":"x"}}""", Seq("null", "long", "string")) === None,
+      "multi-key object is not a valid wrapped union")
+  }
+
+  test("union: bare value is legal only for the two-branch nullable shortcut") {
+    assert(resolve("""{"u":7}""", Seq("null", "long")) === Some("long"))
+    assert(resolve("""{"u":"abc"}""", Seq("null", "string")) === Some("string"))
+    assert(resolve("""{"u":7}""", Seq("null", "long", "string")) === None,
+      "bare value with a 3-branch union rejects")
+    assert(resolve("""{"u":7}""", Seq("long", "string")) === None,
+      "bare value without a null branch rejects")
+  }
+
+  test("union: wrapped and bare values extract through unionValue") {
+    import spark.implicits._
+    val wrapped = Seq("""{"u":{"long":3}}""").toDF("rec")
+      .select(JsonDecode.unionValue(col("rec"), "u", "long").cast("long").as("v"))
+      .as[Long].head()
+    val bare = Seq("""{"u":7}""").toDF("rec")
+      .select(JsonDecode.unionValue(col("rec"), "u", "long").cast("long").as("v"))
+      .as[Long].head()
+    assert(wrapped === 3L && bare === 7L)
+  }
 }
