@@ -40,6 +40,50 @@ object Probe {
       t("full-query")(Graph.connectedComponents(spark, sfDir).write.mode("overwrite").format("noop").save())
       spark.stop(); return
     }
+    if (which == "egdiag") {
+      // dedup-endgame stage decomposition
+      import spark.implicits._
+      import graft.operators.{Dedup, Graph}
+      import org.apache.spark.sql.functions._
+      def t[A](tag: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[egdiag] $tag%-16s ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+      }
+      if (args.contains("aqecache"))
+        spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // warm
+      Dedup.dedupEndgame(spark, sfDir).write.mode("overwrite").format("noop").save()
+      val pairs = t("pairs-cache") {
+        val p = Dedup.minhashPairsUnsorted(spark, sfDir)
+          .select($"id1".as("src"), $"id2".as("dst")).cache()
+        p.count(); p
+      }
+      val pnodes = t("pnodes") {
+        val n = pairs.select($"src".as("node"))
+          .unionByName(pairs.select($"dst".as("node"))).distinct()
+        n.count(); n
+      }
+      val comp = t("cc-loop")(Graph.minLabelComponents(pnodes, pairs))
+      val finalDf = {
+        val corpus = Dedup.docsWithDups(spark, sfDir)
+        val sizes  = comp.groupBy($"comp").agg(count(lit(1)).as("cluster_size"))
+        val nonSurvivors = comp.filter($"node" =!= $"comp").select($"node".as("doc_id"))
+        corpus.join(nonSurvivors, Seq("doc_id"), "left_anti")
+          .join(sizes.select($"comp".as("doc_id"), $"cluster_size"), Seq("doc_id"), "left")
+          .select($"doc_id".as("survivor_id"),
+            coalesce($"cluster_size", lit(1L)).as("cluster_size"),
+            length($"text").as("text_len"))
+          .orderBy($"survivor_id")
+      }
+      t("comp-count")(comp.count())
+      t("nonsurv-count")(comp.filter($"node" =!= $"comp").count())
+      t("corpus-count")(Dedup.docsWithDups(spark, sfDir).count())
+      t("final-joins")(finalDf.write.mode("overwrite").format("noop").save())
+      t("final-joins-2")(finalDf.write.mode("overwrite").format("noop").save())
+      if (doExplain) println(finalDf.queryExecution.executedPlan.toString.take(8000))
+      t("full-query")(Dedup.dedupEndgame(spark, sfDir).write.mode("overwrite").format("noop").save())
+      spark.stop(); return
+    }
     if (which == "adhoc") {
       // decimal vs double vs scaled-long aggregation cost on lineitem
       import spark.implicits._

@@ -508,21 +508,43 @@ object Dedup {
     * (min doc_id per component = the component label itself) → the corpus
     * with every non-survivor dropped.
     *
-    * Scale shape: one shuffle per stage. The pair set is never broadcast
-    * (it is unbounded — proportional to the duplicate rate); the CC loop
-    * shuffles on the node key per round; survivor election reuses the
-    * component labels (survivor == comp needs no extra aggregation); the
-    * final corpus join is a plain equi-shuffle on doc_id. */
+    * Scale shape: one shuffle per stage, and the ITERATIVE stage runs on
+    * the duplicate SUBGRAPH only — docs that appear in no pair are their
+    * own singleton component by construction, so label propagation is over
+    * the pair endpoints (cost ∝ duplicate rate, not corpus size; at a few
+    * percent duplication that is a 10-100× smaller loop than propagating
+    * the whole corpus). The CC loop's joins are planned adaptively from
+    * runtime cache stats (see [[Graph.minLabelComponents]]) — the pair set
+    * is only ever broadcast when AQE PROVES it small, never on a static
+    * guess; survivor election reuses the component labels
+    * (survivor == comp needs no extra aggregation); the final corpus
+    * anti-join/size-join are plain equi-shuffles on doc_id. */
   def dedupEndgame(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val corpus = docsWithDups(spark, sfDir)
-    val pairs  = minhashPairsUnsorted(spark, sfDir).select($"id1".as("src"), $"id2".as("dst"))
-    val nodes  = corpus.select($"doc_id".as("node"))
-    val comp   = Graph.minLabelComponents(nodes, pairs)
-    val clusters = comp.groupBy($"comp").agg(count(lit(1)).as("cluster_size"))
+    // cache the pair set here: both the endpoint node list and the CC
+    // loop's edge cache reference it (minLabelComponents' own cache() on
+    // the same plan is then a no-op), so minhash runs once
+    val pairs = minhashPairsUnsorted(spark, sfDir)
+      .select($"id1".as("src"), $"id2".as("dst"))
+      .cache()
+    val pnodes = pairs
+      .select($"src".as("node"))
+      .unionByName(pairs.select($"dst".as("node")))
+      .distinct()
+    // 3 rounds per action: near-dup clusters are diameter-<=2 almost
+    // always, so one action both converges and proves the fixpoint
+    val comp  = Graph.minLabelComponents(pnodes, pairs, roundsPerAction = 3)
+    val sizes = comp.groupBy($"comp").agg(count(lit(1)).as("cluster_size"))
+    val nonSurvivors = comp.filter($"node" =!= $"comp").select($"node".as("doc_id"))
     corpus
-      .join(clusters, corpus("doc_id") === clusters("comp"))
-      .select($"doc_id".as("survivor_id"), $"cluster_size", length($"text").as("text_len"))
+      .join(nonSurvivors, Seq("doc_id"), "left_anti")
+      .join(sizes.select($"comp".as("doc_id"), $"cluster_size"), Seq("doc_id"), "left")
+      .select(
+        $"doc_id".as("survivor_id"),
+        coalesce($"cluster_size", lit(1L)).as("cluster_size"),
+        length($"text").as("text_len")
+      )
       .orderBy($"survivor_id")
   }
 

@@ -38,22 +38,25 @@ object Graph {
   /** Min-label propagation over an undirected edge list; returns
     * (node, comp) with comp = min node id reachable.
     *
-    * TWO propagation rounds per ACTION: each driver action evaluates the
-    * label-update plan twice back-to-back — same shuffles per round, half
-    * the job-launch / cache / convergence-check barriers (at 1000
-    * executors every action is a full cluster sync). The convergence
-    * metric rides the cache-populating count via `observe` (a
-    * `CollectMetrics` node per round, no separate filtered-count job); a
-    * zero-change round is a fixpoint, so stopping on the second round's
-    * counter is exact. Every `checkpointEvery` actions the cached labels
-    * are `localCheckpoint`ed to truncate the join-on-join lineage — at
-    * 100 TB a deep cached-plan chain is a recompute bomb if an executor
-    * loses a cache block. */
+    * `roundsPerAction` propagation rounds per ACTION (default 2): each
+    * driver action evaluates the label-update plan that many times
+    * back-to-back — same shuffles per round, fewer job-launch / cache /
+    * convergence-check barriers (at 1000 executors every action is a full
+    * cluster sync). Size it to the expected component diameter: near-dup
+    * clusters are diameter-≤2 almost always, so 3 rounds converge AND
+    * prove the fixpoint in a single action. The convergence metric rides
+    * the cache-populating count via `observe` (a `CollectMetrics` node per
+    * round, no separate filtered-count job); a zero-change round is a
+    * fixpoint, so stopping on the last round's counter is exact. Every
+    * `checkpointEvery` actions the cached labels are `localCheckpoint`ed
+    * to truncate the join-on-join lineage — at 100 TB a deep cached-plan
+    * chain is a recompute bomb if an executor loses a cache block. */
   def minLabelComponents(
       nodes: DataFrame,
       edgeList: DataFrame,
       maxIter: Int = 20,
-      checkpointEvery: Int = 3
+      checkpointEvery: Int = 3,
+      roundsPerAction: Int = 2
   ): DataFrame = {
     import nodes.sparkSession.implicits._
     // cache the DIRECTED edges, not the symmetrized union: the edge list
@@ -67,6 +70,14 @@ object Graph {
     // one min-label round: neighborhood-min join + label update, with the
     // changed-row count observed in-pass
     def step(lbl: DataFrame, obs: Observation): DataFrame = {
+      // deliberately UNHINTED joins: both sides are cached, so AQE plans
+      // each round from ACCURATE runtime sizes — broadcast while the label
+      // table provably fits (fast on fixtures), shuffle-on-key once it
+      // doesn't (the 100 TB shape). This differs from the dedup self-joins,
+      // whose shuffle_hash hints guard against a STATIC misestimate of an
+      // exploded side; here there is nothing to misestimate. (Forcing
+      // shuffle_hash was measured 3x slower at sf0.1: it trades one
+      // broadcast for two exchanges of tiny tasks per round.)
       val nbrMin = sym
         .join(lbl, $"dst" === $"node")
         .groupBy($"src")
@@ -88,15 +99,15 @@ object Graph {
     var labels     = nodes.select($"node", $"node".as("comp")).cache()
     var changed    = 1L
     var action     = 0
-    val maxActions = (maxIter + 1) / 2
+    val rounds     = math.max(roundsPerAction, 1)
+    val maxActions = (maxIter + rounds - 1) / rounds
     while (changed > 0 && action < maxActions) {
-      val obs1 = Observation(s"cc_a${action}_r1")
-      val obs2 = Observation(s"cc_a${action}_r2")
-      val next = step(step(labels, obs1), obs2).cache()
-      next.count() // the action: fills cache + both rounds' observations
-      changed = metric(obs2)
+      val obss = (1 to rounds).map(r => Observation(s"cc_a${action}_r$r"))
+      val next = obss.foldLeft(labels)((lbl, obs) => step(lbl, obs)).cache()
+      next.count() // the action: fills cache + every round's observation
+      changed = metric(obss.last)
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(s"[cc] action=$action changed=${metric(obs1)},$changed")
+        println(s"[cc] action=$action changed=${obss.map(metric).mkString(",")}")
       val prev = labels
       labels = next
       prev.unpersist()
@@ -107,8 +118,18 @@ object Graph {
       }
       action += 1
     }
+    // Break the result's lineage from the loop caches BEFORE dropping
+    // them: uncaching a parent INVALIDATES dependent cached data (Spark's
+    // non-cascading uncache clears dependents for lazy rebuild), so
+    // returning the cached `labels` directly would silently replay the
+    // whole loop lineage — including a possibly-expensive edge plan like
+    // the dedup endgame's minhash pairs — on the caller's next action.
+    // The checkpoint copies only the tiny (node, comp) table out of the
+    // cache, after which every loop cache can be dropped for real.
+    val result = labels.localCheckpoint(true)
+    labels.unpersist()
     e.unpersist()
-    labels
+    result
   }
 
   /** Declared query: components of the deterministic doc graph — one row

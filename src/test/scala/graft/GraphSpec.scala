@@ -29,11 +29,12 @@ class GraphSpec extends SparkSpec {
     // count driver ACTIONS (SQL executions), not raw jobs: under AQE every
     // shuffle-stage materialization is its own job, so job count measures
     // AQE granularity, not loop round trips
-    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val jobs  = new java.util.concurrent.atomic.AtomicInteger(0)
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
-        case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
-          jobs.incrementAndGet(); ()
+        case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          jobs.incrementAndGet(); plans.add(s.physicalPlanDescription); ()
         case _ => ()
       }
     }
@@ -56,6 +57,14 @@ class GraphSpec extends SparkSpec {
     // final labels (one RDD; a localCheckpoint can pin one more)
     val leaked = spark.sparkContext.getPersistentRDDs.size - before
     assert(leaked <= 2, s"expected <=2 persistent RDDs after the loop, saw $leaked extra")
+    // plan shape: the loop's joins are deliberately unhinted — AQE plans
+    // each round from accurate runtime cache stats (broadcast while the
+    // label table provably fits, shuffle-on-key beyond). Any broadcast in
+    // these plans must therefore be AQE-chosen (runtime), never a static
+    // estimate: assert the plans went through AdaptiveSparkPlan
+    val loopPlans = plans.toArray.map(_.toString).filter(_.contains("hashpartitioning"))
+    assert(loopPlans.forall(_.contains("AdaptiveSparkPlan")),
+      "CC loop joins must be planned adaptively (runtime sizes), not statically")
   }
 
   test("minhash pairs cluster into duplicate components with the source as survivor") {
