@@ -132,12 +132,120 @@ object Graph {
     result
   }
 
+  /** Large-star/small-star connected components — the two-phase MapReduce
+    * CC algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14): alternating rounds where every node hooks its
+    * neighbors onto its minimum neighborhood member. Converges in
+    * O(log² n) ROUNDS REGARDLESS OF COMPONENT DIAMETER — the at-scale
+    * replacement for [[minLabelComponents]] when components can be long
+    * chains (min-label propagation needs O(diameter) rounds: a 97-node
+    * chain costs ~96 min-label rounds but ~6 two-phase rounds, and at
+    * corpus scale every round is a cluster-wide barrier).
+    *
+    * Each half-round is one shuffle: a groupBy on the node key for the
+    * neighborhood minimum plus an equi-join back — no broadcast of
+    * anything unbounded (AQE decides from runtime cache sizes, as in
+    * [[minLabelComponents]]). Convergence is detected by an order-free
+    * edge-set fingerprint (count + xor of a 64-bit edge hash) computed in
+    * the same action that materializes the round's cache; the returned
+    * labels are localCheckpointed so the caller never re-executes the
+    * loop lineage. */
+  def twoPhaseComponents(
+      nodes: DataFrame,
+      edgeList: DataFrame,
+      maxRounds: Int = 30
+  ): DataFrame = {
+    import nodes.sparkSession.implicits._
+    // large-star: every node u hooks each LARGER neighbor v onto
+    // m(u) = min(Γ(u) ∪ {u}) — long chains halve in one round
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select($"v".as("u"), $"u".as("v")))
+      val m = sym
+        .groupBy($"u")
+        .agg(min($"v").as("mv"))
+        .select($"u", least($"u", $"mv").as("m"))
+      sym.join(m, "u").filter($"v" > $"u").select($"v".as("u"), $"m".as("v")).distinct()
+    }
+    // small-star: orient edges toward the smaller endpoint; every node
+    // hooks its smaller neighbors (and itself) onto their minimum
+    def smallStar(e: DataFrame): DataFrame = {
+      val d = e
+        .select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
+        .filter($"u" =!= $"v")
+      val m = d.groupBy($"u").agg(min($"v").as("m"))
+      d.join(m, "u")
+        .select($"v".as("u"), $"m".as("v"))
+        .unionByName(m.select($"u", $"m".as("v")))
+        .filter($"u" =!= $"v")
+        .distinct()
+    }
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), bit_xor(xxhash64($"u", $"v"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    // localCheckpoint EVERY round, not every few: each round's plan embeds
+    // the previous round's plan ~8 times (symmetrize + two min-joins per
+    // half-round), so without the per-round plan CUT the logical tree grows
+    // 8^k — analysis alone becomes exponential long before execution
+    // (caching breaks execution lineage but not logical-plan growth, which
+    // is why minLabelComponents' every-few-rounds discipline is not enough
+    // here). The checkpointed state is tiny: at most one star edge per
+    // non-root node. Old rounds' checkpoint blocks are released by the
+    // context cleaner once unreferenced.
+    var e = edgeList
+      .select($"src".as("u"), $"dst".as("v"))
+      .filter($"u" =!= $"v")
+      .distinct()
+      .localCheckpoint(true)
+    var cur   = fingerprint(e)
+    var prev  = (-1L, 0L)
+    var round = 0
+    while (cur != prev && round < maxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      prev = cur
+      cur = fingerprint(next)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc2] round=$round edges=${cur._1}")
+      e = next
+      round += 1
+    }
+    // at the fixpoint the edge set is a star per component: (x, root)
+    val lbl = e.groupBy($"u".as("node")).agg(min($"v").as("comp"))
+    nodes
+      .join(lbl, Seq("node"), "left")
+      .select($"node", coalesce($"comp", $"node").as("comp"))
+      .localCheckpoint(true) // lineage-free contract, as minLabelComponents
+  }
+
   /** Declared query: components of the deterministic doc graph — one row
     * per node with its component id (min member) and component size. */
   def connectedComponents(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val nodes = Tables.documents(spark, sfDir).select($"doc_id".as("node"))
     val comp  = minLabelComponents(nodes, edges(spark, sfDir))
+    val sizes = comp.groupBy($"comp").agg(count(lit(1)).as("comp_size"))
+    comp
+      .join(sizes, "comp")
+      .select($"node", $"comp", $"comp_size")
+      .orderBy($"node")
+  }
+
+  /** Declared query: components of a deliberately HIGH-DIAMETER graph —
+    * consecutive doc_ids chained except across multiples of 97, giving
+    * 97-node path components (diameter 96). Min-label propagation would
+    * need ~96 rounds here; [[twoPhaseComponents]] finishes in ~6 — this
+    * query exists to keep the logarithmic-round algorithm oracle-checked,
+    * not just unit-tested. Output: (node, comp, comp_size) with comp =
+    * the chain segment's first id, exactly (doc_id div 97) * 97. */
+  def chainComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id")
+    val e = docs
+      .filter(($"doc_id" + 1) % 97 =!= 0)
+      .select($"doc_id".as("src"), ($"doc_id" + 1).as("dst"))
+      .join(docs.select($"doc_id".as("dst")), Seq("dst")) // last id has no successor
+      .select($"src", $"dst")
+    val comp  = twoPhaseComponents(docs.select($"doc_id".as("node")), e)
     val sizes = comp.groupBy($"comp").agg(count(lit(1)).as("comp_size"))
     comp
       .join(sizes, "comp")

@@ -702,6 +702,22 @@ object Registry {
         ORDER BY node
       """)
     ),
+    // High-diameter CC through the O(log^2 n)-round two-phase algorithm;
+    // the oracle replays the chain-segment arithmetic directly.
+    Q(
+      "q122_chain_components",
+      Graph.chainComponents,
+      Some("""
+        WITH c AS (
+          SELECT doc_id AS node, (doc_id // 97) * 97 AS comp FROM documents
+        ), s AS (
+          SELECT comp, COUNT(*) AS comp_size FROM c GROUP BY comp
+        )
+        SELECT c.node, c.comp, s.comp_size
+        FROM c JOIN s USING (comp)
+        ORDER BY node
+      """)
+    ),
     // Fixed-iteration k-means on the Det grid: scaled-long centroid means +
     // sequential IEEE dots (the q76 discipline) make both Lloyd iterations
     // bit-replayable, so the oracle re-runs the whole seed→assign→update→

@@ -67,6 +67,34 @@ class GraphSpec extends SparkSpec {
       "CC loop joins must be planned adaptively (runtime sizes), not statically")
   }
 
+  test("two-phase components equal min-label components on the hand graph") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("node")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
+    val two = Graph
+      .twoPhaseComponents(nodes, edges)
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(two === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("two-phase components converge logarithmically on a 200-node chain") {
+    import spark.implicits._
+    // diameter 199: min-label would need 199 propagation rounds; the
+    // two-phase algorithm must finish inside 12 (~log^2) — passing a hard
+    // maxRounds cap means a slow convergence shows up as WRONG labels
+    val nodes = (1L to 200L).toDF("node")
+    val edges = (1L until 200L).map(i => (i, i + 1)).toDF("src", "dst")
+    val comp = Graph
+      .twoPhaseComponents(nodes, edges, maxRounds = 12)
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(comp === (1L to 200L).map(_ -> 1L).toMap,
+      "12 rounds must suffice for a 200-chain (logarithmic convergence)")
+  }
+
   test("minhash pairs cluster into duplicate components with the source as survivor") {
     import spark.implicits._
     val pairs = Dedup.minhashLshPairs(spark, sf)
