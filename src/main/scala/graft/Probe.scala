@@ -63,7 +63,7 @@ object Probe {
           .unionByName(pairs.select($"dst".as("node"))).distinct()
         n.count(); n
       }
-      val comp = t("cc-loop")(Graph.minLabelComponents(pnodes, pairs))
+      val comp = t("cc-loop")(Graph.minLabelComponents(pnodes, pairs, roundsPerAction = 3))
       val finalDf = {
         val corpus = Dedup.docsWithDups(spark, sfDir)
         val sizes  = comp.groupBy($"comp").agg(count(lit(1)).as("cluster_size"))

@@ -138,16 +138,21 @@ object Chunking {
     * state. Chunk text reassembles through sort_array(collect_list) (exact
     * order restored after the shuffle, same discipline as the centroid
     * builds). */
-  def cdcChunks(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  /** The CDC chunk inventory over any (doc_id, text) frame: one row per
+    * (doc, chunk) with token count and chunk md5. THE single definition of
+    * the boundary rule — [[cdcChunks]] (q118) and `Dedup.cdcSpans` (the
+    * span-dedup candidate generator) both build on this, so the
+    * insert-stability and same-rule guarantees documented on each hold by
+    * construction. */
+  private[graft] def cdcChunkInventory(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     import graft.functions.TextFns.{h60, tokens}
     import org.apache.spark.sql.expressions.Window
     val w = Window
       .partitionBy($"doc_id")
       .orderBy($"pos")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables
-      .spread(Tables.documents(spark, sfDir))
+    docs
       .select($"doc_id", posexplode(tokens($"text")).as(Seq("pos", "tok")))
       .withColumn("b", when(h60($"tok") % 16 === 0, 1L).otherwise(0L))
       .withColumn("chunk_id", sum($"b").over(w))
@@ -164,6 +169,11 @@ object Chunking {
           )
         ).as("chunk_md5")
       )
+  }
+
+  def cdcChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    cdcChunkInventory(Tables.spread(Tables.documents(spark, sfDir)))
       .orderBy($"doc_id", $"chunk_id")
   }
 

@@ -401,29 +401,9 @@ object Dedup {
     * comparison against stride-1 [[spanDedup]] lives in the test suite. */
   private[graft] def cdcSpans(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window
-      .partitionBy($"doc_id")
-      .orderBy($"pos")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docsWithDups(spark, sfDir)
-      .repartition($"doc_id")
-      .select($"doc_id", posexplode(tokens($"text")).as(Seq("pos", "tok")))
-      .withColumn("b", when(h60($"tok") % 16 === 0, 1L).otherwise(0L))
-      .withColumn("chunk_id", sum($"b").over(w))
-      .groupBy($"doc_id", $"chunk_id")
-      .agg(
-        count(lit(1)).as("n_toks"),
-        md5(
-          array_join(
-            transform(
-              array_sort(collect_list(struct($"pos", $"tok"))),
-              p => p.getField("tok")
-            ),
-            " "
-          )
-        ).as("span_md5")
-      )
+    Chunking
+      .cdcChunkInventory(docsWithDups(spark, sfDir).repartition($"doc_id"))
+      .withColumnRenamed("chunk_md5", "span_md5")
   }
 
   /** Incremental-ingest dedup — the "does tonight's batch duplicate the
@@ -534,7 +514,11 @@ object Dedup {
       .distinct()
     // 3 rounds per action: near-dup clusters are diameter-<=2 almost
     // always, so one action both converges and proves the fixpoint
-    val comp  = Graph.minLabelComponents(pnodes, pairs, roundsPerAction = 3)
+    val comp = Graph.minLabelComponents(pnodes, pairs, roundsPerAction = 3)
+    // comp is lineage-free (localCheckpointed), so the pair cache this
+    // function owns can drop now — the loop no longer unpersists a
+    // caller-established cache
+    pairs.unpersist()
     val sizes = comp.groupBy($"comp").agg(count(lit(1)).as("cluster_size"))
     val nonSurvivors = comp.filter($"node" =!= $"comp").select($"node".as("doc_id"))
     corpus

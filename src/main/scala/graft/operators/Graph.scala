@@ -64,8 +64,12 @@ object Graph {
     // pair pipeline in here), and a cache placed above the union would
     // evaluate that plan once per union branch during fill — both branches
     // below share ONE InMemoryRelation, so the plan runs once and every
-    // round's symmetrize is two cheap cached scans
-    val e = edgeList.cache()
+    // round's symmetrize is two cheap cached scans. Respect a cache the
+    // CALLER already established: cache()/unpersist() is not
+    // reference-counted, so unpersisting a caller-cached edge list at the
+    // end would silently drop data the caller still relies on.
+    val callerCached = edgeList.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val e            = if (callerCached) edgeList else edgeList.cache()
     val sym = e.unionByName(e.select($"dst".as("src"), $"src".as("dst")))
     // one min-label round: neighborhood-min join + label update, with the
     // changed-row count observed in-pass
@@ -128,7 +132,7 @@ object Graph {
     // cache, after which every loop cache can be dropped for real.
     val result = labels.localCheckpoint(true)
     labels.unpersist()
-    e.unpersist()
+    if (!callerCached) e.unpersist()
     result
   }
 
@@ -179,36 +183,53 @@ object Graph {
         .filter($"u" =!= $"v")
         .distinct()
     }
-    def fingerprint(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)), bit_xor(xxhash64($"u", $"v"))).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    // The edge-set fingerprint rides each round's MATERIALIZING action as
+    // an observe() metric (one action per round, as minLabelComponents'
+    // convergence count does — at 1000 executors every extra action is a
+    // full cluster sync). localCheckpoint EVERY round, not every few: each
+    // round's plan embeds the previous round's plan ~8 times (symmetrize +
+    // two min-joins per half-round), so without the per-round plan CUT the
+    // logical tree grows 8^k — analysis alone becomes exponential long
+    // before execution (caching breaks execution lineage but not
+    // logical-plan growth, which is why minLabelComponents'
+    // every-few-rounds discipline is not enough here). The checkpointed
+    // state is tiny: at most one star edge per non-root node. Old rounds'
+    // checkpoint blocks are released by the context cleaner once
+    // unreferenced.
+    def observedCheckpoint(df: DataFrame, obs: Observation): DataFrame =
+      df.observe(obs, count(lit(1)).as("cnt"), bit_xor(xxhash64($"u", $"v")).as("cxor"))
+        .localCheckpoint(true)
+    def fp(obs: Observation): (Long, Long) = {
+      def l(k: String): Long = obs.get(k) match {
+        case n: Number => n.longValue()
+        case _         => 0L
+      }
+      (l("cnt"), l("cxor"))
     }
-    // localCheckpoint EVERY round, not every few: each round's plan embeds
-    // the previous round's plan ~8 times (symmetrize + two min-joins per
-    // half-round), so without the per-round plan CUT the logical tree grows
-    // 8^k — analysis alone becomes exponential long before execution
-    // (caching breaks execution lineage but not logical-plan growth, which
-    // is why minLabelComponents' every-few-rounds discipline is not enough
-    // here). The checkpointed state is tiny: at most one star edge per
-    // non-root node. Old rounds' checkpoint blocks are released by the
-    // context cleaner once unreferenced.
-    var e = edgeList
-      .select($"src".as("u"), $"dst".as("v"))
-      .filter($"u" =!= $"v")
-      .distinct()
-      .localCheckpoint(true)
-    var cur   = fingerprint(e)
+    val obs0 = Observation("cc2_r0")
+    var e = observedCheckpoint(
+      edgeList.select($"src".as("u"), $"dst".as("v")).filter($"u" =!= $"v").distinct(),
+      obs0
+    )
+    var cur   = fp(obs0)
     var prev  = (-1L, 0L)
     var round = 0
     while (cur != prev && round < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val obs = Observation(s"cc2_r${round + 1}")
+      e = observedCheckpoint(smallStar(largeStar(e)), obs)
       prev = cur
-      cur = fingerprint(next)
+      cur = fp(obs)
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(s"[cc2] round=$round edges=${cur._1}")
-      e = next
       round += 1
     }
+    // a silent exit with an unconverged edge set would label components
+    // WRONG (the star extraction below assumes the fixpoint) — fail loudly
+    if (cur != prev)
+      throw new IllegalStateException(
+        s"twoPhaseComponents did not converge in $maxRounds rounds (edges=${cur._1}); " +
+          "raise maxRounds — convergence needs O(log^2 n) rounds"
+      )
     // at the fixpoint the edge set is a star per component: (x, root)
     val lbl = e.groupBy($"u".as("node")).agg(min($"v").as("comp"))
     nodes

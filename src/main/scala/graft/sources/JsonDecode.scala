@@ -61,9 +61,19 @@ object JsonDecode {
     *
     * Reject = null result, so the caller routes the record to the same
     * auditable dead-letter side as malformed JSON. This closes the declared
-    * [null, T]-only divergence: arbitrary `[null, long, string, …]` unions
-    * resolve exactly as the reference does. All probes are codegen'd JSON
-    * built-ins over the raw text — no UDFs. */
+    * [null, T]-only divergence for arbitrary `[null, long, string, …]`
+    * unions. All probes are codegen'd JSON built-ins over the raw text —
+    * no UDFs.
+    *
+    * Declared divergences of the declarative probes vs the token-stream
+    * reference: (a) a JSON STRING whose content happens to parse as an
+    * object (`"{\"long\":1}"`) resolves as if wrapped, where the reference
+    * sees a string token (get_json_object erases the quoting); (b) a
+    * resolved TYPED branch whose payload fails to decode (JSON null inside
+    * a wrapper, or a bare value of the wrong type) yields a null VALUE
+    * rather than a null label — callers must treat branch-resolved-but-
+    * value-null as the reference's decode error (see [[unionDecode]]'s
+    * status column, which does exactly that). */
   def unionLabel(rec: Column, field: String, branches: Seq[String]): Column = {
     val raw     = get_json_object(rec, s"$$.$field")
     val keys    = json_object_keys(raw)
@@ -78,15 +88,19 @@ object JsonDecode {
   }
 
   /** The resolved union value's raw text for `label`: the wrapped branch
-    * payload when present, else the bare value (only reachable for the
-    * two-branch nullable shortcut). Cast/decode per branch type at the call
-    * site — e.g. `.cast("long")` for a `long` branch, [[bytesIso88591]] for
-    * a `bytes` branch. */
-  def unionValue(rec: Column, field: String, label: String): Column =
-    coalesce(
-      get_json_object(rec, s"$$.$field.$label"),
-      get_json_object(rec, s"$$.$field")
-    )
+    * payload when the field IS a wrapped object, else the bare value (only
+    * reachable for the two-branch nullable shortcut). The bare fallback
+    * must never fire for a wrapped object — `{"string": null}` has a null
+    * payload, and falling back would return the whole wrapper text as the
+    * value. Cast/decode per branch type at the call site — e.g.
+    * `.cast("long")` for a `long` branch, [[bytesIso88591]] for a `bytes`
+    * branch — and treat a null result on a typed branch as the decode
+    * error it is (reference read<T> throws on a null token). */
+  def unionValue(rec: Column, field: String, label: String): Column = {
+    val raw = get_json_object(rec, s"$$.$field")
+    when(json_object_keys(raw).isNotNull, get_json_object(rec, s"$$.$field.$label"))
+      .otherwise(raw)
+  }
 
   /** PERMISSIVE decode splitting valid rows from a dead-letter side.
     * Returns (valid, deadLetter); `valid` carries the parsed struct.
@@ -259,16 +273,24 @@ object JsonDecode {
         when($"user_id" % 2 === 0, ($"user_id" % 50).cast("string")).otherwise(lit("null"))
       )
       .withColumn("rec", concat(lit("{\"u\":"), $"u_json", lit(",\"v\":"), $"v_json", lit("}")))
-    val uB = unionLabel($"rec", "u", Seq("null", "long", "string"))
-    val vB = unionLabel($"rec", "v", Seq("null", "long"))
+    val uB    = unionLabel($"rec", "u", Seq("null", "long", "string"))
+    val vB    = unionLabel($"rec", "v", Seq("null", "long"))
+    val uLong = when(uB === "long", unionValue($"rec", "u", "long").cast("long"))
+    val uStr  = when(uB === "string", unionValue($"rec", "u", "string"))
+    val vLong = when(vB === "long", unionValue($"rec", "v", "long").cast("long"))
+    // dead = unresolvable label OR a typed branch whose payload failed to
+    // decode (null-inside-wrapper / wrong-type bare value) — the reference
+    // throws on both, see unionLabel's declared-divergence note
+    val uBad = uB.isNull || (uB === "long" && uLong.isNull) || (uB === "string" && uStr.isNull)
+    val vBad = vB.isNull || (vB === "long" && vLong.isNull)
     ev.select(
       $"event_id",
       uB.as("u_branch"),
       vB.as("v_branch"),
-      when(uB === "long", unionValue($"rec", "u", "long").cast("long")).as("u_long"),
-      when(uB === "string", unionValue($"rec", "u", "string")).as("u_str"),
-      when(vB === "long", unionValue($"rec", "v", "long").cast("long")).as("v_long"),
-      when(uB.isNull || vB.isNull, lit("dead")).otherwise(lit("ok")).as("status")
+      uLong.as("u_long"),
+      uStr.as("u_str"),
+      vLong.as("v_long"),
+      when(uBad || vBad, lit("dead")).otherwise(lit("ok")).as("status")
     ).orderBy($"event_id")
   }
 

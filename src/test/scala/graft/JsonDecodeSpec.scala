@@ -162,4 +162,15 @@ class JsonDecodeSpec extends SparkSpec {
       .as[Long].head()
     assert(wrapped === 3L && bare === 7L)
   }
+
+  test("union: a wrapped payload that is JSON null yields a null VALUE, never the wrapper text") {
+    import spark.implicits._
+    // {"u":{"string":null}} resolves the string branch (single known key)
+    // but its payload fails to decode — the reference throws; here the
+    // value must be null (callers map that to dead), NOT the raw wrapper
+    val v = Seq("""{"u":{"string":null}}""").toDF("rec")
+      .select(JsonDecode.unionValue(col("rec"), "u", "string").as("v"))
+      .as[Option[String]].head()
+    assert(v === None, s"wrapped null payload must extract as null, got $v")
+  }
 }
