@@ -1960,6 +1960,18 @@ object Registry {
         FROM events WHERE event_type = 'purchase'
         GROUP BY day ORDER BY day
       """)
+    ),
+    // DSv2 writer commit protocol: the committed audit must equal the
+    // relational recompute — a double-counted or dropped task would
+    // hash-mismatch.
+    Q(
+      "q123_dsv2_sink_audit",
+      graft.sources.dsv2.AuditSink.sinkAuditQuery,
+      Some("""
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(event_id) AS BIGINT) AS sum_ids
+        FROM events WHERE event_type = 'purchase'
+      """)
     )
   )
 }

@@ -1,0 +1,156 @@
+package graft.sources.dsv2
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import java.util.{Map => JMap}
+import java.util.concurrent.ConcurrentHashMap
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 SINK with the full commit protocol — the writer-side
+  * analog of [[SyntheticEventsSource]]. The reference IS a writer
+  * (EsParquetWriter.java drives scroll→decode→parquet and keeps a per-run
+  * row counter it only logs, :96); this sink demonstrates the Spark-native
+  * commit machinery a production connector rides on:
+  *
+  *   - per-TASK [[AuditWriter]]s accumulate (row count, sum of the first
+  *     long column) and surface them as `WriterCommitMessage`s on task
+  *     commit; `abort()` discards the partial state, so a failed attempt
+  *     contributes NOTHING to the result
+  *   - the DRIVER-side `BatchWrite.commit(messages)` is the only place
+  *     messages enter the audit registry, and Spark hands it exactly one
+  *     committed message per partition — which is why the audit stays
+  *     exactly-once under task retries and speculation (the task-level
+  *     abort/commit contract is asserted directly in Dsv2SinkSpec)
+  *   - a failed JOB calls `BatchWrite.abort`, which must leave the
+  *     registry untouched (no partial audit ever becomes visible)
+  *
+  * "Storage" is an in-JVM registry keyed by the caller's `key` option (no
+  * external store in this environment); each committed write REPLACES its
+  * key, so re-running a query is idempotent. The protocol — task commit
+  * messages, driver-side commit, abort semantics — is the part a real
+  * connector reuses unchanged.
+  *
+  * Usage:
+  *   df.write.format("graft.sources.dsv2.AuditSink")
+  *     .option("key", "my-audit").mode("append").save()
+  *   then AuditSink.audit("my-audit") => (n_rows, sum_first_long_col)
+  */
+class AuditSink extends TableProvider {
+  // the sink takes its schema from the DataFrame being written
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    new StructType()
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: JMap[String, String]
+  ): Table = new AuditSinkTable(schema, properties.asScala.toMap)
+}
+
+object AuditSink {
+  private val registry = new ConcurrentHashMap[String, (Long, Long)]()
+
+  /** Declared query (q123): push the purchase slice of `events` through
+    * the sink's full commit protocol, then report the committed audit —
+    * the exactly-once analog of the row counter the reference only logs
+    * (EsParquetWriter.java:96). The oracle recomputes count and id-sum
+    * relationally, so a duplicated or lost task contribution would
+    * hash-mismatch. */
+  def sinkAuditQuery(
+      spark: org.apache.spark.sql.SparkSession,
+      sfDir: String
+  ): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val key = s"q123-${spark.sparkContext.applicationId}"
+    graft.Tables
+      .events(spark, sfDir)
+      .filter($"event_type" === "purchase")
+      .select($"event_id")
+      .write
+      .format("graft.sources.dsv2.AuditSink")
+      .option("key", key)
+      .mode("append")
+      .save()
+    val (n, s) = audit(key).getOrElse((0L, 0L))
+    Seq((n, s)).toDF("n_rows", "sum_ids")
+  }
+
+  /** (rows, sum of first long column) for the last COMMITTED write under
+    * `key`; None if no write ever committed (aborts leave no trace). */
+  def audit(key: String): Option[(Long, Long)] = Option(registry.get(key))
+
+  private[dsv2] def publish(key: String, rows: Long, sum: Long): Unit = {
+    registry.put(key, (rows, sum)); ()
+  }
+
+  private[dsv2] def clear(key: String): Unit = { registry.remove(key); () }
+}
+
+private[dsv2] class AuditSinkTable(writeSchema: StructType, props: Map[String, String])
+    extends Table
+    with SupportsWrite {
+  override def name(): String                 = s"audit-sink(${props.getOrElse("key", "default")})"
+  override def schema(): StructType           = writeSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val key = info.options.getOrDefault("key", "default")
+    // audit dimension: the FIRST long column, or -1 for count-only audits
+    val sumIdx = info.schema().fields.indexWhere(_.dataType == LongType)
+    new WriteBuilder with SupportsTruncate {
+      // overwrite mode = same semantics here (commit replaces the key)
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new AuditBatchWrite(key, sumIdx)
+      }
+    }
+  }
+}
+
+/** Driver-side half of the protocol: aggregates exactly the COMMITTED task
+  * messages; abort leaves the registry untouched. */
+private[graft] class AuditBatchWrite(key: String, sumIdx: Int) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    AuditWriterFactory(sumIdx)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val (rows, sum) = messages.foldLeft((0L, 0L)) {
+      case ((r, s), AuditCommit(n, x)) => (r + n, s + x)
+      case (acc, _)                    => acc
+    }
+    AuditSink.publish(key, rows, sum)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[graft] case class AuditWriterFactory(sumIdx: Int) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new AuditWriter(sumIdx)
+}
+
+/** Task-side half: accumulates locally, surfaces the total ONLY through
+  * commit() — abort() (failed attempt) discards it, which is what makes
+  * retried/speculated tasks contribute exactly once. */
+private[dsv2] class AuditWriter(sumIdx: Int) extends DataWriter[InternalRow] {
+  private var rows = 0L
+  private var sum  = 0L
+
+  override def write(row: InternalRow): Unit = {
+    rows += 1
+    if (sumIdx >= 0 && !row.isNullAt(sumIdx)) sum += row.getLong(sumIdx)
+  }
+
+  override def commit(): WriterCommitMessage = AuditCommit(rows, sum)
+  override def abort(): Unit                 = ()
+  override def close(): Unit                 = ()
+}
+
+private[dsv2] case class AuditCommit(rows: Long, sum: Long) extends WriterCommitMessage

@@ -1,0 +1,63 @@
+package graft
+
+import graft.sources.dsv2.{AuditBatchWrite, AuditSink, AuditWriterFactory}
+import org.apache.spark.sql.catalyst.InternalRow
+
+/** The DSv2 sink's commit protocol: end-to-end write, task abort/commit
+  * semantics (exactly-once under retries), and job-abort invisibility. */
+class Dsv2SinkSpec extends SparkSpec {
+
+  test("end-to-end write publishes the committed audit") {
+    import spark.implicits._
+    (0L until 100L)
+      .toDF("event_id")
+      .repartition(8)
+      .write
+      .format("graft.sources.dsv2.AuditSink")
+      .option("key", "e2e")
+      .mode("append")
+      .save()
+    assert(AuditSink.audit("e2e") === Some((100L, 4950L)))
+  }
+
+  test("an aborted task attempt contributes nothing; only committed messages count") {
+    // drive the task-side protocol by hand, exactly as Spark's write path
+    // does: attempt 1 fails mid-write (abort), its retry commits — the
+    // driver only ever sees the retry's commit message
+    val factory = AuditWriterFactory(sumIdx = 0)
+    val attempt1 = factory.createWriter(partitionId = 0, taskId = 1L)
+    (1L to 5L).foreach(i => attempt1.write(InternalRow(i)))
+    attempt1.abort() // failed attempt: partial (5, 15) must vanish
+    val attempt2 = factory.createWriter(partitionId = 0, taskId = 2L)
+    (1L to 3L).foreach(i => attempt2.write(InternalRow(i)))
+    val msg = attempt2.commit()
+    new AuditBatchWrite("retry", sumIdx = 0).commit(Array(msg))
+    assert(AuditSink.audit("retry") === Some((3L, 6L)),
+      "only the committed retry counts — aborted attempt leaked into the audit")
+  }
+
+  test("a job-level abort leaves no partial audit visible") {
+    val factory = AuditWriterFactory(sumIdx = 0)
+    val w = factory.createWriter(partitionId = 0, taskId = 3L)
+    (1L to 7L).foreach(i => w.write(InternalRow(i)))
+    val msg = w.commit()
+    new AuditBatchWrite("aborted-job", sumIdx = 0).abort(Array(msg))
+    assert(AuditSink.audit("aborted-job") === None,
+      "job abort must not publish any audit")
+  }
+
+  test("a re-run replaces its key (idempotent), never accumulates") {
+    import spark.implicits._
+    def run(): Unit =
+      (0L until 10L)
+        .toDF("event_id")
+        .write
+        .format("graft.sources.dsv2.AuditSink")
+        .option("key", "idem")
+        .mode("append")
+        .save()
+    run(); run()
+    assert(AuditSink.audit("idem") === Some((10L, 45L)),
+      "second run must replace the audit, not double it")
+  }
+}
