@@ -95,6 +95,29 @@ class GraphSpec extends SparkSpec {
       "12 rounds must suffice for a 200-chain (logarithmic convergence)")
   }
 
+  test("two-phase and min-label components agree on random graphs (property check)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // seeded random graphs: 40 nodes, edge count 0..80 — mixes singletons,
+    // small clusters, cycles, and chain-ish shapes; the two independent
+    // algorithms must produce identical labelings on every one
+    val nNodes = 40L
+    val edgeGen = Gen.listOfN(
+      60,
+      for { a <- Gen.choose(1L, nNodes); b <- Gen.choose(1L, nNodes) } yield (a, b)
+    )
+    (0 until 4).foreach { i =>
+      val raw = edgeGen.apply(Gen.Parameters.default, Seed(1000L + i)).get
+      val es  = raw.filter { case (a, b) => a != b }.distinct
+      val nodes = (1L to nNodes).toDF("node")
+      val edges = es.toDF("src", "dst")
+      val a = Graph.minLabelComponents(nodes, edges, maxIter = 80).as[(Long, Long)].collect().toMap
+      val b = Graph.twoPhaseComponents(nodes, edges).as[(Long, Long)].collect().toMap
+      assert(a === b, s"seed ${1000 + i}: algorithms disagree on ${es.size} edges")
+    }
+  }
+
   test("minhash pairs cluster into duplicate components with the source as survivor") {
     import spark.implicits._
     val pairs = Dedup.minhashLshPairs(spark, sf)
