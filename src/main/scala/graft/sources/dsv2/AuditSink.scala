@@ -56,6 +56,32 @@ class AuditSink extends TableProvider {
 object AuditSink {
   private val registry = new ConcurrentHashMap[String, (Long, Long)]()
 
+  /** Streaming audit state per key: (last committed epoch, rows, sum).
+    * Epochs at or below the last committed one are REPLAYS (a recovering
+    * query re-commits its last epoch after restart) and must be ignored —
+    * that idempotence is what turns Spark's at-least-once epoch delivery
+    * into an exactly-once sink result. */
+  private val streamRegistry = new ConcurrentHashMap[String, (Long, Long, Long)]()
+
+  /** (rows, sum) accumulated across all committed streaming epochs. */
+  def streamAudit(key: String): Option[(Long, Long)] =
+    Option(streamRegistry.get(key)).map { case (_, r, s) => (r, s) }
+
+  private[dsv2] def publishEpoch(key: String, epochId: Long, rows: Long, sum: Long): Unit = {
+    streamRegistry.compute(
+      key,
+      (_, prev) =>
+        prev match {
+          case null                               => (epochId, rows, sum)
+          case (last, r, s) if epochId > last     => (epochId, r + rows, s + sum)
+          case keep                               => keep // replayed epoch: drop
+        }
+    )
+    ()
+  }
+
+  private[dsv2] def clearStream(key: String): Unit = { streamRegistry.remove(key); () }
+
   /** Declared query (q123): push the purchase slice of `events` through
     * the sink's full commit protocol, then report the committed audit —
     * the exactly-once analog of the row counter the reference only logs
@@ -98,7 +124,8 @@ private[dsv2] class AuditSinkTable(writeSchema: StructType, props: Map[String, S
   override def name(): String                 = s"audit-sink(${props.getOrElse("key", "default")})"
   override def schema(): StructType           = writeSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    java.util.EnumSet
+      .of(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val key = info.options.getOrDefault("key", "default")
@@ -108,7 +135,8 @@ private[dsv2] class AuditSinkTable(writeSchema: StructType, props: Map[String, S
       // overwrite mode = same semantics here (commit replaces the key)
       override def truncate(): WriteBuilder = this
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new AuditBatchWrite(key, sumIdx)
+        override def toBatch: BatchWrite                = new AuditBatchWrite(key, sumIdx)
+        override def toStreaming: streaming.StreamingWrite = new AuditStreamingWrite(key, sumIdx)
       }
     }
   }
@@ -136,6 +164,39 @@ private[graft] case class AuditWriterFactory(sumIdx: Int) extends DataWriterFact
     new AuditWriter(sumIdx)
 }
 
+/** Streaming half: one commit per EPOCH, keyed so replays are idempotent —
+  * after a failure Spark re-runs the last epoch and re-commits it with the
+  * SAME epochId; [[AuditSink.publishEpoch]] drops epochs it has already
+  * applied, which is the whole exactly-once contract of a streaming sink
+  * (the same protocol a file-sink log or a transactional store implements
+  * with durable epoch markers). */
+private[graft] class AuditStreamingWrite(key: String, sumIdx: Int)
+    extends streaming.StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo
+  ): streaming.StreamingDataWriterFactory =
+    AuditStreamingWriterFactory(sumIdx)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val (rows, sum) = messages.foldLeft((0L, 0L)) {
+      case ((r, s), AuditCommit(n, x)) => (r + n, s + x)
+      case (acc, _)                    => acc
+    }
+    AuditSink.publishEpoch(key, epochId, rows, sum)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[graft] case class AuditStreamingWriterFactory(sumIdx: Int)
+    extends streaming.StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int,
+      taskId: Long,
+      epochId: Long
+  ): DataWriter[InternalRow] = new AuditWriter(sumIdx)
+}
+
 /** Task-side half: accumulates locally, surfaces the total ONLY through
   * commit() — abort() (failed attempt) discards it, which is what makes
   * retried/speculated tasks contribute exactly once. */
@@ -153,4 +214,4 @@ private[dsv2] class AuditWriter(sumIdx: Int) extends DataWriter[InternalRow] {
   override def close(): Unit                 = ()
 }
 
-private[dsv2] case class AuditCommit(rows: Long, sum: Long) extends WriterCommitMessage
+private[graft] case class AuditCommit(rows: Long, sum: Long) extends WriterCommitMessage

@@ -1,7 +1,8 @@
 package graft
 
-import graft.sources.dsv2.{AuditBatchWrite, AuditSink, AuditWriterFactory}
+import graft.sources.dsv2.{AuditBatchWrite, AuditCommit, AuditSink, AuditStreamingWrite, AuditWriterFactory}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 /** The DSv2 sink's commit protocol: end-to-end write, task abort/commit
   * semantics (exactly-once under retries), and job-abort invisibility. */
@@ -44,6 +45,34 @@ class Dsv2SinkSpec extends SparkSpec {
     new AuditBatchWrite("aborted-job", sumIdx = 0).abort(Array(msg))
     assert(AuditSink.audit("aborted-job") === None,
       "job abort must not publish any audit")
+  }
+
+  test("streaming epochs accumulate once; a replayed epoch is dropped (exactly-once)") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in  = MemoryStream[Long]
+    val dir = java.nio.file.Files.createTempDirectory("audit-ckpt").toString
+    val q = in
+      .toDF()
+      .select($"value".as("event_id"))
+      .writeStream
+      .format("graft.sources.dsv2.AuditSink")
+      .option("key", "stream")
+      .option("checkpointLocation", dir)
+      .start()
+    try {
+      in.addData(1L to 5L: _*)
+      q.processAllAvailable()
+      in.addData(6L to 10L: _*)
+      q.processAllAvailable()
+      assert(AuditSink.streamAudit("stream") === Some((10L, 55L)))
+      // the post-recovery path: Spark re-commits the LAST epoch with the
+      // same epochId after a restart — a replay must change nothing even
+      // with a different (partial) message set attached
+      new AuditStreamingWrite("stream", 0).commit(0L, Array(AuditCommit(100L, 999L)))
+      assert(AuditSink.streamAudit("stream") === Some((10L, 55L)),
+        "replayed epoch leaked into the streaming audit")
+    } finally q.stop()
   }
 
   test("a re-run replaces its key (idempotent), never accumulates") {
