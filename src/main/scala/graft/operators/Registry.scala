@@ -1969,7 +1969,7 @@ object Registry {
       graft.sources.dsv2.AuditSink.sinkAuditQuery,
       Some("""
         SELECT COUNT(*) AS n_rows,
-               CAST(SUM(event_id) AS BIGINT) AS sum_ids
+               CAST(COALESCE(SUM(event_id), 0) AS BIGINT) AS sum_ids
         FROM events WHERE event_type = 'purchase'
       """)
     )

@@ -56,31 +56,49 @@ class AuditSink extends TableProvider {
 object AuditSink {
   private val registry = new ConcurrentHashMap[String, (Long, Long)]()
 
-  /** Streaming audit state per key: (last committed epoch, rows, sum).
-    * Epochs at or below the last committed one are REPLAYS (a recovering
-    * query re-commits its last epoch after restart) and must be ignored —
-    * that idempotence is what turns Spark's at-least-once epoch delivery
-    * into an exactly-once sink result. */
-  private val streamRegistry = new ConcurrentHashMap[String, (Long, Long, Long)]()
+  /** Streaming audit state per (key, queryId): (last committed epoch,
+    * rows, sum). Epochs at or below the last committed one FOR THE SAME
+    * QUERY are REPLAYS (a recovering query re-commits its last epoch
+    * after restart, keeping its queryId and epoch numbering from the
+    * checkpoint) and must be ignored — that idempotence is what turns
+    * Spark's at-least-once epoch delivery into an exactly-once sink
+    * result. A DIFFERENT query reusing the key (fresh checkpoint, epochs
+    * restarting at 0) carries a new queryId, so its state starts fresh
+    * instead of being swallowed by the replay guard. */
+  private val streamRegistry = new ConcurrentHashMap[(String, String), (Long, Long, Long)]()
 
-  /** (rows, sum) accumulated across all committed streaming epochs. */
-  def streamAudit(key: String): Option[(Long, Long)] =
-    Option(streamRegistry.get(key)).map { case (_, r, s) => (r, s) }
+  /** (rows, sum) accumulated across all committed streaming epochs of
+    * every query that wrote under `key`. */
+  def streamAudit(key: String): Option[(Long, Long)] = {
+    val totals = streamRegistry.asScala.collect {
+      case ((k, _), (_, r, s)) if k == key => (r, s)
+    }
+    if (totals.isEmpty) None
+    else Some(totals.foldLeft((0L, 0L)) { case ((r1, s1), (r2, s2)) => (r1 + r2, s1 + s2) })
+  }
 
-  private[dsv2] def publishEpoch(key: String, epochId: Long, rows: Long, sum: Long): Unit = {
+  private[dsv2] def publishEpoch(
+      key: String,
+      queryId: String,
+      epochId: Long,
+      rows: Long,
+      sum: Long
+  ): Unit = {
     streamRegistry.compute(
-      key,
+      (key, queryId),
       (_, prev) =>
         prev match {
-          case null                               => (epochId, rows, sum)
-          case (last, r, s) if epochId > last     => (epochId, r + rows, s + sum)
-          case keep                               => keep // replayed epoch: drop
+          case null                           => (epochId, rows, sum)
+          case (last, r, s) if epochId > last => (epochId, r + rows, s + sum)
+          case keep                           => keep // replayed epoch: drop
         }
     )
     ()
   }
 
-  private[dsv2] def clearStream(key: String): Unit = { streamRegistry.remove(key); () }
+  private[graft] def clearStream(key: String): Unit = {
+    streamRegistry.keySet.asScala.filter(_._1 == key).foreach(streamRegistry.remove)
+  }
 
   /** Declared query (q123): push the purchase slice of `events` through
     * the sink's full commit protocol, then report the committed audit —
@@ -115,7 +133,7 @@ object AuditSink {
     registry.put(key, (rows, sum)); ()
   }
 
-  private[dsv2] def clear(key: String): Unit = { registry.remove(key); () }
+  private[graft] def clear(key: String): Unit = { registry.remove(key); () }
 }
 
 private[dsv2] class AuditSinkTable(writeSchema: StructType, props: Map[String, String])
@@ -129,14 +147,16 @@ private[dsv2] class AuditSinkTable(writeSchema: StructType, props: Map[String, S
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val key = info.options.getOrDefault("key", "default")
+    val qid = info.queryId()
     // audit dimension: the FIRST long column, or -1 for count-only audits
     val sumIdx = info.schema().fields.indexWhere(_.dataType == LongType)
     new WriteBuilder with SupportsTruncate {
       // overwrite mode = same semantics here (commit replaces the key)
       override def truncate(): WriteBuilder = this
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite                = new AuditBatchWrite(key, sumIdx)
-        override def toStreaming: streaming.StreamingWrite = new AuditStreamingWrite(key, sumIdx)
+        override def toBatch: BatchWrite = new AuditBatchWrite(key, sumIdx)
+        override def toStreaming: streaming.StreamingWrite =
+          new AuditStreamingWrite(key, qid, sumIdx)
       }
     }
   }
@@ -170,7 +190,7 @@ private[graft] case class AuditWriterFactory(sumIdx: Int) extends DataWriterFact
   * applied, which is the whole exactly-once contract of a streaming sink
   * (the same protocol a file-sink log or a transactional store implements
   * with durable epoch markers). */
-private[graft] class AuditStreamingWrite(key: String, sumIdx: Int)
+private[graft] class AuditStreamingWrite(key: String, queryId: String, sumIdx: Int)
     extends streaming.StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo
@@ -182,7 +202,7 @@ private[graft] class AuditStreamingWrite(key: String, sumIdx: Int)
       case ((r, s), AuditCommit(n, x)) => (r + n, s + x)
       case (acc, _)                    => acc
     }
-    AuditSink.publishEpoch(key, epochId, rows, sum)
+    AuditSink.publishEpoch(key, queryId, epochId, rows, sum)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()

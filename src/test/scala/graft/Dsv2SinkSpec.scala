@@ -47,7 +47,7 @@ class Dsv2SinkSpec extends SparkSpec {
       "job abort must not publish any audit")
   }
 
-  test("streaming epochs accumulate once; a replayed epoch is dropped (exactly-once)") {
+  test("streaming epochs accumulate exactly once end-to-end") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in  = MemoryStream[Long]
@@ -66,13 +66,29 @@ class Dsv2SinkSpec extends SparkSpec {
       in.addData(6L to 10L: _*)
       q.processAllAvailable()
       assert(AuditSink.streamAudit("stream") === Some((10L, 55L)))
-      // the post-recovery path: Spark re-commits the LAST epoch with the
-      // same epochId after a restart — a replay must change nothing even
-      // with a different (partial) message set attached
-      new AuditStreamingWrite("stream", 0).commit(0L, Array(AuditCommit(100L, 999L)))
-      assert(AuditSink.streamAudit("stream") === Some((10L, 55L)),
-        "replayed epoch leaked into the streaming audit")
-    } finally q.stop()
+    } finally {
+      q.stop()
+      AuditSink.clearStream("stream")
+    }
+  }
+
+  test("a replayed epoch drops; a NEW query reusing the key is not swallowed by the guard") {
+    // the post-recovery path: a restarted query keeps its queryId and
+    // re-commits its last epoch with the same epochId — must change nothing
+    val wA = new AuditStreamingWrite("skey", "qA", 0)
+    wA.commit(0L, Array(AuditCommit(5L, 15L)))
+    wA.commit(1L, Array(AuditCommit(5L, 40L)))
+    wA.commit(1L, Array(AuditCommit(100L, 999L))) // replay of epoch 1
+    assert(AuditSink.streamAudit("skey") === Some((10L, 55L)),
+      "replayed epoch leaked into the streaming audit")
+    // a DIFFERENT query (fresh checkpoint: epochs restart at 0, new
+    // queryId) writing the same key must accumulate, not be dropped as a
+    // stale-epoch replay of the first query
+    new AuditStreamingWrite("skey", "qB", 0).commit(0L, Array(AuditCommit(2L, 3L)))
+    assert(AuditSink.streamAudit("skey") === Some((12L, 58L)),
+      "fresh query's epoch 0 swallowed by the old query's replay guard")
+    AuditSink.clearStream("skey")
+    assert(AuditSink.streamAudit("skey") === None, "clearStream must drop every query under the key")
   }
 
   test("a re-run replaces its key (idempotent), never accumulates") {
@@ -88,5 +104,7 @@ class Dsv2SinkSpec extends SparkSpec {
     run(); run()
     assert(AuditSink.audit("idem") === Some((10L, 45L)),
       "second run must replace the audit, not double it")
+    AuditSink.clear("idem")
+    assert(AuditSink.audit("idem") === None, "clear must drop the batch audit")
   }
 }

@@ -99,14 +99,13 @@ class GraphSpec extends SparkSpec {
     import spark.implicits._
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
-    // seeded random graphs: 40 nodes, edge count 0..80 — mixes singletons,
-    // small clusters, cycles, and chain-ish shapes; the two independent
-    // algorithms must produce identical labelings on every one
-    val nNodes = 40L
-    val edgeGen = Gen.listOfN(
-      60,
-      for { a <- Gen.choose(1L, nNodes); b <- Gen.choose(1L, nNodes) } yield (a, b)
-    )
+    // seeded random graphs: 40 nodes, raw edge count drawn from 0..80 per
+    // seed (so sparse near-empty and dense regimes both occur) — mixes
+    // singletons, small clusters, cycles, and chain-ish shapes; the two
+    // independent algorithms must produce identical labelings on every one
+    val nNodes  = 40L
+    val pairGen = for { a <- Gen.choose(1L, nNodes); b <- Gen.choose(1L, nNodes) } yield (a, b)
+    val edgeGen = Gen.choose(0, 80).flatMap(n => Gen.listOfN(n, pairGen))
     (0 until 4).foreach { i =>
       val raw = edgeGen.apply(Gen.Parameters.default, Seed(1000L + i)).get
       val es  = raw.filter { case (a, b) => a != b }.distinct
