@@ -163,6 +163,49 @@ class JsonDecodeSpec extends SparkSpec {
     assert(wrapped === 3L && bare === 7L)
   }
 
+  test("union resolution matches the readIndex reference model on generated value/shape combos") {
+    import spark.implicits._
+    // executable model of ExtendedJsonDecoder.readIndex (:436-461), over
+    // value shapes where the declarative probes are exact (no
+    // string-that-parses-as-object ambiguity — that divergence is
+    // documented on unionLabel)
+    sealed trait V { def json: String }
+    case object VNull                        extends V { def json = "null" }
+    case class VLong(n: Long)                extends V { def json = n.toString }
+    case class VStr(s: String)               extends V { def json = "\"" + s + "\"" }
+    case class VWrapped(label: String, n: Long) extends V { def json = s"""{"$label":$n}""" }
+    case class VMulti(n: Long)               extends V { def json = s"""{"long":$n,"string":"x"}""" }
+    def model(v: V, branches: Seq[String]): Option[String] = v match {
+      case VNull => if (branches.contains("null")) Some("null") else None
+      case VWrapped(label, _) =>
+        if (branches.filter(_ != "null").contains(label)) Some(label) else None
+      case VMulti(_) => None
+      case _ => // bare value: only the two-branch nullable shortcut accepts
+        if (branches.size == 2 && branches.contains("null"))
+          Some(branches.filter(_ != "null").head)
+        else None
+    }
+    val branchSets = Seq(
+      Seq("null", "long"),
+      Seq("null", "string"),
+      Seq("null", "long", "string"),
+      Seq("long", "string")
+    )
+    val values: Seq[V] = Seq(
+      VNull, VLong(7), VLong(-3), VStr("abc"), VStr("zq9"),
+      VWrapped("long", 5), VWrapped("string", 1), VWrapped("double", 2),
+      VWrapped("unknown", 9), VMulti(4)
+    )
+    for (branches <- branchSets; v <- values) {
+      val got = Seq(s"""{"u":${v.json}}""").toDF("rec")
+        .select(JsonDecode.unionLabel(col("rec"), "u", branches).as("b"))
+        .as[Option[String]]
+        .head()
+      assert(got === model(v, branches),
+        s"value ${v.json} with union [${branches.mkString(",")}]: got $got, model says ${model(v, branches)}")
+    }
+  }
+
   test("union: a wrapped payload that is JSON null yields a null VALUE, never the wrapper text") {
     import spark.implicits._
     // {"u":{"string":null}} resolves the string branch (single known key)

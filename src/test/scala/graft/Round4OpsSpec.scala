@@ -145,6 +145,35 @@ class Round4OpsSpec extends SparkSpec {
     assert(out.filter($"n_toks" < 1).count() === 0)
   }
 
+  test("cdc chunk boundaries are insert-stable: one inserted token reshapes only local chunks") {
+    import spark.implicits._
+    // THE property that makes CDC chunks dedup-friendly across document
+    // revisions (and that fixed-width windows lack: those shift every
+    // downstream chunk). Insert a single token mid-document; every chunk
+    // except the one containing the edit (at most two, if the inserted
+    // token lands on/creates a boundary) must keep its exact content hash.
+    val base = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val edited = base
+      .withColumn("toks", graft.functions.TextFns.tokens($"text"))
+      .withColumn(
+        "text",
+        expr(
+          "concat_ws(' ', concat(slice(toks, 1, int(size(toks) / 2)), array('zq'), " +
+            "slice(toks, int(size(toks) / 2) + 1, size(toks))))"
+        )
+      )
+      .select($"doc_id", $"text")
+    val orig = Chunking.cdcChunkInventory(base).select($"doc_id", $"chunk_md5")
+    val ed   = Chunking.cdcChunkInventory(edited).select($"doc_id", $"chunk_md5".as("md5_e"))
+    val lost = orig
+      .join(ed, orig("doc_id") === ed("doc_id") && $"chunk_md5" === $"md5_e", "left_anti")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_lost"))
+      .filter($"n_lost" > 2)
+    assert(lost.count() === 0,
+      "an edit must invalidate at most its local chunk (plus a possible boundary split)")
+  }
+
   test("length-bucketed batches: 8-doc cap, non-negative padding, full cover") {
     import spark.implicits._
     val out = Chunking.lengthBucketedBatches(spark, sf).cache()
