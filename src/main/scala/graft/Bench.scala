@@ -54,7 +54,16 @@ object Bench {
     }
     val qs    = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json  = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Also write the metric to a file: sbt interleaves [info]/[error] log
+    // noise into stdout, which broke the driver's machine-parse of this line
+    // (BENCH_r06.json "parsed": null). A file is unambiguous.
+    try {
+      val out = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: $e") }
     spark.stop()
   }
 }

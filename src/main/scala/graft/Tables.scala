@@ -26,7 +26,27 @@ object Tables {
   def orders(spark: SparkSession, sfDir: String): DataFrame   = read(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "lineitem")
   def documents(spark: SparkSession, sfDir: String): DataFrame  = read(spark, sfDir, "documents")
-  def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
+
+  /** The fixture embedding dimension. The similarity operators AND their
+    * hand-written DuckDB oracle SQL (Registry `range(1, 65)` sites) both
+    * assume it; a fixture change must fail loudly here, not silently desync
+    * the oracles. */
+  val EmbeddingDim = 64
+  private val embDimChecked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = read(spark, sfDir, "embeddings")
+    // One limit-1 scan per (JVM, sfDir) — negligible, and the only way to
+    // see the dim: parquet list types carry no length in the schema.
+    if (embDimChecked.add(sfDir)) {
+      val dim = df.select(size(col("embedding"))).head().getInt(0)
+      require(
+        dim == EmbeddingDim,
+        s"embeddings fixture at $sfDir has dim $dim, expected $EmbeddingDim — " +
+          "the similarity operators and their oracle SQL (range(1, 65)) hardcode it")
+    }
+    df
+  }
 
   /** events with `ts` normalized to a microsecond-precision TimestampType.
     * Raw fixture column is TIMESTAMP(NANOS); `ts div 1000` truncates ns→µs

@@ -16,34 +16,42 @@ object Advanced {
     * aggregate — the plan you'd hand-write, derived automatically.
     * Deterministic because l_quantity is integral (exact double sums). */
   def correlatedSubquery(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
-    spark.sql("""
-      SELECT l_partkey,
-             COUNT(*) AS n_small,
-             CAST(SUM(l_quantity) AS BIGINT) AS sum_small_qty
-      FROM lineitem l
-      WHERE l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
-                          FROM lineitem l2
-                          WHERE l2.l_partkey = l.l_partkey)
-      GROUP BY l_partkey
-      ORDER BY l_partkey
-    """)
+    // Unique per-call view name (a fixed session-global name would race
+    // across concurrent queries); sql() resolves eagerly, so drop after.
+    val v = s"lineitem_csq_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView(v)
+    try
+      spark.sql(s"""
+        SELECT l_partkey,
+               COUNT(*) AS n_small,
+               CAST(SUM(l_quantity) AS BIGINT) AS sum_small_qty
+        FROM $v l
+        WHERE l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                            FROM $v l2
+                            WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY l_partkey
+        ORDER BY l_partkey
+      """)
+    finally spark.catalog.dropTempView(v)
   }
 
   /** Explicit GROUPING SETS (beyond rollup/cube): status-only,
     * priority-only, and grand-total groups in one pass. */
   def groupingSets(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_gs")
-    spark.sql("""
-      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
-             COALESCE(o_orderpriority, 'ALL') AS priority,
-             CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
-             CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
-             COUNT(*) AS n
-      FROM orders_gs
-      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-      ORDER BY g_status, g_priority, status, priority
-    """)
+    val v = s"orders_gs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    Tables.orders(spark, sfDir).createOrReplaceTempView(v)
+    try
+      spark.sql(s"""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n
+        FROM $v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_priority, status, priority
+      """)
+    finally spark.catalog.dropTempView(v)
   }
 
   /** Statistical aggregates: stddev/variance/correlation/covariance and an

@@ -513,8 +513,11 @@ object Dedup {
       .unionByName(pairs.select($"dst".as("node")))
       .distinct()
     // 3 rounds per action: near-dup clusters are diameter-<=2 almost
-    // always, so one action both converges and proves the fixpoint
-    val comp = Graph.minLabelComponents(pnodes, pairs, roundsPerAction = 3)
+    // always, so one action both converges and proves the fixpoint; a
+    // pathological chain-of-edits corpus trips the probe's convergence
+    // guard and reroutes through the diameter-free two-phase algorithm
+    // (pairs is cached above, so both attempts share one minhash run)
+    val comp = Graph.autoComponents(pnodes, pairs, roundsPerAction = 3)
     // comp is lineage-free (localCheckpointed), so the pair cache this
     // function owns can drop now — the loop no longer unpersists a
     // caller-established cache

@@ -122,6 +122,19 @@ object Graph {
       }
       action += 1
     }
+    // Same fail-loudly contract as twoPhaseComponents: a silent exit with
+    // labels still changing would return WRONG components (a diameter-
+    // > maxIter chain keeps propagating), and downstream survivor election
+    // would quietly pick wrong survivors. Callers that can tolerate long
+    // chains should route to twoPhaseComponents (O(log² n) rounds).
+    if (changed > 0) {
+      labels.unpersist()
+      if (!callerCached) e.unpersist()
+      throw new IllegalStateException(
+        s"minLabelComponents did not converge after $maxIter rounds " +
+          s"($changed labels still changing) — component diameter exceeds " +
+          "the round budget; raise maxIter or use twoPhaseComponents")
+    }
     // Break the result's lineage from the loop caches BEFORE dropping
     // them: uncaching a parent INVALIDATES dependent cached data (Spark's
     // non-cascading uncache clears dependents for lazy rebuild), so
@@ -135,6 +148,29 @@ object Graph {
     if (!callerCached) e.unpersist()
     result
   }
+
+  /** Diameter-adaptive components: probe with [[minLabelComponents]] for a
+    * fixed round budget (near-dup clusters are diameter-≤2 almost always,
+    * so the probe both converges and proves the fixpoint in one or two
+    * actions), and on non-convergence — a pathological corpus such as a
+    * chain of paraphrase edits — switch to [[twoPhaseComponents]], whose
+    * O(log² n) rounds are diameter-free. The probe's wasted work is
+    * bounded by `probeRounds` cheap passes over the (small) pair subgraph;
+    * the alternative — always running two-phase — pays its higher
+    * per-round constant (two half-rounds, distinct()) on the 99% case.
+    * Callers should cache `edgeList` when it is an expensive plan: both
+    * attempts then share the one materialization. */
+  def autoComponents(
+      nodes: DataFrame,
+      edgeList: DataFrame,
+      probeRounds: Int = 9,
+      roundsPerAction: Int = 3
+  ): DataFrame =
+    try minLabelComponents(nodes, edgeList, maxIter = probeRounds, roundsPerAction = roundsPerAction)
+    catch {
+      case e: IllegalStateException if e.getMessage.contains("did not converge") =>
+        twoPhaseComponents(nodes, edgeList)
+    }
 
   /** Large-star/small-star connected components — the two-phase MapReduce
     * CC algorithm (Kiveris et al., "Connected Components in MapReduce and

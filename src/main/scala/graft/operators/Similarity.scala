@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private val Dim = 64
+  private val Dim = graft.Tables.EmbeddingDim
 
   /** Deterministic md5-derived pseudo-random weight in [-1, 1) for
     * (plane, dim) — same arithmetic the DuckDB oracle can replay:

@@ -81,7 +81,19 @@ object JsonDecode {
     val nonNull = branches.filter(_ != "null")
     val bareOk  = branches.size == 2 && branches.contains("null")
     val reject = lit(null).cast("string")
+    // Wrapped {"null": ...}: the reference's findLabel matches ALL branches
+    // including "null" (readIndex :455), then readNull throws unless the
+    // payload token is a JSON null — so at the record level {"null": null}
+    // is the null branch and {"null": <non-null>} is a decode error. The
+    // label probe folds that payload check in: rejecting here routes the
+    // record to the same dead-letter side the reference's throw does.
+    val wrappedNullOk =
+      if (branches.contains("null")) get_json_object(raw, "$.null").isNull else lit(false)
     when(raw.isNull, if (branches.contains("null")) lit("null") else reject)
+      .when(
+        keys.isNotNull && size(keys) === 1 && key1 === "null",
+        when(wrappedNullOk, lit("null")).otherwise(reject)
+      )
       .when(keys.isNotNull && size(keys) === 1 && key1.isInCollection(nonNull), key1)
       .when(keys.isNull, if (bareOk) lit(nonNull.head) else reject)
     // multi-key / unknown-label wrapped objects fall through → null (reject)

@@ -63,6 +63,9 @@ class GraphSpec extends SparkSpec {
     // these plans must therefore be AQE-chosen (runtime), never a static
     // estimate: assert the plans went through AdaptiveSparkPlan
     val loopPlans = plans.toArray.map(_.toString).filter(_.contains("hashpartitioning"))
+    // guard the guard: an empty filter result would make the forall
+    // vacuously true and silently stop testing anything
+    assert(loopPlans.nonEmpty, "expected at least one shuffling loop plan to inspect")
     assert(loopPlans.forall(_.contains("AdaptiveSparkPlan")),
       "CC loop joins must be planned adaptively (runtime sizes), not statically")
   }
@@ -115,6 +118,37 @@ class GraphSpec extends SparkSpec {
       val b = Graph.twoPhaseComponents(nodes, edges).as[(Long, Long)].collect().toMap
       assert(a === b, s"seed ${1000 + i}: algorithms disagree on ${es.size} edges")
     }
+  }
+
+  test("min-label fails loudly when the diameter exceeds the round budget") {
+    import spark.implicits._
+    // 30-chain, 8-round budget: propagation cannot finish; a silent return
+    // here would hand wrong labels to survivor election downstream
+    val nodes = (1L to 30L).toDF("node")
+    val edges = (1L until 30L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      Graph.minLabelComponents(nodes, edges, maxIter = 8)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("autoComponents reroutes a long chain through the two-phase path") {
+    import spark.implicits._
+    // diameter 59 >> probeRounds = 6: the min-label probe MUST trip its
+    // convergence guard (previous test pins that), so a correct labeling
+    // here can only have come from the two-phase fallback
+    val nodes = (1L to 60L).toDF("node")
+    val edges = (1L until 60L).map(i => (i, i + 1)).toDF("src", "dst")
+    val comp = Graph.autoComponents(nodes, edges, probeRounds = 6).as[(Long, Long)].collect().toMap
+    assert(comp === (1L to 60L).map(_ -> 1L).toMap)
+  }
+
+  test("autoComponents stays on min-label for shallow graphs") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("node")
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val comp  = Graph.autoComponents(nodes, edges).as[(Long, Long)].collect().toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
   }
 
   test("minhash pairs cluster into duplicate components with the source as survivor") {

@@ -143,6 +143,18 @@ class JsonDecodeSpec extends SparkSpec {
       "multi-key object is not a valid wrapped union")
   }
 
+  test("union: wrapped null label follows reference findLabel + readNull semantics") {
+    // readIndex resolves {"null": ...} via findLabel over ALL branches
+    // (:455); readNull then throws unless the payload token is JSON null —
+    // so {"null": null} IS the null branch, {"null": 5} is a dead record
+    assert(resolve("""{"u":{"null":null}}""", Seq("null", "long")) === Some("null"))
+    assert(resolve("""{"u":{"null":null}}""", Seq("null", "long", "string")) === Some("null"))
+    assert(resolve("""{"u":{"null":5}}""", Seq("null", "long")) === None,
+      "non-null payload under the null label is a decode error (readNull throws)")
+    assert(resolve("""{"u":{"null":null}}""", Seq("long", "string")) === None,
+      "no null branch -> findLabel misses -> reject")
+  }
+
   test("union: bare value is legal only for the two-branch nullable shortcut") {
     assert(resolve("""{"u":7}""", Seq("null", "long")) === Some("long"))
     assert(resolve("""{"u":"abc"}""", Seq("null", "string")) === Some("string"))
@@ -174,9 +186,12 @@ class JsonDecodeSpec extends SparkSpec {
     case class VLong(n: Long)                extends V { def json = n.toString }
     case class VStr(s: String)               extends V { def json = "\"" + s + "\"" }
     case class VWrapped(label: String, n: Long) extends V { def json = s"""{"$label":$n}""" }
+    case object VWrappedNull                 extends V { def json = """{"null":null}""" }
     case class VMulti(n: Long)               extends V { def json = s"""{"long":$n,"string":"x"}""" }
     def model(v: V, branches: Seq[String]): Option[String] = v match {
       case VNull => if (branches.contains("null")) Some("null") else None
+      case VWrappedNull => if (branches.contains("null")) Some("null") else None
+      case VWrapped("null", _) => None // findLabel hits, readNull throws on the payload
       case VWrapped(label, _) =>
         if (branches.filter(_ != "null").contains(label)) Some(label) else None
       case VMulti(_) => None
@@ -194,7 +209,7 @@ class JsonDecodeSpec extends SparkSpec {
     val values: Seq[V] = Seq(
       VNull, VLong(7), VLong(-3), VStr("abc"), VStr("zq9"),
       VWrapped("long", 5), VWrapped("string", 1), VWrapped("double", 2),
-      VWrapped("unknown", 9), VMulti(4)
+      VWrapped("unknown", 9), VWrapped("null", 5), VWrappedNull, VMulti(4)
     )
     for (branches <- branchSets; v <- values) {
       val got = Seq(s"""{"u":${v.json}}""").toDF("rec")
