@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{ExpandExec, GenerateExec, SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.functions._
+
+/** Corpus-wide plan-shape sweep: every declared query's physical plan is
+  * walked for the three silent scale-killers —
+  *
+  *   1. `CartesianProduct` (O(n·m) rows shipped everywhere),
+  *   2. `BroadcastNestedLoopJoin` (a cartesian wearing a broadcast), and
+  *   3. a broadcast whose input subtree contains an UNBOUNDED Generate
+  *      (an exploded relation grows with the data — broadcasting it OOMs
+  *      the driver at scale; an aggregate or limit between the explode and
+  *      the exchange re-bounds it and is legitimate).
+  *
+  * Two escape hatches, both deliberate:
+  *
+  *   - A BNLJ against a side that provably produces AT MOST ONE ROW
+  *     (groupless global aggregate / limit under row-non-increasing ops)
+  *     auto-passes: joining a scalar is linear at any scale and is the
+  *     repo's standard "exact value alongside the sketch" idiom.
+  *   - `allowed` lists the queries whose flagged shape is a REVIEWED
+  *     bounded-side broadcast (eval sets, query sets, NEW-batch probes,
+  *     k centroids, dimension tables under a theta join). Boundedness
+  *     there is semantic — a filter or a fixed k, invisible to plan
+  *     structure — so each entry carries its justification. A NEW query
+  *     landing one of these shapes fails the sweep until it is either
+  *     reshaped or consciously exempted here.
+  *
+  * PlanShapeSpec asserts rich per-query properties on ~15 queries; this
+  * sweep is the cheap blanket over the other ~100. It inspects the
+  * pre-execution AQE plan (`initialPlan`): a runtime demotion can only
+  * make that plan better, and the static shape is what ships to a cluster
+  * where AQE stats differ. */
+class CorpusPlanSweepSpec extends SparkSpec {
+
+  /** Reviewed exemptions: query -> the shapes it is allowed to plan, each
+    * with the reason the flagged side is bounded in reality. */
+  private val allowed: Map[String, Set[String]] = Map(
+    // non-equi theta join: NL is the only join shape; the broadcast side is
+    // the supplier DIMENSION (bounded; Relational.thetaJoinPriceBand)
+    "q16_theta_join_price_band" -> Set("BroadcastNestedLoopJoin"),
+    // interval/range join over a bounded broadcast side (AsOf operators)
+    "q35_interval_join" -> Set("BroadcastNestedLoopJoin"),
+    // brute-force cosine: the QUERY set (vec_id < 10) broadcasts; the only
+    // join predicate is !=, so NL is expected (Similarity.bruteCosineTopK)
+    "q69_cosine_topk" -> Set("BroadcastNestedLoopJoin"),
+    // LSH multi-table probe: the tiny query set exploded per hash table is
+    // still query-set-sized (Similarity, q70)
+    "q70_lsh_cosine_topk" -> Set("broadcast of an exploded (unbounded) relation"),
+    // IVF: centroid assignment crossJoins broadcast(k centroids); probes
+    // side is query-set-bounded (Similarity.ivfTopK)
+    "q76_ivf_cosine_topk" -> Set("BroadcastNestedLoopJoin"),
+    // decontamination broadcasts the exploded EVAL side — eval suites are
+    // small by nature; broadcasting them IS the 100 TB plan (Dedup :311)
+    "q86_decontaminate" -> Set("broadcast of an exploded (unbounded) relation"),
+    // training pipeline composes decontaminate, same eval-side broadcast
+    "q95_training_pipeline" -> Set("broadcast of an exploded (unbounded) relation"),
+    // incremental ingest broadcasts the exploded NEW batch (bounded by
+    // ingest batch size; the corpus side never shuffles — Dedup :430)
+    "q106_incremental_dedup" -> Set("broadcast of an exploded (unbounded) relation"),
+    // k-means assignment crossJoins broadcast(k centroids) per iteration
+    "q107_kmeans_clusters" -> Set("BroadcastNestedLoopJoin")
+  )
+
+  private def unwrap(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => a.initialPlan
+    case other                    => other
+  }
+
+  /** True when the subtree provably yields at most one row: a groupless
+    * (global) aggregate or a limit, seen through row-non-increasing unary
+    * operators (project/filter/sort/exchange/codegen wrappers — everything
+    * except the row-multiplying Generate/Expand). */
+  private def maxOneRow(n: SparkPlan): Boolean = n match {
+    case a: HashAggregateExec if a.groupingExpressions.isEmpty       => true
+    case a: ObjectHashAggregateExec if a.groupingExpressions.isEmpty => true
+    case a: SortAggregateExec if a.groupingExpressions.isEmpty       => true
+    case _: GenerateExec                                             => false
+    case _: ExpandExec                                               => false
+    case u: UnaryExecNode                                            => maxOneRow(u.child)
+    case _                                                           => false
+  }
+
+  /** True when the subtree reaches a Generate without passing a bounding
+    * operator (aggregate / limit / top-k) on the way down. */
+  private def unboundedGenerate(n: SparkPlan): Boolean = n match {
+    case _: GenerateExec            => true
+    case _: HashAggregateExec       => false
+    case _: ObjectHashAggregateExec => false
+    case _: SortAggregateExec       => false
+    case other if other.nodeName.contains("Limit") || other.nodeName.contains("TakeOrdered") =>
+      false
+    case other => other.children.exists(unboundedGenerate)
+  }
+
+  /** All scale-killer shapes in the query's plan, main tree + subqueries. */
+  private def scaleKillers(df: DataFrame): Seq[String] = {
+    val root  = unwrap(df.queryExecution.executedPlan)
+    val nodes = root.collectWithSubqueries { case p => p }
+    nodes.flatMap {
+      case _: CartesianProductExec => Seq("CartesianProduct")
+      case j: BroadcastNestedLoopJoinExec if !maxOneRow(j.left) && !maxOneRow(j.right) =>
+        Seq("BroadcastNestedLoopJoin")
+      case b: BroadcastExchangeExec if unboundedGenerate(b.child) =>
+        Seq("broadcast of an exploded (unbounded) relation")
+      case _ => Nil
+    }
+  }
+
+  test("no declared query plans a cartesian, BNLJ, or broadcast-of-exploded shape") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // coverage guard: the sweep must keep walking the WHOLE corpus — a
+    // refactor that shrinks the declared map should fail here, not pass
+    // vacuously over a subset
+    assert(names.size >= 114, s"declared corpus shrank to ${names.size} queries")
+    val findings = names.flatMap { n =>
+      val problems =
+        try scaleKillers(SparkEntry.queries(n)(spark, sf)).distinct
+        catch { case e: Throwable => Seq(s"plan construction failed: ${e.getMessage}") }
+      val unexempted = problems.filterNot(allowed.getOrElse(n, Set.empty))
+      if (unexempted.isEmpty) Nil else Seq(s"$n -> ${unexempted.mkString(", ")}")
+    }
+    assert(findings.isEmpty, s"scale-killer plans:\n${findings.mkString("\n")}")
+  }
+
+  test("every allowlist entry still fires (no stale exemptions)") {
+    // an exemption whose query no longer plans the shape is dead weight
+    // that could silently mask a future regression of a DIFFERENT kind
+    val stale = allowed.toSeq.sortBy(_._1).flatMap { case (n, shapes) =>
+      val problems = scaleKillers(SparkEntry.queries(n)(spark, sf)).toSet
+      val unused   = shapes -- problems
+      if (unused.isEmpty) Nil else Seq(s"$n no longer plans: ${unused.mkString(", ")}")
+    }
+    assert(stale.isEmpty, s"stale allowlist entries:\n${stale.mkString("\n")}")
+  }
+
+  // ---- the sweep must actually bite: deliberate bad shapes are flagged ----
+
+  test("sweep flags a deliberate cross join") {
+    import spark.implicits._
+    val a = (1 to 3).toDF("a")
+    val b = (4 to 6).toDF("b")
+    // a joinless cross of multi-row sides: plans as CartesianProduct or
+    // BNLJ depending on size estimates — either way the sweep must catch it
+    val k = scaleKillers(a.crossJoin(b))
+    assert(k.nonEmpty, "cross join escaped the sweep")
+  }
+
+  test("sweep flags a broadcast of an exploded relation") {
+    import spark.implicits._
+    val base     = Seq((1, Seq(1, 2, 3)), (2, Seq(2, 3, 4))).toDF("id", "xs")
+    val exploded = base.select($"id", explode($"xs").as("x"))
+    val probe    = (1 to 3).toDF("a")
+    val k = scaleKillers(probe.join(broadcast(exploded), $"a" === $"x"))
+    assert(
+      k.contains("broadcast of an exploded (unbounded) relation"),
+      s"broadcast-of-exploded escaped the sweep: $k"
+    )
+  }
+
+  test("sweep accepts an explode re-bounded by aggregation before broadcast") {
+    import spark.implicits._
+    val base = Seq((1, Seq(1, 2, 3)), (2, Seq(2, 3, 4))).toDF("id", "xs")
+    val bounded = base
+      .select(explode($"xs").as("x"))
+      .groupBy($"x")
+      .agg(count(lit(1)).as("n")) // aggregate bounds the exploded stream
+    val probe = (1 to 3).toDF("a")
+    val k = scaleKillers(probe.join(broadcast(bounded), $"a" === $"x"))
+    assert(k.isEmpty, s"false positive on a bounded explode: $k")
+  }
+
+  test("sweep accepts a scalar (one-row) nested-loop side") {
+    import spark.implicits._
+    val data = (1 to 100).toDF("v")
+    val mx   = data.agg(max($"v").as("mx"))
+    val k    = scaleKillers(data.crossJoin(broadcast(mx)).filter($"v" >= $"mx" - 10))
+    assert(k.isEmpty, s"false positive on a scalar cross join: $k")
+  }
+}
