@@ -87,6 +87,18 @@ class CorpusPlanSweepSpec extends SparkSpec {
     case _                                                           => false
   }
 
+  /** True when the subtree's row count is capped by a limit / top-k /
+    * global aggregate somewhere below, seen through unary operators. A
+    * grouped aggregate does NOT count — its group count scales with data. */
+  private def limitedBelow(n: SparkPlan): Boolean = n match {
+    case l if l.nodeName.contains("Limit") || l.nodeName.contains("TakeOrdered") => true
+    case a: HashAggregateExec if a.groupingExpressions.isEmpty                   => true
+    case a: ObjectHashAggregateExec if a.groupingExpressions.isEmpty             => true
+    case a: SortAggregateExec if a.groupingExpressions.isEmpty                   => true
+    case u: UnaryExecNode                                                        => limitedBelow(u.child)
+    case _                                                                       => false
+  }
+
   /** True when the subtree reaches a Generate without passing a bounding
     * operator (aggregate / limit / top-k) on the way down. */
   private def unboundedGenerate(n: SparkPlan): Boolean = n match {
@@ -109,6 +121,13 @@ class CorpusPlanSweepSpec extends SparkSpec {
         Seq("BroadcastNestedLoopJoin")
       case b: BroadcastExchangeExec if unboundedGenerate(b.child) =>
         Seq("broadcast of an exploded (unbounded) relation")
+      // an unpartitioned window funnels EVERY row through one task — fine
+      // when a limit/top-k bounds the input (the q77/q78/q101 numbering
+      // idiom), a cluster-killer when the full table flows in (the fix is
+      // the two-pass bucketed prefix sum, Chunking.packSequences)
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty && !limitedBelow(w.child) =>
+        Seq("unpartitioned window over unbounded input")
       case _ => Nil
     }
   }
@@ -174,6 +193,22 @@ class CorpusPlanSweepSpec extends SparkSpec {
     val probe = (1 to 3).toDF("a")
     val k = scaleKillers(probe.join(broadcast(bounded), $"a" === $"x"))
     assert(k.isEmpty, s"false positive on a bounded explode: $k")
+  }
+
+  test("sweep flags an unpartitioned window over unbounded input") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val data = (1 to 100).toDF("v")
+    val k    = scaleKillers(data.withColumn("rn", row_number().over(Window.orderBy($"v"))))
+    assert(k.contains("unpartitioned window over unbounded input"), s"global window escaped: $k")
+  }
+
+  test("sweep accepts an unpartitioned window over a limit-bounded input") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val top = (1 to 100).toDF("v").orderBy($"v".desc).limit(5)
+    val k   = scaleKillers(top.withColumn("rn", row_number().over(Window.orderBy($"v".desc))))
+    assert(k.isEmpty, s"false positive on a bounded global window: $k")
   }
 
   test("sweep accepts a scalar (one-row) nested-loop side") {
