@@ -5,6 +5,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, ReadLimit, ReadMaxRows, SupportsAdmissionControl, Offset => StreamOffset}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -116,15 +117,16 @@ private class SyntheticTable(props: Map[String, String]) extends Table with Supp
   override def name(): String = "synthetic_events"
   override def schema(): StructType = SyntheticEventsSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SyntheticScanBuilder(
       options.getLong("rows", props.getOrElse("rows", "1000").toLong),
-      options.getInt("partitions", props.getOrElse("partitions", "4").toInt)
+      options.getInt("partitions", props.getOrElse("partitions", "4").toInt),
+      options.getLong("rowsPerBatch", props.getOrElse("rowsPerBatch", "100").toLong)
     )
 }
 
-private class SyntheticScanBuilder(rows: Long, partitions: Int)
+private class SyntheticScanBuilder(rows: Long, partitions: Int, rowsPerBatch: Long)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -168,7 +170,7 @@ private class SyntheticScanBuilder(rows: Long, partitions: Int)
 
   override def build(): Scan =
     if (aggPushed) new SyntheticAggScan(rows, partitions, aggGroup, pushed)
-    else new SyntheticScan(rows, partitions, required, pushed, limit)
+    else new SyntheticScan(rows, partitions, rowsPerBatch, required, pushed, limit)
 }
 
 /** Scan for a pushed COUNT(*) [GROUP BY col]: per partition, iterate the
@@ -238,6 +240,7 @@ private class SyntheticAggScan(
 private class SyntheticScan(
     rows: Long,
     partitions: Int,
+    rowsPerBatch: Long,
     required: StructType,
     pushed: Array[Filter],
     limit: Option[Int]
@@ -245,6 +248,8 @@ private class SyntheticScan(
     with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SyntheticMicroBatchStream(rows, partitions, rowsPerBatch, required, pushed)
   override def description(): String =
     s"synthetic_events PushedFilters: [${pushed.mkString(", ")}], " +
       s"PushedLimit: ${limit.getOrElse(-1)}, ReadSchema: ${required.catalogString}"
@@ -260,6 +265,91 @@ private class SyntheticScan(
 }
 
 private case class SyntheticPartition(start: Long, end: Long) extends InputPartition
+
+/** Streaming offset: the generator cursor — how many rows have been
+  * emitted so far. The JSON form is the bare number, so a checkpoint's
+  * offset log is human-auditable (`cat offsets/3` shows the cursor). */
+private[dsv2] case class RowCursor(pos: Long) extends StreamOffset {
+  override def json(): String = pos.toString
+}
+
+/** MicroBatchStream over the synthetic generator — the read-side analog of
+  * the reference's resumable scroll cursor (EsParquetWriter.java:83-84: a
+  * paged scan that always continues from the last returned page token) and
+  * the mirror of [[AuditSink]]'s streaming write side.
+  *
+  *   - Offsets are deterministic row cursors: epoch k reads exactly rows
+  *     [k·rowsPerBatch, (k+1)·rowsPerBatch) until the `rows` cap — the
+  *     "page size" of the scroll. Admission control caps each batch the
+  *     same way a scroll page does; `Trigger.AvailableNow` still drains
+  *     everything because Spark keeps asking until latestOffset stops
+  *     moving.
+  *   - Restart-from-checkpoint: Spark replays the LAST COMMITTED offset
+  *     from the checkpoint log and plans the next batch from it — this
+  *     stream keeps NO state of its own (a fresh instance resumes from
+  *     whatever start offset Spark hands it), which is exactly what makes
+  *     the cursor resumable: no row is lost (the cursor only advances on
+  *     commit) and none doubled (the epoch's range is [start, end) of the
+  *     checkpointed cursor pair; the sink's epoch-replay guard handles the
+  *     one at-least-once re-commit after a crash).
+  *   - Pushdown caveat: Spark's micro-batch planner does NOT run
+  *     V2ScanRelationPushDown, so unlike the batch path the streaming scan
+  *     receives the full schema and no pushed filters — Catalyst prunes
+  *     and filters ABOVE the scan (pinned in Dsv2SourceSpec so a Spark
+  *     upgrade that lifts the limitation surfaces as a test failure).
+  */
+private class SyntheticMicroBatchStream(
+    totalRows: Long,
+    partitions: Int,
+    rowsPerBatch: Long,
+    required: StructType,
+    pushed: Array[Filter]
+) extends MicroBatchStream
+    with SupportsAdmissionControl {
+
+  override def initialOffset(): StreamOffset = RowCursor(0L)
+
+  override def deserializeOffset(json: String): StreamOffset = RowCursor(json.trim.toLong)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+
+  override def latestOffset(start: StreamOffset, limit: ReadLimit): StreamOffset = {
+    val s = start.asInstanceOf[RowCursor].pos
+    val step = limit match {
+      case mr: ReadMaxRows => mr.maxRows()
+      case _               => rowsPerBatch
+    }
+    RowCursor(math.min(s + math.max(step, 1L), totalRows))
+  }
+
+  // Spark never calls the no-arg variant when SupportsAdmissionControl is
+  // implemented; fail loudly rather than silently duplicate logic
+  override def latestOffset(): StreamOffset =
+    throw new UnsupportedOperationException("latestOffset(start, limit) is the entry point")
+
+  override def reportLatestOffset(): StreamOffset = RowCursor(totalRows)
+
+  override def planInputPartitions(start: StreamOffset, end: StreamOffset): Array[InputPartition] = {
+    val s = start.asInstanceOf[RowCursor].pos
+    val e = end.asInstanceOf[RowCursor].pos
+    val n   = math.max(1, partitions)
+    val per = (e - s + n - 1) / n
+    if (e <= s) Array.empty
+    else
+      (0 until n)
+        .map(p => SyntheticPartition(s + p * per, math.min(s + (p + 1) * per, e)))
+        .filter(p => p.end > p.start)
+        .map(p => p: InputPartition)
+        .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SyntheticReaderFactory(required, pushed, Int.MaxValue)
+
+  // the cursor lives in Spark's checkpoint offset log, not here
+  override def commit(end: StreamOffset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 private class SyntheticReaderFactory(required: StructType, pushed: Array[Filter], limit: Int)
     extends PartitionReaderFactory {

@@ -102,4 +102,94 @@ class Dsv2SourceSpec extends SparkSpec {
       .collect()
     assert(agg.length === 5 && agg.map(_.getLong(1)).sum === 500)
   }
+
+  // ---- MicroBatchStream: the resumable scroll cursor, read side ----
+
+  private def readStream(rows: Long, parts: Int, perBatch: Long) =
+    spark.readStream
+      .format("graft.sources.dsv2.SyntheticEventsSource")
+      .option("rows", rows)
+      .option("partitions", parts)
+      .option("rowsPerBatch", perBatch)
+      .load()
+
+  private def runToDrained(rows: Long, perBatch: Long, key: String, ckpt: String) = {
+    import graft.sources.dsv2.AuditSink
+    val q = readStream(rows, parts = 3, perBatch)
+      .select(org.apache.spark.sql.functions.col("event_id"))
+      .writeStream
+      .format("graft.sources.dsv2.AuditSink")
+      .option("key", key)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    q
+  }
+
+  test("streaming source paginates deterministic epochs and drains to the cap") {
+    import graft.sources.dsv2.AuditSink
+    val ckpt = java.nio.file.Files.createTempDirectory("mbs_ckpt").toString
+    val key  = s"mbs-drain-${java.util.UUID.randomUUID()}"
+    val q    = runToDrained(rows = 600, perBatch = 250, key, ckpt)
+    // rows 0..599 exactly once: count 600, id-sum 600*599/2
+    assert(AuditSink.streamAudit(key) === Some((600L, 179700L)))
+    // epoch pagination is the scroll page size: 250, 250, 100
+    val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq
+    assert(sizes === Seq(250L, 250L, 100L), s"epoch sizes: $sizes")
+    AuditSink.clearStream(key)
+  }
+
+  test("restart from checkpoint resumes the cursor: no row lost, none doubled") {
+    import graft.sources.dsv2.AuditSink
+    val ckpt = java.nio.file.Files.createTempDirectory("mbs_ckpt2").toString
+    val key  = s"mbs-resume-${java.util.UUID.randomUUID()}"
+    // phase 1: the source exposes 600 rows; drain and kill the query
+    runToDrained(rows = 600, perBatch = 250, key, ckpt)
+    assert(AuditSink.streamAudit(key) === Some((600L, 179700L)))
+    // phase 2: the "scroll" has grown to 1000 rows; a NEW query instance on
+    // the SAME checkpoint must resume at the committed cursor (600), not
+    // re-read from 0 — the id-sum is exact-once arithmetic: a re-read
+    // inflates it, a lost page deflates it
+    runToDrained(rows = 1000, perBatch = 250, key, ckpt)
+    assert(AuditSink.streamAudit(key) === Some((1000L, 499500L)),
+      "resume must deliver exactly rows 600..999 on top of phase 1")
+    AuditSink.clearStream(key)
+  }
+
+  test("streaming scan filters correctly above the scan (V2 pushdown is batch-only)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper
+    val ckpt = java.nio.file.Files.createTempDirectory("mbs_ckpt3").toString
+    val q = readStream(rows = 500, parts = 2, perBatch = 500)
+      .filter($"event_type" === "click")
+      .select($"event_id")
+      .writeStream
+      .format("memory")
+      .queryName(s"mbs_prune_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      // 500 rows cycle 5 types -> exactly 100 clicks
+      val n = spark.sql(s"SELECT COUNT(*) FROM ${q.name}").head().getLong(0)
+      assert(n === 100L, s"expected 100 generated clicks, saw $n")
+      // Pin the KNOWN Spark limitation so a future Spark upgrade that lifts
+      // it shows up as a test failure (and an opportunity): the micro-batch
+      // path does not run V2ScanRelationPushDown, so the streaming scan
+      // reads the full schema with no pushed filters and Catalyst filters/
+      // projects ABOVE the scan. Batch reads of the same source DO push
+      // (asserted earlier in this suite).
+      val plan = q
+        .asInstanceOf[StreamingQueryWrapper]
+        .streamingQuery
+        .lastExecution
+        .executedPlan
+        .toString
+      assert(plan.contains("Filter") && plan.contains("MicroBatchScan"), plan.take(3000))
+      assert(plan.contains("PushedFilters: []"),
+        "Spark now pushes filters into micro-batch scans — drop this pin and " +
+          "assert the pushed shape instead (free perf on the streaming path)")
+    } finally q.stop()
+  }
 }
