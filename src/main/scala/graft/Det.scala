@@ -31,4 +31,33 @@ object Det {
     * / COUNT(*)`. */
   def decAvg(c: Column, scale: Int): Column =
     decSum(c, scale) / count(lit(1))
+
+  /** [[decSum]] with a DECIMAL(38,0) accumulator — for grids whose LONG
+    * capacity does not survive the 100 TB target.
+    *
+    * Capacity model: a LONG grid sum holds while
+    * `rowsPerGroup × maxAbs × 10^scale < 2^63`. At SF 1e5 (~100 TB)
+    * lineitem has ~6e11 rows, so a LOW-CARDINALITY grouping (q01's six
+    * groups, a global aggregate, a rollup grand total) puts ~1e11 rows in
+    * one group; with price-magnitude terms the 1e4 grid overflows (~1e20)
+    * and the 1e6 grid overflows by three orders. Under ANSI mode (the
+    * Spark 4 default) that overflow KILLS the job at full scale; with
+    * ANSI off it wraps silently into garbage — both unacceptable. The
+    * decimal accumulator is exact to 1e38 (capacity beyond any
+    * conceivable corpus) at ~2× the aggregation cost — paid only at the
+    * sites whose group cardinality is genuinely low (GridOverflowSpec
+    * encodes the per-site capacity audit and fails if a wide site is
+    * "optimized" back to LONG).
+    *
+    * The DuckDB mirror is UNCHANGED (`CAST(SUM(CAST(round(x*1eS) AS
+    * BIGINT)) AS DOUBLE) / 1eS`): DuckDB sums BIGINT into a 128-bit
+    * accumulator natively, so both engines compute the same exact integer
+    * before the one double conversion. Per-term double→decimal rounding is
+    * exact while `maxAbs × 10^scale < 2^53` — every registered grid is far
+    * below that. */
+  def decSumWide(c: Column, scale: Int): Column = {
+    val f = math.pow(10.0, scale)
+    (sum(round(c * f).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+      .cast(DoubleType) / f).cast(DoubleType)
+  }
 }

@@ -77,7 +77,12 @@ object Advanced {
         sum(round($"l_extendedprice" * $"l_extendedprice" * 10000).cast("decimal(38,0)"))
           .cast("double")
           .as("syy"),
-        sum(round($"l_extendedprice" * $"l_quantity" * 100).cast("long")).cast("double").as("sxy"),
+        // price*qty on the 1e2 grid: term magnitude ~5e8, and the three
+        // returnflag groups are unbounded — LONG runs out near SF ~9e3,
+        // so sxy joins syy on the DECIMAL(38) accumulator
+        sum(round($"l_extendedprice" * $"l_quantity" * 100).cast("decimal(38,0)"))
+          .cast("double")
+          .as("sxy"),
         sum(round($"l_discount" * 100).cast("long")).cast("double").as("sdc"),
         sum(round($"l_discount" * $"l_quantity" * 100).cast("long")).cast("double").as("sxd"),
         expr("percentile(l_quantity, 0.5)").as("median_qty"),

@@ -28,10 +28,14 @@ object Relational {
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         sum($"l_quantity").as("sum_qty"),
+        // six groups see ~1/6 of the table each: the 1e2 grid holds to
+        // SF ~8e5, but the 1e4 grid overflows LONG near SF ~9e3 and the
+        // 1e6 grid near SF ~80 — those two ride the DECIMAL(38)
+        // accumulator (capacity audit: GridOverflowSpec)
         Det.decSum($"l_extendedprice", 2).as("sum_base_price"),
-        Det.decSum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("sum_disc_price"),
+        Det.decSumWide($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("sum_disc_price"),
         Det
-          .decSum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"), 6)
+          .decSumWide($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"), 6)
           .as("sum_charge"),
         (sum($"l_quantity") / count(lit(1))).as("avg_qty"),
         Det.decAvg($"l_extendedprice", 2).as("avg_price"),
@@ -125,7 +129,9 @@ object Relational {
       .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")
       .agg(
-        Det.decSum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("revenue"),
+        // ~125 (region, nation) groups: the 1e4 grid overflows LONG near
+        // SF 2e4 — wide accumulator (GridOverflowSpec)
+        Det.decSumWide($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("revenue"),
         count(lit(1)).as("n_items")
       )
       .orderBy($"r_name", $"n_name")
@@ -238,7 +244,9 @@ object Relational {
           ($"supp_nation" === "NATION_8" && $"cust_nation" === "NATION_3")
       )
       .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").as("yr"))
-      .agg(graft.Det.decSum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("volume"))
+      // ~14 nation-pair×year groups after the filter; per-group rows still
+      // scale linearly with SF — wide accumulator (GridOverflowSpec)
+      .agg(graft.Det.decSumWide($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("volume"))
       .orderBy($"supp_nation", $"cust_nation", $"yr")
   }
 
@@ -256,7 +264,9 @@ object Relational {
           ($"p_brand" === "Brand#3" && $"p_size".between(20, 50) && $"l_quantity".between(20, 40))
       )
       .agg(
-        graft.Det.decSum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("revenue"),
+        // GLOBAL aggregate (one group sees every surviving row) on the 1e4
+        // grid — wide accumulator (GridOverflowSpec)
+        graft.Det.decSumWide($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("revenue"),
         count(lit(1)).as("n_items")
       )
   }
@@ -312,7 +322,9 @@ object Relational {
       .rollup($"o_orderstatus", $"o_orderpriority")
       .agg(
         count(lit(1)).as("n"),
-        Det.decSum($"o_totalprice", 2).as("total"),
+        // the rollup's () grand-total row sums EVERY order: the 1e2 grid's
+        // LONG capacity runs out near SF 1.2e5 — wide (GridOverflowSpec)
+        Det.decSumWide($"o_totalprice", 2).as("total"),
         grouping($"o_orderstatus").cast("int").as("g_status"),
         grouping($"o_orderpriority").cast("int").as("g_priority")
       )

@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Capacity audit of every scaled-long determinism grid ([[Det]] and the
+  * inline moment grids): the round-5 KL fix found one silent long-wrap
+  * parity bomb; this suite makes the whole class impossible to reintroduce.
+  *
+  * Model: a LONG grid sum is safe while
+  * `rowsPerGroup(atTargetSF) × maxAbsTerm × 10^scale < 2^63 / HEADROOM`.
+  * Target SF is 1e5 (~100 TB of TPC-H-shaped data: lineitem 6e11 rows,
+  * orders 1.5e11). Every registered site must EITHER fit LONG with 2×
+  * headroom, OR be declared wide — and a wide declaration must be
+  * NECESSARY (LONG would not fit), so nobody "optimizes" a wide site back
+  * to the overflowing accumulator. Under ANSI mode (the Spark 4 default) a
+  * LONG overflow KILLS the job at full scale; with ANSI off it wraps
+  * silently into wrong results — both are production incidents that only
+  * surface at the SF the fixtures never reach, which is what makes this
+  * class of bug worth a standing audit. */
+class GridOverflowSpec extends SparkSpec {
+
+  private val LongMax  = BigDecimal(Long.MaxValue)
+  private val Headroom = BigDecimal(2)
+  private val TargetSf = 1e5
+
+  /** One registered grid site.
+    * @param rowsPerGroupAtTarget worst-case rows a single group absorbs at
+    *        SF 1e5 — for fragile-selectivity groupings this assumes the
+    *        filter collapses (all rows land in the grouped stream). */
+  private case class GridSite(
+      site: String,
+      scale: Int,
+      maxAbsTerm: Double,
+      rowsPerGroupAtTarget: Double,
+      wide: Boolean
+  )
+
+  // value bounds from the fixture generator (TPC-H-shaped, slack applied):
+  // extendedprice < 1.1e5, totalprice < 5.5e5, qty <= 50, disc <= 0.1,
+  // tax <= 0.08; lineitem 6e6 rows/SF, orders 1.5e6 rows/SF
+  private val Price    = 1.1e5
+  private val Charge   = 1.1e5 * 1.0 * 1.08
+  private val Total    = 5.5e5
+  private val LiPerSf  = 6e6
+  private val OrdPerSf = 1.5e6
+
+  private val sites = Seq(
+    // q01 pricing summary: 6 (returnflag, linestatus) groups
+    GridSite("q01 sum_qty (plain long)", 0, 50, LiPerSf / 6 * TargetSf, wide = false),
+    GridSite("q01 sum_base_price", 2, Price, LiPerSf / 6 * TargetSf, wide = false),
+    GridSite("q01 sum_disc_price", 4, Price, LiPerSf / 6 * TargetSf, wide = true),
+    GridSite("q01 sum_charge", 6, Charge, LiPerSf / 6 * TargetSf, wide = true),
+    GridSite("q01 avg_disc", 2, 0.1, LiPerSf / 6 * TargetSf, wide = false),
+    // q10 revenue per order: a group is one order (<= 7 line items)
+    GridSite("q10 revenue/order", 4, Price, 7, wide = false),
+    // q11 revenue by (region, nation): ~125 groups
+    GridSite("q11 revenue/nation", 4, Price, LiPerSf / 125 * TargetSf, wide = true),
+    // q15 total spent per customer: <= ~50 orders each
+    GridSite("q15 total_spent/customer", 2, Total, 50, wide = false),
+    // nation-pair volume (TPC-H Q7 shape): selectivity is nation-count
+    // dependent — audit assumes collapse into ~14 pair×year groups
+    GridSite("q18-family volume/nation-pair", 4, Price, LiPerSf / 14 * TargetSf, wide = true),
+    // disjunctive-predicate revenue: ONE global group, fragile filter
+    GridSite("q19 revenue global", 4, Price, LiPerSf * TargetSf, wide = true),
+    // rollup grand total: the () row sums every order
+    GridSite("q22 rollup grand total", 2, Total, OrdPerSf * TargetSf, wide = true),
+    // monthly totals: ~84 month groups over the 7-year order range
+    GridSite("q41/q44 monthly total", 2, Total, OrdPerSf / 84 * TargetSf, wide = false),
+    // q29 moment grids: 3 returnflag groups
+    GridSite("q29 sy (price*1e2)", 2, Price, LiPerSf / 3 * TargetSf, wide = false),
+    GridSite("q29 sxx (qty^2)", 0, 2500, LiPerSf / 3 * TargetSf, wide = false),
+    GridSite("q29 sxy (price*qty*1e2)", 2, Price * 50, LiPerSf / 3 * TargetSf, wide = true),
+    GridSite("q29 syy (price^2*1e4)", 4, Price * Price, LiPerSf / 3 * TargetSf, wide = true),
+    GridSite("q29 sdc (disc*1e2)", 2, 0.1, LiPerSf / 3 * TargetSf, wide = false),
+    GridSite("q29 sxd (disc*qty*1e2)", 2, 5.0, LiPerSf / 3 * TargetSf, wide = false)
+  )
+
+  private def groupTotal(s: GridSite): BigDecimal =
+    BigDecimal(s.rowsPerGroupAtTarget) * BigDecimal(s.maxAbsTerm) * BigDecimal(10).pow(s.scale)
+
+  test("every LONG grid fits the 100 TB target with 2x headroom") {
+    val broken = sites.filterNot(_.wide).filterNot(s => groupTotal(s) * Headroom <= LongMax)
+    assert(
+      broken.isEmpty,
+      "LONG grids that overflow at SF 1e5 (switch to Det.decSumWide):\n" +
+        broken.map(s => f"  ${s.site}: ${groupTotal(s)}%.3e vs 2^63").mkString("\n")
+    )
+  }
+
+  test("every wide (DECIMAL) grid is NECESSARY — LONG would not have held") {
+    // guards the other direction: if this fails, LONG regained enough
+    // headroom (bounds changed) and the 2x-slower accumulator is waste —
+    // but more importantly nobody can flip a wide site back by weakening
+    // the registered bounds without this table noticing
+    val unnecessary = sites.filter(_.wide).filter(s => groupTotal(s) * Headroom <= LongMax)
+    assert(
+      unnecessary.isEmpty,
+      s"wide grids LONG could hold:\n${unnecessary.map(_.site).mkString("\n")}"
+    )
+  }
+
+  test("every registered term is exact on the double->grid path (< 2^53)") {
+    // round(x * 10^s) is computed in DOUBLE before the integer cast: the
+    // scaled term must stay below 2^53 or the grid itself loses digits
+    val twoTo53 = BigDecimal(2).pow(53)
+    val broken = sites.filterNot(s =>
+      BigDecimal(s.maxAbsTerm) * BigDecimal(10).pow(s.scale) < twoTo53
+    )
+    assert(broken.isEmpty, s"grids past double exactness:\n${broken.map(_.site).mkString("\n")}")
+  }
+
+  test("decSum and decSumWide match the exact BigDecimal model (property)") {
+    import spark.implicits._
+    // adversarial magnitudes: around the price bound, tiny fractions, sign
+    // flips — both accumulators must equal the exact integer-grid model
+    val gen = for {
+      mag  <- Gen.oneOf(1e-2, 1.0, 104999.91, 5.5e5)
+      x    <- Gen.choose(-mag, mag)
+    } yield x
+    val scales = Seq(2, 4, 6)
+    (0 until 3).foreach { round =>
+      val xs = Gen
+        .listOfN(60, gen)
+        .apply(Gen.Parameters.default, Seed(42L + round))
+        .get
+      val df = xs.toDF("x").repartition(4) // exercise merge order too
+      scales.foreach { s =>
+        val f = BigDecimal(10).pow(s)
+        val model = xs
+          .map(x => BigDecimal.valueOf(x * math.pow(10.0, s)).setScale(0, BigDecimal.RoundingMode.HALF_UP))
+          .sum / f
+        val got = df
+          .agg(Det.decSum($"x", s).as("a"), Det.decSumWide($"x", s).as("b"))
+          .head()
+        assert(got.getDouble(0) === model.toDouble, s"decSum scale $s seed ${42 + round}")
+        assert(got.getDouble(1) === model.toDouble, s"decSumWide scale $s seed ${42 + round}")
+      }
+    }
+  }
+
+  test("decSumWide survives a sum that genuinely overflows LONG") {
+    import spark.implicits._
+    // 2000 terms of ~5e15 on the 1e2 grid: scaled terms ~5e17, total ~1e21
+    // — LONG wraps, DECIMAL(38) must hold the exact value
+    val v  = 5.0e15
+    val n  = 2000
+    val df = Seq.fill(n)(v).toDF("x").repartition(8)
+    val exact = (BigDecimal(BigDecimal.valueOf(v * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt) * n / 100).toDouble
+    val wide = df.agg(Det.decSumWide($"x", 2)).head().getDouble(0)
+    assert(wide === exact, "wide accumulator lost the overflow-range sum")
+    // the LONG grid must FAIL on the same input: under ANSI (the Spark 4
+    // default) the sum throws ARITHMETIC_OVERFLOW; with ANSI off it wraps
+    // to a wrong value — either way the narrow path cannot quietly agree
+    val narrowFailed =
+      try df.agg(Det.decSum($"x", 2)).head().getDouble(0) !== exact
+      catch { case e: Throwable if e.toString.contains("OVERFLOW") || e.getCause != null => true }
+    assert(narrowFailed, "expected the LONG grid to overflow here — if it no " +
+      "longer does, this test's premise (and the wide sites) need re-auditing")
+  }
+
+  test("simhash and manifest-xor bit math cannot leave their ranges (property)") {
+    // simhash48 builds from 48 single-bit decisions -> result < 2^48 by
+    // construction; per-bit counters are Int over < 2^31 shingles. The
+    // manifest checksum XORs 60-bit keys -> stays < 2^60. Both are range
+    // properties over arbitrary inputs, pinned here at adversarial values.
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val gen = Gen.listOfN(64, Gen.oneOf(Gen.choose(0L, (1L << 48) - 1), Gen.const((1L << 48) - 1)))
+    (0 until 5).foreach { i =>
+      val hs  = gen.apply(Gen.Parameters.default, Seed(7L + i)).get
+      val out = graft.functions.HashKernels.simhash48(new GenericArrayData(hs.toArray))
+      assert(out >= 0L && out < (1L << 48), s"simhash48 out of range: $out")
+    }
+    val keys = Gen.listOfN(100, Gen.choose(0L, (1L << 60) - 1)).apply(Gen.Parameters.default, Seed(99L)).get
+    val x    = keys.foldLeft(0L)(_ ^ _)
+    assert(x >= 0L && x < (1L << 60), s"xor of 60-bit keys left the range: $x")
+  }
+}
