@@ -109,8 +109,63 @@ object Probe {
         li.groupBy($"l_returnflag", $"l_linestatus")
           .agg((sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 10000).cast("long")) / 10000.0).as("s"), count(lit(1)).as("n"))
       }
+      t("widesum") {
+        li.groupBy($"l_returnflag", $"l_linestatus")
+          .agg(Det.decSumWide($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("s"), count(lit(1)).as("n"))
+      }
+      // two-level: per-(group, input partition) LONG partials (codegen-
+      // primitive over the full data), DECIMAL only across the few partials
+      t("twolevel") {
+        li.groupBy($"l_returnflag", $"l_linestatus", spark_partition_id().as("pid"))
+          .agg(
+            sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 10000).cast("long")).as("p"),
+            count(lit(1)).as("pn")
+          )
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            (sum($"p".cast("decimal(38,0)")).cast("double") / 10000.0).as("s"),
+            sum($"pn").as("n")
+          )
+      }
       t("scan-only")(li.select($"l_extendedprice", $"l_discount"))
       t("scan-all")(li)
+      // q11 star-join shapes: one-level scaled-long (unsafe at SF>2e4),
+      // one-level decimal, and the two-level long-then-decimal it now uses
+      locally {
+        val nat  = Tables.nation(spark, sfDir)
+        val reg  = Tables.region(spark, sfDir)
+        val cust = Tables.customer(spark, sfDir)
+        val ord  = Tables.orders(spark, sfDir)
+        def joined =
+          li.join(ord, $"l_orderkey" === $"o_orderkey")
+            .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+            .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+            .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+        t("q11-long") {
+          joined
+            .groupBy($"r_name", $"n_name")
+            .agg(Det.decSum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("revenue"))
+        }
+        t("q11-wide") {
+          joined
+            .groupBy($"r_name", $"n_name")
+            .agg(Det.decSumWide($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("revenue"))
+        }
+        t("q11-2level") {
+          joined
+            .groupBy($"r_name", $"n_name", spark_partition_id().as("_pid"))
+            .agg(
+              sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 10000).cast("long"))
+                .as("p_rev"),
+              count(lit(1)).as("p_n")
+            )
+            .groupBy($"r_name", $"n_name")
+            .agg(
+              (sum($"p_rev".cast("decimal(38,0)")).cast("double") / 10000.0).as("revenue"),
+              sum($"p_n").as("n_items")
+            )
+        }
+      }
       // minhash stage decomposition
       import graft.functions.TextFns._
       import graft.operators.Dedup

@@ -101,6 +101,21 @@ class GridOverflowSpec extends SparkSpec {
     )
   }
 
+  test("two-level LONG partials fit within one scan partition (q01/q11 shape)") {
+    // the hot wide sites pre-aggregate per (group, spark_partition_id): a
+    // LONG partial sees at most ONE partition's rows. Bound: even a
+    // misconfigured 1GB maxPartitionBytes at ~50 bytes/row is ~2e7 rows;
+    // times the worst registered term (the charge 1e6 grid) the partial
+    // must still clear LONG with 2x headroom, or the two-level scheme is
+    // itself unsafe and must go per-row DECIMAL
+    val worstTerm = BigDecimal(Charge) * BigDecimal(10).pow(6)
+    val partRows  = BigDecimal(2e7)
+    assert(
+      partRows * worstTerm * Headroom <= LongMax,
+      f"a single-partition LONG partial can overflow: ${partRows * worstTerm}%.3e"
+    )
+  }
+
   test("every registered term is exact on the double->grid path (< 2^53)") {
     // round(x * 10^s) is computed in DOUBLE before the integer cast: the
     // scaled term must stay below 2^53 or the grid itself loses digits
