@@ -1972,6 +1972,19 @@ object Registry {
                CAST(COALESCE(SUM(event_id), 0) AS BIGINT) AS sum_ids
         FROM events WHERE event_type = 'purchase'
       """)
+    ),
+    // Streaming source -> streaming sink round trip: generation, epoch
+    // pagination, and the committed audit are all pure functions of the
+    // row cursor, so DuckDB replays the drained stream from range().
+    Q(
+      "q124_dsv2_stream_cursor",
+      graft.sources.dsv2.AuditSink.streamCursorQuery,
+      Some("""
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(i) AS BIGINT) AS sum_ids,
+               CAST(CEIL(COUNT(*) / 2500.0) AS BIGINT) AS n_epochs
+        FROM range(0, 12000) t(i)
+      """)
     )
   )
 }

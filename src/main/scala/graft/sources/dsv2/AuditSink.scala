@@ -125,6 +125,40 @@ object AuditSink {
     Seq((n, s)).toDF("n_rows", "sum_ids")
   }
 
+  /** Declared query (q124): drain the DSv2 STREAMING source through the
+    * DSv2 streaming sink — the full scroll-cursor round trip
+    * (EsParquetWriter.java:62-98 as Structured Streaming sees it). 12 000
+    * generated rows paginate in 2 500-row epochs (2500×4 + 2000 → 5
+    * epochs); the committed audit and the epoch count are pure cursor
+    * arithmetic, so the oracle replays them from `range()` — a lost or
+    * replayed epoch, or a mis-resumed cursor, hash-mismatches. */
+  def streamCursorQuery(
+      spark: org.apache.spark.sql.SparkSession,
+      sfDir: String
+  ): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val key  = s"q124-${java.util.UUID.randomUUID()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("q124_ckpt").toString
+    val q = spark.readStream
+      .format("graft.sources.dsv2.SyntheticEventsSource")
+      .option("rows", 12000)
+      .option("partitions", 8)
+      .option("rowsPerBatch", 2500)
+      .load()
+      .select($"event_id")
+      .writeStream
+      .format("graft.sources.dsv2.AuditSink")
+      .option("key", key)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val epochs      = q.recentProgress.count(_.numInputRows > 0).toLong
+    val (rows, sum) = streamAudit(key).getOrElse((0L, 0L))
+    clearStream(key)
+    Seq((rows, sum, epochs)).toDF("n_rows", "sum_ids", "n_epochs")
+  }
+
   /** (rows, sum of first long column) for the last COMMITTED write under
     * `key`; None if no write ever committed (aborts leave no trace). */
   def audit(key: String): Option[(Long, Long)] = Option(registry.get(key))
