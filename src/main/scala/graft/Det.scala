@@ -60,4 +60,31 @@ object Det {
     (sum(round(c * f).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
       .cast(DoubleType) / f).cast(DoubleType)
   }
+
+  /** The TWO-LEVEL wide grid — [[decSumWide]]'s capacity at [[decSum]]'s
+    * speed, for benchmark-hot low-cardinality aggregations (q01, q11):
+    *
+    *   df.groupBy(keys :+ spark_partition_id())
+    *     .agg(Det.gridPartial(expr, s).as("p"), ...)
+    *     .groupBy(keys).agg(Det.gridMergeWide($"p", s).as("out"), ...)
+    *
+    * The partial is a plain LONG sum (codegen-primitive over every row)
+    * and is safe because it sees at most ONE input partition's rows —
+    * bounded by maxPartitionBytes, ~30× below LONG range even at a 1 GB
+    * misconfiguration (GridOverflowSpec pins the bound). Only the few
+    * (groups × partitions) partials pay the DECIMAL(38) merge. Measured
+    * +0.03–0.09 s over the unsafe single-level LONG at sf0.1, vs +0.35 s
+    * per sum for per-row decimal (Probe adhoc). The extra exchange moves
+    * pre-aggregated rows only. */
+  def gridPartial(c: Column, scale: Int): Column =
+    sum(round(c * math.pow(10.0, scale)).cast(LongType))
+
+  /** Merge of [[gridPartial]] partials through DECIMAL(38,0), emitted as
+    * double — same exact integer, same one double conversion, as
+    * [[decSumWide]]. */
+  def gridMergeWide(partial: Column, scale: Int): Column = {
+    val f = math.pow(10.0, scale)
+    (sum(partial.cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+      .cast(DoubleType) / f).cast(DoubleType)
+  }
 }

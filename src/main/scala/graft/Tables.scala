@@ -37,13 +37,25 @@ object Tables {
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = {
     val df = read(spark, sfDir, "embeddings")
     // One limit-1 scan per (JVM, sfDir) — negligible, and the only way to
-    // see the dim: parquet list types carry no length in the schema.
-    if (embDimChecked.add(sfDir)) {
-      val dim = df.select(size(col("embedding"))).head().getInt(0)
+    // see the dim: parquet list types carry no length in the schema. Mark
+    // the check done only AFTER it passes: recording it up front would let
+    // a harness that catches per-query errors and continues re-enter here
+    // unguarded — the silent oracle desync this exists to prevent. (Two
+    // threads racing both run the cheap probe; that's fine.)
+    if (!embDimChecked.contains(sfDir)) {
+      val dim = df
+        // null embedding or empty fixture: nothing to desync against
+        .select(coalesce(size(col("embedding")), lit(EmbeddingDim)).as("d"))
+        .head(1)
+        .headOption
+        .map(_.getInt(0))
+        .getOrElse(EmbeddingDim)
       require(
         dim == EmbeddingDim,
         s"embeddings fixture at $sfDir has dim $dim, expected $EmbeddingDim — " +
           "the similarity operators and their oracle SQL (range(1, 65)) hardcode it")
+      embDimChecked.add(sfDir)
+      ()
     }
     df
   }

@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Thrown when an iterative components loop exits its round budget with
+    * labels still changing. Typed so [[autoComponents]] can route the
+    * fallback without matching on message text. */
+  final class ConvergenceException(msg: String) extends IllegalStateException(msg)
+
   /** Deterministic test graph over `documents`: chain edges (i, i+1) where
     * i % 7 < 2 and jump edges (i, i+10) where i % 13 == 0 — small
     * multi-node components with nontrivial shapes, replayable in SQL. */
@@ -130,7 +135,7 @@ object Graph {
     if (changed > 0) {
       labels.unpersist()
       if (!callerCached) e.unpersist()
-      throw new IllegalStateException(
+      throw new Graph.ConvergenceException(
         s"minLabelComponents did not converge after $maxIter rounds " +
           s"($changed labels still changing) — component diameter exceeds " +
           "the round budget; raise maxIter or use twoPhaseComponents")
@@ -168,8 +173,9 @@ object Graph {
   ): DataFrame =
     try minLabelComponents(nodes, edgeList, maxIter = probeRounds, roundsPerAction = roundsPerAction)
     catch {
-      case e: IllegalStateException if e.getMessage.contains("did not converge") =>
-        twoPhaseComponents(nodes, edgeList)
+      // typed, not message-matched: a reworded message must not silently
+      // turn the fallback off (dedupEndgame relies on this route)
+      case _: Graph.ConvergenceException => twoPhaseComponents(nodes, edgeList)
     }
 
   /** Large-star/small-star connected components — the two-phase MapReduce
@@ -262,7 +268,7 @@ object Graph {
     // a silent exit with an unconverged edge set would label components
     // WRONG (the star extraction below assumes the fixpoint) — fail loudly
     if (cur != prev)
-      throw new IllegalStateException(
+      throw new Graph.ConvergenceException(
         s"twoPhaseComponents did not converge in $maxRounds rounds (edges=${cur._1}); " +
           "raise maxRounds — convergence needs O(log^2 n) rounds"
       )

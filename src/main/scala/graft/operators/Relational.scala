@@ -22,30 +22,25 @@ object Relational {
     * Bootstrap.java:196-219 generalized to multi-measure. */
   def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // Two-level exact aggregation: six groups see ~1/6 of the table each,
-    // so the 1e4 grid's LONG capacity runs out near SF ~9e3 and the 1e6
-    // grid's near SF ~80 (GridOverflowSpec). A per-row DECIMAL(38)
-    // accumulator fixes that but doubles the agg cost (Probe adhoc:
-    // widesum 0.68s vs scaledlong 0.33s at sf0.1). Instead: LONG partials
-    // per (group, input partition) — codegen-primitive over ALL rows, and
-    // safe because one scan partition holds ≤ ~maxPartitionBytes of rows
-    // (~1e17 per partial, 30x headroom) — then DECIMAL only across the
-    // few partials (measured +0.03s). The extra exchange moves ≤
-    // groups x partitions pre-aggregated rows: trivial at any scale.
+    // Two-level exact aggregation (Det.gridPartial/gridMergeWide): six
+    // groups see ~1/6 of the table each, so the 1e4 grid's LONG capacity
+    // runs out near SF ~9e3 and the 1e6 grid's near SF ~80
+    // (GridOverflowSpec); the two-level idiom keeps per-row work LONG and
+    // pays DECIMAL only across (groups x partitions) partials. The 1e2
+    // grids fit LONG end-to-end (audited), so their partials merge as
+    // plain long sums.
     val grid = Tables
       .lineitem(spark, sfDir)
       .filter($"l_shipdate" <= lit("1999-01-01").cast("timestamp"))
       .groupBy($"l_returnflag", $"l_linestatus", spark_partition_id().as("_pid"))
       .agg(
         sum($"l_quantity").as("p_qty"),
-        sum(round($"l_extendedprice" * 100).cast("long")).as("p_base"),
-        sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 10000).cast("long"))
-          .as("p_disc"),
-        sum(
-          round($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax") * 1000000)
-            .cast("long")
-        ).as("p_charge"),
-        sum(round($"l_discount" * 100).cast("long")).as("p_dsc"),
+        Det.gridPartial($"l_extendedprice", 2).as("p_base"),
+        Det.gridPartial($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("p_disc"),
+        Det
+          .gridPartial($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"), 6)
+          .as("p_charge"),
+        Det.gridPartial($"l_discount", 2).as("p_dsc"),
         count(lit(1)).as("p_n")
       )
     grid
@@ -53,8 +48,8 @@ object Relational {
       .agg(
         sum($"p_qty").as("sum_qty"),
         (sum($"p_base").cast("double") / 100.0).as("sum_base_price"),
-        (sum($"p_disc".cast("decimal(38,0)")).cast("double") / 10000.0).as("sum_disc_price"),
-        (sum($"p_charge".cast("decimal(38,0)")).cast("double") / 1000000.0).as("sum_charge"),
+        Det.gridMergeWide($"p_disc", 4).as("sum_disc_price"),
+        Det.gridMergeWide($"p_charge", 6).as("sum_charge"),
         (sum($"p_qty") / sum($"p_n")).as("avg_qty"),
         (sum($"p_base").cast("double") / 100.0 / sum($"p_n")).as("avg_price"),
         (sum($"p_dsc").cast("double") / 100.0 / sum($"p_n")).as("avg_disc"),
@@ -146,17 +141,16 @@ object Relational {
       .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
       // ~125 (region, nation) groups: the 1e4 grid overflows LONG near
-      // SF 2e4 — two-level LONG-then-DECIMAL sum (see pricingSummary; the
+      // SF 2e4 — two-level LONG-then-DECIMAL sum (Det.gridPartial; the
       // post-join partition sizes are AQE-bounded, same partial headroom)
       .groupBy($"r_name", $"n_name", spark_partition_id().as("_pid"))
       .agg(
-        sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 10000).cast("long"))
-          .as("p_rev"),
+        Det.gridPartial($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("p_rev"),
         count(lit(1)).as("p_n")
       )
       .groupBy($"r_name", $"n_name")
       .agg(
-        (sum($"p_rev".cast("decimal(38,0)")).cast("double") / 10000.0).as("revenue"),
+        Det.gridMergeWide($"p_rev", 4).as("revenue"),
         sum($"p_n").as("n_items")
       )
       .orderBy($"r_name", $"n_name")

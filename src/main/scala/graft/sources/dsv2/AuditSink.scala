@@ -57,7 +57,7 @@ object AuditSink {
   private val registry = new ConcurrentHashMap[String, (Long, Long)]()
 
   /** Streaming audit state per (key, queryId): (last committed epoch,
-    * rows, sum). Epochs at or below the last committed one FOR THE SAME
+    * rows, sum, committed-epoch count). Epochs at or below the last committed one FOR THE SAME
     * QUERY are REPLAYS (a recovering query re-commits its last epoch
     * after restart, keeping its queryId and epoch numbering from the
     * checkpoint) and must be ignored — that idempotence is what turns
@@ -65,17 +65,25 @@ object AuditSink {
     * result. A DIFFERENT query reusing the key (fresh checkpoint, epochs
     * restarting at 0) carries a new queryId, so its state starts fresh
     * instead of being swallowed by the replay guard. */
-  private val streamRegistry = new ConcurrentHashMap[(String, String), (Long, Long, Long)]()
+  private val streamRegistry = new ConcurrentHashMap[(String, String), (Long, Long, Long, Long)]()
 
   /** (rows, sum) accumulated across all committed streaming epochs of
     * every query that wrote under `key`. */
   def streamAudit(key: String): Option[(Long, Long)] = {
     val totals = streamRegistry.asScala.collect {
-      case ((k, _), (_, r, s)) if k == key => (r, s)
+      case ((k, _), (_, r, s, _)) if k == key => (r, s)
     }
     if (totals.isEmpty) None
     else Some(totals.foldLeft((0L, 0L)) { case ((r1, s1), (r2, s2)) => (r1 + r2, s1 + s2) })
   }
+
+  /** Number of distinct committed epochs under `key` (replays excluded) —
+    * read from the sink's own commit-time state, NOT from
+    * StreamingQuery.recentProgress: the progress buffer is appended
+    * asynchronously after the batch commits, so reading it right after
+    * processAllAvailable() races and can miss the final epoch. */
+  def streamEpochs(key: String): Long =
+    streamRegistry.asScala.collect { case ((k, _), (_, _, _, n)) if k == key => n }.sum
 
   private[dsv2] def publishEpoch(
       key: String,
@@ -88,9 +96,9 @@ object AuditSink {
       (key, queryId),
       (_, prev) =>
         prev match {
-          case null                           => (epochId, rows, sum)
-          case (last, r, s) if epochId > last => (epochId, r + rows, s + sum)
-          case keep                           => keep // replayed epoch: drop
+          case null                              => (epochId, rows, sum, 1L)
+          case (last, r, s, n) if epochId > last => (epochId, r + rows, s + sum, n + 1)
+          case keep                              => keep // replayed epoch: drop
         }
     )
     ()
@@ -138,25 +146,40 @@ object AuditSink {
   ): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val key  = s"q124-${java.util.UUID.randomUUID()}"
-    val ckpt = java.nio.file.Files.createTempDirectory("q124_ckpt").toString
-    val q = spark.readStream
-      .format("graft.sources.dsv2.SyntheticEventsSource")
-      .option("rows", 12000)
-      .option("partitions", 8)
-      .option("rowsPerBatch", 2500)
-      .load()
-      .select($"event_id")
-      .writeStream
-      .format("graft.sources.dsv2.AuditSink")
-      .option("key", key)
-      .option("checkpointLocation", ckpt)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    val epochs      = q.recentProgress.count(_.numInputRows > 0).toLong
-    val (rows, sum) = streamAudit(key).getOrElse((0L, 0L))
-    clearStream(key)
-    Seq((rows, sum, epochs)).toDF("n_rows", "sum_ids", "n_epochs")
+    val ckpt = java.nio.file.Files.createTempDirectory("q124_ckpt")
+    try {
+      val q = spark.readStream
+        .format("graft.sources.dsv2.SyntheticEventsSource")
+        .option("rows", 12000)
+        .option("partitions", 8)
+        .option("rowsPerBatch", 2500)
+        .load()
+        .select($"event_id")
+        .writeStream
+        .format("graft.sources.dsv2.AuditSink")
+        .option("key", key)
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      // epoch count from the sink's COMMITTED state (streamEpochs), never
+      // from recentProgress — the progress buffer appends asynchronously
+      // after commit and can still miss the final epoch here
+      val epochs      = streamEpochs(key)
+      val (rows, sum) = streamAudit(key).getOrElse((0L, 0L))
+      clearStream(key)
+      Seq((rows, sum, epochs)).toDF("n_rows", "sum_ids", "n_epochs")
+    } finally {
+      // the checkpoint is per-invocation scratch — don't accumulate /tmp
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files
+        .walk(ckpt)
+        .iterator()
+        .asScala
+        .toSeq
+        .reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   /** (rows, sum of first long column) for the last COMMITTED write under

@@ -134,9 +134,15 @@ class Dsv2SourceSpec extends SparkSpec {
     val q    = runToDrained(rows = 600, perBatch = 250, key, ckpt)
     // rows 0..599 exactly once: count 600, id-sum 600*599/2
     assert(AuditSink.streamAudit(key) === Some((600L, 179700L)))
-    // epoch pagination is the scroll page size: 250, 250, 100
-    val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq
-    assert(sizes === Seq(250L, 250L, 100L), s"epoch sizes: $sizes")
+    // the sink's committed state is race-free: exactly 3 epochs
+    assert(AuditSink.streamEpochs(key) === 3L)
+    // epoch pagination is the scroll page size: 250, 250, 100. The
+    // progress buffer appends ASYNC after each commit, so poll briefly
+    // rather than reading it immediately (the final entry can lag stop())
+    val deadline = System.nanoTime() + 5_000_000_000L
+    def sizes()  = q.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq
+    while (sizes().length < 3 && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(sizes() === Seq(250L, 250L, 100L), s"epoch sizes: ${sizes()}")
     AuditSink.clearStream(key)
   }
 

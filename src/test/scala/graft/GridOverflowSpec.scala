@@ -74,7 +74,17 @@ class GridOverflowSpec extends SparkSpec {
     GridSite("q29 sxy (price*qty*1e2)", 2, Price * 50, LiPerSf / 3 * TargetSf, wide = true),
     GridSite("q29 syy (price^2*1e4)", 4, Price * Price, LiPerSf / 3 * TargetSf, wide = true),
     GridSite("q29 sdc (disc*1e2)", 2, 0.1, LiPerSf / 3 * TargetSf, wide = false),
-    GridSite("q29 sxd (disc*qty*1e2)", 2, 5.0, LiPerSf / 3 * TargetSf, wide = false)
+    GridSite("q29 sxd (disc*qty*1e2)", 2, 5.0, LiPerSf / 3 * TargetSf, wide = false),
+    // q46 per-(user, day) mean: fixture |value| <= 560 (bound 600); worst
+    // case assumes user cardinality does NOT scale (1500 users, ~30 days
+    // fixed) so one group absorbs 1e6*SF/(1500*30) rows
+    GridSite("q46 daily mean (value*1e6)", 6, 600, 1e6 * TargetSf / (1500 * 30), wide = false),
+    // k-means / IVF centroid means over posexploded components: |c| < 1,
+    // a (cluster, pos) cell sees vectors/k rows (64 dims, k=16, ~2e4
+    // vectors/SF)
+    GridSite("q76/q107 centroid mean (component*1e6)", 6, 1.0, 2e4 * TargetSf / 16, wide = false),
+    // q112 salted-join revenue: 7 categories over the lineitem-shaped fact
+    GridSite("q112 category cents (price*1e2)", 2, Price, LiPerSf / 7 * TargetSf, wide = false)
   )
 
   private def groupTotal(s: GridSite): BigDecimal =
@@ -99,6 +109,41 @@ class GridOverflowSpec extends SparkSpec {
       unnecessary.isEmpty,
       s"wide grids LONG could hold:\n${unnecessary.map(_.site).mkString("\n")}"
     )
+  }
+
+  test("every scaled-long grid site in src/main is registered here (tripwire)") {
+    // mechanical link between this table and the code: count the
+    // `sum(round(...).cast(long))` sites in main source. A NEW site added
+    // without updating BOTH the code and this audit fails loudly — the
+    // next person must register its bounds (or route it through
+    // decSumWide / the two-level idiom) instead of shipping an unaudited
+    // grid. Registered: 11 query-side sites (Det.decSum + Det.gridPartial
+    // bodies, Advanced x3, Similarity, Clustering x2, Skew x2,
+    // TimeSeries) + Probe diagnostics outside the audit's scope.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val pat  = java.util.regex.Pattern.compile("""sum\(round\(.*\.cast\(("long"|LongType)\)""")
+    val hits = java.nio.file.Files
+      .walk(root)
+      .iterator()
+      .asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        val name = p.getFileName.toString
+        java.nio.file.Files
+          .readAllLines(p)
+          .asScala
+          .zipWithIndex
+          .collect { case (l, i) if pat.matcher(l).find() => s"$name:${i + 1}" }
+      }
+      .toSeq
+    val (probe, audited) = hits.partition(_.startsWith("Probe.scala"))
+    assert(
+      audited.size == 11,
+      s"scaled-long grid sites changed (${audited.size} != 11) — register the new/removed " +
+        s"site's bounds in this suite's table. Sites:\n${audited.sorted.mkString("\n")}"
+    )
+    assert(probe.size <= 4, s"unexpected Probe grid growth: $probe")
   }
 
   test("two-level LONG partials fit within one scan partition (q01/q11 shape)") {
@@ -167,10 +212,16 @@ class GridOverflowSpec extends SparkSpec {
     assert(wide === exact, "wide accumulator lost the overflow-range sum")
     // the LONG grid must FAIL on the same input: under ANSI (the Spark 4
     // default) the sum throws ARITHMETIC_OVERFLOW; with ANSI off it wraps
-    // to a wrong value — either way the narrow path cannot quietly agree
+    // to a wrong value — either way the narrow path cannot quietly agree.
+    // Only an overflow in the cause chain counts: any other failure (OOM,
+    // codegen, fixture) must FAIL this test, not green-light the premise.
+    def isOverflow(e: Throwable): Boolean =
+      e != null && (e.isInstanceOf[ArithmeticException] ||
+        Option(e.getMessage).exists(_.toUpperCase.contains("OVERFLOW")) ||
+        isOverflow(e.getCause))
     val narrowFailed =
       try df.agg(Det.decSum($"x", 2)).head().getDouble(0) !== exact
-      catch { case e: Throwable if e.toString.contains("OVERFLOW") || e.getCause != null => true }
+      catch { case e: Throwable if isOverflow(e) => true }
     assert(narrowFailed, "expected the LONG grid to overflow here — if it no " +
       "longer does, this test's premise (and the wide sites) need re-auditing")
   }
