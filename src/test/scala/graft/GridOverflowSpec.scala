@@ -196,6 +196,15 @@ class GridOverflowSpec extends SparkSpec {
           .head()
         assert(got.getDouble(0) === model.toDouble, s"decSum scale $s seed ${42 + round}")
         assert(got.getDouble(1) === model.toDouble, s"decSumWide scale $s seed ${42 + round}")
+        // the two-level idiom must land on the SAME exact integer: LONG
+        // partials per partition, decimal merge across them
+        val twoLevel = df
+          .groupBy(spark_partition_id().as("_pid"))
+          .agg(Det.gridPartial($"x", s).as("p"))
+          .agg(Det.gridMergeWide($"p", s))
+          .head()
+          .getDouble(0)
+        assert(twoLevel === model.toDouble, s"gridPartial/MergeWide scale $s seed ${42 + round}")
       }
     }
   }
