@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** Mechanical tripwires for the repo's scale disciplines. Each of these
+  * invariants was established by review and is easy to silently regress in
+  * a new operator; the grep-level checks turn "discipline" into a failing
+  * test. Allowlists are by FILE and justification — adding a site means
+  * consciously extending the list, not slipping past review. (The grid
+  * capacity tripwire lives in GridOverflowSpec; the plan-shape blanket in
+  * CorpusPlanSweepSpec.)
+  */
+class DisciplineSpec extends AnyFunSuite {
+
+  private def mainSources: Seq[(String, Seq[String])] = {
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    java.nio.file.Files
+      .walk(root)
+      .iterator()
+      .asScala
+      .filter(_.toString.endsWith(".scala"))
+      .map(p => p.getFileName.toString -> java.nio.file.Files.readAllLines(p).asScala.toSeq)
+      .toSeq
+  }
+
+  private def hits(pattern: String, except: Set[String] = Set.empty): Seq[String] = {
+    val pat = java.util.regex.Pattern.compile(pattern)
+    mainSources.flatMap { case (name, lines) =>
+      lines.zipWithIndex.collect {
+        case (l, i) if pat.matcher(l).find() && !l.trim.startsWith("//") && !l.trim.startsWith("*") =>
+          s"$name:${i + 1}"
+      }
+    }.filterNot(h => except.exists(h.startsWith))
+  }
+
+  test("no fixed-name session-global temp views (UUID-suffix discipline)") {
+    // createOrReplaceTempView("literal") is session-global: two concurrent
+    // queries binding the same name race. Every view name must be a
+    // UUID-suffixed variable (the `sfx` pattern, Advanced/Graph).
+    val fixed = hits("""createOrReplaceTempView\("""")
+    assert(fixed.isEmpty, s"fixed-name temp views (use the UUID sfx pattern):\n${fixed.mkString("\n")}")
+  }
+
+  test("driver-side collect() stays confined to the three audited sites") {
+    // .collect() of row DATA on the driver is the anti-distributed smell;
+    // the audited sites are CLI display (x2, bounded output) and the
+    // per-BUCKET scalar fold in the two-pass prefix sum (bounded by
+    // shuffle-partition count, Chunking.scala:96 doc). Scalar .head()
+    // pulls are fine and not counted.
+    val sites = hits("""\.collect\(\)""")
+    val allowed = Set("Cli.scala", "Chunking.scala")
+    val strays  = sites.filterNot(s => allowed.exists(s.startsWith))
+    assert(strays.isEmpty, s"new driver collect() site — justify and allowlist or redesign:\n${strays.mkString("\n")}")
+    assert(sites.size <= 3, s"collect() sites grew within allowed files: $sites")
+  }
+
+  test("no Scala UDFs; the single typed-Aggregator UDAF is the declared surface") {
+    // functions-not-UDFs: a scala udf() blocks codegen and Catalyst
+    // optimization. The one udaf(GeoMean) is the deliberate UDAF-surface
+    // demonstration (q33); scalar extensions go through StaticInvoke
+    // kernels (functions/Kernels.scala) instead.
+    assert(hits("""\budf\(""").isEmpty, "scala udf() found — use a kernel or built-ins")
+    val udafs = hits("""\budaf\(""")
+    assert(udafs == Seq("Advanced.scala:174") || udafs.size <= 1, s"new udaf sites: $udafs")
+  }
+
+  test("mapPartitions stays confined to the multimodal stub-codec surface") {
+    // the only justified imperative per-partition loop is the stub
+    // image/audio codec (genuinely non-SQL); everything else must be
+    // declarative so Catalyst can see through it
+    val sites = hits("""\.mapPartitions""", except = Set("Multimodal.scala"))
+    assert(sites.isEmpty, s"mapPartitions outside Multimodal:\n${sites.mkString("\n")}")
+  }
+
+  test("no raw RDD usage in operators (DataFrame/Dataset only)") {
+    val sites = hits("""\.rdd\b""")
+    assert(sites.isEmpty, s"raw .rdd usage:\n${sites.mkString("\n")}")
+  }
+}
