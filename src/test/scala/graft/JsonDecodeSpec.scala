@@ -164,6 +164,21 @@ class JsonDecodeSpec extends SparkSpec {
       "bare value without a null branch rejects")
   }
 
+  test("union: array and record branches follow the same generic label rules") {
+    // labels are generic — the probes must work for non-scalar branches:
+    // a bare ARRAY rides the two-branch shortcut (reference: START_ARRAY
+    // falls to the null-union rule, :448-451), but a bare OBJECT can't —
+    // START_OBJECT always enters the wrapped path (:444-447), so its first
+    // key is taken as a label and an unknown key rejects. Records in
+    // unions must therefore be WRAPPED; this pins that asymmetry.
+    assert(resolve("""{"u":{"array":[1,2]}}""", Seq("null", "array")) === Some("array"))
+    assert(resolve("""{"u":[1,2]}""", Seq("null", "array")) === Some("array"),
+      "bare array takes the two-branch nullable shortcut")
+    assert(resolve("""{"u":{"rec":{"f":1}}}""", Seq("null", "rec")) === Some("rec"))
+    assert(resolve("""{"u":{"f":1}}""", Seq("null", "rec")) === None,
+      "bare object enters the wrapped path: key 'f' is an unknown label")
+  }
+
   test("union: wrapped and bare values extract through unionValue") {
     import spark.implicits._
     val wrapped = Seq("""{"u":{"long":3}}""").toDF("rec")
