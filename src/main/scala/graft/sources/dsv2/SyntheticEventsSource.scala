@@ -5,7 +5,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, ReadLimit, ReadMaxRows, SupportsAdmissionControl, Offset => StreamOffset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow, Offset => StreamOffset}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -305,7 +305,16 @@ private class SyntheticMicroBatchStream(
     required: StructType,
     pushed: Array[Filter]
 ) extends MicroBatchStream
-    with SupportsAdmissionControl {
+    with SupportsTriggerAvailableNow {
+
+  // Trigger.AvailableNow: snapshot the end of the "scroll" when the
+  // trigger starts, keep paginating in rowsPerBatch epochs up to it, then
+  // terminate. The generator's total is already static, so the snapshot
+  // is the row cap itself — implementing the interface natively (instead
+  // of riding Spark's AvailableNowDataStreamWrapper fallback) keeps the
+  // per-epoch admission control in OUR hands and drops the wrapper's
+  // runtime warning.
+  override def prepareForTriggerAvailableNow(): Unit = ()
 
   override def initialOffset(): StreamOffset = RowCursor(0L)
 

@@ -163,6 +163,27 @@ class Dsv2SourceSpec extends SparkSpec {
     AuditSink.clearStream(key)
   }
 
+  test("Trigger.AvailableNow drains all epochs and terminates on its own") {
+    import graft.sources.dsv2.AuditSink
+    val ckpt = java.nio.file.Files.createTempDirectory("mbs_ckpt4").toString
+    val key  = s"mbs-avnow-${java.util.UUID.randomUUID()}"
+    val q = readStream(rows = 900, parts = 3, perBatch = 400)
+      .select(org.apache.spark.sql.functions.col("event_id"))
+      .writeStream
+      .format("graft.sources.dsv2.AuditSink")
+      .option("key", key)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // AvailableNow must terminate by itself once the snapshot is drained —
+    // no stop() needed; a hang here means the cursor never reached the cap
+    assert(q.awaitTermination(60000), "AvailableNow query did not self-terminate")
+    // 900 rows in 400-row pages: 3 epochs, exact once
+    assert(AuditSink.streamAudit(key) === Some((900L, 404550L)))
+    assert(AuditSink.streamEpochs(key) === 3L)
+    AuditSink.clearStream(key)
+  }
+
   test("streaming scan filters correctly above the scan (V2 pushdown is batch-only)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper
