@@ -75,10 +75,10 @@ class GridOverflowSpec extends SparkSpec {
     GridSite("q29 syy (price^2*1e4)", 4, Price * Price, LiPerSf / 3 * TargetSf, wide = true),
     GridSite("q29 sdc (disc*1e2)", 2, 0.1, LiPerSf / 3 * TargetSf, wide = false),
     GridSite("q29 sxd (disc*qty*1e2)", 2, 5.0, LiPerSf / 3 * TargetSf, wide = false),
-    // q46 per-(user, day) mean: fixture |value| <= 560 (bound 600); worst
+    // q81 per-(user, day) mean: fixture |value| <= 560 (bound 600); worst
     // case assumes user cardinality does NOT scale (1500 users, ~30 days
     // fixed) so one group absorbs 1e6*SF/(1500*30) rows
-    GridSite("q46 daily mean (value*1e6)", 6, 600, 1e6 * TargetSf / (1500 * 30), wide = false),
+    GridSite("q81 daily mean (value*1e6)", 6, 600, 1e6 * TargetSf / (1500 * 30), wide = false),
     // k-means / IVF centroid means over posexploded components: |c| < 1,
     // a (cluster, pos) cell sees vectors/k rows (64 dims, k=16, ~2e4
     // vectors/SF)
