@@ -119,6 +119,45 @@ object Multimodal {
       .orderBy($"doc_id", $"window_idx")
   }
 
+  /** Declared query (q125): blob-store ingest through Spark's `binaryFile`
+    * datasource — the missing FRONT of the multimodal pipeline (the other
+    * operators start from binary COLUMNS; real corpora start from files in
+    * an object store). A deterministic slice of `events` is materialized as
+    * one small blob file per row (fixture PREP, driver-side, bounded at 97
+    * files — the operator under test is the SCAN), then read back with
+    * `format("binaryFile")`: Spark lists the directory distributed, splits
+    * the listing across tasks by size, and yields (path, length, content)
+    * rows without any decode — exactly how image/audio corpora enter a
+    * cluster. Features are computed relationally on the binary column
+    * (length, md5) so the DuckDB oracle can replay them from the source
+    * rows without ever seeing a file. */
+  def binaryIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_blobs")
+    // blob content is pure text ("<event_type>|<event_id>") so both engines
+    // can recompute md5/length from the relational source
+    val rows = Tables
+      .events(spark, sfDir)
+      .filter($"event_id" % 613 === 0)
+      .select($"event_id", concat($"event_type", lit("|"), $"event_id".cast("string")).as("payload"))
+      .orderBy($"event_id")
+      .as[(Long, String)]
+      .head(97) // bounded fixture prep, not a data collect
+    rows.foreach { case (id, payload) =>
+      java.nio.file.Files.write(dir.resolve(f"blob_$id%012d.bin"), payload.getBytes("UTF-8"))
+    }
+    spark.read
+      .format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(dir.toString)
+      .select(
+        regexp_extract(input_file_name(), "blob_(\\d+)\\.bin", 1).cast("long").as("event_id"),
+        $"length".cast("long").as("n_bytes"),
+        md5($"content").as("content_md5")
+      )
+      .orderBy($"event_id")
+  }
+
   /** "Video" = 4 concatenated 16-byte frames (md5(text || ':' || f)); sample
     * every 2nd frame and extract per-frame features — the frame-sampling
     * plumbing of a video pipeline with the codec stubbed out. */

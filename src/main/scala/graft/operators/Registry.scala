@@ -1985,6 +1985,25 @@ object Registry {
                CAST(CEIL(COUNT(*) / 2500.0) AS BIGINT) AS n_epochs
         FROM range(0, 12000) t(i)
       """)
+    ),
+    // binaryFile blob-store ingest: blob content is recomputable text, so
+    // the oracle replays length/md5 from the relational source — a wrong
+    // file written, dropped by the listing, or mis-split hash-mismatches.
+    Q(
+      "q125_binary_ingest",
+      Multimodal.binaryIngest,
+      Some("""
+        SELECT event_id,
+               CAST(length(event_type || '|' || CAST(event_id AS VARCHAR)) AS BIGINT) AS n_bytes,
+               md5(event_type || '|' || CAST(event_id AS VARCHAR)) AS content_md5
+        FROM (
+          SELECT event_id, event_type FROM events
+          WHERE event_id % 613 = 0
+          ORDER BY event_id
+          LIMIT 97
+        )
+        ORDER BY event_id
+      """)
     )
   )
 }
