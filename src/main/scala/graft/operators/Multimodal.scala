@@ -131,27 +131,44 @@ object Multimodal {
     * cluster. Features are computed relationally on the binary column
     * (length, md5) so the DuckDB oracle can replay them from the source
     * rows without ever seeing a file. */
+  // One blob fixture per (JVM, sfDir): q125 is constructed by plan-only
+  // consumers too (the corpus sweep walks every declared query), so the
+  // prep job and temp dir must not repeat per invocation
+  private val blobDirs = new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
   def binaryIngest(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_blobs")
-    // blob content is pure text ("<event_type>|<event_id>") so both engines
-    // can recompute md5/length from the relational source
-    val rows = Tables
-      .events(spark, sfDir)
-      .filter($"event_id" % 613 === 0)
-      .select($"event_id", concat($"event_type", lit("|"), $"event_id".cast("string")).as("payload"))
-      .orderBy($"event_id")
-      .as[(Long, String)]
-      .head(97) // bounded fixture prep, not a data collect
-    rows.foreach { case (id, payload) =>
-      java.nio.file.Files.write(dir.resolve(f"blob_$id%012d.bin"), payload.getBytes("UTF-8"))
-    }
+    val dir = blobDirs.computeIfAbsent(
+      sfDir,
+      _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft_blobs")
+        // blob content is pure text ("<event_type>|<event_id>") so both
+        // engines can recompute md5/length from the relational source
+        val rows = Tables
+          .events(spark, sfDir)
+          .filter($"event_id" % 613 === 0)
+          .select(
+            $"event_id",
+            concat($"event_type", lit("|"), $"event_id".cast("string")).as("payload")
+          )
+          .orderBy($"event_id")
+          .as[(Long, String)]
+          .head(97) // bounded fixture prep (97 rows max), not a data collect
+        rows.foreach { case (id, payload) =>
+          java.nio.file.Files.write(d.resolve(f"blob_$id%012d.bin"), payload.getBytes("UTF-8"))
+        }
+        d
+      }
+    )
     spark.read
       .format("binaryFile")
       .option("pathGlobFilter", "*.bin")
       .load(dir.toString)
       .select(
-        regexp_extract(input_file_name(), "blob_(\\d+)\\.bin", 1).cast("long").as("event_id"),
+        // parse the id from the source's own `path` column (part of the
+        // binaryFile schema) — input_file_name() is execution-context-
+        // dependent and documented to go empty off the V1 file path
+        regexp_extract($"path", "blob_(\\d+)\\.bin", 1).cast("long").as("event_id"),
         $"length".cast("long").as("n_bytes"),
         md5($"content").as("content_md5")
       )

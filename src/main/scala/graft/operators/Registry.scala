@@ -1989,12 +1989,16 @@ object Registry {
     // binaryFile blob-store ingest: blob content is recomputable text, so
     // the oracle replays length/md5 from the relational source — a wrong
     // file written, dropped by the listing, or mis-split hash-mismatches.
+    // octet_length(encode(...)) counts UTF-8 BYTES, matching the file size
+    // (length() counts characters and diverges on non-ASCII). NOTE: oracle
+    // SQL gets whitespace-flattened by the harness, so `--` comments are
+    // forbidden inside the query strings.
     Q(
       "q125_binary_ingest",
       Multimodal.binaryIngest,
       Some("""
         SELECT event_id,
-               CAST(length(event_type || '|' || CAST(event_id AS VARCHAR)) AS BIGINT) AS n_bytes,
+               CAST(octet_length(encode(event_type || '|' || CAST(event_id AS VARCHAR))) AS BIGINT) AS n_bytes,
                md5(event_type || '|' || CAST(event_id AS VARCHAR)) AS content_md5
         FROM (
           SELECT event_id, event_type FROM events

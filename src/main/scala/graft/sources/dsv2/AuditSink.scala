@@ -172,13 +172,11 @@ object AuditSink {
     } finally {
       // the checkpoint is per-invocation scratch — don't accumulate /tmp
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files
-        .walk(ckpt)
-        .iterator()
-        .asScala
-        .toSeq
-        .reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      val walk = java.nio.file.Files.walk(ckpt)
+      val paths =
+        try walk.iterator().asScala.toSeq.reverse
+        finally walk.close()
+      paths.foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
 

@@ -15,13 +15,21 @@ class DisciplineSpec extends AnyFunSuite {
 
   private def mainSources: Seq[(String, Seq[String])] = {
     val root = java.nio.file.Paths.get("src/main/scala/graft")
-    java.nio.file.Files
-      .walk(root)
+    require(java.nio.file.Files.isDirectory(root), s"run from the repo root: $root not found")
+    val walk = java.nio.file.Files.walk(root)
+    // keys are ROOT-RELATIVE paths (operators/Dedup.scala), not bare file
+    // names — a bare-name allowlist would exempt any same-named file
+    // anywhere under graft/
+    try walk
       .iterator()
       .asScala
       .filter(_.toString.endsWith(".scala"))
-      .map(p => p.getFileName.toString -> java.nio.file.Files.readAllLines(p).asScala.toSeq)
+      .map(p =>
+        root.relativize(p).toString.replace('\\', '/') ->
+          java.nio.file.Files.readAllLines(p).asScala.toSeq
+      )
       .toSeq
+    finally walk.close()
   }
 
   private def hits(pattern: String, except: Set[String] = Set.empty): Seq[String] = {
@@ -48,8 +56,8 @@ class DisciplineSpec extends AnyFunSuite {
     // per-BUCKET scalar fold in the two-pass prefix sum (bounded by
     // shuffle-partition count, Chunking.scala:96 doc). Scalar .head()
     // pulls are fine and not counted.
-    val sites = hits("""\.collect\(\)""")
-    val allowed = Set("Cli.scala", "Chunking.scala")
+    val sites   = hits("""\.collect\(\)""")
+    val allowed = Set("Cli.scala", "operators/Chunking.scala")
     val strays  = sites.filterNot(s => allowed.exists(s.startsWith))
     assert(strays.isEmpty, s"new driver collect() site — justify and allowlist or redesign:\n${strays.mkString("\n")}")
     assert(sites.size <= 3, s"collect() sites grew within allowed files: $sites")
@@ -62,14 +70,17 @@ class DisciplineSpec extends AnyFunSuite {
     // kernels (functions/Kernels.scala) instead.
     assert(hits("""\budf\(""").isEmpty, "scala udf() found — use a kernel or built-ins")
     val udafs = hits("""\budaf\(""")
-    assert(udafs == Seq("Advanced.scala:174") || udafs.size <= 1, s"new udaf sites: $udafs")
+    assert(
+      udafs.size <= 1 && udafs.forall(_.startsWith("operators/Advanced.scala")),
+      s"udaf outside the declared GeoMean site: $udafs"
+    )
   }
 
   test("mapPartitions stays confined to the multimodal stub-codec surface") {
     // the only justified imperative per-partition loop is the stub
     // image/audio codec (genuinely non-SQL); everything else must be
     // declarative so Catalyst can see through it
-    val sites = hits("""\.mapPartitions""", except = Set("Multimodal.scala"))
+    val sites = hits("""\.mapPartitions""", except = Set("operators/Multimodal.scala"))
     assert(sites.isEmpty, s"mapPartitions outside Multimodal:\n${sites.mkString("\n")}")
   }
 

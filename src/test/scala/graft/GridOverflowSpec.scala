@@ -122,21 +122,24 @@ class GridOverflowSpec extends SparkSpec {
     // TimeSeries) + Probe diagnostics outside the audit's scope.
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get("src/main/scala/graft")
+    require(java.nio.file.Files.isDirectory(root), s"run from the repo root: $root not found")
     val pat  = java.util.regex.Pattern.compile("""sum\(round\(.*\.cast\(("long"|LongType)\)""")
-    val hits = java.nio.file.Files
-      .walk(root)
-      .iterator()
-      .asScala
-      .filter(_.toString.endsWith(".scala"))
-      .flatMap { p =>
-        val name = p.getFileName.toString
-        java.nio.file.Files
-          .readAllLines(p)
-          .asScala
-          .zipWithIndex
-          .collect { case (l, i) if pat.matcher(l).find() => s"$name:${i + 1}" }
-      }
-      .toSeq
+    val walk = java.nio.file.Files.walk(root)
+    val hits =
+      try walk
+        .iterator()
+        .asScala
+        .filter(_.toString.endsWith(".scala"))
+        .flatMap { p =>
+          val name = p.getFileName.toString
+          java.nio.file.Files
+            .readAllLines(p)
+            .asScala
+            .zipWithIndex
+            .collect { case (l, i) if pat.matcher(l).find() => s"$name:${i + 1}" }
+        }
+        .toSeq
+      finally walk.close()
     val (probe, audited) = hits.partition(_.startsWith("Probe.scala"))
     assert(
       audited.size == 11,

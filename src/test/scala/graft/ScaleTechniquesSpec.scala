@@ -93,7 +93,9 @@ class ScaleTechniquesSpec extends SparkSpec {
       // veto is itself a scale lesson — keep skewed joins' consumers off
       // the join key, or set adaptive.forceOptimizeSkewedJoin.
       val joined = left.join(right, "k").select($"k", $"v", $"w")
-      joined.write.mode("overwrite").format("noop").save()
+      // finalPhysicalPlan finalizes (executes) this Dataset's OWN query
+      // execution — a separate noop write would run a different
+      // QueryExecution and contribute nothing to the assertion
       val fin = joined.queryExecution.executedPlan match {
         case a: AdaptiveSparkPlanExec => a.finalPhysicalPlan.toString
         case p                        => p.toString
