@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked app's stdout through unprefixed: the default logged
+// strategy wraps every line in "[info] ", which breaks machine-parsing of
+// Bench's single JSON metric line. Spark's log4j noise goes to stderr and
+// stays on stderr with this strategy.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

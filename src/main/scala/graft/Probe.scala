@@ -84,6 +84,84 @@ object Probe {
       t("full-query")(Dedup.dedupEndgame(spark, sfDir).write.mode("overwrite").format("noop").save())
       spark.stop(); return
     }
+    if (which == "scale") {
+      // Engine-only scaling curve for the dedup family (no fixtures, no
+      // oracle): deterministic synthetic documents straight from range() —
+      // 40 six-char tokens per doc, every 10th doc a byte-identical copy of
+      // its predecessor (n/10 true near-dup pairs, linear in n) — through
+      // the EXACT minhash pipeline shape of q65 (kernel sigs, band explode,
+      // shared exchange, shuffle_hash self-join). Three sizes at 4× steps;
+      // the tripwire is near-linear growth: an all-pairs regression would
+      // turn a 4× data step into ≥16× time. Exit code 1 on violation so the
+      // curve is a mechanical check, not a judgement call.
+      import spark.implicits._
+      import graft.functions.Kernels
+      import graft.functions.TextFns.{tokens, MinhashP}
+      def synthDocs(n: Long) = {
+        val base = when($"id" % 10 === 0 && $"id" > 0, $"id" - 1).otherwise($"id")
+        spark
+          .range(n)
+          .repartition(32)
+          .select(
+            $"id".as("doc_id"),
+            concat_ws(
+              " ",
+              transform(
+                sequence(lit(0L), lit(39L)),
+                j => substring(md5((base * 40L + j).cast("string")), 1, 6)
+              )
+            ).as("text")
+          )
+      }
+      def lshPairs(docs: org.apache.spark.sql.DataFrame) = {
+        val sigs = docs
+          .repartition($"doc_id")
+          .select(
+            $"doc_id",
+            Kernels.minhashSigK(Kernels.shingleHashes(tokens($"text"), 3, MinhashP), 16, MinhashP).as("sig0")
+          )
+          .groupBy($"doc_id")
+          .agg(first($"sig0").as("sig"))
+        val bands = sigs
+          .select(
+            $"doc_id",
+            $"sig",
+            explode(
+              transform(
+                sequence(lit(0), lit(3)),
+                b => struct(b.as("band"), concat_ws(",", slice($"sig", b * 4 + 1, lit(4))).as("key"))
+              )
+            ).as("bk")
+          )
+          .repartition($"bk")
+        val a = bands.select($"doc_id".as("id1"), $"sig".as("sig1"), $"bk")
+        val b = bands.select($"doc_id".as("id2"), $"sig".as("sig2"), $"bk".as("bk2"))
+        a.hint("shuffle_hash")
+          .join(b.hint("shuffle_hash"), $"bk" === $"bk2" && $"id1" < $"id2")
+          .dropDuplicates("id1", "id2")
+          .select($"id1", $"id2")
+      }
+      // warm: JIT + codegen at the smallest size, untimed
+      lshPairs(synthDocs(25000)).write.mode("overwrite").format("noop").save()
+      val steps = Seq(25000L, 100000L, 400000L).map { n =>
+        val t0    = System.nanoTime()
+        val pairs = lshPairs(synthDocs(n)).count()
+        val sec   = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] docs=$n%7d pairs=$pairs%8d time=$sec%7.2f s")
+        (n, pairs, sec)
+      }
+      var ok = true
+      steps.sliding(2).foreach {
+        case Seq((n0, _, t0), (n1, _, t1)) =>
+          val ratio = t1 / t0
+          println(f"[scale] ${n0}→$n1 (4x data): ${ratio}%.2fx time ${if (ratio <= 5.0) "OK" else "VIOLATION (super-linear)"}")
+          if (ratio > 5.0) ok = false
+        case _ => ()
+      }
+      spark.stop()
+      if (!ok) sys.exit(1)
+      return
+    }
     if (which == "adhoc") {
       // decimal vs double vs scaled-long aggregation cost on lineitem
       import spark.implicits._

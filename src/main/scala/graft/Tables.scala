@@ -43,16 +43,21 @@ object Tables {
     // unguarded — the silent oracle desync this exists to prevent. (Two
     // threads racing both run the cheap probe; that's fine.)
     if (!embDimChecked.contains(sfDir)) {
-      val dim = df
-        // null embedding or empty fixture: nothing to desync against
-        .select(coalesce(size(col("embedding")), lit(EmbeddingDim)).as("d"))
+      // min/max over a bounded non-null sample (not just the first row): a
+      // fixture whose first row is null, or whose later rows change dim,
+      // must still fail loudly here
+      val dims = df
+        .filter(col("embedding").isNotNull)
+        .limit(512)
+        .agg(min(size(col("embedding"))).as("lo"), max(size(col("embedding"))).as("hi"))
         .head(1)
         .headOption
-        .map(_.getInt(0))
-        .getOrElse(EmbeddingDim)
+        .filterNot(_.isNullAt(0)) // empty/all-null sample: nothing to desync against
+        .map(r => (r.getInt(0), r.getInt(1)))
+        .getOrElse((EmbeddingDim, EmbeddingDim))
       require(
-        dim == EmbeddingDim,
-        s"embeddings fixture at $sfDir has dim $dim, expected $EmbeddingDim — " +
+        dims == ((EmbeddingDim, EmbeddingDim)),
+        s"embeddings fixture at $sfDir has dims $dims, expected $EmbeddingDim — " +
           "the similarity operators and their oracle SQL (range(1, 65)) hardcode it")
       embDimChecked.add(sfDir)
       ()

@@ -64,16 +64,35 @@ object Clustering {
     * centroid). Two iterations keep the oracle replay bounded while
     * exercising the full assign/update cycle; production runs loop the same
     * two operators to convergence. */
-  def kmeansClusters(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Lineage-truncation cadence for the iterative loops below: every
+    * CheckpointEvery rounds the loop state is localCheckpointed, exactly
+    * the [[Graph.minLabelComponents]] pattern — without it an
+    * adaptive-round caller rebuilds a plan tree that grows by one
+    * join+agg PER ROUND and eventually stalls the optimizer (the lineage
+    * bomb). The final round is exempt (the consumer's action materializes
+    * it anyway). At the default fixed round counts (2 and 3) the cadence
+    * never fires, so the oracle-replayed plans are unchanged. */
+  private val CheckpointEvery = 3
+  private def truncate(df: DataFrame, round: Int, last: Int): DataFrame =
+    if (round % CheckpointEvery == 0 && round < last) df.localCheckpoint() else df
+
+  def kmeansClusters(spark: SparkSession, sfDir: String): DataFrame =
+    kmeansClusters(spark, sfDir, iterations = 2)
+
+  /** Lloyd loop with an adaptive-capable round count; see
+    * [[kmeansClusters(spark,sfDir)*]] for the declared 2-iteration form. */
+  def kmeansClusters(spark: SparkSession, sfDir: String, iterations: Int): DataFrame = {
     import spark.implicits._
     val e = Tables
       .spread(Tables.embeddings(spark, sfDir))
       .select($"vec_id", $"embedding", Similarity.norm($"embedding").as("nrm"))
-    val c0 = gridCentroids(e.select(($"vec_id" % K).cast("int").as("cluster"), $"embedding"))
-    val a1 = assign(e, c0)
-    val c1 = gridCentroids(a1.select($"cluster", $"embedding"))
-    val a2 = assign(e, c1)
-    a2.groupBy($"cluster")
+    var cents    = gridCentroids(e.select(($"vec_id" % K).cast("int").as("cluster"), $"embedding"))
+    var assigned = assign(e, cents)
+    for (i <- 2 to iterations) {
+      cents    = gridCentroids(assigned.select($"cluster", $"embedding"))
+      assigned = truncate(assign(e, cents), i, iterations)
+    }
+    assigned.groupBy($"cluster")
       .agg(
         count(lit(1)).as("n_vecs"),
         min($"vec_id").as("min_vec"),
@@ -99,17 +118,22 @@ object Clustering {
     val n     = nodes.count()
     val base6 = math.round(0.15 * 1e6 / n)
     val init6 = math.round(1e6 / n.toDouble)
+    val iterations = 3
     var rank = nodes.withColumn("rank6", lit(init6))
-    for (_ <- 1 to 3) {
+    for (i <- 1 to iterations) {
       val contrib = e
         .join(rank, $"src" === $"node")
         .join(deg, "src")
         .select($"dst", expr("(85 * (rank6 div outdeg)) div 100").as("c6"))
         .groupBy($"dst")
         .agg(sum($"c6").as("in6"))
-      rank = nodes
-        .join(contrib, $"node" === $"dst", "left")
-        .select($"node", (lit(base6) + coalesce($"in6", lit(0L))).as("rank6"))
+      rank = truncate(
+        nodes
+          .join(contrib, $"node" === $"dst", "left")
+          .select($"node", (lit(base6) + coalesce($"in6", lit(0L))).as("rank6")),
+        i,
+        iterations
+      )
     }
     rank
       .select($"node", round($"rank6" / 1e6, 6).as("pagerank"))

@@ -81,4 +81,78 @@ object Layout {
       .mode("overwrite")
       .parquet(out)
   }
+
+  // One bucketed-table pair per (JVM, sfDir): q127 is constructed by
+  // plan-only consumers too (the corpus sweep), so the two bucketed writes
+  // must not repeat per construction. Table names are UUID-suffixed (the
+  // temp-view discipline, DisciplineSpec) and the DATA lives in /tmp as
+  // external tables — never in a ./spark-warehouse under the repo; the
+  // shutdown hook removes the files (the in-memory catalog dies with the
+  // JVM on its own).
+  private val bucketTables =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
+  sys.addShutdownHook {
+    bucketTables.values.forEach { case (_, _, dir) =>
+      val root = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.isDirectory(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try
+          walk
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    }
+  }
+
+  /** Declared query (q127): bucketed CO-LOCATED join — the 100 TB answer
+    * for a fact-fact join that runs repeatedly (BASELINE.md deployment
+    * notes). Both sides are written `bucketBy(8, orderkey)` + sorted, so
+    * the join and the downstream per-order aggregate plan with ZERO
+    * shuffle exchanges: bucket pruning makes the exchange unnecessary,
+    * paid once at write time instead of per query. PlanShapeSpec asserts
+    * the no-Exchange plan; the oracle replays the join relationally. */
+  def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (liT, ordT, _) = bucketTables.compute(
+      sfDir,
+      (_, old) => {
+        // revalidate: a different SparkSession in this JVM (fresh catalog)
+        // must rebuild, not dangle on cached names
+        if (old != null && spark.catalog.tableExists(old._1) && spark.catalog.tableExists(old._2))
+          old
+        else {
+          val sfx  = java.util.UUID.randomUUID().toString.replace("-", "")
+          val base = graft.sources.ParquetSink.scratchDir(spark, "bucketed") + "_" + sfx
+          val liT  = s"graft_li_bucketed_$sfx"
+          val ordT = s"graft_ord_bucketed_$sfx"
+          Tables
+            .lineitem(spark, sfDir)
+            .select($"l_orderkey", $"l_quantity")
+            .write
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", s"$base/li")
+            .mode("overwrite")
+            .saveAsTable(liT)
+          Tables
+            .orders(spark, sfDir)
+            .select($"o_orderkey", $"o_totalprice")
+            .write
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", s"$base/ord")
+            .mode("overwrite")
+            .saveAsTable(ordT)
+          (liT, ordT, base)
+        }
+      }
+    )
+    spark
+      .table(liT)
+      .join(spark.table(ordT), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_quantity").as("sum_qty"), max($"o_totalprice").as("max_price"))
+      .orderBy($"l_orderkey")
+  }
 }

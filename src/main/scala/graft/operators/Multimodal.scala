@@ -133,8 +133,25 @@ object Multimodal {
     * rows without ever seeing a file. */
   // One blob fixture per (JVM, sfDir): q125 is constructed by plan-only
   // consumers too (the corpus sweep walks every declared query), so the
-  // prep job and temp dir must not repeat per invocation
+  // prep job and temp dir must not repeat per invocation. The fixture (and
+  // therefore the declared query) is local-mode-bound — executors read the
+  // driver's temp dir; on a real cluster the blobs would live on a shared
+  // store and only the `spark.read.format("binaryFile")` half applies.
   private val blobDirs = new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  // delete at JVM exit — without this every bench/verify/test JVM strands a
+  // graft_blobs* dir in /tmp
+  sys.addShutdownHook {
+    blobDirs.values.forEach { d =>
+      if (java.nio.file.Files.isDirectory(d)) {
+        val walk = java.nio.file.Files.walk(d)
+        try
+          walk
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    }
+  }
 
   def binaryIngest(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

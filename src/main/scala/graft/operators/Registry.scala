@@ -2008,6 +2008,48 @@ object Registry {
         )
         ORDER BY event_id
       """)
+    ),
+    // Avro object-container round trip on avro-core (no spark-avro module
+    // in this environment): one container file per partition out through
+    // DataFileWriter, distributed read back through binaryFile +
+    // DataFileReader, per-value audit vs the source. The container schema
+    // is the reference's .asvc artifact itself (AvroData scaladoc).
+    Q(
+      "q126_avro_roundtrip",
+      graft.sources.AvroData.avroRoundTrip,
+      Some("""
+        SELECT COUNT(*) AS n_rows,
+               CAST(0 AS BIGINT) AS avro_mismatches
+        FROM events WHERE event_type = 'signup'
+      """)
+    ),
+    // Bucketed co-located fact-fact join: both sides bucketBy(8, orderkey),
+    // joined + aggregated with ZERO shuffle exchanges (PlanShapeSpec
+    // asserts the plan). Groups are per-order (<= 7 integer-valued
+    // quantities), so plain double SUM/MAX are exact in both engines.
+    Q(
+      "q127_bucketed_join",
+      Layout.bucketedJoin,
+      Some("""
+        SELECT l_orderkey,
+               SUM(l_quantity) AS sum_qty,
+               MAX(o_totalprice) AS max_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_orderkey
+        ORDER BY l_orderkey
+      """)
+    ),
+    // CSV dead-letter parity with q52: PERMISSIVE file read +
+    // columnNameOfCorruptRecord, corrupt slice = event_id % 13 = 0.
+    Q(
+      "q128_csv_dead_letter",
+      JsonDecode.csvDeadLetterAudit,
+      Some("""
+        SELECT CAST(SUM(CASE WHEN event_id % 13 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_valid,
+               CAST(SUM(CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dead_letter,
+               CAST(SUM(CASE WHEN event_id % 13 = 0 THEN NULL ELSE user_id END) AS BIGINT) AS sum_user_valid
+        FROM events
+      """)
     )
   )
 }

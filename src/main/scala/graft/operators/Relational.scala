@@ -111,15 +111,24 @@ object Relational {
   // ---------------------------------------------------------------- joins
 
   /** Shuffled big-big equi-join + agg (TPC-H Q3 shape): customer ⋈ orders ⋈
-    * lineitem. customer is broadcast; orders⋈lineitem shuffles on orderkey —
-    * the correct plan shape at 100 TB. */
+    * lineitem. orders⋈lineitem shuffles on orderkey — the correct plan shape
+    * at 100 TB.
+    *
+    * Broadcast-hint policy (applies to every query in this file): hints are
+    * reserved for FIXED-cardinality dimensions (nation=25, region=5 rows at
+    * every SF). Sides that scale with the data (customer, supplier) carry no
+    * hint — a hint overrides autoBroadcastJoinThreshold unconditionally, so
+    * at the 100 TB target it would force a driver-OOM broadcast that AQE
+    * cannot demote. Without the hint AQE still picks broadcast locally from
+    * runtime stats (PlanShapeSpec asserts this), and at scale it degrades
+    * gracefully to a shuffled hash join. */
   def revenueByOrder(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val cust = Tables.customer(spark, sfDir).filter($"c_mktsegment" === "BUILDING")
     val ord  = Tables.orders(spark, sfDir)
     val li   = Tables.lineitem(spark, sfDir)
     li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
       .groupBy($"l_orderkey", to_date($"o_orderdate").as("order_date"))
       .agg(Det.decSum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("revenue"))
       .orderBy($"revenue".desc, $"l_orderkey")
@@ -127,8 +136,9 @@ object Relational {
   }
 
   /** Broadcast star join through the full dimension chain (TPC-H Q5 shape):
-    * region→nation→customer are all broadcast; only lineitem⋈orders is a
-    * shuffle. Demonstrates multi-hop broadcast planning. */
+    * region/nation are hint-broadcast (fixed 5/25 rows at every SF); customer
+    * is left to AQE (broadcast locally, shuffled at 100 TB — see the hint
+    * policy on revenueByOrder). Only lineitem⋈orders must shuffle. */
   def revenueByNation(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val nat  = Tables.nation(spark, sfDir)
@@ -137,7 +147,7 @@ object Relational {
     val ord  = Tables.orders(spark, sfDir)
     val li   = Tables.lineitem(spark, sfDir)
     li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
       .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
       // ~125 (region, nation) groups: the 1e4 grid overflows LONG near
@@ -244,7 +254,9 @@ object Relational {
 
   /** TPC-H Q7 shape: shipping volume between two nation pairs by year —
     * lineitem joined through supplier-nation AND customer-nation with a
-    * symmetric pair predicate; dimensions broadcast, fact shuffles once. */
+    * symmetric pair predicate; fixed-cardinality nation dims are
+    * hint-broadcast, customer/supplier are AQE's call (hint policy on
+    * revenueByOrder), fact shuffles once. */
   def crossNationVolume(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val n1 = Tables.nation(spark, sfDir).select($"n_nationkey".as("sk"), $"n_name".as("supp_nation"))
@@ -254,8 +266,8 @@ object Relational {
     val cu = Tables.customer(spark, sfDir)
     val su = Tables.supplier(spark, sfDir)
     li.join(or, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cu), $"o_custkey" === $"c_custkey")
-      .join(broadcast(su), $"l_suppkey" === $"s_suppkey")
+      .join(cu, $"o_custkey" === $"c_custkey")
+      .join(su, $"l_suppkey" === $"s_suppkey")
       .join(broadcast(n1), $"s_nationkey" === $"sk")
       .join(broadcast(n2), $"c_nationkey" === $"ck")
       .filter(

@@ -323,4 +323,49 @@ object JsonDecode {
       .crossJoin(bad.agg(count(lit(1)).as("n_dead_letter")))
       .select($"n_valid", $"n_dead_letter")
   }
+
+  /** Declared query (q128): CSV dead-letter parity with [[deadLetterAudit]]
+    * — the same auditable good/bad split, but for MALFORMED CSV through the
+    * file reader's PERMISSIVE mode + columnNameOfCorruptRecord (the CSV
+    * reads elsewhere, q54/q128's siblings, only ever saw well-formed
+    * files). A deterministic events slice goes out as raw CSV lines with
+    * the `% 13 == 0` slice corrupted (too few tokens AND a non-numeric
+    * where the schema demands BIGINT); the read back splits on the corrupt
+    * column and counts each side.
+    *
+    * The audit also sums `user_id` over valid rows. Besides being the
+    * natural "did the values survive" check, referencing a non-key data
+    * column is load-bearing twice over: (a) Spark disallows CSV queries
+    * whose referenced columns are ONLY the internal corrupt-record column;
+    * (b) the CSV reader prunes parsing to the referenced columns — an
+    * audit that never references `user_id` never PARSES `user_id`, the
+    * malformed token is never converted, and every corrupt row silently
+    * counts as valid (found the hard way: 0 dead letters at sf0.01). */
+  def csvDeadLetterAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = ParquetSink.scratchDir(spark, "csv_dead_letter")
+    Tables
+      .events(spark, sfDir)
+      .select(
+        when($"event_id" % 13 === 0, concat($"event_id".cast("string"), lit(",oops")))
+          .otherwise(concat_ws(",", $"event_id", $"user_id", $"value"))
+          .as("value")
+      )
+      .write
+      .mode("overwrite")
+      .text(base)
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("event_id BIGINT, user_id BIGINT, value DOUBLE")
+      .add("_corrupt", org.apache.spark.sql.types.StringType)
+    spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(base)
+      .agg(
+        sum(when($"_corrupt".isNull && $"event_id".isNotNull, 1L).otherwise(0L)).as("n_valid"),
+        sum(when($"_corrupt".isNotNull || $"event_id".isNull, 1L).otherwise(0L)).as("n_dead_letter"),
+        sum(when($"_corrupt".isNull, $"user_id")).as("sum_user_valid")
+      )
+  }
 }

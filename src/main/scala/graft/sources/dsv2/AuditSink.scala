@@ -167,9 +167,12 @@ object AuditSink {
       // after commit and can still miss the final epoch here
       val epochs      = streamEpochs(key)
       val (rows, sum) = streamAudit(key).getOrElse((0L, 0L))
-      clearStream(key)
       Seq((rows, sum, epochs)).toDF("n_rows", "sum_ids", "n_epochs")
     } finally {
+      // registry cleanup belongs with the checkpoint cleanup: on a failed
+      // start()/processAllAvailable() the UUID-keyed entry would otherwise
+      // leak for the JVM lifetime
+      clearStream(key)
       // the checkpoint is per-invocation scratch — don't accumulate /tmp
       import scala.jdk.CollectionConverters._
       val walk = java.nio.file.Files.walk(ckpt)

@@ -76,12 +76,16 @@ class DisciplineSpec extends AnyFunSuite {
     )
   }
 
-  test("mapPartitions stays confined to the multimodal stub-codec surface") {
-    // the only justified imperative per-partition loop is the stub
-    // image/audio codec (genuinely non-SQL); everything else must be
-    // declarative so Catalyst can see through it
-    val sites = hits("""\.mapPartitions""", except = Set("operators/Multimodal.scala"))
-    assert(sites.isEmpty, s"mapPartitions outside Multimodal:\n${sites.mkString("\n")}")
+  test("imperative per-partition loops stay confined to the codec surfaces") {
+    // the only justified imperative per-partition loops are codec
+    // call-outs (genuinely non-SQL): the stub image/audio codec in
+    // Multimodal, and the Avro container encode/decode in AvroData;
+    // everything else must be declarative so Catalyst can see through it
+    val sites = hits(
+      """\.(mapPartitions|foreachPartition)""",
+      except = Set("operators/Multimodal.scala", "sources/AvroData.scala")
+    )
+    assert(sites.isEmpty, s"per-partition loop outside the codec surfaces:\n${sites.mkString("\n")}")
   }
 
   test("no raw RDD usage in operators (DataFrame/Dataset only)") {

@@ -125,28 +125,42 @@ class GridOverflowSpec extends SparkSpec {
     require(java.nio.file.Files.isDirectory(root), s"run from the repo root: $root not found")
     val pat  = java.util.regex.Pattern.compile("""sum\(round\(.*\.cast\(("long"|LongType)\)""")
     val walk = java.nio.file.Files.walk(root)
+    // keys are ROOT-RELATIVE paths (matching DisciplineSpec): a bare-name
+    // key would silently exempt any same-named file elsewhere under graft/
     val hits =
       try walk
         .iterator()
         .asScala
         .filter(_.toString.endsWith(".scala"))
         .flatMap { p =>
-          val name = p.getFileName.toString
+          val name = root.relativize(p).toString.replace('\\', '/')
           java.nio.file.Files
             .readAllLines(p)
             .asScala
             .zipWithIndex
-            .collect { case (l, i) if pat.matcher(l).find() => s"$name:${i + 1}" }
+            .collect { case (l, i) if pat.matcher(l).find() => name -> (i + 1) }
         }
         .toSeq
       finally walk.close()
-    val (probe, audited) = hits.partition(_.startsWith("Probe.scala"))
-    assert(
-      audited.size == 11,
-      s"scaled-long grid sites changed (${audited.size} != 11) — register the new/removed " +
-        s"site's bounds in this suite's table. Sites:\n${audited.sorted.mkString("\n")}"
+    // the expected sites, explicitly by file (counts, since line numbers
+    // shift) — a new site anywhere, including a new Probe-named file in a
+    // subpackage, shows up as a diff against this map
+    val expected = Map(
+      "Det.scala"                   -> 2, // decSum + gridPartial bodies
+      "operators/Advanced.scala"    -> 3,
+      "operators/Clustering.scala"  -> 2,
+      "operators/Similarity.scala"  -> 1,
+      "operators/Skew.scala"        -> 2,
+      "operators/TimeSeries.scala"  -> 1,
+      "Probe.scala"                 -> 3 // diagnostics outside the audit's bound table
     )
-    assert(probe.size <= 4, s"unexpected Probe grid growth: $probe")
+    val got = hits.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(
+      got == expected,
+      s"scaled-long grid sites changed — register the new/removed site's bounds in this " +
+        s"suite's table (or route it through decSumWide). Expected $expected, got $got; " +
+        s"sites:\n${hits.map { case (f, l) => s"$f:$l" }.sorted.mkString("\n")}"
+    )
   }
 
   test("two-level LONG partials fit within one scan partition (q01/q11 shape)") {

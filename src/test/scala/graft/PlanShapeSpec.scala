@@ -149,6 +149,24 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q127 bucketed join plans with zero shuffle (hash) exchanges") {
+    // both sides bucketBy(8, orderkey): join + per-order agg read bucket
+    // layout instead of shuffling — only the presentation sort may add a
+    // range exchange. At the tiny fixture Catalyst prefers broadcasting
+    // the small side (still shuffle-free); with broadcast disabled the
+    // plan must be the 100 TB shape — a bucket-co-located SortMergeJoin
+    // with STILL no hash exchange on either side.
+    val p = planOf("q127_bucketed_join")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p2 = planOf("q127_bucketed_join")
+      assert(p2.contains("SortMergeJoin"), p2.take(3000))
+      assert(!p2.contains("Exchange hashpartitioning"), p2.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q91 stratified sample uses a PARTITIONED rank window (no global window)") {
     val ws = SparkEntry
       .queries("q91_stratified_sample")(spark, sf)
