@@ -99,6 +99,44 @@ object AvroData {
     }
   }
 
+  /** Distributed decode of a directory of Avro object-container files:
+    * Spark's `binaryFile` source lists + splits, each task runs
+    * `DataFileReader` over its containers. Exposed separately from the
+    * declared query so the decode semantics (null union branches, loud
+    * failure on a corrupt container — the writer-side reader never skips
+    * bad files silently) are testable in isolation (AvroDataSpec). */
+  private[graft] def decodeContainers(spark: SparkSession, dir: String): Dataset[Slice] = {
+    import spark.implicits._
+    spark.read
+      .format("binaryFile")
+      .option("pathGlobFilter", "*.avro")
+      .load(dir)
+      .select($"content")
+      .as[Array[Byte]]
+      .mapPartitions { blobs =>
+        blobs.flatMap { bytes =>
+          val rd = new DataFileReader[GenericRecord](
+            new SeekableByteArrayInput(bytes),
+            new GenericDatumReader[GenericRecord]()
+          )
+          // Avro strings decode as Utf8 — normalize through toString
+          def str(x: AnyRef): String = if (x == null) null else x.toString
+          new Iterator[GenericRecord] {
+            def hasNext: Boolean      = rd.hasNext
+            def next(): GenericRecord = rd.next()
+          }.map { g =>
+            Slice(
+              g.get("event_id").asInstanceOf[java.lang.Long],
+              str(g.get("event_type")),
+              g.get("user_id").asInstanceOf[java.lang.Long],
+              g.get("ts_us").asInstanceOf[java.lang.Long],
+              g.get("value").asInstanceOf[java.lang.Double]
+            )
+          }
+        }
+      }
+  }
+
   /** Declared query (q126): write the signup slice as Avro object-container
     * files (one per partition), read the directory back distributed, and
     * audit that every row and value survived — same audit shape as
@@ -136,35 +174,7 @@ object AvroData {
         d
       }
     )
-    val decoded = spark.read
-      .format("binaryFile")
-      .option("pathGlobFilter", "*.avro")
-      .load(dir)
-      .select($"content")
-      .as[Array[Byte]]
-      .mapPartitions { blobs =>
-        blobs.flatMap { bytes =>
-          val rd = new DataFileReader[GenericRecord](
-            new SeekableByteArrayInput(bytes),
-            new GenericDatumReader[GenericRecord]()
-          )
-          // Avro strings decode as Utf8 — normalize through toString
-          def str(x: AnyRef): String = if (x == null) null else x.toString
-          new Iterator[GenericRecord] {
-            def hasNext: Boolean       = rd.hasNext
-            def next(): GenericRecord  = rd.next()
-          }.map { g =>
-            Slice(
-              g.get("event_id").asInstanceOf[java.lang.Long],
-              str(g.get("event_type")),
-              g.get("user_id").asInstanceOf[java.lang.Long],
-              g.get("ts_us").asInstanceOf[java.lang.Long],
-              g.get("value").asInstanceOf[java.lang.Double]
-            )
-          }
-        }
-      }
-    val o = decoded
+    val o = decodeContainers(spark, dir)
       .toDF()
       .select(
         $"event_id",
