@@ -1573,6 +1573,19 @@ object Registry {
   )
 
   private def streamingPack: Seq[Q] = Seq(
+    // Stream-static enrichment: the dim is derivable from user_id, so the
+    // oracle replays the join arithmetically. Batch form declared; the
+    // MemoryStream form is StreamingSpec's stream-static test.
+    Q(
+      "q131_stream_static_enrich",
+      Streaming.tierEnrichBatch,
+      Some("""
+        SELECT 'tier_' || CAST(user_id % 5 AS VARCHAR) AS tier,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value
+        FROM events GROUP BY tier ORDER BY tier
+      """)
+    ),
     Q(
       "q73_session_window",
       Streaming.sessionizeBatch,
@@ -2037,6 +2050,50 @@ object Registry {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY l_orderkey
         ORDER BY l_orderkey
+      """)
+    ),
+    // Gaps-and-islands streak detection: day - row_number() is constant
+    // across a consecutive run — per-user windows only, no global window.
+    Q(
+      "q129_user_streaks",
+      TimeSeries.userStreaks,
+      Some("""
+        WITH d AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ), g AS (
+          SELECT user_id, day,
+                 day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS grp
+          FROM d
+        ), s AS (
+          SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY user_id, grp
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_streaks,
+               CAST(MAX(len) AS BIGINT) AS max_streak,
+               CAST(SUM(len) AS BIGINT) AS active_days
+        FROM s GROUP BY user_id ORDER BY user_id
+      """)
+    ),
+    // Schema-evolution read: batch 2 adds a column; mergeSchema=true must
+    // surface pre-evolution rows with NULL for the new column.
+    Q(
+      "q130_schema_evolution",
+      ParquetSink.schemaEvolutionRead,
+      Some("""
+        SELECT CAST(1 AS INT) AS batch,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_null_value,
+               CAST(NULL AS DOUBLE) AS min_value,
+               CAST(NULL AS DOUBLE) AS max_value
+        FROM events WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT CAST(2 AS INT),
+               CAST(COUNT(*) AS BIGINT),
+               CAST(0 AS BIGINT),
+               MIN(value),
+               MAX(value)
+        FROM events WHERE event_id % 2 = 1
+        ORDER BY batch
       """)
     ),
     // CSV dead-letter parity with q52: PERMISSIVE file read +

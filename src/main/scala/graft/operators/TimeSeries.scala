@@ -39,6 +39,36 @@ object TimeSeries {
       .orderBy($"user_id", $"day")
   }
 
+  /** Declared query (q129): gaps-and-islands streak detection — per-user
+    * runs of CONSECUTIVE active days (the classic pattern a training-data
+    * pipeline runs for temporal-coverage audits and activity cohorts).
+    * Technique: distinct (user, day), then `day - row_number()` within the
+    * user is CONSTANT across a consecutive run and strictly drops at every
+    * gap — the island key — so streaks reduce to two grouped aggregations.
+    * The only window is partitioned by user_id (no global window; the
+    * distinct and both groupBys shuffle on user-derived keys), so the plan
+    * scales with users, and a user's active-day count is calendar-bounded
+    * (~2.5k rows for 7 years) regardless of SF. */
+  def userStreaks(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables
+      .events(spark, sfDir)
+      .select($"user_id", to_date($"ts").as("day"))
+      .distinct()
+    val rn = row_number().over(Window.partitionBy($"user_id").orderBy($"day"))
+    d.withColumn("grp", date_sub($"day", rn))
+      .groupBy($"user_id", $"grp")
+      .agg(count(lit(1)).as("len"))
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_streaks"),
+        max($"len").as("max_streak"),
+        sum($"len").as("active_days")
+      )
+      .orderBy($"user_id")
+  }
+
   /** Mergeable distinct-count sketches (the "novel sketch" surface): one
     * HLL sketch per day, unioned into a single weekly estimate — the
     * pre-aggregate-then-merge pattern that replaces exact distinct at

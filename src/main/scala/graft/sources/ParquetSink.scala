@@ -105,6 +105,41 @@ object ParquetSink {
       )
   }
 
+  /** Declared query (q130): schema-evolution read across batches. Batch 1
+    * is written with the v1 schema (event_id, user_id); batch 2 with an
+    * ADDED column (value) — the drift a long-lived table accumulates every
+    * time a producer adds a field. `mergeSchema=true` unifies the footers
+    * at read time (the per-file merge is distributed; at 100 TB prefer a
+    * catalog schema, but the read semantics are the same); the audit
+    * proves pre-evolution rows surface the new column as NULL — never a
+    * default, never an error — via per-batch counts and min/max. */
+  def schemaEvolutionRead(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = scratchDir(spark, "schema_evo")
+    val ev   = Tables.events(spark, sfDir)
+    ev.filter($"event_id" % 2 === 0)
+      .select($"event_id", $"user_id")
+      .write
+      .mode("overwrite")
+      .parquet(s"$base/batch=1")
+    ev.filter($"event_id" % 2 === 1)
+      .select($"event_id", $"user_id", $"value")
+      .write
+      .mode("overwrite")
+      .parquet(s"$base/batch=2")
+    spark.read
+      .option("mergeSchema", "true")
+      .parquet(base)
+      .groupBy($"batch")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum($"value".isNull.cast("long")).as("n_null_value"),
+        min($"value").as("min_value"),
+        max($"value").as("max_value")
+      )
+      .orderBy($"batch")
+  }
+
   def jsonCsvRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val base = scratchDir(spark, "fmt_roundtrip")

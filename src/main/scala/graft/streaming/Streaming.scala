@@ -168,6 +168,29 @@ object Streaming {
       purchases.withWatermark("p_ts", "10 minutes")
     )
 
+  /** Stream-STATIC enrichment join: the streaming side joins a bounded
+    * dimension that is read once and broadcast to every micro-batch — the
+    * canonical lookup-enrichment shape (user → tier here). Unlike
+    * stream-stream joins this needs no watermark and keeps NO join state:
+    * the static side is just a broadcast hash table per batch, so it holds
+    * at any stream rate; the dimension refreshes per micro-batch re-plan.
+    * Transform is source-agnostic (same code batch and streaming — the
+    * StreamingSpec runs it against a MemoryStream). */
+  def tierEnrich(ev: DataFrame, tiers: DataFrame): DataFrame =
+    ev.join(broadcast(tiers), Seq("user_id"))
+      .groupBy(col("tier"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        graft.Det.decSum(col("value"), 4).as("sum_value")
+      )
+
+  /** The deterministic user→tier dimension (5 tiers by user id residue) —
+    * derivable relationally so the oracle can replay the enrichment. */
+  def tierDim(ev: DataFrame): DataFrame =
+    ev.select(col("user_id"))
+      .distinct()
+      .withColumn("tier", concat(lit("tier_"), (col("user_id") % 5).cast("string")))
+
   // ------------------------------------------------------- declared queries
 
   def tumblingBatch(spark: SparkSession, sfDir: String): DataFrame =
@@ -181,4 +204,9 @@ object Streaming {
 
   def attributionBatch(spark: SparkSession, sfDir: String): DataFrame =
     purchaseAttribution(Tables.events(spark, sfDir)).orderBy(col("purchase_id"))
+
+  def tierEnrichBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    tierEnrich(ev, tierDim(ev)).orderBy(col("tier"))
+  }
 }

@@ -84,7 +84,9 @@ class GridOverflowSpec extends SparkSpec {
     // vectors/SF)
     GridSite("q76/q107 centroid mean (component*1e6)", 6, 1.0, 2e4 * TargetSf / 16, wide = false),
     // q112 salted-join revenue: 7 categories over the lineitem-shaped fact
-    GridSite("q112 category cents (price*1e2)", 2, Price, LiPerSf / 7 * TargetSf, wide = false)
+    GridSite("q112 category cents (price*1e2)", 2, Price, LiPerSf / 7 * TargetSf, wide = false),
+    // q131 stream-static tier sum: 5 tier groups over events (|value|<=600)
+    GridSite("q131 tier sum (value*1e4)", 4, 600, 1e6 * TargetSf / 5, wide = false)
   )
 
   private def groupTotal(s: GridSite): BigDecimal =

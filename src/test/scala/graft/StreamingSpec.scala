@@ -34,6 +34,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch against the broadcast dim") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in    = MemoryStream[(Long, Double)]
+    val ev    = in.toDF().toDF("user_id", "value")
+    val tiers = Seq((1L, "tier_1"), (2L, "tier_2"), (6L, "tier_1")).toDF("user_id", "tier")
+    val q = Streaming
+      .tierEnrich(ev, tiers)
+      .writeStream
+      .format("memory")
+      .queryName("tier_enrich_test")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      in.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      // second micro-batch joins the SAME static dim; user 7 has no tier
+      // row and must be dropped by the inner join, not nulled in
+      in.addData((6L, 3.0), (7L, 9.0))
+      q.processAllAvailable()
+      val rows = spark
+        .table("tier_enrich_test")
+        .orderBy($"tier")
+        .collect()
+        .map(r => (r.getAs[String]("tier"), r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+        .toSeq
+      assert(rows === Seq(("tier_1", 2L, 4.0), ("tier_2", 1L, 2.0)))
+    } finally q.stop()
+  }
+
   test("watermark drops late data in append mode") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
