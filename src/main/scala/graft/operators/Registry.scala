@@ -2096,6 +2096,19 @@ object Registry {
         ORDER BY batch
       """)
     ),
+    // Compaction: engine reports MEASURED file counts; the oracle pins the
+    // expected 64 -> 4 plus row conservation.
+    Q(
+      "q132_compaction",
+      ParquetSink.compactionAudit,
+      Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_in,
+               CAST(COUNT(*) AS BIGINT) AS n_rows_out,
+               CAST(64 AS BIGINT) AS files_before,
+               CAST(4 AS BIGINT) AS files_after
+        FROM events
+      """)
+    ),
     // CSV dead-letter parity with q52: PERMISSIVE file read +
     // columnNameOfCorruptRecord, corrupt slice = event_id % 13 = 0.
     Q(

@@ -140,6 +140,48 @@ object ParquetSink {
       .orderBy($"batch")
   }
 
+  /** Declared query (q132): small-files COMPACTION — the maintenance job
+    * every long-lived 100 TB table needs (streaming sinks and incremental
+    * backfills fragment partitions; thousands of KB-files per directory
+    * destroy scan scheduling and NameNode/liststatus costs). A slice is
+    * deliberately fragmented to 64 files, then compacted by rewriting to a
+    * bounded file count; the audit reports MEASURED file counts alongside
+    * row conservation, so a compaction that loses rows, skips files, or
+    * fails to actually reduce the file count hash-mismatches. At real
+    * scale the target is size-based — `repartition(ceil(bytes/128MB))` or
+    * `spark.sql.files.maxRecordsPerFile` — and the rewrite can cluster
+    * while it is at it ([[graft.operators.Layout.writeZOrdered]]); the
+    * fixed 64→4 here keeps the audit deterministic across SFs. */
+  def compactionAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = scratchDir(spark, "compaction")
+    def parquetFiles(dir: String): Long = {
+      val d = new java.io.File(dir)
+      val fs = d.listFiles()
+      if (fs == null) 0L else fs.count(f => f.getName.endsWith(".parquet")).toLong
+    }
+    Tables
+      .events(spark, sfDir)
+      .select($"event_id", $"user_id", $"value")
+      .repartition(64)
+      .write
+      .mode("overwrite")
+      .parquet(s"$base/fragmented")
+    val frag        = spark.read.parquet(s"$base/fragmented")
+    val filesBefore = parquetFiles(s"$base/fragmented")
+    frag.repartition(4).write.mode("overwrite").parquet(s"$base/compacted")
+    val filesAfter = parquetFiles(s"$base/compacted")
+    frag
+      .agg(count(lit(1)).as("n_rows_in"))
+      .crossJoin(spark.read.parquet(s"$base/compacted").agg(count(lit(1)).as("n_rows_out")))
+      .select(
+        $"n_rows_in",
+        $"n_rows_out",
+        lit(filesBefore).as("files_before"),
+        lit(filesAfter).as("files_after")
+      )
+  }
+
   def jsonCsvRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val base = scratchDir(spark, "fmt_roundtrip")
