@@ -276,6 +276,19 @@ object Probe {
       if (doExplain) SparkEntry.queries(n)(spark, sfDir).explain("formatted")
       val runs = (1 to 3).map(_ => time1(n))
       println(f"[probe] $n%-28s best=${runs.min}%.3f runs=${runs.map(r => f"$r%.3f").mkString(",")}")
+      if (doExplain) {
+        // the formatted explain above is the INITIAL plan — AQE's runtime
+        // rewrites (ReusedExchange, broadcast demotion, skew splits) only
+        // appear in the final plan of an EXECUTED query
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        df.write.mode("overwrite").format("noop").save()
+        val fin = df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.finalPhysicalPlan.toString
+          case p => p.toString
+        }
+        println(s"[probe] final adaptive plan for $n:\n${fin.take(8000)}")
+      }
     }
     spark.stop()
   }

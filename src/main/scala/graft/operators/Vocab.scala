@@ -127,12 +127,18 @@ object Vocab {
     * document by mean ln P(w_i | w_{i-1}) under the corpus bigram model.
     * Same 1e6-grid determinism contract as the unigram query.
     *
-    * Scale shape: bigram extraction is a per-row explode; the bigram count
-    * and the score join share ONE exchange on (w1, w2) (the repartition
-    * ahead of both — same reuse discipline as the dedup self-joins); the
-    * unigram table is vocabulary-sized and broadcasts. */
+    * Scale shape: bigram extraction is a per-row explode, done ONCE — the
+    * bigram count c12 is a window count over the (w1, w2)-repartitioned
+    * stream rather than a groupBy + self-join (the join formulation scans
+    * and explodes the corpus twice: column pruning drops doc_id from the
+    * count branch, the two exchanges stop canonicalizing identically, and
+    * AQE cannot reuse them — observed live in the round-8 final-plan
+    * audit). The window's required distribution is exactly the repartition
+    * already in place, so c12 costs one in-partition sort and zero extra
+    * shuffles; the unigram table is vocabulary-sized and broadcasts. */
   def bigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     val toks = Tables
       .spread(Tables.documents(spark, sfDir))
       .select($"doc_id", tokens($"text").as("tk"))
@@ -151,9 +157,8 @@ object Vocab {
       .repartition($"w1", $"w2")
     val uni       = toks.select(explode($"tk").as("w1")).groupBy($"w1").agg(count(lit(1)).as("c1"))
     val vocabSize = uni.count()
-    val bic       = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
     big
-      .join(bic, Seq("w1", "w2"))
+      .withColumn("c12", count(lit(1)).over(Window.partitionBy($"w1", $"w2")))
       .join(broadcast(uni), Seq("w1"))
       .withColumn("lp6", round(log(($"c12" + 1.0) / ($"c1" + vocabSize)) * 1e6).cast("long"))
       .groupBy($"doc_id")
