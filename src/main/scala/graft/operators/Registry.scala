@@ -205,8 +205,13 @@ object Registry {
       "q99_tfidf_topk",
       Vocab.tfidfTopTerms,
       Some("""
-        WITH tok AS (
+        WITH tok0 AS (
           SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        ), v AS (
+          SELECT token FROM (SELECT token, COUNT(*) AS freq FROM tok0 GROUP BY token)
+          ORDER BY freq DESC, token LIMIT 24
+        ), tok AS (
+          SELECT doc_id, token FROM tok0 JOIN v USING (token)
         ), idf AS (
           SELECT token,
                  CAST(round(ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df) * 1e6) AS BIGINT) AS idf6
@@ -282,13 +287,15 @@ object Registry {
           FROM t WHERE len(tk) >= 2
         ), c1 AS (
           SELECT w1, COUNT(*) AS c1 FROM (SELECT unnest(tk) AS w1 FROM t) GROUP BY w1
+        ), u AS (
+          SELECT w1, c1 FROM c1 ORDER BY c1 DESC, w1 LIMIT 24
         ), c12 AS (
           SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY w1, w2
         ), v AS (
           SELECT COUNT(*) AS v FROM c1
         ), lp AS (
-          SELECT doc_id, CAST(round(ln((c12 + 1.0) / (c1 + v)) * 1e6) AS BIGINT) AS lp6
-          FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+          SELECT doc_id, CAST(round(ln((c12 + 1.0) / (COALESCE(c1, 0) + v)) * 1e6) AS BIGINT) AS lp6
+          FROM b JOIN c12 USING (w1, w2) LEFT JOIN u USING (w1), v
         )
         SELECT doc_id, COUNT(*) AS n_bigrams,
                CAST(-((2 * (-SUM(lp6)) + COUNT(*)) // (2 * COUNT(*))) AS BIGINT) / 1e6 AS mean_logprob
@@ -975,11 +982,17 @@ object Registry {
         ), tot AS (
           SELECT CAST(SUM(freq) AS DOUBLE) AS total FROM f
         ), lp AS (
-          SELECT token, CAST(round(ln(freq / total) * 1e6) AS BIGINT) AS lp6 FROM f, tot
+          SELECT token, CAST(round(ln(freq / total) * 1e6) AS BIGINT) AS lp6
+          FROM f, tot ORDER BY freq DESC, token LIMIT 24
+        ), oov AS (
+          SELECT CAST(round(ln(1.0 / total) * 1e6) AS BIGINT) AS oov6 FROM tot
+        ), scored AS (
+          SELECT doc_id, COALESCE(lp6, oov6) AS lp6
+          FROM tok LEFT JOIN lp USING (token), oov
         )
         SELECT doc_id, COUNT(*) AS n_toks,
                CAST(-((2 * (-SUM(lp6)) + COUNT(*)) // (2 * COUNT(*))) AS BIGINT) / 1e6 AS mean_logprob
-        FROM tok JOIN lp USING (token)
+        FROM scored
         GROUP BY doc_id ORDER BY doc_id
       """)
     )

@@ -220,18 +220,35 @@ object Relational {
       .orderBy($"nationkey")
   }
 
-  /** Theta (range-predicate) join: parts priced within a band of each
-    * supplier's account balance — a non-equi condition that plans as
-    * broadcast nested-loop on the small side. */
+  /** Theta (range-predicate) join via LOSSLESS band blocking: parts priced
+    * within a fixed-width window [b, b+50] of each supplier's b=acctbal/4.
+    * The naive plan is a nested-loop join (all-pairs at scale); because the
+    * window width is a CONSTANT, the same trick as [[fuzzyNameMatch]]
+    * applies — bucket prices into width-50 bands, note that a width-50
+    * interval covers at most the two bands {floor(b/50), floor(b/50)+1},
+    * explode the supplier side to those two, and join EQUI on the band with
+    * the exact range as a post-join residual. Each qualifying pair meets on
+    * exactly one band (the part's), so no dedup pass. Both sides scale with
+    * the data and neither is broadcast: the band join is a hash shuffle,
+    * the correct shape at 100 TB. */
   def thetaJoinPriceBand(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val supp = Tables.supplier(spark, sfDir)
-    val part = Tables.part(spark, sfDir)
-    part
-      .join(
-        broadcast(supp),
-        $"p_retailprice" >= $"s_acctbal" / 4 && $"p_retailprice" <= $"s_acctbal" / 4 + 50
+    val bandW = 50
+    val supp = Tables
+      .supplier(spark, sfDir)
+      .select($"s_suppkey", ($"s_acctbal" / 4).as("lo"))
+      .select(
+        $"s_suppkey",
+        $"lo",
+        explode(array(floor($"lo" / bandW), floor($"lo" / bandW) + 1)).as("pb")
       )
+    val part = Tables
+      .part(spark, sfDir)
+      .select($"p_partkey", $"p_retailprice", floor($"p_retailprice" / bandW).as("pb"))
+    part
+      .hint("shuffle_hash")
+      .join(supp.hint("shuffle_hash"), Seq("pb"))
+      .filter($"p_retailprice" >= $"lo" && $"p_retailprice" <= $"lo" + bandW)
       .select($"s_suppkey", $"p_partkey", $"p_retailprice")
       .orderBy($"s_suppkey", $"p_partkey")
   }
@@ -283,12 +300,16 @@ object Relational {
 
   /** TPC-H Q19 shape: disjunctive multi-attribute predicates (OR of ANDed
     * brand/size/quantity bands) — Catalyst pushes the common part join key
-    * and evaluates the residual disjunction post-join. */
+    * and evaluates the residual disjunction post-join. Part carries NO
+    * broadcast hint (it scales with SF — hint policy on revenueByOrder);
+    * Catalyst/AQE still broadcast it locally from size stats
+    * (PlanShapeSpec), and at 100 TB the join degrades to a shuffled hash
+    * join instead of a forced driver-OOM broadcast. */
   def disjunctivePredicates(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, sfDir)
     val pt = Tables.part(spark, sfDir)
-    li.join(broadcast(pt), $"l_partkey" === $"p_partkey")
+    li.join(pt, $"l_partkey" === $"p_partkey")
       .filter(
         ($"p_brand" === "Brand#1" && $"p_size".between(1, 15) && $"l_quantity".between(1, 15)) ||
           ($"p_brand" === "Brand#2" && $"p_size".between(10, 30) && $"l_quantity".between(10, 25)) ||

@@ -22,6 +22,16 @@ object Vocab {
   // out-of-vocab (-1 / UNK) path carries real weight in the oracle compare.
   private val VocabSize = 20
 
+  /** Cap for every LM-scoring lookup table (unigram logprobs, idf, bigram
+    * contexts): top-N tokens by (freq desc, token asc). At corpus scale the
+    * raw token vocabulary grows with the data — broadcasting it
+    * uncapped would OOM the driver at 100 TB — so the broadcast side is
+    * bounded to this constant and out-of-vocab tokens take a deterministic
+    * UNK floor (the standard KenLM move). Kept below the fixture's 31
+    * distinct tokens so the OOV path carries real weight in the oracle
+    * compare at every SF. */
+  private[graft] val LmVocabSize = 24
+
   /** Internal: (token_id, token, freq), ids contiguous from 0 in
     * (freq desc, token asc) order — deterministic across engines. */
   private[graft] def vocab(spark: SparkSession, sfDir: String): DataFrame = {
@@ -53,8 +63,12 @@ object Vocab {
     * snapped onto a 1e6 grid and summed as LONG, so the score is
     * order-independent and engine-replayable despite ln() being involved
     * (ulp-level libm differences sit ~9 orders of magnitude below the
-    * grid). The unigram table is a broadcast of the full (tiny) vocabulary;
-    * scoring is one broadcast join + one per-doc aggregate. */
+    * grid). The unigram table is CAPPED to the [[LmVocabSize]] most
+    * frequent tokens before it broadcasts (the raw vocabulary scales with
+    * the corpus — an uncapped broadcast OOMs the driver at 100 TB);
+    * out-of-vocab tokens score the deterministic UNK floor ln(1/total),
+    * replayed identically by the oracle. Scoring is one bounded broadcast
+    * join + one per-doc aggregate. */
   def unigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val tok = Tables
@@ -62,12 +76,19 @@ object Vocab {
       .select($"doc_id", explode(tokens($"text")).as("token"))
     val freqs = tok.groupBy($"token").agg(count(lit(1)).as("freq"))
     val total = freqs.agg(sum($"freq")).head().getLong(0)
-    val lp = freqs.select(
-      $"token",
-      round(log($"freq" / lit(total.toDouble)) * 1e6).cast("long").as("lp6")
-    )
+    val lp = freqs
+      .orderBy($"freq".desc, $"token")
+      .limit(LmVocabSize)
+      .select(
+        $"token",
+        round(log($"freq" / lit(total.toDouble)) * 1e6).cast("long").as("lp6")
+      )
+    val oovLp6 = BigDecimal(math.log(1.0 / total.toDouble) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP)
+      .toLong
     tok
-      .join(broadcast(lp), Seq("token"))
+      .join(broadcast(lp), Seq("token"), "left")
+      .select($"doc_id", coalesce($"lp6", lit(oovLp6)).as("lp6"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_toks"), sum($"lp6").as("slp"))
       // the mean is rounded in INTEGER space: slp is negative, so round
@@ -87,11 +108,14 @@ object Vocab {
     * tf·idf6, order-independent and engine-replayable; ties broken by
     * token).
     *
-    * Scale shape: tf is one hash aggregation on (doc, token); df is one on
-    * token. The idf table is vocabulary-sized — broadcast here (at a scale
-    * where the vocabulary outgrows broadcast, the same plan works as a
-    * shuffle join on token). The per-doc top-k window partitions by doc_id
-    * — parallel, never global. */
+    * Scale shape: keyword candidacy is restricted to the [[LmVocabSize]]
+    * most frequent tokens (the fixed vocabulary a production keyword
+    * pipeline scores against) — the raw token set scales with the corpus,
+    * so the uncapped idf table must never broadcast. tf is one hash
+    * aggregation on (doc, token) over the restricted stream; df is one on
+    * token; the idf table is then provably ≤ [[LmVocabSize]] rows and
+    * broadcasts safely at any SF. The per-doc top-k window partitions by
+    * doc_id — parallel, never global. */
   def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -102,7 +126,14 @@ object Vocab {
     // corpus size as a plan literal (tiny driver-side count, same pattern
     // as the unigram total above)
     val nDocs = Tables.documents(spark, sfDir).count()
-    val idf = tok
+    val vcut = tok
+      .groupBy($"token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"token")
+      .limit(LmVocabSize)
+      .select($"token")
+    val vtok = tok.join(broadcast(vcut), Seq("token"))
+    val idf = vtok
       .groupBy($"token")
       .agg(countDistinct($"doc_id").as("df"))
       .select(
@@ -110,7 +141,7 @@ object Vocab {
         round(log(lit(nDocs.toDouble) / $"df") * 1e6).cast("long").as("idf6")
       )
     val w = Window.partitionBy($"doc_id").orderBy($"score6".desc, $"token")
-    tok
+    vtok
       .groupBy($"doc_id", $"token")
       .agg(count(lit(1)).as("tf"))
       .join(broadcast(idf), Seq("token"))
@@ -135,7 +166,13 @@ object Vocab {
     * AQE cannot reuse them — observed live in the round-8 final-plan
     * audit). The window's required distribution is exactly the repartition
     * already in place, so c12 costs one in-partition sort and zero extra
-    * shuffles; the unigram table is vocabulary-sized and broadcasts. */
+    * shuffles. The unigram context table is CAPPED to the [[LmVocabSize]]
+    * most frequent tokens before it broadcasts (an uncapped table scales
+    * with the corpus and would OOM the driver at 100 TB); an out-of-vocab
+    * context takes c1=0, which under add-1 smoothing is the natural
+    * unseen-context floor P = (c12+1)/V — deterministic and replayed by
+    * the oracle. V itself stays the FULL distinct-token count (a scalar
+    * from one count job, not a broadcast relation). */
   def bigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -155,12 +192,16 @@ object Vocab {
       )
       .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
       .repartition($"w1", $"w2")
-    val uni       = toks.select(explode($"tk").as("w1")).groupBy($"w1").agg(count(lit(1)).as("c1"))
-    val vocabSize = uni.count()
+    val uniAll    = toks.select(explode($"tk").as("w1")).groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val vocabSize = uniAll.count()
+    val uni       = uniAll.orderBy($"c1".desc, $"w1").limit(LmVocabSize)
     big
       .withColumn("c12", count(lit(1)).over(Window.partitionBy($"w1", $"w2")))
-      .join(broadcast(uni), Seq("w1"))
-      .withColumn("lp6", round(log(($"c12" + 1.0) / ($"c1" + vocabSize)) * 1e6).cast("long"))
+      .join(broadcast(uni), Seq("w1"), "left")
+      .withColumn(
+        "lp6",
+        round(log(($"c12" + 1.0) / (coalesce($"c1", lit(0L)) + vocabSize)) * 1e6).cast("long")
+      )
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum($"lp6").as("slp"))
       // integer-space mean rounding — same boundary defense as

@@ -42,9 +42,6 @@ class CorpusPlanSweepSpec extends SparkSpec {
   /** Reviewed exemptions: query -> the shapes it is allowed to plan, each
     * with the reason the flagged side is bounded in reality. */
   private val allowed: Map[String, Set[String]] = Map(
-    // non-equi theta join: NL is the only join shape; the broadcast side is
-    // the supplier DIMENSION (bounded; Relational.thetaJoinPriceBand)
-    "q16_theta_join_price_band" -> Set("BroadcastNestedLoopJoin"),
     // interval/range join over a bounded broadcast side (AsOf operators)
     "q35_interval_join" -> Set("BroadcastNestedLoopJoin"),
     // brute-force cosine: the QUERY set (vec_id < 10) broadcasts; the only

@@ -33,6 +33,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "dimensions must not sort-merge at this size")
   }
 
+  test("q16 theta join plans as a band-blocked hash join (no nested loop)") {
+    val p = planOf("q16_theta_join_price_band")
+    assert(p.contains("ShuffledHashJoin"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q19b part side broadcasts from size stats alone (no hint)") {
+    // the hint was removed per the broadcast policy (Relational:117-124);
+    // at fixture size Catalyst must still pick broadcast from stats, and
+    // at 100 TB the unhinted join degrades to shuffle instead of OOM
+    val p = planOf("q19b_disjunctive_predicates")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("q26 global top-k avoids a full sort (TakeOrderedAndProject)") {
     val p = planOf("q26_global_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
