@@ -122,6 +122,20 @@ object Layout {
         if (old != null && spark.catalog.tableExists(old._1) && spark.catalog.tableExists(old._2))
           old
         else {
+          // the rebuild REPLACES the map entry, so the old base dir would
+          // otherwise vanish from the shutdown hook's view — delete its
+          // files now (the stale catalog died with the old session)
+          if (old != null) {
+            val root = java.nio.file.Paths.get(old._3)
+            if (java.nio.file.Files.isDirectory(root)) {
+              val walk = java.nio.file.Files.walk(root)
+              try
+                walk
+                  .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                  .forEach(p => java.nio.file.Files.deleteIfExists(p))
+              finally walk.close()
+            }
+          }
           val sfx  = java.util.UUID.randomUUID().toString.replace("-", "")
           val base = graft.sources.ParquetSink.scratchDir(spark, "bucketed") + "_" + sfx
           val liT  = s"graft_li_bucketed_$sfx"

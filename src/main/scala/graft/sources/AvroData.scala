@@ -121,18 +121,23 @@ object AvroData {
           )
           // Avro strings decode as Utf8 — normalize through toString
           def str(x: AnyRef): String = if (x == null) null else x.toString
-          new Iterator[GenericRecord] {
-            def hasNext: Boolean      = rd.hasNext
-            def next(): GenericRecord = rd.next()
-          }.map { g =>
-            Slice(
-              g.get("event_id").asInstanceOf[java.lang.Long],
-              str(g.get("event_type")),
-              g.get("user_id").asInstanceOf[java.lang.Long],
-              g.get("ts_us").asInstanceOf[java.lang.Long],
-              g.get("value").asInstanceOf[java.lang.Double]
-            )
-          }
+          // drain eagerly inside try/finally: a lazy iterator would leak the
+          // reader's decoder buffers until GC (and would never close at all
+          // if a downstream limit stops consuming mid-container)
+          try {
+            val out = scala.collection.mutable.ArrayBuffer.empty[Slice]
+            while (rd.hasNext) {
+              val g = rd.next()
+              out += Slice(
+                g.get("event_id").asInstanceOf[java.lang.Long],
+                str(g.get("event_type")),
+                g.get("user_id").asInstanceOf[java.lang.Long],
+                g.get("ts_us").asInstanceOf[java.lang.Long],
+                g.get("value").asInstanceOf[java.lang.Double]
+              )
+            }
+            out
+          } finally rd.close()
         }
       }
   }

@@ -343,17 +343,27 @@ object JsonDecode {
     * counts as valid (found the hard way: 0 dead letters at sf0.01). */
   def csvDeadLetterAudit(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val base = ParquetSink.scratchDir(spark, "csv_dead_letter")
-    Tables
-      .events(spark, sfDir)
-      .select(
-        when($"event_id" % 13 === 0, concat($"event_id".cast("string"), lit(",oops")))
-          .otherwise(concat_ws(",", $"event_id", $"user_id", $"value"))
-          .as("value")
-      )
-      .write
-      .mode("overwrite")
-      .text(base)
+    val base = ParquetSink.memoFixture(spark, "csv_dead_letter", sfDir) { dir =>
+      // Line arity must NOT depend on data nulls: concat_ws silently DROPS
+      // null columns, so a null user_id/value would emit a short line the
+      // reader flags corrupt while the oracle (classifying purely by
+      // event_id % 13) still counts it valid. Each column goes through
+      // coalesce to the empty token instead — "id,," parses back as
+      // (id, NULL, NULL), still a valid row on both sides.
+      def cell(c: org.apache.spark.sql.Column) = coalesce(c.cast("string"), lit(""))
+      Tables
+        .events(spark, sfDir)
+        .select(
+          when($"event_id" % 13 === 0, concat($"event_id".cast("string"), lit(",oops")))
+            .otherwise(
+              concat(cell($"event_id"), lit(","), cell($"user_id"), lit(","), cell($"value"))
+            )
+            .as("value")
+        )
+        .write
+        .mode("overwrite")
+        .text(dir)
+    }
     val schema = org.apache.spark.sql.types.StructType
       .fromDDL("event_id BIGINT, user_id BIGINT, value DOUBLE")
       .add("_corrupt", org.apache.spark.sql.types.StringType)

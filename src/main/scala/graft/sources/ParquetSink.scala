@@ -22,6 +22,40 @@ object ParquetSink {
     sys.props.getOrElse("java.io.tmpdir", "/tmp") +
       s"/graft_${tag}_${spark.sparkContext.applicationId}"
 
+  // One written fixture per (JVM, tag, sfDir): plan-only consumers (the
+  // corpus sweep, bench warm-up walks) construct these queries too, so the
+  // multi-job fixture writes must not repeat per construction — same
+  // memoization discipline as AvroData.writtenDirs / Layout.bucketTables.
+  // Dirs are removed at JVM exit by the shutdown hook.
+  private val fixtureDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  sys.addShutdownHook {
+    fixtureDirs.values.forEach { d =>
+      val root = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.isDirectory(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try
+          walk
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    }
+  }
+
+  /** Memoized fixture dir: runs `write(dir)` once per (JVM, tag, sfDir),
+    * returns the dir on every later call. */
+  private[graft] def memoFixture(spark: SparkSession, tag: String, sfDir: String)(
+      write: String => Unit
+  ): String =
+    fixtureDirs.computeIfAbsent(
+      tag + "|" + sfDir,
+      _ => {
+        val d = scratchDir(spark, tag) + "_" + java.lang.Integer.toHexString(sfDir.hashCode)
+        write(d)
+        d
+      }
+    )
+
   /** Write `df` partitioned by `day` (derived from ts) and return the
     * re-read audit: rows per day partition. `repartition(day)` first, so
     * each day partition is exactly ONE file — the reference's
@@ -115,18 +149,19 @@ object ParquetSink {
     * default, never an error — via per-batch counts and min/max. */
   def schemaEvolutionRead(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val base = scratchDir(spark, "schema_evo")
-    val ev   = Tables.events(spark, sfDir)
-    ev.filter($"event_id" % 2 === 0)
-      .select($"event_id", $"user_id")
-      .write
-      .mode("overwrite")
-      .parquet(s"$base/batch=1")
-    ev.filter($"event_id" % 2 === 1)
-      .select($"event_id", $"user_id", $"value")
-      .write
-      .mode("overwrite")
-      .parquet(s"$base/batch=2")
+    val base = memoFixture(spark, "schema_evo", sfDir) { dir =>
+      val ev = Tables.events(spark, sfDir)
+      ev.filter($"event_id" % 2 === 0)
+        .select($"event_id", $"user_id")
+        .write
+        .mode("overwrite")
+        .parquet(s"$dir/batch=1")
+      ev.filter($"event_id" % 2 === 1)
+        .select($"event_id", $"user_id", $"value")
+        .write
+        .mode("overwrite")
+        .parquet(s"$dir/batch=2")
+    }
     spark.read
       .option("mergeSchema", "true")
       .parquet(base)
@@ -154,23 +189,33 @@ object ParquetSink {
     * fixed 64→4 here keeps the audit deterministic across SFs. */
   def compactionAudit(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val base = scratchDir(spark, "compaction")
     def parquetFiles(dir: String): Long = {
       val d = new java.io.File(dir)
       val fs = d.listFiles()
       if (fs == null) 0L else fs.count(f => f.getName.endsWith(".parquet")).toLong
     }
-    Tables
-      .events(spark, sfDir)
-      .select($"event_id", $"user_id", $"value")
-      .repartition(64)
-      .write
-      .mode("overwrite")
-      .parquet(s"$base/fragmented")
+    val base = memoFixture(spark, "compaction", sfDir) { dir =>
+      val src = Tables.events(spark, sfDir).select($"event_id", $"user_id", $"value")
+      // The oracle pins files_before=64 / files_after=4. Round-robin
+      // repartition fills output slots contiguously per input partition, so
+      // any input partition holding ≥64 rows populates ALL 64 — an empty
+      // slot writes no file and would hash-mismatch the pinned count. Every
+      // fixture (events ≥ thousands of rows in few input partitions) clears
+      // that by orders of magnitude; guard loudly rather than mismatch
+      // mysteriously if a future slice shrinks below the assumption.
+      val n = src.count()
+      require(n >= 512, s"compactionAudit needs a comfortably >64-row slice, got $n")
+      src.repartition(64).write.mode("overwrite").parquet(s"$dir/fragmented")
+      spark.read
+        .parquet(s"$dir/fragmented")
+        .repartition(4)
+        .write
+        .mode("overwrite")
+        .parquet(s"$dir/compacted")
+    }
     val frag        = spark.read.parquet(s"$base/fragmented")
     val filesBefore = parquetFiles(s"$base/fragmented")
-    frag.repartition(4).write.mode("overwrite").parquet(s"$base/compacted")
-    val filesAfter = parquetFiles(s"$base/compacted")
+    val filesAfter  = parquetFiles(s"$base/compacted")
     frag
       .agg(count(lit(1)).as("n_rows_in"))
       .crossJoin(spark.read.parquet(s"$base/compacted").agg(count(lit(1)).as("n_rows_out")))
