@@ -191,6 +191,43 @@ object Streaming {
       .distinct()
       .withColumn("tier", concat(lit("tier_"), (col("user_id") % 5).cast("string")))
 
+  /** Streaming dead-letter parity with the batch audits (q52 JSON / q128
+    * CSV): the SAME splitter — [[graft.sources.JsonDecode.decodeWithDeadLetter]]
+    * is pure column logic — applied inside each micro-batch, with BOTH
+    * sides written per epoch through foreachBatch. Each side lands in an
+    * `epoch=N` subdirectory with overwrite mode, so an epoch replayed
+    * after a mid-epoch crash REWRITES its own directories instead of
+    * appending duplicates — the idempotent-foreachBatch contract that
+    * keeps the two-sink split effectively exactly-once (same epoch
+    * discipline as the DSv2 AuditSink's commit log). The dead-letter side
+    * keeps the RAW record: the reprocessing contract a large-scale ingest
+    * needs (fix the decoder, replay dead letters; never mutate the main
+    * sink). A malformed event therefore never fails the micro-batch and
+    * never disappears silently. */
+  def deadLetterSplitStream(
+      stream: DataFrame,
+      jsonCol: String,
+      schemaDdl: String,
+      goodDir: String,
+      deadDir: String,
+      checkpointDir: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val (good, bad) =
+          graft.sources.JsonDecode.decodeWithDeadLetter(batch, jsonCol, schemaDdl)
+        good
+          .withColumn("decoded", col("_parsed").dropFields("_corrupt"))
+          .drop("_parsed")
+          .write
+          .mode("overwrite")
+          .parquet(s"$goodDir/epoch=$epoch")
+        bad.write.mode("overwrite").parquet(s"$deadDir/epoch=$epoch")
+        ()
+      }
+      .start()
+
   // ------------------------------------------------------- declared queries
 
   def tumblingBatch(spark: SparkSession, sfDir: String): DataFrame =

@@ -240,4 +240,42 @@ class StreamingSpec extends SparkSpec {
       assert(got === Set((900L, 100L), (900L, 101L)))
     } finally q.stop()
   }
+
+  test("streaming dead-letter split isolates malformed records per epoch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_dlq").toString
+    val in   = MemoryStream[(Long, String)]
+    val ev   = in.toDF().toDF("event_id", "payload")
+    val q = Streaming.deadLetterSplitStream(
+      ev,
+      "payload",
+      "k BIGINT",
+      s"$root/good",
+      s"$root/dead",
+      s"$root/ckpt"
+    )
+    try {
+      // epoch 0: two valid, one malformed, one null payload
+      in.addData((1L, """{"k":10}"""), (2L, "{not json"), (3L, """{"k":30}"""), (4L, null))
+      q.processAllAvailable()
+      // epoch 1: all valid — proves the multi-epoch layout and that an
+      // empty dead-letter epoch still commits cleanly
+      in.addData((5L, """{"k":50}"""))
+      q.processAllAvailable()
+      val good = spark.read.parquet(s"$root/good")
+      val dead = spark.read.parquet(s"$root/dead")
+      assert(good.count() === 3)
+      assert(dead.count() === 2)
+      // good side carries the DECODED struct; values survive
+      val ks = good.select($"event_id", $"decoded.k").as[(Long, Long)].collect().toMap
+      assert(ks === Map(1L -> 10L, 3L -> 30L, 5L -> 50L))
+      // dead side preserves the RAW record for replay (null stays null)
+      val raw = dead.select($"event_id", $"payload").as[(Long, String)].collect().toMap
+      assert(raw === Map(2L -> "{not json", 4L -> null))
+      // both sides are epoch-partitioned — the idempotent-replay unit
+      assert(good.select($"epoch").distinct().as[Long].collect().toSet === Set(0L, 1L))
+      assert(dead.filter($"epoch" === 0L).count() === 2)
+    } finally q.stop()
+  }
 }
