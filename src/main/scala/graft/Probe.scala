@@ -162,6 +162,116 @@ object Probe {
       if (!ok) sys.exit(1)
       return
     }
+    if (which == "scalecc") {
+      // Engine-only scaling curve for the connected-components family
+      // (q94/q122 shapes) on synthetic graphs straight from range():
+      //  - CHAIN: one path through all n nodes — worst-case diameter, the
+      //    q122 shape; twoPhaseComponents must converge in O(log n) rounds
+      //    (round count may grow only logarithmically with n — a
+      //    diameter-bound regression would blow the round budget).
+      //  - CLUSTER: stars of 10 consecutive nodes — the bounded-diameter
+      //    99% case, the q94 shape; minLabelComponents' executed rounds
+      //    must stay CONSTANT across sizes.
+      // Tripwires (exit 1): super-linear time (>5x per 4x data step),
+      // chain round growth >2 per 4x step, cluster rounds varying at all,
+      // or wrong component counts.
+      import spark.implicits._
+      import graft.operators.Graph
+      def nodesOf(n: Long)     = spark.range(n).repartition(32).select($"id".as("node"))
+      def chainEdges(n: Long)  = spark.range(n - 1).repartition(32).select($"id".as("src"), ($"id" + 1).as("dst"))
+      def clusterEdges(n: Long) =
+        spark.range(n).filter($"id" % 10 =!= 0).repartition(32)
+          .select($"id".as("src"), ($"id" - $"id" % 10).as("dst"))
+      def nComp(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(count_distinct($"comp")).head().getLong(0)
+      // warm: JIT + codegen at the smallest size, untimed
+      nComp(Graph.twoPhaseComponents(nodesOf(25000), chainEdges(25000)))
+      nComp(Graph.minLabelComponents(nodesOf(25000), clusterEdges(25000)))
+      var ok = true
+      val steps = Seq(25000L, 100000L, 400000L).map { n =>
+        var rCh = 0
+        val t0  = System.nanoTime()
+        val cCh = nComp(Graph.twoPhaseComponents(nodesOf(n), chainEdges(n), onDone = rCh = _))
+        val sCh = (System.nanoTime() - t0) / 1e9
+        var rCl = 0
+        val t1  = System.nanoTime()
+        val cCl = nComp(Graph.minLabelComponents(nodesOf(n), clusterEdges(n), onDone = rCl = _))
+        val sCl = (System.nanoTime() - t1) / 1e9
+        println(f"[scalecc] n=$n%7d chain: comps=$cCh rounds=$rCh time=$sCh%7.2f s | cluster: comps=$cCl rounds=$rCl time=$sCl%7.2f s")
+        if (cCh != 1L) { println(s"[scalecc] VIOLATION chain must be 1 component, got $cCh"); ok = false }
+        if (cCl != n / 10) { println(s"[scalecc] VIOLATION cluster comps expected ${n / 10}, got $cCl"); ok = false }
+        (n, rCh, sCh, rCl, sCl)
+      }
+      steps.sliding(2).foreach {
+        case Seq((n0, r0, t0, c0, u0), (n1, r1, t1, c1, u1)) =>
+          val ratCh = t1 / t0
+          val ratCl = u1 / u0
+          println(f"[scalecc] $n0%d→$n1%d: chain ${ratCh}%.2fx time, +${r1 - r0} rounds; cluster ${ratCl}%.2fx time, +${c1 - c0} rounds")
+          if (ratCh > 5.0) { println("[scalecc] VIOLATION chain super-linear time"); ok = false }
+          if (ratCl > 5.0) { println("[scalecc] VIOLATION cluster super-linear time"); ok = false }
+          if (r1 - r0 > 2) { println("[scalecc] VIOLATION chain rounds grew faster than O(log n)"); ok = false }
+          if (c1 != c0) { println("[scalecc] VIOLATION cluster rounds must be constant"); ok = false }
+        case _ => ()
+      }
+      spark.stop()
+      if (!ok) sys.exit(1)
+      return
+    }
+    if (which == "scalelm") {
+      // Engine-only scaling curve for the LM-scoring family (q96 unigram,
+      // q103 bigram) over synthetic corpora whose VOCABULARY GROWS
+      // LINEARLY with the data (~36 distinct md5 tokens per doc) — the
+      // regime where an uncapped lookup-table broadcast OOMs the driver.
+      // The capped pipelines (Vocab.LmVocabSize) must stay near-linear:
+      // the broadcast side is 24 rows at every size by construction, so
+      // the only scaling cost is the corpus-side aggregation/window.
+      // Tripwire (exit 1): >5x time per 4x data step.
+      import spark.implicits._
+      import graft.operators.Vocab
+      def synthDocs(n: Long) =
+        spark
+          .range(n)
+          .repartition(32)
+          .select(
+            $"id".as("doc_id"),
+            concat_ws(
+              " ",
+              transform(
+                sequence(lit(0L), lit(39L)),
+                j => substring(md5(($"id" * 40L + j).cast("string")), 1, 6)
+              )
+            ).as("text")
+          )
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.mode("overwrite").format("noop").save()
+      // warm
+      noop(Vocab.unigramLogprobOf(synthDocs(25000)))
+      noop(Vocab.bigramLogprobOf(synthDocs(25000)))
+      var ok = true
+      val steps = Seq(25000L, 100000L, 400000L).map { n =>
+        val docs  = synthDocs(n)
+        val vocab = docs.select(explode(graft.functions.TextFns.tokens($"text")).as("t")).agg(count_distinct($"t")).head().getLong(0)
+        val t0    = System.nanoTime()
+        noop(Vocab.unigramLogprobOf(docs))
+        val sU = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        noop(Vocab.bigramLogprobOf(docs))
+        val sB = (System.nanoTime() - t1) / 1e9
+        println(f"[scalelm] docs=$n%7d vocab=$vocab%9d unigram=$sU%7.2f s bigram=$sB%7.2f s")
+        (n, sU, sB)
+      }
+      steps.sliding(2).foreach {
+        case Seq((n0, u0, b0), (n1, u1, b1)) =>
+          val rU = u1 / u0
+          val rB = b1 / b0
+          println(f"[scalelm] $n0%d→$n1%d (4x data): unigram ${rU}%.2fx ${if (rU <= 5.0) "OK" else "VIOLATION"} bigram ${rB}%.2fx ${if (rB <= 5.0) "OK" else "VIOLATION"}")
+          if (rU > 5.0 || rB > 5.0) ok = false
+        case _ => ()
+      }
+      spark.stop()
+      if (!ok) sys.exit(1)
+      return
+    }
     if (which == "adhoc") {
       // decimal vs double vs scaled-long aggregation cost on lineitem
       import spark.implicits._

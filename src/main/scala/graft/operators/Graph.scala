@@ -61,7 +61,8 @@ object Graph {
       edgeList: DataFrame,
       maxIter: Int = 20,
       checkpointEvery: Int = 3,
-      roundsPerAction: Int = 2
+      roundsPerAction: Int = 2,
+      onDone: Int => Unit = _ => () // reports rounds executed (scaling probe)
   ): DataFrame = {
     import nodes.sparkSession.implicits._
     // cache the DIRECTED edges, not the symmetrized union: the edge list
@@ -151,6 +152,7 @@ object Graph {
     val result = labels.localCheckpoint(true)
     labels.unpersist()
     if (!callerCached) e.unpersist()
+    onDone(action * rounds)
     result
   }
 
@@ -199,7 +201,8 @@ object Graph {
   def twoPhaseComponents(
       nodes: DataFrame,
       edgeList: DataFrame,
-      maxRounds: Int = 30
+      maxRounds: Int = 30,
+      onDone: Int => Unit = _ => () // reports rounds executed (scaling probe)
   ): DataFrame = {
     import nodes.sparkSession.implicits._
     // large-star: every node u hooks each LARGER neighbor v onto
@@ -272,6 +275,7 @@ object Graph {
         s"twoPhaseComponents did not converge in $maxRounds rounds (edges=${cur._1}); " +
           "raise maxRounds — convergence needs O(log^2 n) rounds"
       )
+    onDone(round)
     // at the fixpoint the edge set is a star per component: (x, root)
     val lbl = e.groupBy($"u".as("node")).agg(min($"v").as("comp"))
     nodes

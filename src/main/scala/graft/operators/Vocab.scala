@@ -71,9 +71,16 @@ object Vocab {
     * join + one per-doc aggregate. */
   def unigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val tok = Tables
-      .spread(Tables.documents(spark, sfDir))
-      .select($"doc_id", explode(tokens($"text")).as("token"))
+    unigramLogprobOf(Tables.spread(Tables.documents(spark, sfDir))).orderBy($"doc_id")
+  }
+
+  /** The docs-parameterized unigram-scoring shape ([[unigramLogprob]] minus
+    * source + presentation sort) — the scaling probe drives it over
+    * synthetic corpora whose vocabulary GROWS with the data, proving the
+    * [[LmVocabSize]] cap keeps the broadcast bounded. */
+  private[graft] def unigramLogprobOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val tok   = docs.select($"doc_id", explode(tokens($"text")).as("token"))
     val freqs = tok.groupBy($"token").agg(count(lit(1)).as("freq"))
     val total = freqs.agg(sum($"freq")).head().getLong(0)
     val lp = freqs
@@ -100,7 +107,6 @@ object Vocab {
         $"n_toks",
         (expr("-((2 * (-slp) + n_toks) div (2 * n_toks))") / 1e6).as("mean_logprob")
       )
-      .orderBy($"doc_id")
   }
 
   /** Declared query: TF-IDF top terms per document — the classic keyword /
@@ -175,10 +181,14 @@ object Vocab {
     * from one count job, not a broadcast relation). */
   def bigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    bigramLogprobOf(Tables.spread(Tables.documents(spark, sfDir))).orderBy($"doc_id")
+  }
+
+  /** Docs-parameterized bigram-scoring shape (see [[unigramLogprobOf]]). */
+  private[graft] def bigramLogprobOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables
-      .spread(Tables.documents(spark, sfDir))
-      .select($"doc_id", tokens($"text").as("tk"))
+    val toks = docs.select($"doc_id", tokens($"text").as("tk"))
     val big = toks
       .filter(size($"tk") >= 2)
       .select(
@@ -211,7 +221,6 @@ object Vocab {
         $"n_bigrams",
         (expr("-((2 * (-slp) + n_bigrams) div (2 * n_bigrams))") / 1e6).as("mean_logprob")
       )
-      .orderBy($"doc_id")
   }
 
   /** Declared query: encode every document against the vocabulary —
