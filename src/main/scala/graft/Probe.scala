@@ -381,6 +381,61 @@ object Probe {
       t("sh-full")(Dedup.simhashPairs(spark, sfDir))
       spark.stop(); return
     }
+    if (which == "sf1") {
+      // Stretch validation past the fixture range (/root/testdata tops out
+      // at sf0.1): synthesize an sf1-EQUIVALENT slice by replicating the
+      // sf0.1 lineitem/orders 10x into disjoint order-key ranges while
+      // leaving every dimension unchanged — each FK still resolves, each
+      // dim join fans in 10x, each grid cell sums 10x the rows — then run
+      // the 5 grid-sensitive queries (the overflow-audited aggregation
+      // grids) over it and dump results + the oracle-SQL subset so
+      // `tools/check.py /tmp/graft_sf1 /tmp/graft_sf1_out` can replay the
+      // identical SQL in DuckDB over the identical parquet and hash-compare.
+      import spark.implicits._
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val sf1Dir = "/tmp/graft_sf1"
+      val outDir = "/tmp/graft_sf1_out"
+      val grid5 = Seq(
+        "q01_pricing_summary",
+        "q11_join_revenue_by_nation",
+        "q19_cross_nation_volume",
+        "q19b_disjunctive_predicates",
+        "q29_stats_agg"
+      )
+      // max o_orderkey at sf0.1 is ~600k; 10M per replica is safely disjoint
+      val off = 10000000L
+      def replicate(df: org.apache.spark.sql.DataFrame, key: String) =
+        df.withColumn("rep", explode(sequence(lit(0L), lit(9L))))
+          .withColumn(key, col(key) + $"rep" * off)
+          .drop("rep")
+      Files.createDirectories(Paths.get(sf1Dir))
+      Seq("region", "nation", "customer", "supplier", "part", "events", "documents", "embeddings")
+        .foreach { t =>
+          Files.copy(
+            Paths.get(s"$sfDir/$t.parquet"),
+            Paths.get(s"$sf1Dir/$t.parquet"),
+            StandardCopyOption.REPLACE_EXISTING
+          )
+        }
+      replicate(Tables.lineitem(spark, sfDir), "l_orderkey")
+        .repartition(16).write.mode("overwrite").parquet(s"$sf1Dir/lineitem.parquet")
+      replicate(Tables.orders(spark, sfDir), "o_orderkey")
+        .repartition(8).write.mode("overwrite").parquet(s"$sf1Dir/orders.parquet")
+      val nLi = spark.read.parquet(s"$sf1Dir/lineitem.parquet").count()
+      println(s"[sf1] synthetic slice at $sf1Dir: lineitem=$nLi rows")
+      grid5.foreach { n =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sf1Dir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$n")
+        println(f"[sf1] $n%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      val json = grid5
+        .map(n => s"${Verify.jsonStr(n)}: ${Verify.jsonStr(SparkEntry.oracleSql(n))}")
+        .mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+      spark.stop()
+      return
+    }
     val names = if (which == "all") SparkEntry.queries.keys.toSeq.sorted else Seq(which)
     names.foreach { n =>
       if (doExplain) SparkEntry.queries(n)(spark, sfDir).explain("formatted")
