@@ -1589,6 +1589,23 @@ object Registry {
     // Stream-static enrichment: the dim is derivable from user_id, so the
     // oracle replays the join arithmetically. Batch form declared; the
     // MemoryStream form is StreamingSpec's stream-static test.
+    // Streaming dead-letter split (q52/q128 parity through foreachBatch):
+    // classification is event_id % 11 and the epoch counts are the fixed
+    // 4-file fixture layout, so the oracle replays the whole audit
+    // relationally. A lost epoch, duplicated replay, or silently dropped
+    // malformed record changes a count or the k-sum and hash-mismatches.
+    Q(
+      "q133_stream_dead_letter",
+      Streaming.deadLetterStreamAudit,
+      Some("""
+        SELECT CAST(SUM(CASE WHEN event_id % 11 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+               CAST(SUM(CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dead,
+               CAST(SUM(CASE WHEN event_id % 11 <> 0 THEN user_id ELSE 0 END) AS BIGINT) AS k_sum,
+               CAST(4 AS BIGINT) AS n_epochs_good,
+               CAST(4 AS BIGINT) AS n_epochs_dead
+        FROM events
+      """)
+    ),
     Q(
       "q131_stream_static_enrich",
       Streaming.tierEnrichBatch,

@@ -228,6 +228,84 @@ object Streaming {
       }
       .start()
 
+  /** Declared query (q133): [[deadLetterSplitStream]] under the oracle —
+    * streaming parity for the batch dead-letter audits (q52 JSON / q128
+    * CSV). Event-derived JSON payloads (`event_id % 11 == 0` corrupted,
+    * the q52 rule; the rest `{"k":<user_id>}`) are written once per JVM
+    * as a 4-file parquet fixture, streamed back with
+    * `maxFilesPerTrigger=1` (one file per micro-batch → exactly 4
+    * epochs), split through the real foreachBatch two-sink path, and both
+    * sinks re-read for the audit: counts, the decoded-value sum (proves
+    * values survive decode → epoch-partitioned write → re-read), and the
+    * per-side epoch counts (proves the split ran as 4 micro-batch commits,
+    * not one batch job). Assumes every round-robin input file carries both
+    * valid and corrupt rows — true whenever events has ≥ ~100 rows (the
+    * smallest fixture has thousands); guarded by a loud require below.
+    * Like q124 the stream runs eagerly and the result is a materialized
+    * one-row relation; per-invocation sink/checkpoint dirs are deleted in
+    * `finally` — only the memoized input fixture outlives the call. */
+  def deadLetterStreamAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val in = graft.sources.ParquetSink.memoFixture(spark, "stream_dlq_in", sfDir) { dir =>
+      Tables
+        .events(spark, sfDir)
+        .select(
+          $"event_id",
+          when($"event_id" % 11 === 0, lit("{not valid json"))
+            .otherwise(concat(lit("{\"k\":"), $"user_id", lit("}")))
+            .as("payload")
+        )
+        .repartition(4)
+        .write
+        .mode("overwrite")
+        .parquet(dir)
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_q133").toString
+    try {
+      val stream = spark.readStream
+        .schema("event_id BIGINT, payload STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in)
+      val q = deadLetterSplitStream(
+        stream,
+        "payload",
+        "k BIGINT",
+        s"$root/good",
+        s"$root/dead",
+        s"$root/ckpt"
+      )
+      try q.processAllAvailable()
+      finally q.stop()
+      val good = spark.read.parquet(s"$root/good")
+      val dead = spark.read.parquet(s"$root/dead")
+      val (nGood, kSum, epGood) = good
+        .agg(
+          count(lit(1)),
+          sum($"decoded.k"),
+          count_distinct($"epoch")
+        )
+        .as[(Long, Long, Long)]
+        .head()
+      val (nDead, epDead) = dead
+        .agg(count(lit(1)), count_distinct($"epoch"))
+        .as[(Long, Long)]
+        .head()
+      require(
+        nGood > 0 && nDead > 0,
+        s"q133 fixture degenerate (good=$nGood dead=$nDead) — events slice too small for the %11 corrupt rule"
+      )
+      Seq((nGood, nDead, kSum, epGood, epDead))
+        .toDF("n_good", "n_dead", "k_sum", "n_epochs_good", "n_epochs_dead")
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try
+        walk
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   // ------------------------------------------------------- declared queries
 
   def tumblingBatch(spark: SparkSession, sfDir: String): DataFrame =
