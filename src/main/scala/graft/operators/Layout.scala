@@ -82,6 +82,62 @@ object Layout {
       .parquet(out)
   }
 
+  /** Declared query (q134): data-skipping audit over REAL files — the
+    * pruning claim in this file's header measured end-to-end instead of
+    * asserted abstractly. The events table is written once (memoized) as
+    * 64 parquet files partitioned by a deterministic Morton tile
+    * (`zval >> 14` = aligned 128×128 tiles of the (user, value-bucket)
+    * plane); the re-read's per-file min/max spans are exactly what a
+    * footer-stats reader sees. The audit counts how many files such a
+    * reader must scan for a fixed 2-D rectangle predicate under (a) the
+    * z-ordered layout and (b) an unclustered round-robin layout of the
+    * SAME rows (`event_id % 64` — arrival-order ingest): the z-order
+    * layout scans 1 file where round-robin scans all 64, at every SF.
+    * Bucket membership is a pure function of the row, so the DuckDB
+    * oracle replays the whole audit — including the file counts — from
+    * the raw table. At 100 TB this is the difference between reading one
+    * row group and reading the table; the write costs one extra sort. */
+  def skippingAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = graft.sources.ParquetSink.memoFixture(spark, "zskip", sfDir) { d =>
+      Tables
+        .events(spark, sfDir)
+        .select(
+          $"event_id",
+          pmod($"user_id".cast("long"), lit(1024L)).as("xb"),
+          pmod(floor($"value").cast("long"), lit(1024L)).as("yb")
+        )
+        .withColumn("z_bucket", shiftright(zValue($"xb", $"yb"), 14))
+        // all rows of a tile into one task → exactly one file per tile dir
+        .repartition($"z_bucket")
+        .write
+        .partitionBy("z_bucket")
+        .mode("overwrite")
+        .parquet(d)
+    }
+    val back = spark.read.parquet(dir)
+    val inRect = $"xb".between(4L, 11L) && $"yb".between(32L, 95L)
+    // a min/max-stats reader scans a file iff its span INTERSECTS the
+    // rectangle — a superset of files that actually hold matches
+    def scanned(minX: Column, maxX: Column, minY: Column, maxY: Column): Column =
+      maxX >= 4L && minX <= 11L && maxY >= 32L && minY <= 95L
+    def fileStats(bucket: Column, tag: String) =
+      back
+        .groupBy(bucket.as("b"))
+        .agg(min($"xb").as("mi_x"), max($"xb").as("ma_x"), min($"yb").as("mi_y"), max($"yb").as("ma_y"))
+        .agg(
+          count(lit(1)).as(s"${tag}_files"),
+          sum(when(scanned($"mi_x", $"ma_x", $"mi_y", $"ma_y"), 1L).otherwise(0L)).as(s"${tag}_files_scanned")
+        )
+    val totals = back.agg(
+      count(lit(1)).as("total_rows"),
+      sum(when(inRect, 1L).otherwise(0L)).as("rows_selected")
+    )
+    totals
+      .crossJoin(fileStats($"z_bucket".cast("long"), "zorder"))
+      .crossJoin(fileStats(pmod($"event_id", lit(64L)), "natural"))
+  }
+
   // One bucketed-table pair per (JVM, sfDir): q127 is constructed by
   // plan-only consumers too (the corpus sweep), so the two bucketed writes
   // must not repeat per construction. Table names are UUID-suffixed (the

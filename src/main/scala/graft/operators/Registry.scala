@@ -2082,6 +2082,50 @@ object Registry {
         ORDER BY l_orderkey
       """)
     ),
+    // Data-skipping audit on real files: the engine writes events as 64
+    // Morton-tile parquet files (memoized) and counts how many a
+    // footer-stats reader scans for a fixed rectangle under z-order vs
+    // round-robin layout. Tile membership is a pure function of the row,
+    // so the oracle replays file counts from the raw table: z-order
+    // scans 1 file, round-robin all 64, at every SF.
+    Q(
+      "q134_skipping_audit",
+      Layout.skippingAudit,
+      Some("""
+        WITH e AS (
+          SELECT event_id,
+                 CAST(user_id AS BIGINT) % 1024 AS xb,
+                 CAST(floor(value) AS BIGINT) % 1024 AS yb
+          FROM events
+        ), z AS (
+          SELECT event_id, xb, yb,
+                 CAST(list_sum(list_transform(range(0, 10),
+                   i -> ((xb >> i) & 1) * (1::BIGINT << (2 * i)) +
+                        ((yb >> i) & 1) * (1::BIGINT << (2 * i + 1))
+                 )) AS BIGINT) >> 14 AS z_bucket,
+                 event_id % 64 AS nat_bucket
+          FROM e
+        ), zs AS (
+          SELECT z_bucket, min(xb) AS mi_x, max(xb) AS ma_x,
+                 min(yb) AS mi_y, max(yb) AS ma_y
+          FROM z GROUP BY z_bucket
+        ), ns AS (
+          SELECT nat_bucket, min(xb) AS mi_x, max(xb) AS ma_x,
+                 min(yb) AS mi_y, max(yb) AS ma_y
+          FROM z GROUP BY nat_bucket
+        )
+        SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM z) AS total_rows,
+          (SELECT CAST(count(*) AS BIGINT) FROM z
+            WHERE xb BETWEEN 4 AND 11 AND yb BETWEEN 32 AND 95) AS rows_selected,
+          (SELECT CAST(count(*) AS BIGINT) FROM zs) AS zorder_files,
+          (SELECT CAST(count(*) AS BIGINT) FROM zs
+            WHERE ma_x >= 4 AND mi_x <= 11 AND ma_y >= 32 AND mi_y <= 95) AS zorder_files_scanned,
+          (SELECT CAST(count(*) AS BIGINT) FROM ns) AS natural_files,
+          (SELECT CAST(count(*) AS BIGINT) FROM ns
+            WHERE ma_x >= 4 AND mi_x <= 11 AND ma_y >= 32 AND mi_y <= 95) AS natural_files_scanned
+      """)
+    ),
     // Gaps-and-islands streak detection: day - row_number() is constant
     // across a consecutive run — per-user windows only, no global window.
     Q(

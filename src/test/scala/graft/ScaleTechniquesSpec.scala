@@ -52,6 +52,22 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(zSpan < 0.7 * natSpan, s"z-ordered span $zSpan vs natural $natSpan")
   }
 
+  test("q134 skipping audit: z-order layout scans far fewer files than round-robin") {
+    import graft.operators.Layout
+    val r = Layout.skippingAudit(spark, sf).head()
+    val rowsSelected = r.getAs[Long]("rows_selected")
+    val zFiles       = r.getAs[Long]("zorder_files")
+    val zScanned     = r.getAs[Long]("zorder_files_scanned")
+    val nFiles       = r.getAs[Long]("natural_files")
+    val nScanned     = r.getAs[Long]("natural_files_scanned")
+    assert(rowsSelected > 0, "rectangle predicate selects nothing — audit is vacuous")
+    assert(nFiles == 64 && nScanned == 64, s"round-robin must scan every file, got $nScanned/$nFiles")
+    assert(zScanned <= zFiles, s"scanned $zScanned of $zFiles")
+    // the pruning win the layout exists for: a stats reader touches at
+    // most a corner of the tile grid, not the whole table
+    assert(zScanned * 16 <= nScanned, s"z-order scanned $zScanned vs round-robin $nScanned")
+  }
+
   test("IVF top-k reaches >=50% recall@10 with nprobe=4 of 10 lists") {
     import spark.implicits._
     val brute = Similarity.cosineTopK(spark, sf).select($"query_id", $"cand_id")
