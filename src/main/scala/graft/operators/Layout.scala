@@ -85,18 +85,20 @@ object Layout {
   /** Declared query (q134): data-skipping audit over REAL files — the
     * pruning claim in this file's header measured end-to-end instead of
     * asserted abstractly. The events table is written once (memoized) as
-    * 64 parquet files partitioned by a deterministic Morton tile
-    * (`zval >> 14` = aligned 128×128 tiles of the (user, value-bucket)
-    * plane); the re-read's per-file min/max spans are exactly what a
-    * footer-stats reader sees. The audit counts how many files such a
-    * reader must scan for a fixed 2-D rectangle predicate under (a) the
-    * z-ordered layout and (b) an unclustered round-robin layout of the
-    * SAME rows (`event_id % 64` — arrival-order ingest): the z-order
-    * layout scans 1 file where round-robin scans all 64, at every SF.
-    * Bucket membership is a pure function of the row, so the DuckDB
-    * oracle replays the whole audit — including the file counts — from
-    * the raw table. At 100 TB this is the difference between reading one
-    * row group and reading the table; the write costs one extra sort. */
+    * one parquet file per OCCUPIED Morton tile (`zval >> 14` = aligned
+    * 128×128 tiles of the (user, value-bucket) plane — a 64-tile grid,
+    * of which the sparse fixture domains occupy 3 at sf0.001 / 8 at
+    * sf0.01 / 34 at sf0.1); the re-read's per-file min/max spans are
+    * exactly what a footer-stats reader sees. The audit counts how many
+    * files such a reader must scan for a fixed 2-D rectangle predicate
+    * under (a) the z-ordered layout and (b) an unclustered round-robin
+    * layout of the SAME rows (`event_id % 64` — arrival-order ingest,
+    * always 64 files): the z-order layout scans 1 file where round-robin
+    * scans all 64 of its files, at every fixture SF. Bucket membership is
+    * a pure function of the row, so the DuckDB oracle replays the whole
+    * audit — including the file counts — from the raw table. At 100 TB
+    * this is the difference between reading one row group and reading the
+    * table; the write costs one extra sort. */
   def skippingAudit(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dir = graft.sources.ParquetSink.memoFixture(spark, "zskip", sfDir) { d =>
@@ -147,18 +149,17 @@ object Layout {
   // JVM on its own).
   private val bucketTables =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
+  // Base dirs displaced by a catalog-revalidation rebuild: deleting them
+  // inline would be a use-after-delete if the entry's original session is
+  // still alive in this JVM (tableExists consults the CALLER's catalog,
+  // which says nothing about other sessions' SharedStates) — so retire
+  // them here and let the shutdown hook sweep them with everything else.
+  private val retiredDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   sys.addShutdownHook {
     bucketTables.values.forEach { case (_, _, dir) =>
-      val root = java.nio.file.Paths.get(dir)
-      if (java.nio.file.Files.isDirectory(root)) {
-        val walk = java.nio.file.Files.walk(root)
-        try
-          walk
-            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      }
+      graft.sources.ParquetSink.deleteRecursively(dir)
     }
+    retiredDirs.forEach(graft.sources.ParquetSink.deleteRecursively)
   }
 
   /** Declared query (q127): bucketed CO-LOCATED join — the 100 TB answer
@@ -179,19 +180,10 @@ object Layout {
           old
         else {
           // the rebuild REPLACES the map entry, so the old base dir would
-          // otherwise vanish from the shutdown hook's view — delete its
-          // files now (the stale catalog died with the old session)
-          if (old != null) {
-            val root = java.nio.file.Paths.get(old._3)
-            if (java.nio.file.Files.isDirectory(root)) {
-              val walk = java.nio.file.Files.walk(root)
-              try
-                walk
-                  .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-                  .forEach(p => java.nio.file.Files.deleteIfExists(p))
-              finally walk.close()
-            }
-          }
+          // otherwise vanish from the shutdown hook's view — retire it for
+          // the hook to sweep at exit (NOT delete now: another still-live
+          // session in this JVM may be reading those files)
+          if (old != null) retiredDirs.add(old._3)
           val sfx  = java.util.UUID.randomUUID().toString.replace("-", "")
           val base = graft.sources.ParquetSink.scratchDir(spark, "bucketed") + "_" + sfx
           val liT  = s"graft_li_bucketed_$sfx"

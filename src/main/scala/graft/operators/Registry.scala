@@ -1589,6 +1589,16 @@ object Registry {
     // Stream-static enrichment: the dim is derivable from user_id, so the
     // oracle replays the join arithmetically. Batch form declared; the
     // MemoryStream form is StreamingSpec's stream-static test.
+    Q(
+      "q131_stream_static_enrich",
+      Streaming.tierEnrichBatch,
+      Some("""
+        SELECT 'tier_' || CAST(user_id % 5 AS VARCHAR) AS tier,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value
+        FROM events GROUP BY tier ORDER BY tier
+      """)
+    ),
     // Streaming dead-letter split (q52/q128 parity through foreachBatch):
     // classification is event_id % 11 and the epoch counts are the fixed
     // 4-file fixture layout, so the oracle replays the whole audit
@@ -1604,16 +1614,6 @@ object Registry {
                CAST(4 AS BIGINT) AS n_epochs_good,
                CAST(4 AS BIGINT) AS n_epochs_dead
         FROM events
-      """)
-    ),
-    Q(
-      "q131_stream_static_enrich",
-      Streaming.tierEnrichBatch,
-      Some("""
-        SELECT 'tier_' || CAST(user_id % 5 AS VARCHAR) AS tier,
-               CAST(COUNT(*) AS BIGINT) AS n_events,
-               CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value
-        FROM events GROUP BY tier ORDER BY tier
       """)
     ),
     Q(
@@ -2082,12 +2082,12 @@ object Registry {
         ORDER BY l_orderkey
       """)
     ),
-    // Data-skipping audit on real files: the engine writes events as 64
-    // Morton-tile parquet files (memoized) and counts how many a
-    // footer-stats reader scans for a fixed rectangle under z-order vs
-    // round-robin layout. Tile membership is a pure function of the row,
-    // so the oracle replays file counts from the raw table: z-order
-    // scans 1 file, round-robin all 64, at every SF.
+    // Data-skipping audit on real files: the engine writes events as one
+    // parquet file per occupied Morton tile (memoized; 3-34 of the 64-tile
+    // grid at fixture SFs) and counts how many a footer-stats reader scans
+    // for a fixed rectangle under z-order vs round-robin layout. Tile
+    // membership is a pure function of the row, so the oracle replays file
+    // counts from the raw table: z-order scans 1 file, round-robin all 64.
     Q(
       "q134_skipping_audit",
       Layout.skippingAudit,

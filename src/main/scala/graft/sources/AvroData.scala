@@ -86,17 +86,7 @@ object AvroData {
   // hook every bench/verify/test JVM would strand a graft_avro_* dir in /tmp.
   private val writtenDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   sys.addShutdownHook {
-    writtenDirs.values.forEach { d =>
-      val root = java.nio.file.Paths.get(d)
-      if (java.nio.file.Files.isDirectory(root)) {
-        val walk = java.nio.file.Files.walk(root)
-        try
-          walk
-            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      }
-    }
+    writtenDirs.values.forEach(ParquetSink.deleteRecursively)
   }
 
   /** Distributed decode of a directory of Avro object-container files:

@@ -29,16 +29,21 @@ object ParquetSink {
   // Dirs are removed at JVM exit by the shutdown hook.
   private val fixtureDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   sys.addShutdownHook {
-    fixtureDirs.values.forEach { d =>
-      val root = java.nio.file.Paths.get(d)
-      if (java.nio.file.Files.isDirectory(root)) {
-        val walk = java.nio.file.Files.walk(root)
-        try
-          walk
-            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      }
+    fixtureDirs.values.forEach(deleteRecursively)
+  }
+
+  /** Depth-first recursive delete; no-op on a missing path. The single
+    * shared implementation for every scratch-dir cleanup site (shutdown
+    * hooks, per-invocation finallys, retired-fixture sweeps). */
+  private[graft] def deleteRecursively(dir: String): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.isDirectory(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try
+        walk
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
     }
   }
 
@@ -197,15 +202,17 @@ object ParquetSink {
     val base = memoFixture(spark, "compaction", sfDir) { dir =>
       val src = Tables.events(spark, sfDir).select($"event_id", $"user_id", $"value")
       // The oracle pins files_before=64 / files_after=4. Round-robin
-      // repartition fills output slots contiguously per input partition, so
-      // any input partition holding ≥64 rows populates ALL 64 — an empty
-      // slot writes no file and would hash-mismatch the pinned count. Every
-      // fixture (events ≥ thousands of rows in few input partitions) clears
-      // that by orders of magnitude; guard loudly rather than mismatch
-      // mysteriously if a future slice shrinks below the assumption.
+      // repartition fills output slots contiguously per INPUT PARTITION
+      // (each partition starts at a pseudo-random slot), so ≥64 rows in
+      // total does NOT guarantee all 64 slots fill — 512 single-row input
+      // partitions leave a slot empty with small but real probability.
+      // coalesce(1) first makes one input partition hold every row, which
+      // DOES fill all 64 contiguously whenever the slice has ≥64 rows;
+      // the require turns a shrunken future fixture into a loud failure
+      // instead of a mysterious pinned-count hash mismatch.
       val n = src.count()
       require(n >= 512, s"compactionAudit needs a comfortably >64-row slice, got $n")
-      src.repartition(64).write.mode("overwrite").parquet(s"$dir/fragmented")
+      src.coalesce(1).repartition(64).write.mode("overwrite").parquet(s"$dir/fragmented")
       spark.read
         .parquet(s"$dir/fragmented")
         .repartition(4)

@@ -278,10 +278,12 @@ object Streaming {
       finally q.stop()
       val good = spark.read.parquet(s"$root/good")
       val dead = spark.read.parquet(s"$root/dead")
+      // coalesce: sum over an empty good side is NULL, which would NPE the
+      // Long encoder here and mask the degenerate-fixture require below
       val (nGood, kSum, epGood) = good
         .agg(
           count(lit(1)),
-          sum($"decoded.k"),
+          coalesce(sum($"decoded.k"), lit(0L)),
           count_distinct($"epoch")
         )
         .as[(Long, Long, Long)]
@@ -296,14 +298,7 @@ object Streaming {
       )
       Seq((nGood, nDead, kSum, epGood, epDead))
         .toDF("n_good", "n_dead", "k_sum", "n_epochs_good", "n_epochs_dead")
-    } finally {
-      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
-      try
-        walk
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
-    }
+    } finally graft.sources.ParquetSink.deleteRecursively(root)
   }
 
   // ------------------------------------------------------- declared queries
