@@ -384,23 +384,33 @@ object Probe {
     if (which == "sf1") {
       // Stretch validation past the fixture range (/root/testdata tops out
       // at sf0.1): synthesize an sf1-EQUIVALENT slice by replicating the
-      // sf0.1 lineitem/orders 10x into disjoint order-key ranges while
+      // sf0.1 lineitem/orders/events 10x into disjoint key ranges while
       // leaving every dimension unchanged — each FK still resolves, each
       // dim join fans in 10x, each grid cell sums 10x the rows — then run
       // the 5 grid-sensitive queries (the overflow-audited aggregation
-      // grids) over it and dump results + the oracle-SQL subset so
-      // `tools/check.py /tmp/graft_sf1 /tmp/graft_sf1_out` can replay the
-      // identical SQL in DuckDB over the identical parquet and hash-compare.
+      // grids) plus 3 events-family queries (terms agg, window-pruned
+      // daily agg, and the q134 skipping audit, whose real tile-file
+      // write now covers a 1M-row input) over it and dump results + the
+      // oracle-SQL subset so `tools/check.py /tmp/graft_sf1
+      // /tmp/graft_sf1_out` can replay the identical SQL in DuckDB over
+      // the identical parquet and hash-compare. Replica offsets preserve
+      // event_id mod 64 (10M ≡ 0 mod 64) and leave ts/user_id/value
+      // untouched, so the layout-audit geometry scales counts without
+      // moving any tile boundary — exactly the invariance the oracle
+      // recomputes and re-proves over the slice.
       import spark.implicits._
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val sf1Dir = "/tmp/graft_sf1"
       val outDir = "/tmp/graft_sf1_out"
-      val grid5 = Seq(
+      val sf1Set = Seq(
         "q01_pricing_summary",
         "q11_join_revenue_by_nation",
         "q19_cross_nation_volume",
         "q19b_disjunctive_predicates",
-        "q29_stats_agg"
+        "q29_stats_agg",
+        "q02_top_event_types",
+        "q03_recent_window_daily",
+        "q134_skipping_audit"
       )
       // max o_orderkey at sf0.1 is 149,999 (duckdb-checked); 10M per
       // replica keeps ranges disjoint with ~66× headroom
@@ -410,7 +420,7 @@ object Probe {
           .withColumn(key, col(key) + $"rep" * off)
           .drop("rep")
       Files.createDirectories(Paths.get(sf1Dir))
-      Seq("region", "nation", "customer", "supplier", "part", "events", "documents", "embeddings")
+      Seq("region", "nation", "customer", "supplier", "part", "documents", "embeddings")
         .foreach { t =>
           Files.copy(
             Paths.get(s"$sfDir/$t.parquet"),
@@ -422,15 +432,18 @@ object Probe {
         .repartition(16).write.mode("overwrite").parquet(s"$sf1Dir/lineitem.parquet")
       replicate(Tables.orders(spark, sfDir), "o_orderkey")
         .repartition(8).write.mode("overwrite").parquet(s"$sf1Dir/orders.parquet")
+      replicate(Tables.events(spark, sfDir), "event_id")
+        .repartition(8).write.mode("overwrite").parquet(s"$sf1Dir/events.parquet")
       val nLi = spark.read.parquet(s"$sf1Dir/lineitem.parquet").count()
-      println(s"[sf1] synthetic slice at $sf1Dir: lineitem=$nLi rows")
-      grid5.foreach { n =>
+      val nEv = spark.read.parquet(s"$sf1Dir/events.parquet").count()
+      println(s"[sf1] synthetic slice at $sf1Dir: lineitem=$nLi events=$nEv rows")
+      sf1Set.foreach { n =>
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sf1Dir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$n")
         println(f"[sf1] $n%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
-      val json = grid5
+      val json = sf1Set
         .map(n => s"${Verify.jsonStr(n)}: ${Verify.jsonStr(SparkEntry.oracleSql(n))}")
         .mkString("{", ",", "}")
       Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
