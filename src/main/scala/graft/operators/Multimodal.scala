@@ -141,16 +141,7 @@ object Multimodal {
   // delete at JVM exit — without this every bench/verify/test JVM strands a
   // graft_blobs* dir in /tmp
   sys.addShutdownHook {
-    blobDirs.values.forEach { d =>
-      if (java.nio.file.Files.isDirectory(d)) {
-        val walk = java.nio.file.Files.walk(d)
-        try
-          walk
-            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      }
-    }
+    blobDirs.values.forEach(d => graft.sources.ParquetSink.deleteRecursively(d.toString))
   }
 
   def binaryIngest(spark: SparkSession, sfDir: String): DataFrame = {

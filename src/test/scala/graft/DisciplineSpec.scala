@@ -92,4 +92,16 @@ class DisciplineSpec extends AnyFunSuite {
     val sites = hits("""\.rdd\b""")
     assert(sites.isEmpty, s"raw .rdd usage:\n${sites.mkString("\n")}")
   }
+
+  test("recursive scratch-dir deletes go through the one shared helper") {
+    // five hand-rolled Files.walk/reverseOrder/delete blocks existed
+    // before the round-9 review extracted ParquetSink.deleteRecursively;
+    // this keeps the copy-paste from creeping back (a future fix — e.g.
+    // symlink handling — must have exactly one place to land)
+    val sites = hits(
+      """Comparator\.reverseOrder""",
+      except = Set("sources/ParquetSink.scala")
+    )
+    assert(sites.isEmpty, s"inline recursive delete — use ParquetSink.deleteRecursively:\n${sites.mkString("\n")}")
+  }
 }
