@@ -98,7 +98,12 @@ object Layout {
     * a pure function of the row, so the DuckDB oracle replays the whole
     * audit — including the file counts — from the raw table. At 100 TB
     * this is the difference between reading one row group and reading the
-    * table; the write costs one extra sort. */
+    * table; the write costs one extra sort. (The fixture write hashes on
+    * the 64-way tile key — 64 tasks is plenty here; a production-scale
+    * z-order write range-partitions on the full `zval` into thousands of
+    * sorted files per `writeZOrdered` above, so tile skew spreads across
+    * many tasks and per-file stats get strictly tighter than this
+    * tile-level bound.) */
   def skippingAudit(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dir = graft.sources.ParquetSink.memoFixture(spark, "zskip", sfDir) { d =>

@@ -206,13 +206,21 @@ object ParquetSink {
       // (each partition starts at a pseudo-random slot), so ≥64 rows in
       // total does NOT guarantee all 64 slots fill — 512 single-row input
       // partitions leave a slot empty with small but real probability.
-      // coalesce(1) first makes one input partition hold every row, which
-      // DOES fill all 64 contiguously whenever the slice has ≥64 rows;
-      // the require turns a shrunken future fixture into a loud failure
-      // instead of a mysterious pinned-count hash mismatch.
+      // (A coalesce(1) barrier does NOT close the gap: CollapseRepartition
+      // removes a non-shuffle repartition directly under a shuffle one, so
+      // it never reaches the executed plan.) Every actual fixture arrives
+      // as a handful of multi-thousand-row partitions, which fills all 64;
+      // the post-write require turns any future layout drift into a loud
+      // failure at fixture build instead of a mysterious pinned-count
+      // hash mismatch at oracle compare.
       val n = src.count()
       require(n >= 512, s"compactionAudit needs a comfortably >64-row slice, got $n")
-      src.coalesce(1).repartition(64).write.mode("overwrite").parquet(s"$dir/fragmented")
+      src.repartition(64).write.mode("overwrite").parquet(s"$dir/fragmented")
+      val written = {
+        val fs = new java.io.File(s"$dir/fragmented").listFiles()
+        if (fs == null) 0 else fs.count(_.getName.endsWith(".parquet"))
+      }
+      require(written == 64, s"fragmented write produced $written files, oracle pins 64")
       spark.read
         .parquet(s"$dir/fragmented")
         .repartition(4)

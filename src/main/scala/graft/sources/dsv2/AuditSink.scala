@@ -174,12 +174,7 @@ object AuditSink {
       // leak for the JVM lifetime
       clearStream(key)
       // the checkpoint is per-invocation scratch — don't accumulate /tmp
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(ckpt)
-      val paths =
-        try walk.iterator().asScala.toSeq.reverse
-        finally walk.close()
-      paths.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      graft.sources.ParquetSink.deleteRecursively(ckpt.toString)
     }
   }
 

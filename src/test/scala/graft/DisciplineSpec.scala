@@ -94,14 +94,17 @@ class DisciplineSpec extends AnyFunSuite {
   }
 
   test("recursive scratch-dir deletes go through the one shared helper") {
-    // five hand-rolled Files.walk/reverseOrder/delete blocks existed
-    // before the round-9 review extracted ParquetSink.deleteRecursively;
-    // this keeps the copy-paste from creeping back (a future fix — e.g.
-    // symlink handling — must have exactly one place to land)
+    // SEVEN hand-rolled recursive-delete blocks existed before the round-9
+    // review extracted ParquetSink.deleteRecursively — including one
+    // variant (AuditSink, toSeq.reverse) that an idiom-level grep for
+    // Comparator.reverseOrder missed. Grep for the BEHAVIOR instead: any
+    // Files.walk outside the helper is a tree traversal that should be
+    // the helper (delete) or a deliberate read traversal to allowlist.
+    // A future fix — e.g. symlink handling — must have one place to land.
     val sites = hits(
-      """Comparator\.reverseOrder""",
+      """Files\.walk""",
       except = Set("sources/ParquetSink.scala")
     )
-    assert(sites.isEmpty, s"inline recursive delete — use ParquetSink.deleteRecursively:\n${sites.mkString("\n")}")
+    assert(sites.isEmpty, s"inline Files.walk — use ParquetSink.deleteRecursively (or allowlist a read-only walk):\n${sites.mkString("\n")}")
   }
 }
