@@ -25,6 +25,7 @@ object Session {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -41,6 +42,9 @@ object Session {
     trySet("spark.sql.session.timeZone", "UTC")
     // events.ts is parquet TIMESTAMP(NANOS); without this the read fails
     trySet("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // µs-precision fixtures carry isAdjustedToUTC=false; read them as plain
+    // TimestampType (UTC session) so values match DuckDB's naive read
+    trySet("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark
   }
 }

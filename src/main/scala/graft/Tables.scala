@@ -83,6 +83,11 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // Session builders disable inferTimestampNTZ, but an externally-built
+        // session (driver smoke test) may still read µs NTZ; interpret the
+        // naive values as UTC — identical to DuckDB's read of the same file.
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

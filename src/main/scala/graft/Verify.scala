@@ -16,6 +16,8 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet TIMESTAMP(NANOS); load as long, Tables casts µs
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // µs NTZ fixtures → plain TimestampType (UTC session = DuckDB's naive read)
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
