@@ -341,6 +341,90 @@ object Dedup {
       .orderBy($"train_id")
   }
 
+  /** Memoized per-(JVM, sfDir) eval-shingle Bloom sketch for
+    * [[bloomDecontaminate]]: (distinct eval shingles, serialized filter).
+    * Plan-only consumers (the corpus sweep walks every declared query)
+    * must not re-pay the two sketch-build jobs per walk — same discipline
+    * as the ParquetSink fixture memoization. */
+  private val bloomSketch =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Array[Byte])]()
+
+  /** Bloom-guarded decontamination — the [[decontaminate]] check flipped
+    * into a per-EVAL-document leakage report, with the corpus-side plan a
+    * 100 TB run actually wants. [[decontaminate]] broadcasts the exploded
+    * eval shingle table and hash-probes it for EVERY training shingle; here
+    * the only thing that must reach every executor is a Bloom sketch of the
+    * eval shingles (~10 bits per shingle, ~1.2 MB per million — 10–20×
+    * smaller than the equivalent broadcast hash relation), built
+    * distributed by Spark's own `BloomFilterAggregate` (the expression
+    * behind the optimizer's runtime shuffle-join filters, applied by hand
+    * because a hand-held sketch can guard a scan the optimizer cannot see
+    * through) and probed by the codegen'd `BloomFilterMightContain` — no
+    * UDF, no per-row interpretation. False positives are removed by an
+    * exact equi-join, so the result is EXACTLY the SQL semantics and the
+    * oracle needs no Bloom replay; the join strategy is left to AQE — the
+    * survivor side is pre-filtered down to ~(true hits + 1% of corpus
+    * shingles), so at any scale the exact-verify join is small-side cheap.
+    * Output: per eval doc, how many OTHER documents share a 3-gram shingle
+    * with it and over how many distinct shingles — the leakage report a
+    * benchmark owner reads. */
+  def bloomDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val docs = Tables
+      .documents(spark, sfDir)
+      .repartition($"doc_id")
+      .select($"doc_id", array_distinct(graft.functions.Kernels.shingleHashes(tokens($"text"), 3)).as("sh0"))
+      .groupBy($"doc_id")
+      .agg(first($"sh0").as("sh"))
+    val evalSh = docs
+      .filter($"doc_id" % 50 === 0)
+      .select($"doc_id".as("eval_id"), explode($"sh").as("shingle"))
+      // the aggregate re-bounds the exploded relation for the plan sweep AND
+      // is the honest shape: the join below only needs distinct pairs
+      .distinct()
+    val (nEval, bfBytes) = bloomSketch.computeIfAbsent(
+      sfDir,
+      _ => {
+        val n = math.max(1L, evalSh.agg(count_distinct($"shingle")).as[Long].head())
+        val blob = evalSh
+          .agg(
+            GraftBridge
+              .column(
+                new BloomFilterAggregate(
+                  GraftBridge.expression($"shingle"),
+                  Literal(n),
+                  Literal(math.max(64L, n * 10L)) // ~10 bits/item ≈ 1% fpp
+                ).toAggregateExpression()
+              )
+              .as("bf")
+          )
+          .head()
+          .getAs[Array[Byte]](0)
+        (n, blob)
+      }
+    )
+    require(nEval > 0 && bfBytes != null, s"empty eval shingle set at $sfDir — fixture degenerate")
+    val mightContain = GraftBridge.column(
+      new BloomFilterMightContain(Literal.create(bfBytes, BinaryType), GraftBridge.expression($"shingle"))
+    )
+    val train = docs
+      .select($"doc_id".as("train_id"), explode($"sh").as("shingle"))
+      .filter(mightContain)
+    train
+      .join(evalSh, "shingle")
+      .filter($"train_id" =!= $"eval_id")
+      .groupBy($"eval_id")
+      .agg(
+        count_distinct($"train_id").as("n_hit_docs"),
+        count_distinct($"shingle").as("n_hit_shingles")
+      )
+      .orderBy($"eval_id")
+  }
+
   /** Duplicated-span detection — substring-level dedup (the Lee et al. 2022
     * "Deduplicating Training Data" operator class): hash every 16-token
     * window (stride 1) and report spans occurring in ≥2 documents. Catches

@@ -523,6 +523,29 @@ object Registry {
         GROUP BY train_id, n_sh
         ORDER BY train_id
       """)
+    ),
+    Q(
+      "q135_bloom_decontaminate",
+      Dedup.bloomDecontaminate,
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), s AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+          FROM t
+        ), ev AS (
+          SELECT doc_id AS eval_id, unnest(sh) AS shingle FROM s WHERE doc_id % 50 = 0
+        ), tr AS (
+          SELECT doc_id AS train_id, unnest(sh) AS shingle FROM s
+        )
+        SELECT eval_id,
+               COUNT(DISTINCT train_id) AS n_hit_docs,
+               COUNT(DISTINCT tr.shingle) AS n_hit_shingles
+        FROM tr JOIN ev ON tr.shingle = ev.shingle AND tr.train_id <> ev.eval_id
+        GROUP BY eval_id
+        ORDER BY eval_id
+      """)
     )
   )
 

@@ -154,4 +154,36 @@ class DedupSimilaritySpec extends SparkSpec {
       s"CDC candidate generation must hash >=8x fewer spans (cdc=$cdcHashes, stride1=$stride1Hashes)"
     )
   }
+
+  test("bloom decontamination equals the exact-join semantics; the sketch prefilter is in the plan") {
+    import spark.implicits._
+    import graft.functions.{Kernels, TextFns}
+    val out = Dedup.bloomDecontaminate(spark, sf)
+    // the codegen'd BloomFilterMightContain guard must actually be planned
+    // on the training side — the sketch is the 100 TB mechanism, not decor
+    assert(
+      out.queryExecution.executedPlan.toString.toLowerCase.contains("might_contain"),
+      "bloom prefilter missing from the physical plan"
+    )
+    // false positives must be invisible: the exact-verify join makes the
+    // result EQUAL to the plain inner-join formulation
+    val docs = Tables
+      .documents(spark, sf)
+      .select($"doc_id", array_distinct(Kernels.shingleHashes(TextFns.tokens($"text"), 3)).as("sh"))
+    val ev = docs
+      .filter($"doc_id" % 50 === 0)
+      .select($"doc_id".as("eval_id"), explode($"sh").as("shingle"))
+      .distinct()
+    val tr = docs.select($"doc_id".as("train_id"), explode($"sh").as("shingle"))
+    val expect = tr
+      .join(ev, "shingle")
+      .filter($"train_id" =!= $"eval_id")
+      .groupBy($"eval_id")
+      .agg(count_distinct($"train_id").as("n_hit_docs"), count_distinct($"shingle").as("n_hit_shingles"))
+      .orderBy($"eval_id")
+      .collect()
+      .toSeq
+    assert(expect.nonEmpty, "fixture degenerate: no eval docs share shingles")
+    assert(out.collect().toSeq === expect)
+  }
 }
