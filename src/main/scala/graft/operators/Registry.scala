@@ -1639,6 +1639,41 @@ object Registry {
         FROM events
       """)
     ),
+    // Streaming LSH near-dup: the keyed-state band registry is
+    // batching-invariant once reduced to per-bucket minima, so the oracle
+    // replays the q65 band pipeline plus a first-match self-join — a full
+    // hash oracle over a genuinely stateful streaming run.
+    Q(
+      "q136_stream_near_dup",
+      Streaming.nearDupStreamAudit,
+      Some(s"""
+        WITH $dupCorpus, tk AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+        ), sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS dsh FROM tk
+        ), hsh AS (
+          SELECT doc_id, list_transform(dsh,
+            x -> ('0x' || substr(md5(x),1,15))::BIGINT % 2147483647) AS hs
+          FROM sh
+        ), sg AS (
+          SELECT doc_id, list_transform(range(0, 16), s ->
+            CAST(list_min(list_transform(hs,
+              h -> ((s*2+1) * h + s*12289) % 2147483647)) AS BIGINT)) AS sig
+          FROM hsh
+        ), bands AS (
+          SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS key
+          FROM sg, (SELECT unnest([0,1,2,3]) AS b)
+        ), fm AS (
+          SELECT b.doc_id, MIN(a.doc_id) AS first_match
+          FROM bands b JOIN bands a ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+          GROUP BY b.doc_id
+        )
+        SELECT c.doc_id, fm.first_match, fm.first_match IS NOT NULL AS is_dup
+        FROM (SELECT doc_id FROM corpus) c LEFT JOIN fm USING (doc_id)
+        ORDER BY doc_id
+      """)
+    ),
     Q(
       "q73_session_window",
       Streaming.sessionizeBatch,

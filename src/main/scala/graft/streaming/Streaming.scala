@@ -301,6 +301,157 @@ object Streaming {
     } finally graft.sources.ParquetSink.deleteRecursively(root)
   }
 
+  /** Streaming MinHash/LSH near-duplicate detection — the q65 candidate
+    * machinery moved onto an unbounded stream. Each arriving document is
+    * signed per-row (the same compiled minhash kernels as the batch path —
+    * a map, so streaming-safe), exploded into its 4 LSH band keys, and fed
+    * through keyed state: one Long (minimum doc_id seen) per distinct band
+    * bucket, maintained by flatMapGroupsWithState across micro-batches.
+    * Each batch emits the bucket's updated running minimum, so the union of
+    * all emissions reduces (by min) to the exact bucket registry the batch
+    * LSH computes — regardless of how the stream was micro-batched.
+    *
+    * At scale: state is one Long per distinct band bucket, hash-partitioned
+    * across the cluster's state store by the group key (the only shuffle);
+    * emission is one row per (bucket, batch) — never per candidate pair, so
+    * a hot bucket cannot blow up the stream. On a production stream the
+    * registry is bounded with a state TTL (GroupStateTimeout) — dedup
+    * against a sliding corpus horizon — which this op inherits for free
+    * from the state API it is built on. */
+  def nearDupBandMins(docs: DataFrame): Dataset[(String, Long)] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.functions.{Kernels, TextFns}
+    docs
+      .select(
+        col("doc_id"),
+        Kernels
+          .minhashSigK(
+            Kernels.shingleHashes(TextFns.tokens(col("text")), 3, TextFns.MinhashP),
+            16,
+            TextFns.MinhashP
+          )
+          .as("sig")
+      )
+      .select(
+        col("doc_id"),
+        explode(
+          transform(
+            sequence(lit(0), lit(3)),
+            b => concat_ws(",", b.cast("string"), concat_ws(",", slice(col("sig"), b * 4 + 1, lit(4))))
+          )
+        ).as("bkey")
+      )
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(Long, String)], state: GroupState[Long]) =>
+          var mn = Long.MaxValue
+          rows.foreach(r => if (r._1 < mn) mn = r._1)
+          val newMin = state.getOption.fold(mn)(math.min(_, mn))
+          state.update(newMin)
+          Iterator.single((key, newMin))
+      }
+  }
+
+  /** Declared query (q136): [[nearDupBandMins]] under the oracle — the
+    * dup-injected corpus (the q65 fixture) is written once per JVM as a
+    * 4-file parquet fixture, streamed back one file per micro-batch, and
+    * run through the real keyed-state band registry. The audit then reduces
+    * the per-epoch emissions to the final per-bucket minima and derives the
+    * per-document verdict with a batch join: a document is a near-dup
+    * candidate iff some SMALLER doc_id shares one of its band buckets, and
+    * `first_match` is the smallest such id. Because the registry-final
+    * minima are batching-invariant, the result is deterministic and equals
+    * the batch LSH semantics — which is exactly what the DuckDB oracle
+    * replays (the q65 band pipeline plus a first-match self-join). An
+    * at-arrival flag (against the registry as of the doc's epoch) is the
+    * same state lookup emitted inline, but its output depends on how the
+    * stream happens to be batched — nothing an oracle can pin — so the
+    * declared query reports the registry-final semantics; the MemoryStream
+    * spec exercises the cross-batch arrival behavior instead. */
+  def nearDupStreamAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val in = graft.sources.ParquetSink.memoFixture(spark, "stream_neardup_in", sfDir) { dir =>
+      graft.operators.Dedup
+        .docsWithDups(spark, sfDir)
+        .select($"doc_id", $"text")
+        .repartition(4)
+        .write
+        .mode("overwrite")
+        .parquet(dir)
+    }
+    // The stream run + verdict join are memoized as a RESULT parquet: the
+    // declared query must be lazy-safe (plan-only consumers hold it past
+    // this call), so the per-epoch scratch root cannot outlive this block —
+    // materializing the verdict before cleanup is the only correct order.
+    val out = graft.sources.ParquetSink.memoFixture(spark, "stream_neardup_out", sfDir) { outDir =>
+      val root = java.nio.file.Files.createTempDirectory("graft_q136").toString
+      try {
+        val stream = spark.readStream
+          .schema("doc_id BIGINT, text STRING")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(in)
+        val q = nearDupBandMins(stream)
+          .toDF("bkey", "min_id")
+          .writeStream
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch { (batch: DataFrame, epoch: Long) =>
+            batch.write.mode("overwrite").parquet(s"$root/bands/epoch=$epoch")
+            ()
+          }
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+        val emitted = spark.read.parquet(s"$root/bands")
+        val nEpochs = emitted.agg(count_distinct($"epoch")).as[Long].head()
+        require(nEpochs >= 2, s"q136 ran $nEpochs epochs — fixture must stream as multiple micro-batches")
+        val bandMins = emitted.groupBy($"bkey").agg(min($"min_id").as("first_id"))
+        // batch-side doc → band keys over the SAME fixture (same kernels);
+        // shuffle-hash on bkey: both sides are corpus-sized at scale, so a
+        // broadcast would be the wrong 100 TB plan (and trips the sweep)
+        val docBands = nearDupBandsBatch(spark.read.parquet(in))
+        docBands
+          .hint("shuffle_hash")
+          .join(bandMins.hint("shuffle_hash"), "bkey")
+          .groupBy($"doc_id")
+          .agg(min(when($"first_id" < $"doc_id", $"first_id")).as("first_match"))
+          .select($"doc_id", $"first_match", $"first_match".isNotNull.as("is_dup"))
+          .write
+          .mode("overwrite")
+          .parquet(outDir)
+      } finally graft.sources.ParquetSink.deleteRecursively(root)
+    }
+    spark.read.parquet(out).orderBy($"doc_id")
+  }
+
+  /** The batch form of [[nearDupBandMins]]'s signing stage: (doc_id, bkey)
+    * rows, one per band. Kept identical (same kernels, same key format) so
+    * the audit's verdict join and the streaming registry agree bit-for-bit. */
+  private[graft] def nearDupBandsBatch(docs: DataFrame): DataFrame = {
+    import graft.functions.{Kernels, TextFns}
+    docs
+      .select(
+        col("doc_id"),
+        Kernels
+          .minhashSigK(
+            Kernels.shingleHashes(TextFns.tokens(col("text")), 3, TextFns.MinhashP),
+            16,
+            TextFns.MinhashP
+          )
+          .as("sig")
+      )
+      .select(
+        col("doc_id"),
+        explode(
+          transform(
+            sequence(lit(0), lit(3)),
+            b => concat_ws(",", b.cast("string"), concat_ws(",", slice(col("sig"), b * 4 + 1, lit(4))))
+          )
+        ).as("bkey")
+      )
+  }
+
   // ------------------------------------------------------- declared queries
 
   def tumblingBatch(spark: SparkSession, sfDir: String): DataFrame =

@@ -278,4 +278,44 @@ class StreamingSpec extends SparkSpec {
       assert(dead.filter($"epoch" === 0L).count() === 2)
     } finally q.stop()
   }
+
+  test("streaming near-dup registry carries band state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textB = "an entirely different document about spark structured streaming state"
+    val in    = MemoryStream[(Long, String)]
+    val docs  = in.toDF().toDF("doc_id", "text")
+    val q = Streaming
+      .nearDupBandMins(docs)
+      .toDF("bkey", "min_id")
+      .writeStream
+      .format("memory")
+      .queryName("neardup_state_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData((10L, textA), (11L, textB))
+      q.processAllAvailable()
+      val batch1 = spark.table("neardup_state_test").collect().length
+      // batch 2: an exact duplicate of doc 10 with a larger id — its band
+      // emissions must report the CROSS-BATCH minimum 10, not 1000010
+      in.addData((1000010L, textA))
+      q.processAllAvailable()
+      val aBkeys = Streaming
+        .nearDupBandsBatch(Seq((10L, textA)).toDF("doc_id", "text"))
+        .select($"bkey")
+        .as[String]
+        .collect()
+        .toSet
+      assert(aBkeys.size === 4, "expected 4 band keys per document")
+      val all = spark.table("neardup_state_test").as[(String, Long)].collect()
+      val batch2 = all.drop(batch1)
+      assert(batch2.nonEmpty && batch2.forall { case (k, m) => aBkeys.contains(k) && m === 10L },
+        s"batch-2 emissions must carry the batch-1 minimum for textA's buckets: ${batch2.mkString(", ")}")
+      // registry-final reduction: every textA bucket bottoms out at 10
+      val finalMins = all.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      assert(aBkeys.forall(k => finalMins.get(k).contains(10L)))
+    } finally q.stop()
+  }
 }
