@@ -72,4 +72,30 @@ class OperatorSpec extends SparkSpec {
     assert(perDoc.filter($"n" =!= 2).count() === 0)
     assert(perDoc.filter(!($"idx" === array(lit(0), lit(2)))).count() === 0)
   }
+
+  test("Tables.events normalizes a TIMESTAMP_NTZ ts fixture even when NTZ inference is on") {
+    import spark.implicits._
+    // regression for the 2026-08-13 fixture regeneration: events.ts became
+    // parquet timestamp[us] with isAdjustedToUTC=false, which an
+    // externally-built session (inferTimestampNTZ=true, the Spark 4
+    // default) reads as TIMESTAMP_NTZ — Tables.events must cast it back to
+    // TimestampType (UTC session = DuckDB's naive read) or every
+    // unix_micros/window consumer breaks
+    val dir = java.nio.file.Files.createTempDirectory("graft_ntz_events").toString
+    val prev = spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled")
+    try {
+      Seq((1L, "2024-01-02 03:04:05.123456", 7L, "view", 1.5, "{}"))
+        .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+        .select($"event_id", $"ts_s".cast("timestamp_ntz").as("ts"), $"user_id", $"event_type", $"value", $"props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+      val ev = Tables.events(spark, dir)
+      assert(ev.schema("ts").dataType === org.apache.spark.sql.types.TimestampType)
+      val us = ev.select(unix_micros($"ts")).as[Long].head()
+      assert(us === 1704164645123456L, s"naive value must be read as UTC, got $us")
+    } finally {
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", prev)
+      graft.sources.ParquetSink.deleteRecursively(dir)
+    }
+  }
 }
