@@ -15,8 +15,35 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  private def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Read a fixture table, normalizing any TIMESTAMP_NTZ column to plain
+    * TimestampType with the naive values interpreted AS UTC — i.e. exactly
+    * DuckDB's read of the same `isAdjustedToUTC=false` parquet. The graft
+    * session builders disable `inferTimestampNTZ`, so this branch is a
+    * defensive path for externally-built sessions (the driver smoke test);
+    * there it must NOT depend on the caller's time zone: a bare
+    * cast(NTZ→TS) interprets the naive value in the SESSION zone (adding
+    * that zone's offset to the epoch value), so we invert it with
+    * `from_utc_timestamp(_, sessionTz)` (which subtracts the same offset) —
+    * the two conversions use the same zone rules on the same wall-clock
+    * value and compose to the naive-as-UTC instant for ANY session zone.
+    * Covers every regenerated timestamp column (events.ts, o_orderdate,
+    * l_shipdate). */
+  private def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    val ntzCols = raw.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
+    }
+    if (ntzCols.isEmpty) raw
+    else {
+      val tz = spark.conf.get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID)
+      ntzCols.foldLeft(raw) { (df, c) =>
+        df.withColumn(
+          c,
+          from_utc_timestamp(col(c).cast(org.apache.spark.sql.types.TimestampType), tz)
+        )
+      }
+    }
+  }
 
   def region(spark: SparkSession, sfDir: String): DataFrame   = read(spark, sfDir, "region")
   def nation(spark: SparkSession, sfDir: String): DataFrame   = read(spark, sfDir, "nation")
@@ -80,14 +107,11 @@ object Tables {
 
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = read(spark, sfDir, "events")
+    // NTZ normalization happens in read(); only the legacy nanosAsLong
+    // (ns-precision fixture) path still needs the ns→µs truncation here.
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        // Session builders disable inferTimestampNTZ, but an externally-built
-        // session (driver smoke test) may still read µs NTZ; interpret the
-        // naive values as UTC — identical to DuckDB's read of the same file.
-        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

@@ -389,7 +389,10 @@ object Dedup {
     val (nEval, bfBytes) = bloomSketch.computeIfAbsent(
       sfDir,
       _ => {
-        val n = math.max(1L, evalSh.agg(count_distinct($"shingle")).as[Long].head())
+        val n = evalSh.agg(count_distinct($"shingle")).as[Long].head()
+        // loud, BEFORE the clamp — a vacuous max(1, n) > 0 check would mask
+        // the degenerate fixture this exists to catch
+        require(n > 0, s"empty eval shingle set at $sfDir — fixture degenerate")
         val blob = evalSh
           .agg(
             GraftBridge
@@ -407,7 +410,7 @@ object Dedup {
         (n, blob)
       }
     )
-    require(nEval > 0 && bfBytes != null, s"empty eval shingle set at $sfDir — fixture degenerate")
+    require(bfBytes != null, s"bloom sketch build returned null at $sfDir")
     val mightContain = GraftBridge.column(
       new BloomFilterMightContain(Literal.create(bfBytes, BinaryType), GraftBridge.expression($"shingle"))
     )

@@ -321,27 +321,11 @@ object Streaming {
   def nearDupBandMins(docs: DataFrame): Dataset[(String, Long)] = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.OutputMode
-    import graft.functions.{Kernels, TextFns}
-    docs
-      .select(
-        col("doc_id"),
-        Kernels
-          .minhashSigK(
-            Kernels.shingleHashes(TextFns.tokens(col("text")), 3, TextFns.MinhashP),
-            16,
-            TextFns.MinhashP
-          )
-          .as("sig")
-      )
-      .select(
-        col("doc_id"),
-        explode(
-          transform(
-            sequence(lit(0), lit(3)),
-            b => concat_ws(",", b.cast("string"), concat_ws(",", slice(col("sig"), b * 4 + 1, lit(4))))
-          )
-        ).as("bkey")
-      )
+    // ONE signing pipeline for stream and batch: the q136 oracle equality
+    // rests on the registry and the verdict join agreeing bit-for-bit on
+    // bkey, so the projection must be shared by construction, not by
+    // parallel copies kept in sync by hand.
+    nearDupBandsBatch(docs)
       .as[(Long, String)]
       .groupByKey(_._2)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
@@ -388,41 +372,57 @@ object Streaming {
     val out = graft.sources.ParquetSink.memoFixture(spark, "stream_neardup_out", sfDir) { outDir =>
       val root = java.nio.file.Files.createTempDirectory("graft_q136").toString
       try {
-        val stream = spark.readStream
-          .schema("doc_id BIGINT, text STRING")
-          .option("maxFilesPerTrigger", 1)
-          .parquet(in)
-        val q = nearDupBandMins(stream)
-          .toDF("bkey", "min_id")
-          .writeStream
-          .option("checkpointLocation", s"$root/ckpt")
-          .foreachBatch { (batch: DataFrame, epoch: Long) =>
-            batch.write.mode("overwrite").parquet(s"$root/bands/epoch=$epoch")
-            ()
-          }
-          .start()
-        try q.processAllAvailable()
-        finally q.stop()
-        val emitted = spark.read.parquet(s"$root/bands")
-        val nEpochs = emitted.agg(count_distinct($"epoch")).as[Long].head()
+        val (nEpochs, _, verdicts) = nearDupRegistryRun(spark, in, root)
         require(nEpochs >= 2, s"q136 ran $nEpochs epochs — fixture must stream as multiple micro-batches")
-        val bandMins = emitted.groupBy($"bkey").agg(min($"min_id").as("first_id"))
-        // batch-side doc → band keys over the SAME fixture (same kernels);
-        // shuffle-hash on bkey: both sides are corpus-sized at scale, so a
-        // broadcast would be the wrong 100 TB plan (and trips the sweep)
-        val docBands = nearDupBandsBatch(spark.read.parquet(in))
-        docBands
-          .hint("shuffle_hash")
-          .join(bandMins.hint("shuffle_hash"), "bkey")
-          .groupBy($"doc_id")
-          .agg(min(when($"first_id" < $"doc_id", $"first_id")).as("first_match"))
-          .select($"doc_id", $"first_match", $"first_match".isNotNull.as("is_dup"))
-          .write
-          .mode("overwrite")
-          .parquet(outDir)
+        verdicts.write.mode("overwrite").parquet(outDir)
       } finally graft.sources.ParquetSink.deleteRecursively(root)
     }
     spark.read.parquet(out).orderBy($"doc_id")
+  }
+
+  /** Shared core of the q136 audit and the `scalestream` probe: stream the
+    * parquet fixture at `inDir` (one file per micro-batch) through the
+    * [[nearDupBandMins]] registry with scratch under `root` (caller owns
+    * cleanup), reduce the per-epoch emissions to final per-bucket minima,
+    * and derive per-document verdicts with a shuffle-hash join (both sides
+    * are corpus-sized at scale — a broadcast would be the wrong 100 TB
+    * plan). Returns (epoch count, seconds inside the streaming run itself —
+    * the state-store path, isolated so the probe's tripwire measures what
+    * it claims — and the LAZY verdict DataFrame, which reads `root`:
+    * consume it before deleting the scratch). */
+  private[graft] def nearDupRegistryRun(
+      spark: SparkSession,
+      inDir: String,
+      root: String
+  ): (Long, Double, DataFrame) = {
+    import spark.implicits._
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+    val t0 = System.nanoTime()
+    val q = nearDupBandMins(stream)
+      .toDF("bkey", "min_id")
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        batch.write.mode("overwrite").parquet(s"$root/bands/epoch=$epoch")
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamSec = (System.nanoTime() - t0) / 1e9
+    val emitted   = spark.read.parquet(s"$root/bands")
+    val nEpochs   = emitted.agg(count_distinct($"epoch")).as[Long].head()
+    val bandMins  = emitted.groupBy($"bkey").agg(min($"min_id").as("first_id"))
+    val verdicts = nearDupBandsBatch(spark.read.parquet(inDir))
+      .hint("shuffle_hash")
+      .join(bandMins.hint("shuffle_hash"), "bkey")
+      .groupBy($"doc_id")
+      .agg(min(when($"first_id" < $"doc_id", $"first_id")).as("first_match"))
+      .select($"doc_id", $"first_match", $"first_match".isNotNull.as("is_dup"))
+    (nEpochs, streamSec, verdicts)
   }
 
   /** The batch form of [[nearDupBandMins]]'s signing stage: (doc_id, bkey)

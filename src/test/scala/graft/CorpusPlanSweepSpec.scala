@@ -148,6 +148,11 @@ class CorpusPlanSweepSpec extends SparkSpec {
   )
 
   test("no declared query plans a cartesian, BNLJ, or broadcast-of-exploded shape") {
+    // other suites cache() query results (e.g. DedupSimilaritySpec caches
+    // cosineTopK); the CacheManager would then substitute InMemoryTableScan
+    // for matching subtrees and the sweep would inspect the cache, not the
+    // real plan — order-dependently hiding both real shapes and staleness
+    spark.catalog.clearCache()
     val all = SparkEntry.queries.keys.toSeq.sorted
     // coverage guard: the sweep must keep walking the WHOLE corpus — a
     // refactor that shrinks the declared map should fail here, not pass
@@ -167,10 +172,16 @@ class CorpusPlanSweepSpec extends SparkSpec {
   test("every allowlist entry still fires (no stale exemptions)") {
     // an exemption whose query no longer plans the shape is dead weight
     // that could silently mask a future regression of a DIFFERENT kind
+    spark.catalog.clearCache() // see the sweep test: cached subtrees mask plans
     val stale = allowed.toSeq.sortBy(_._1).flatMap { case (n, shapes) =>
       val problems = scaleKillers(SparkEntry.queries(n)(spark, sf)).toSet
       val unused   = shapes -- problems
-      if (unused.isEmpty) Nil else Seq(s"$n no longer plans: ${unused.mkString(", ")}")
+      if (unused.isEmpty) Nil
+      else
+        Seq(
+          s"$n no longer plans: ${unused.mkString(", ")}" +
+            (if (problems.nonEmpty) s" [planned instead: ${problems.mkString("; ")}]" else " [no flagged shapes at all]")
+        )
     }
     assert(stale.isEmpty, s"stale allowlist entries:\n${stale.mkString("\n")}")
   }

@@ -83,18 +83,23 @@ class OperatorSpec extends SparkSpec {
     // unix_micros/window consumer breaks
     val dir = java.nio.file.Files.createTempDirectory("graft_ntz_events").toString
     val prev = spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled")
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
     try {
       Seq((1L, "2024-01-02 03:04:05.123456", 7L, "view", 1.5, "{}"))
         .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
         .select($"event_id", $"ts_s".cast("timestamp_ntz").as("ts"), $"user_id", $"event_type", $"value", $"props")
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
       spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+      // the naive-as-UTC interpretation must NOT depend on the caller's
+      // session zone (an external session won't have tuned it to UTC)
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
       val ev = Tables.events(spark, dir)
       assert(ev.schema("ts").dataType === org.apache.spark.sql.types.TimestampType)
       val us = ev.select(unix_micros($"ts")).as[Long].head()
-      assert(us === 1704164645123456L, s"naive value must be read as UTC, got $us")
+      assert(us === 1704164645123456L, s"naive value must be read as UTC in any session zone, got $us")
     } finally {
       spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", prev)
+      spark.conf.set("spark.sql.session.timeZone", prevTz)
       graft.sources.ParquetSink.deleteRecursively(dir)
     }
   }
