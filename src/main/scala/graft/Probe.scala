@@ -341,6 +341,90 @@ object Probe {
       if (!ok) sys.exit(1)
       return
     }
+    if (which == "scalesim") {
+      // Engine-only scaling curve for the ANN/similarity family (the q70
+      // multi-table LSH shape): synthetic 64-dim vectors with every 10th
+      // vector an EXACT copy of its predecessor, 4 hash tables × 8
+      // hyperplanes (256 buckets/table), 20 bounded queries (the copies
+      // themselves). Identical vectors land in identical buckets in every
+      // table, so LSH must find every planted partner at cos≈1 — a 100%
+      // mechanical recall floor that needs no statistical tolerance.
+      // Tripwires (exit 1): any missed partner, candidate volume above
+      // n/16 per query (the whole point of bucketing is pruning — brute
+      // force would examine n), or >5x time per 4x data step.
+      import spark.implicits._
+      import graft.functions.Kernels
+      import graft.operators.Similarity
+      val dim     = 64
+      val nTables = 4
+      val nPlanes = 8
+      val nQ      = 20L
+      def synthVecs(n: Long) = {
+        val base = when($"id" % 10 === 0 && $"id" > 0, $"id" - 1).otherwise($"id")
+        spark
+          .range(n)
+          .repartition(32)
+          .select(
+            $"id".as("vec_id"),
+            transform(
+              sequence(lit(0), lit(dim - 1)),
+              d =>
+                (((conv(substring(md5(concat_ws("_", base, d)), 1, 8), 16, 10).cast("long") % 2001L) -
+                  1000L).cast("double") / 1000.0).cast("float")
+            ).as("embedding")
+          )
+      }
+      def run(n: Long): (Long, Long, Double) = {
+        val t0 = System.nanoTime()
+        val v = synthVecs(n)
+          .select($"vec_id", $"embedding", sqrt(Kernels.dot($"embedding", $"embedding")).as("nrm"))
+        val buckets = array(
+          (0 until nTables).map(t =>
+            struct(lit(t).as("t"), Similarity.lshBucket($"embedding", t, nPlanes).as("b"))
+          ): _*
+        )
+        val cand = v
+          .select($"vec_id", $"embedding", $"nrm", explode(buckets).as("tb"))
+          .repartition($"tb")
+        val q = cand
+          .filter($"vec_id" % 10 === 0 && $"vec_id" > 0 && $"vec_id" <= nQ * 10)
+          .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"), $"tb".as("qtb"))
+        val m = cand
+          .hint("shuffle_hash")
+          .join(broadcast(q), $"tb" === $"qtb" && $"vec_id" =!= $"query_id")
+          .dropDuplicates("query_id", "vec_id")
+          .withColumn("cos", Kernels.dot($"qe", $"embedding") / ($"qn" * $"nrm"))
+          .agg(
+            count(lit(1)).as("n_cand"),
+            sum(when($"vec_id" === $"query_id" - 1 && $"cos" > 0.999, 1L).otherwise(0L)).as("found")
+          )
+          .as[(Long, Long)]
+          .head()
+        (m._1, m._2, (System.nanoTime() - t0) / 1e9)
+      }
+      run(25000) // warm: JIT + codegen, untimed
+      var ok = true
+      val steps = Seq(25000L, 100000L, 400000L).map { n =>
+        val (nCand, found, sec) = run(n)
+        println(f"[scalesim] vecs=$n%7d candidates=$nCand%9d found=$found/$nQ time=$sec%7.2f s")
+        if (found != nQ) { println(s"[scalesim] VIOLATION planted partner missed ($found of $nQ)"); ok = false }
+        if (nCand > nQ * n / 16) {
+          println(s"[scalesim] VIOLATION candidate volume $nCand exceeds ${nQ * n / 16} — bucketing is not pruning")
+          ok = false
+        }
+        (n, sec)
+      }
+      steps.sliding(2).foreach {
+        case Seq((n0, t0), (n1, t1)) =>
+          val ratio = t1 / t0
+          println(f"[scalesim] $n0%d→$n1%d (4x data): ${ratio}%.2fx time ${if (ratio <= 5.0) "OK" else "VIOLATION (super-linear)"}")
+          if (ratio > 5.0) ok = false
+        case _ => ()
+      }
+      spark.stop()
+      if (!ok) sys.exit(1)
+      return
+    }
     if (which == "adhoc") {
       // decimal vs double vs scaled-long aggregation cost on lineitem
       import spark.implicits._
