@@ -337,6 +337,77 @@ object Probe {
           if (ratio > 5.0) ok = false
         case _ => ()
       }
+      // ---- TTL plateau phase: the same registry, bounded vs unbounded ----
+      // 8 micro-batches of fresh docs, each an hour of event time apart,
+      // through (a) the NoTimeout registry and (b) the 90-minute-horizon
+      // TTL registry. State-store row counts are read from query progress
+      // after every epoch. Tripwires (exit 1): the unbounded run must grow
+      // ~4 rows/doc (sanity that we measured the right thing); the TTL run
+      // must PLATEAU — its last-4-epoch samples within 1.5x of each other
+      // and its final state under half the unbounded run's — the mechanical
+      // form of the "bounded by docs-per-horizon" claim.
+      locally {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import scala.concurrent.duration._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        val perEpoch = 5000
+        val nEpochs  = 8
+        def docText(id: Long): String =
+          (0 until 40).map(j => java.lang.Long.toHexString(id * 40L + j + 0x9e3779b9L)).mkString(" ")
+        def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+          q.recentProgress.flatMap(_.stateOperators.headOption).map(_.numRowsTotal).lastOption.getOrElse(-1L)
+        // (a) unbounded registry
+        val inU = MemoryStream[(Long, String)]
+        val qU = graft.streaming.Streaming
+          .nearDupBandMins(inU.toDF().toDF("doc_id", "text"))
+          .toDF("bkey", "min_id")
+          .writeStream
+          .format("noop")
+          .outputMode("append")
+          .start()
+        val unboundedSamples =
+          try {
+            (0 until nEpochs).map { e =>
+              inU.addData((0 until perEpoch).map(i => ((e * perEpoch + i).toLong, docText((e * perEpoch + i).toLong))))
+              qU.processAllAvailable()
+              stateRows(qU)
+            }
+          } finally qU.stop()
+        // (b) TTL registry, 90-minute horizon, epochs 1 h apart
+        val inT = MemoryStream[(Long, java.sql.Timestamp, String)]
+        val qT = graft.streaming.Streaming
+          .nearDupBandMinsTtl(inT.toDF().toDF("doc_id", "ts", "text"), horizon = 90.minutes)
+          .toDF("bkey", "min_id")
+          .writeStream
+          .format("noop")
+          .outputMode("append")
+          .start()
+        val ttlSamples =
+          try {
+            (0 until nEpochs).map { e =>
+              val t = new java.sql.Timestamp(3600000L * (e + 1))
+              inT.addData((0 until perEpoch).map(i => ((e * perEpoch + i).toLong, t, docText((e * perEpoch + i).toLong))))
+              qT.processAllAvailable()
+              stateRows(qT)
+            }
+          } finally qT.stop()
+        println(s"[scalestream] ttl: unbounded state/epoch = ${unboundedSamples.mkString(", ")}")
+        println(s"[scalestream] ttl: 90min-TTL state/epoch = ${ttlSamples.mkString(", ")}")
+        val totalDocs = perEpoch.toLong * nEpochs
+        if (unboundedSamples.last < 3L * totalDocs) {
+          println(s"[scalestream] VIOLATION unbounded registry measured ${unboundedSamples.last} rows — expected ~4x$totalDocs; state metric broken?")
+          ok = false
+        }
+        val tail4 = ttlSamples.takeRight(4)
+        if (tail4.max > 1.5 * tail4.min) {
+          println(s"[scalestream] VIOLATION TTL state did not plateau: last-4 samples ${tail4.mkString(", ")}")
+          ok = false
+        }
+        if (ttlSamples.last > unboundedSamples.last / 2) {
+          println(s"[scalestream] VIOLATION TTL final state ${ttlSamples.last} not under half of unbounded ${unboundedSamples.last}")
+          ok = false
+        }
+      }
       spark.stop()
       if (!ok) sys.exit(1)
       return

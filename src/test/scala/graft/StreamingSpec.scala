@@ -318,4 +318,112 @@ class StreamingSpec extends SparkSpec {
       assert(aBkeys.forall(k => finalMins.get(k).contains(10L)))
     } finally q.stop()
   }
+
+  // the TTL tests keep event time off epoch 0: the initial watermark is 0
+  // and rows at ts <= watermark are dropped as late before the state op
+  private def hts(minute: Int): Timestamp = new Timestamp(3600000L + minute * 60000L)
+
+  test("TTL'd near-dup registry detects within the horizon, expires idle buckets, re-detects fresh") {
+    import spark.implicits._
+    import scala.concurrent.duration._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textB = "an entirely different document about spark structured streaming state"
+    val in    = MemoryStream[(Long, Timestamp, String)]
+    val docs  = in.toDF().toDF("doc_id", "ts", "text")
+    val q = Streaming
+      .nearDupBandMinsTtl(docs, horizon = 10.minutes)
+      .toDF("bkey", "min_id")
+      .writeStream
+      .format("memory")
+      .queryName("neardup_ttl_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      val aBkeys = Streaming
+        .nearDupBandsBatch(Seq((10L, textA)).toDF("doc_id", "text"))
+        .select($"bkey")
+        .as[String]
+        .collect()
+        .toSet
+      def emitted() = spark.table("neardup_ttl_test").as[(String, Long)].collect()
+
+      // batch 1: doc 10 registers textA's buckets; watermark → t0
+      in.addData((10L, hts(0), textA))
+      q.processAllAvailable()
+      val n1 = emitted().length
+      // batch 2 (t+5min, INSIDE the horizon): dup detected — emissions
+      // carry the cross-batch minimum 10, exactly like the NoTimeout op
+      in.addData((11L, hts(5), textA))
+      q.processAllAvailable()
+      val batch2 = emitted().drop(n1)
+      assert(batch2.nonEmpty && batch2.forall { case (k, m) => aBkeys.contains(k) && m === 10L },
+        s"within-horizon dup must see min 10: ${batch2.mkString(", ")}")
+      // batches 3-4: unrelated docs push the watermark 2 h ahead; textA's
+      // buckets (timeout = last arrival t5 + 10 min) expire in between
+      in.addData((20L, hts(120), textB))
+      q.processAllAvailable()
+      in.addData((21L, hts(121), textB))
+      q.processAllAvailable()
+      val n4 = emitted().length
+      // batch 5: textA re-arrives AFTER expiry — re-registered as a NEW
+      // first (min = its own id), proving the state was actually removed
+      in.addData((1000010L, hts(125), textA))
+      q.processAllAvailable()
+      val batch5 = emitted().drop(n4).filter { case (k, _) => aBkeys.contains(k) }
+      assert(batch5.nonEmpty && batch5.forall { case (_, m) => m === 1000010L },
+        s"post-expiry re-arrival must be fresh (min = own id): ${batch5.mkString(", ")}")
+    } finally q.stop()
+  }
+
+  test("at-arrival near-dup flags judge each doc against the registry as of its arrival") {
+    import spark.implicits._
+    import scala.concurrent.duration._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textB = "an entirely different document about spark structured streaming state"
+    val in    = MemoryStream[(Long, Timestamp, String)]
+    val docs  = in.toDF().toDF("doc_id", "ts", "text")
+    // the documented deployment shape: per-batch reduce inside foreachBatch
+    val verdicts = scala.collection.mutable.Map[Long, (Boolean, Option[Long])]()
+    val q = Streaming
+      .nearDupAtArrivalFlags(docs, horizon = 10.minutes)
+      .toDF()
+      .writeStream
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("graft_atarrival").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Streaming
+          .atArrivalVerdicts(batch)
+          .collect()
+          .foreach { r =>
+            verdicts(r.getAs[Long]("doc_id")) =
+              (r.getAs[Boolean]("is_dup_at_arrival"), Option(r.getAs[java.lang.Long]("first_match")).map(_.toLong))
+          }
+        ()
+      }
+      .start()
+    try {
+      // batch 1: 10 and 12 are same-batch dups (12 arrives after 10 in
+      // (ts, doc_id) order); 11 is unrelated
+      in.addData((10L, hts(0), textA), (12L, hts(1), textA), (11L, hts(0), textB))
+      q.processAllAvailable()
+      assert(verdicts(10L) === ((false, None)), "the first arrival is never flagged")
+      assert(verdicts(12L) === ((true, Some(10L))), "same-batch later arrival flags against the earlier")
+      assert(verdicts(11L) === ((false, None)))
+      // batch 2: cross-batch dup within the horizon
+      in.addData((1000010L, hts(5), textA))
+      q.processAllAvailable()
+      assert(verdicts(1000010L) === ((true, Some(10L))), "cross-batch dup flags at arrival")
+      assert(verdicts(10L) === ((false, None)), "the original is never retroactively flagged")
+      // advance the watermark far past the horizon, let textA's state expire
+      in.addData((30L, hts(120), textB))
+      q.processAllAvailable()
+      in.addData((31L, hts(121), textB))
+      q.processAllAvailable()
+      // post-expiry re-arrival: the gate treats it as fresh
+      in.addData((2000000L, hts(125), textA))
+      q.processAllAvailable()
+      assert(verdicts(2000000L) === ((false, None)), "post-expiry arrival is fresh at the gate")
+    } finally q.stop()
+  }
 }
