@@ -9,8 +9,62 @@ import org.apache.spark.sql.SparkSession
   * Catalyst collapse projection-only plans to a metadata count and measure
   * nothing. One untimed warm-up action absorbs JVM/codegen startup; each
   * query then reports the best of 2 runs (steady-state, still cheap).
+  *
+  * Phase-proofing: host phase (VM clock/IO state after restarts) has moved
+  * identical-code snapshots by ~1.5× between rounds, which reads as a code
+  * regression in an absolute-seconds record. So after timing the engine,
+  * the SAME invocation times the SAME headline queries' oracle SQL in
+  * DuckDB (via `tools/time_oracle.py`, best-effort — skipped silently when
+  * python3/duckdb/the script are absent, e.g. on a real cluster) and the
+  * JSON gains `duckdb_total` + `engine_duckdb_ratio`. Both engines see the
+  * same host phase, so the RATIO is the phase-cancelling number to compare
+  * across rounds; absolute seconds stay for continuity. Disable with
+  * SPARK_GRAFT_PAIR_ORACLE=0.
   */
 object Bench {
+
+  /** Minimal JSON string escaper for embedding oracle SQL in the temp
+    * oracle_sql.json handed to the DuckDB timer. */
+  private def jsonEscape(s: String): String = {
+    val b = new StringBuilder(s.length + 16)
+    s.foreach {
+      case '"'           => b.append("\\\"")
+      case '\\'          => b.append("\\\\")
+      case '\n'          => b.append("\\n")
+      case '\r'          => b.append("\\r")
+      case '\t'          => b.append("\\t")
+      case c if c < ' '  => b.append(f"\\u${c.toInt}%04x")
+      case c             => b.append(c)
+    }
+    b.toString
+  }
+
+  /** Time the headline oracles in DuckDB within THIS invocation; None when
+    * the driver-side tooling is unavailable (never an error — the engine
+    * bench must not depend on it). */
+  private def pairedDuckdbTotal(sfDir: String, names: Seq[String]): Option[Double] =
+    try {
+      if (sys.env.get("SPARK_GRAFT_PAIR_ORACLE").contains("0")) return None
+      val script = java.nio.file.Paths.get("tools", "time_oracle.py")
+      if (!java.nio.file.Files.exists(script)) return None
+      val sqls = names.flatMap(n => SparkEntry.oracleSql.get(n).map(n -> _))
+      if (sqls.isEmpty) return None
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bench_oracle")
+      val json = sqls
+        .map { case (k, v) => "\"" + k + "\":\"" + jsonEscape(v) + "\"" }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.write(tmp.resolve("oracle_sql.json"), json.getBytes("UTF-8"))
+      val pb = new ProcessBuilder("python3", script.toString, sfDir, tmp.toString, "2")
+      pb.redirectErrorStream(true)
+      val p   = pb.start()
+      val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
+      val ok  = p.waitFor() == 0
+      if (!ok) { System.err.println(s"[bench] paired oracle failed:\n$out"); None }
+      else
+        out.linesIterator
+          .find(_.startsWith("TOTAL\t"))
+          .map(_.split('\t')(1).toDouble)
+    } catch { case e: Throwable => System.err.println(s"[bench] paired oracle skipped: $e"); None }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Default to the machine's core count (the driver runs local[32]); a
@@ -55,7 +109,11 @@ object Bench {
     }
     val qs    = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json  = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // same-invocation DuckDB pairing: the ratio cancels host phase
+    val paired = pairedDuckdbTotal(sfDir, names)
+      .map(d => f""","duckdb_total":$d%.3f,"engine_duckdb_ratio":${total / d}%.3f""")
+      .getOrElse("")
+    val json  = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$paired}"""
     println(json)
     // Also write the metric to a file: sbt interleaves [info]/[error] log
     // noise into stdout, which broke the driver's machine-parse of this line
