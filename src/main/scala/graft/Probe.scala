@@ -268,6 +268,34 @@ object Probe {
           if (rU > 5.0 || rB > 5.0) ok = false
         case _ => ()
       }
+      // ---- production-cap phase: k = 100,000 (not the toy default 24) ----
+      // Same 400k-doc corpus (~10M distinct tokens). A 100k-row lookup
+      // table is a few MB broadcast — the realistic KenLM-style deployment
+      // cap. Tripwires (exit 1): the k=100,000 run must stay within 3x of
+      // the k=24 run at the same size (the cap's only extra cost is the
+      // bounded broadcast; if runtime explodes, the broadcast is no longer
+      // the bounded side), and a 4x data step at k=100,000 must stay
+      // sub-linear (<=5x) like the default-cap curve.
+      locally {
+        val k = 100000
+        def timed(f: => Unit): Double = { val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9 }
+        val (n24u, n24b) = steps.last match { case (_, u, b) => (u, b) }
+        val u100k_100 = timed(noop(Vocab.unigramLogprobOf(synthDocs(100000), lmK = k)))
+        val b100k_100 = timed(noop(Vocab.bigramLogprobOf(synthDocs(100000), lmK = k)))
+        val u100k_400 = timed(noop(Vocab.unigramLogprobOf(synthDocs(400000), lmK = k)))
+        val b100k_400 = timed(noop(Vocab.bigramLogprobOf(synthDocs(400000), lmK = k)))
+        println(f"[scalelm] k=$k: docs=100000 unigram=$u100k_100%7.2f s bigram=$b100k_100%7.2f s")
+        println(f"[scalelm] k=$k: docs=400000 unigram=$u100k_400%7.2f s bigram=$b100k_400%7.2f s")
+        val vsDefault = Seq("unigram" -> (u100k_400 / n24u), "bigram" -> (b100k_400 / n24b))
+        vsDefault.foreach { case (which, r) =>
+          println(f"[scalelm] k=$k vs k=24 at 400k docs: $which ${r}%.2fx ${if (r <= 3.0) "OK" else "VIOLATION (broadcast no longer bounded?)"}")
+          if (r > 3.0) ok = false
+        }
+        val rU = u100k_400 / u100k_100
+        val rB = b100k_400 / b100k_100
+        println(f"[scalelm] k=$k 100000→400000 (4x data): unigram ${rU}%.2fx ${if (rU <= 5.0) "OK" else "VIOLATION"} bigram ${rB}%.2fx ${if (rB <= 5.0) "OK" else "VIOLATION"}")
+        if (rU > 5.0 || rB > 5.0) ok = false
+      }
       spark.stop()
       if (!ok) sys.exit(1)
       return

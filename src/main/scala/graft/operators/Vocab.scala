@@ -22,14 +22,19 @@ object Vocab {
   // out-of-vocab (-1 / UNK) path carries real weight in the oracle compare.
   private val VocabSize = 20
 
-  /** Cap for every LM-scoring lookup table (unigram logprobs, idf, bigram
-    * contexts): top-N tokens by (freq desc, token asc). At corpus scale the
-    * raw token vocabulary grows with the data — broadcasting it
+  /** Default cap for every LM-scoring lookup table (unigram logprobs, idf,
+    * bigram contexts): top-N tokens by (freq desc, token asc). At corpus
+    * scale the raw token vocabulary grows with the data — broadcasting it
     * uncapped would OOM the driver at 100 TB — so the broadcast side is
-    * bounded to this constant and out-of-vocab tokens take a deterministic
-    * UNK floor (the standard KenLM move). Kept below the fixture's 31
-    * distinct tokens so the OOV path carries real weight in the oracle
-    * compare at every SF. */
+    * bounded to a constant and out-of-vocab tokens take a deterministic
+    * UNK floor (the standard KenLM move). The DEFAULT is kept below the
+    * fixture's 31 distinct tokens so the OOV path carries real weight in
+    * the oracle compare at every SF; the scoring shapes take the cap as a
+    * parameter (`lmK`), and a production deployment runs ~100,000 — a
+    * few-MB broadcast — which the `scalelm` probe exercises literally
+    * (k=100,000 over a ~10M-distinct-token synthetic corpus, with a
+    * tripwire that the capped broadcast keeps the run within a constant
+    * factor of the k=24 run). */
   private[graft] val LmVocabSize = 24
 
   /** Internal: (token_id, token, freq), ids contiguous from 0 in
@@ -78,14 +83,14 @@ object Vocab {
     * source + presentation sort) — the scaling probe drives it over
     * synthetic corpora whose vocabulary GROWS with the data, proving the
     * [[LmVocabSize]] cap keeps the broadcast bounded. */
-  private[graft] def unigramLogprobOf(docs: DataFrame): DataFrame = {
+  private[graft] def unigramLogprobOf(docs: DataFrame, lmK: Int = LmVocabSize): DataFrame = {
     import docs.sparkSession.implicits._
     val tok   = docs.select($"doc_id", explode(tokens($"text")).as("token"))
     val freqs = tok.groupBy($"token").agg(count(lit(1)).as("freq"))
     val total = freqs.agg(sum($"freq")).head().getLong(0)
     val lp = freqs
       .orderBy($"freq".desc, $"token")
-      .limit(LmVocabSize)
+      .limit(lmK)
       .select(
         $"token",
         round(log($"freq" / lit(total.toDouble)) * 1e6).cast("long").as("lp6")
@@ -185,7 +190,7 @@ object Vocab {
   }
 
   /** Docs-parameterized bigram-scoring shape (see [[unigramLogprobOf]]). */
-  private[graft] def bigramLogprobOf(docs: DataFrame): DataFrame = {
+  private[graft] def bigramLogprobOf(docs: DataFrame, lmK: Int = LmVocabSize): DataFrame = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select($"doc_id", tokens($"text").as("tk"))
@@ -204,7 +209,7 @@ object Vocab {
       .repartition($"w1", $"w2")
     val uniAll    = toks.select(explode($"tk").as("w1")).groupBy($"w1").agg(count(lit(1)).as("c1"))
     val vocabSize = uniAll.count()
-    val uni       = uniAll.orderBy($"c1".desc, $"w1").limit(LmVocabSize)
+    val uni       = uniAll.orderBy($"c1".desc, $"w1").limit(lmK)
     big
       .withColumn("c12", count(lit(1)).over(Window.partitionBy($"w1", $"w2")))
       .join(broadcast(uni), Seq("w1"), "left")
