@@ -524,6 +524,151 @@ object Probe {
       if (!ok) sys.exit(1)
       return
     }
+    if (which == "scalerecall") {
+      // Statistical ANN recall probe — the quality bar a real ANN user asks
+      // about first. scalesim's planted-copy floor is mechanical (exact
+      // copies share every bucket); here the planted neighbors are NOISED
+      // to controlled cosines (0.95 / 0.90 / 0.80 via column-space
+      // Gram-Schmidt: v' = c·û + sqrt(1-c²)·r̂⊥), so bucketing can
+      // genuinely lose them and recall@10 vs brute-force ground truth is a
+      // real statistic. Each query (ids 1..20) gets 10 planted neighbors
+      // at the target cosine in the corpus tail; random background cosine
+      // maxes out ≈0.6 at dim 64 / n=100k, so ground truth is the planted
+      // set and recall isolates the ANN path's loss. Both shipped paths
+      // are graded: the q70 LSH shape (4 tables × 4 planes, OR-amplified)
+      // and the q76 IVF shape (sampled coarse quantizer, nprobe of nlist);
+      // a banding curve (tables × planes) is recorded at c=0.90.
+      // Tripwires (exit 1): shipped-parameter recall@10 < 0.9 at c≥0.90
+      // (LSH) and < 0.9 at c=0.95 (IVF nprobe=4).
+      import spark.implicits._
+      import graft.functions.Kernels
+      import graft.operators.Similarity
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.expressions.Window
+      val dim   = 64
+      val nQ    = 20
+      val mNbrs = 10
+      val k     = 10
+      def baseVec(key: Column) =
+        transform(
+          sequence(lit(0), lit(dim - 1)),
+          d =>
+            ((conv(substring(md5(concat_ws("_", key, d)), 1, 8), 16, 10).cast("long") % 2001L) -
+              1000L).cast("double") / 1000.0
+        )
+      def hofDot(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      def corpus(n: Long, c: Double) = {
+        val isPlanted = $"id" >= (n - nQ.toLong * mNbrs) && $"id" < n
+        val qid       = (($"id" - (n - nQ.toLong * mNbrs)) / mNbrs).cast("long") + 1 // query vec_id 1..nQ
+        val u         = baseVec(qid)
+        val r         = baseVec(concat(lit("noise"), $"id"))
+        val ru        = hofDot(r, u)
+        val uu        = hofDot(u, u)
+        val rp        = zip_with(r, u, (ri, ui) => ri - ui * (ru / uu))
+        val rpn       = sqrt(hofDot(rp, rp))
+        val planted =
+          zip_with(u, rp, (ui, rpi) => ui / sqrt(uu) * c + rpi / rpn * math.sqrt(1 - c * c))
+        spark
+          .range(n)
+          .repartition(32)
+          .select(
+            $"id".as("vec_id"),
+            transform(when(isPlanted, planted).otherwise(baseVec($"id")), x => x.cast("float"))
+              .as("embedding")
+          )
+          .select($"vec_id", $"embedding", sqrt(Kernels.dot($"embedding", $"embedding")).as("nrm"))
+          .localCheckpoint() // freeze: every path must see identical vectors
+      }
+      def queriesOf(e: org.apache.spark.sql.DataFrame) =
+        e.filter($"vec_id" >= 1 && $"vec_id" <= nQ)
+          .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+      def topkOf(scored: org.apache.spark.sql.DataFrame) = {
+        val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+        scored
+          .withColumn("cos", round(Kernels.dot($"qe", $"embedding") / ($"qn" * $"nrm"), 6))
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= k)
+          .select($"query_id", $"vec_id")
+      }
+      def recallVs(truth: org.apache.spark.sql.DataFrame, ann: org.apache.spark.sql.DataFrame): Double =
+        truth.join(ann, Seq("query_id", "vec_id")).count().toDouble / (nQ.toDouble * k)
+      def bruteTopk(e: org.apache.spark.sql.DataFrame) =
+        topkOf(e.join(broadcast(queriesOf(e)), $"vec_id" =!= $"query_id"))
+      def lshTopk(e: org.apache.spark.sql.DataFrame, nTables: Int, nPlanes: Int) = {
+        val buckets = array(
+          (0 until nTables).map(t =>
+            struct(lit(t).as("t"), Similarity.lshBucket($"embedding", t, nPlanes).as("b"))
+          ): _*
+        )
+        val cand = e.select($"vec_id", $"embedding", $"nrm", explode(buckets).as("tb"))
+        val q = cand
+          .filter($"vec_id" >= 1 && $"vec_id" <= nQ)
+          .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"), $"tb".as("qtb"))
+        topkOf(
+          cand
+            .join(broadcast(q), $"tb" === $"qtb" && $"vec_id" =!= $"query_id")
+            .dropDuplicates("query_id", "vec_id")
+        )
+      }
+      def ivfTopk(e: org.apache.spark.sql.DataFrame, nList: Int, nProbe: Int, n: Long) = {
+        // coarse quantizer = sampled corpus vectors (the untrained stand-in
+        // for k-means, same role as q76's per-label means)
+        val cents = e
+          .filter($"vec_id" % (n / nList) === 17 && $"vec_id" < (n - nQ.toLong * mNbrs))
+          .select($"vec_id".as("cent_id"), $"embedding".as("cvec"), $"nrm".as("cnrm"))
+        val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
+        val assigned = e
+          .crossJoin(broadcast(cents))
+          .withColumn("ccos", Kernels.dot($"embedding", $"cvec") / ($"nrm" * $"cnrm"))
+          .withColumn("crk", row_number().over(wAssign))
+          .filter($"crk" === 1)
+          .select($"vec_id", $"embedding", $"nrm", $"cent_id")
+        val wProbe = Window.partitionBy($"query_id").orderBy($"ccos".desc, $"probe_cent")
+        val probes = queriesOf(e)
+          .crossJoin(broadcast(cents))
+          .withColumn("ccos", Kernels.dot($"qe", $"cvec") / ($"qn" * $"cnrm"))
+          .withColumn("probe_cent", $"cent_id")
+          .withColumn("crk", row_number().over(wProbe))
+          .filter($"crk" <= nProbe)
+          .select($"query_id", $"qe", $"qn", $"probe_cent")
+        topkOf(
+          assigned
+            .join(broadcast(probes), $"cent_id" === $"probe_cent" && $"vec_id" =!= $"query_id")
+        )
+      }
+      var ok = true
+      val cs = Seq(0.95, 0.90, 0.80)
+      Seq(25000L, 100000L).foreach { n =>
+        cs.foreach { c =>
+          val e     = corpus(n, c)
+          val truth = bruteTopk(e).localCheckpoint()
+          val rLsh  = recallVs(truth, lshTopk(e, 4, 4))
+          val rIvf  = recallVs(truth, ivfTopk(e, 64, 4, n))
+          println(f"[scalerecall] n=$n%7d c=$c%.2f lsh(4t x 4p) recall@10=$rLsh%.3f ivf(64 lists, nprobe 4) recall@10=$rIvf%.3f")
+          if (c >= 0.90 && rLsh < 0.9) {
+            println(f"[scalerecall] VIOLATION shipped LSH recall $rLsh%.3f < 0.9 at c=$c%.2f")
+            ok = false
+          }
+          if (c == 0.95 && rIvf < 0.9) {
+            println(f"[scalerecall] VIOLATION shipped IVF recall $rIvf%.3f < 0.9 at c=0.95")
+            ok = false
+          }
+        }
+      }
+      // banding curve at c=0.90, n=100k: how recall buys with tables/planes
+      locally {
+        val e     = corpus(100000L, 0.90)
+        val truth = bruteTopk(e).localCheckpoint()
+        Seq((2, 4), (4, 4), (8, 4), (4, 8)).foreach { case (t, p) =>
+          val r = recallVs(truth, lshTopk(e, t, p))
+          println(f"[scalerecall] banding n=100000 c=0.90: ${t}t x ${p}p recall@10=$r%.3f")
+        }
+      }
+      spark.stop()
+      if (!ok) sys.exit(1)
+      return
+    }
     if (which == "adhoc") {
       // decimal vs double vs scaled-long aggregation cost on lineitem
       import spark.implicits._
