@@ -807,7 +807,11 @@ object Probe {
         "q29_stats_agg",
         "q02_top_event_types",
         "q03_recent_window_daily",
-        "q134_skipping_audit"
+        "q134_skipping_audit",
+        // dedup/text families over the 10x-replicated documents slice
+        "q65_minhash_lsh_pairs",
+        "q97_span_dedup",
+        "q120_dedup_endgame"
       )
       // max o_orderkey at sf0.1 is 149,999 (duckdb-checked); 10M per
       // replica keeps ranges disjoint with ~66× headroom
@@ -817,7 +821,7 @@ object Probe {
           .withColumn(key, col(key) + $"rep" * off)
           .drop("rep")
       Files.createDirectories(Paths.get(sf1Dir))
-      Seq("region", "nation", "customer", "supplier", "part", "documents", "embeddings")
+      Seq("region", "nation", "customer", "supplier", "part", "embeddings")
         .foreach { t =>
           Files.copy(
             Paths.get(s"$sfDir/$t.parquet"),
@@ -831,9 +835,26 @@ object Probe {
         .repartition(8).write.mode("overwrite").parquet(s"$sf1Dir/orders.parquet")
       replicate(Tables.events(spark, sfDir), "event_id")
         .repartition(8).write.mode("overwrite").parquet(s"$sf1Dir/events.parquet")
+      // documents: 10x replicas in disjoint doc_id ranges with every token
+      // salted per replica (r<rep>_token) — each replica keeps the fixture's
+      // internal dup structure (the %10 injection copies a replica-local
+      // text EXACTLY) while cross-replica Jaccard is zero, so pair counts
+      // scale ~10x linearly instead of every doc gaining 9 exact copies.
+      // The 10M offset preserves doc_id % 10 (the injection predicate) and
+      // clears the +1M injected-id range. The salt is applied BEFORE the
+      // parquet lands, so DuckDB replays the identical bytes.
+      replicate(Tables.documents(spark, sfDir), "doc_id")
+        .withColumn("rep2", (col("doc_id") / off).cast("long"))
+        .withColumn(
+          "text",
+          regexp_replace($"text", lit("(\\S+)"), concat(lit("r"), $"rep2", lit("_$1")))
+        )
+        .drop("rep2")
+        .repartition(8).write.mode("overwrite").parquet(s"$sf1Dir/documents.parquet")
       val nLi = spark.read.parquet(s"$sf1Dir/lineitem.parquet").count()
       val nEv = spark.read.parquet(s"$sf1Dir/events.parquet").count()
-      println(s"[sf1] synthetic slice at $sf1Dir: lineitem=$nLi events=$nEv rows")
+      val nDoc = spark.read.parquet(s"$sf1Dir/documents.parquet").count()
+      println(s"[sf1] synthetic slice at $sf1Dir: lineitem=$nLi events=$nEv documents=$nDoc rows")
       sf1Set.foreach { n =>
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sf1Dir).coalesce(1).write.mode("overwrite")
