@@ -145,6 +145,60 @@ object Layout {
       .crossJoin(fileStats(pmod($"event_id", lit(64L)), "natural"))
   }
 
+  /** Declared query (q137): COMPOSED pruning audit — the q134 skipping
+    * mechanism and the q127 bucketing idea stacked, over REAL files. The
+    * events table is written once (memoized) in the layout a production
+    * ingest lands: first-level directories on the ingest dimension
+    * (`event_type`), second-level bucket directories on the user hash
+    * (`ub = user_id % 16`), one file per (partition, bucket) by
+    * construction (the pre-write repartition keys on exactly the two dir
+    * columns, so a task's rows for one pair land as one file in that
+    * pair's directory regardless of task collisions). A point lookup
+    * (event_type = 'view' AND user_id = 7) then needs exactly ONE of the
+    * ~80 files: the partition level prunes 4/5 of the directories, the
+    * bucket level prunes 15/16 of the survivors — and because both levels
+    * are DIRECTORY values, vanilla Spark's partition pruning does this at
+    * planning time (ScaleTechniquesSpec asserts the physical scan reads
+    * numFiles = 1 with both columns in PartitionFilters — not a modeled
+    * reader, the actual one). Membership of every level is a pure
+    * function of the row, so the DuckDB oracle replays the file counts
+    * and the selected rows from the raw table. At 100 TB: the partition
+    * level bounds a query to its ingest slice, the bucket level turns a
+    * point lookup (or a bucket-aligned join) into a one-file read — both
+    * paid once at write time. */
+  def composedPruningAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = graft.sources.ParquetSink.memoFixture(spark, "pbprune", sfDir) { d =>
+      Tables
+        .events(spark, sfDir)
+        .select(
+          $"event_id",
+          $"event_type",
+          $"user_id",
+          pmod($"user_id".cast("long"), lit(16L)).as("ub")
+        )
+        .repartition($"event_type", $"ub")
+        .write
+        .partitionBy("event_type", "ub")
+        .mode("overwrite")
+        .parquet(d)
+    }
+    val back = spark.read.parquet(dir)
+    val hit  = $"event_type" === "view" && $"user_id" === 7L
+    val fileCounts = back
+      .groupBy($"event_type", $"ub")
+      .agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("total_files"),
+        sum(when($"event_type" === "view", 1L).otherwise(0L)).as("files_scanned_partition"),
+        sum(when($"event_type" === "view" && $"ub" === 7L, 1L).otherwise(0L))
+          .as("files_scanned_composed")
+      )
+    back
+      .agg(count(lit(1)).as("total_rows"), sum(when(hit, 1L).otherwise(0L)).as("rows_selected"))
+      .crossJoin(fileCounts)
+  }
+
   // One bucketed-table pair per (JVM, sfDir): q127 is constructed by
   // plan-only consumers too (the corpus sweep), so the two bucketed writes
   // must not repeat per construction. Table names are UUID-suffixed (the

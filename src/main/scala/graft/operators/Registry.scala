@@ -2184,6 +2184,31 @@ object Registry {
             WHERE ma_x >= 4 AND mi_x <= 11 AND ma_y >= 32 AND mi_y <= 95) AS natural_files_scanned
       """)
     ),
+    // Composed pruning audit: partition dirs (event_type) x bucket dirs
+    // (user_id % 16), one real file per pair; a point lookup needs 1 of
+    // ~80 files and vanilla partition pruning proves it at plan time
+    // (ScaleTechniquesSpec asserts numFiles = 1). Membership is a pure
+    // row function, so the oracle replays every count from the raw table.
+    Q(
+      "q137_composed_pruning",
+      Layout.composedPruningAudit,
+      Some("""
+        WITH f AS (
+          SELECT event_type, user_id % 16 AS ub, user_id FROM events
+        ), fl AS (
+          SELECT event_type, ub, count(*) AS n FROM f GROUP BY event_type, ub
+        )
+        SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM f) AS total_rows,
+          (SELECT CAST(count(*) AS BIGINT) FROM f
+            WHERE event_type = 'view' AND user_id = 7) AS rows_selected,
+          (SELECT CAST(count(*) AS BIGINT) FROM fl) AS total_files,
+          (SELECT CAST(count(*) AS BIGINT) FROM fl
+            WHERE event_type = 'view') AS files_scanned_partition,
+          (SELECT CAST(count(*) AS BIGINT) FROM fl
+            WHERE event_type = 'view' AND ub = 7) AS files_scanned_composed
+      """)
+    ),
     // Gaps-and-islands streak detection: day - row_number() is constant
     // across a consecutive run — per-user windows only, no global window.
     Q(

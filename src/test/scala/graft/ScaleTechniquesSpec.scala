@@ -163,6 +163,30 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(one.select($"day").distinct().count() === 1)
   }
 
+  test("composed pruning: point lookup reads exactly one file (partition x bucket dirs)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // build (or reuse) the q137 fixture through the declared query
+    val audit = graft.operators.Layout.composedPruningAudit(spark, sf).head()
+    assert(audit.getAs[Long]("files_scanned_composed") === 1L)
+    assert(audit.getAs[Long]("files_scanned_partition") > 1L, "bucket level must prune beyond partition level")
+    assert(audit.getAs[Long]("total_files") > audit.getAs[Long]("files_scanned_partition"))
+    // the physical proof: both directory levels reach PartitionFilters and
+    // the actual scan reads ONE file of the ~75
+    val dir = graft.sources.ParquetSink
+      .memoFixture(spark, "pbprune", sf)(_ => fail("fixture must already be memoized"))
+    val look = spark.read
+      .parquet(dir)
+      .filter($"event_type" === "view" && $"ub" === 7 && $"user_id" === 7L)
+    look.collect()
+    val scans = look.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty, "expected a FileSourceScan")
+    val scan = scans.head
+    val pf   = scan.partitionFilters.map(_.toString).mkString(" ")
+    assert(pf.contains("event_type") && pf.contains("ub"), s"both dir levels must prune: $pf")
+    assert(scan.metrics("numFiles").value === 1L, "point lookup must read exactly one file")
+  }
+
   test("HLL union estimate is within 5% of the exact distinct count") {
     import spark.implicits._
     val est = graft.operators.TimeSeries
