@@ -20,28 +20,29 @@ object Tables {
     * DuckDB's read of the same `isAdjustedToUTC=false` parquet. The graft
     * session builders disable `inferTimestampNTZ`, so this branch is a
     * defensive path for externally-built sessions (the driver smoke test);
-    * there it must NOT depend on the caller's time zone: a bare
-    * cast(NTZ→TS) interprets the naive value in the SESSION zone (adding
-    * that zone's offset to the epoch value), so we invert it with
-    * `from_utc_timestamp(_, sessionTz)` (which subtracts the same offset) —
-    * the two conversions use the same zone rules on the same wall-clock
-    * value and compose to the naive-as-UTC instant for ANY session zone.
-    * Covers every regenerated timestamp column (events.ts, o_orderdate,
-    * l_shipdate). */
+    * there it must NOT depend on the caller's time zone. A zone ROUND-TRIP
+    * (cast(NTZ→TS) then from_utc_timestamp) is almost right but not quite:
+    * naive values inside the session zone's DST spring-forward gap do not
+    * exist in that zone, the cast resolves them with a +1h shift, and the
+    * inverse cannot undo it. So the conversion never touches a zone at
+    * all: the naive value's calendar fields are reassembled into epoch
+    * micros directly (datediff from 1970-01-01 + field extraction — all
+    * zone-free on NTZ) and re-typed with timestamp_micros, which is exact
+    * for every representable value in ANY session zone. Covers every
+    * regenerated timestamp column (events.ts, o_orderdate, l_shipdate). */
   private def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
     val ntzCols = raw.schema.fields.collect {
       case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
     }
-    if (ntzCols.isEmpty) raw
-    else {
-      val tz = spark.conf.get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID)
-      ntzCols.foldLeft(raw) { (df, c) =>
-        df.withColumn(
-          c,
-          from_utc_timestamp(col(c).cast(org.apache.spark.sql.types.TimestampType), tz)
-        )
-      }
+    ntzCols.foldLeft(raw) { (df, c) =>
+      val us =
+        datediff(to_date(col(c)), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long") *
+          86400000000L +
+          hour(col(c)).cast("long") * 3600000000L +
+          minute(col(c)).cast("long") * 60000000L +
+          (date_part(lit("SECOND"), col(c)) * 1000000L).cast("long")
+      df.withColumn(c, timestamp_micros(us))
     }
   }
 

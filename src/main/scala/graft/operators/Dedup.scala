@@ -341,11 +341,15 @@ object Dedup {
       .orderBy($"train_id")
   }
 
-  /** Memoized per-(JVM, sfDir) eval-shingle Bloom sketch for
-    * [[bloomDecontaminate]]: (distinct eval shingles, serialized filter).
-    * Plan-only consumers (the corpus sweep walks every declared query)
-    * must not re-pay the two sketch-build jobs per walk — same discipline
-    * as the ParquetSink fixture memoization. */
+  /** Memoized eval-shingle Bloom sketch for [[bloomDecontaminate]]:
+    * (distinct eval shingles, serialized filter). Plan-only consumers (the
+    * corpus sweep walks every declared query) must not re-pay the two
+    * sketch-build jobs per walk — same discipline as the ParquetSink
+    * fixture memoization. Keyed on (sfDir, CONTENT fingerprint of
+    * documents.parquet): this environment regenerates fixtures in place,
+    * and a stale sketch's false NEGATIVES would silently drop true hits —
+    * the exact-verify join removes false positives but cannot recover
+    * shingles the prefilter discarded. */
   private val bloomSketch =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Array[Byte])]()
 
@@ -387,26 +391,44 @@ object Dedup {
       // is the honest shape: the join below only needs distinct pairs
       .distinct()
     val (nEval, bfBytes) = bloomSketch.computeIfAbsent(
-      sfDir,
+      sfDir + "|" + graft.sources.ParquetSink.contentFingerprint(s"$sfDir/documents.parquet"),
       _ => {
         val n = evalSh.agg(count_distinct($"shingle")).as[Long].head()
         // loud, BEFORE the clamp — a vacuous max(1, n) > 0 check would mask
         // the degenerate fixture this exists to catch
         require(n > 0, s"empty eval shingle set at $sfDir — fixture degenerate")
-        val blob = evalSh
-          .agg(
-            GraftBridge
-              .column(
-                new BloomFilterAggregate(
-                  GraftBridge.expression($"shingle"),
-                  Literal(n),
-                  Literal(math.max(64L, n * 10L)) // ~10 bits/item ≈ 1% fpp
-                ).toAggregateExpression()
+        // BloomFilterAggregate silently clamps its arguments to the runtime
+        // bloom-filter conf maxima (defaults 4M items / 64M bits) — past
+        // ~6.7M shingles the advertised ~10 bits/item would quietly degrade
+        // and the exact-verify join side would grow. Raise the maxima for
+        // the build so the sketch keeps its fpp at any eval-suite size
+        // (correctness never depends on it; this is a cost bound).
+        val itemsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+        val bitsConf  = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+        val prevItems = spark.conf.get(itemsConf)
+        val prevBits  = spark.conf.get(bitsConf)
+        val blob =
+          try {
+            spark.conf.set(itemsConf, math.max(prevItems.toLong, n))
+            spark.conf.set(bitsConf, math.max(prevBits.toLong, math.max(64L, n * 10L)))
+            evalSh
+              .agg(
+                GraftBridge
+                  .column(
+                    new BloomFilterAggregate(
+                      GraftBridge.expression($"shingle"),
+                      Literal(n),
+                      Literal(math.max(64L, n * 10L)) // ~10 bits/item ≈ 1% fpp
+                    ).toAggregateExpression()
+                  )
+                  .as("bf")
               )
-              .as("bf")
-          )
-          .head()
-          .getAs[Array[Byte]](0)
+              .head()
+              .getAs[Array[Byte]](0)
+          } finally {
+            spark.conf.set(itemsConf, prevItems)
+            spark.conf.set(bitsConf, prevBits)
+          }
         (n, blob)
       }
     )

@@ -47,6 +47,24 @@ object ParquetSink {
     }
   }
 
+  /** Cheap content fingerprint (relative path, size, mtime of every file)
+    * of a file-or-directory — enough to catch an in-place fixture
+    * regeneration without reading data. Lives next to [[deleteRecursively]]
+    * so every filesystem tree traversal has one home (DisciplineSpec). */
+  private[graft] def contentFingerprint(path: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) "absent"
+    else {
+      val parts = scala.collection.mutable.ArrayBuffer[String]()
+      val walk  = java.nio.file.Files.walk(p)
+      try walk.forEach { f =>
+        if (java.nio.file.Files.isRegularFile(f))
+          parts += s"${p.relativize(f)}:${java.nio.file.Files.size(f)}:${java.nio.file.Files.getLastModifiedTime(f).toMillis}"
+      } finally walk.close()
+      java.lang.Integer.toHexString(parts.sorted.mkString(",").hashCode)
+    }
+  }
+
   /** Memoized fixture dir: runs `write(dir)` once per (JVM, tag, sfDir),
     * returns the dir on every later call. */
   private[graft] def memoFixture(spark: SparkSession, tag: String, sfDir: String)(

@@ -85,7 +85,14 @@ class OperatorSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled")
     val prevTz = spark.conf.get("spark.sql.session.timeZone")
     try {
-      Seq((1L, "2024-01-02 03:04:05.123456", 7L, "view", 1.5, "{}"))
+      // row 2 sits INSIDE America/New_York's 2026 spring-forward gap
+      // (2026-03-08 02:00-03:00 does not exist in that zone): a zone
+      // round-trip (cast + from_utc_timestamp) resolves it +1h and cannot
+      // invert; the zone-free field reassembly must read it exactly
+      Seq(
+        (1L, "2024-01-02 03:04:05.123456", 7L, "view", 1.5, "{}"),
+        (2L, "2026-03-08 02:30:00", 7L, "view", 1.5, "{}")
+      )
         .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
         .select($"event_id", $"ts_s".cast("timestamp_ntz").as("ts"), $"user_id", $"event_type", $"value", $"props")
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
@@ -95,8 +102,10 @@ class OperatorSpec extends SparkSpec {
       spark.conf.set("spark.sql.session.timeZone", "America/New_York")
       val ev = Tables.events(spark, dir)
       assert(ev.schema("ts").dataType === org.apache.spark.sql.types.TimestampType)
-      val us = ev.select(unix_micros($"ts")).as[Long].head()
-      assert(us === 1704164645123456L, s"naive value must be read as UTC in any session zone, got $us")
+      val us = ev.orderBy($"event_id").select(unix_micros($"ts")).as[Long].collect()
+      assert(us(0) === 1704164645123456L, s"naive value must be read as UTC in any session zone, got ${us(0)}")
+      val gapExpected = java.time.Instant.parse("2026-03-08T02:30:00Z").toEpochMilli * 1000L
+      assert(us(1) === gapExpected, s"DST-gap naive value must survive exactly, got ${us(1)} want $gapExpected")
     } finally {
       spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", prev)
       spark.conf.set("spark.sql.session.timeZone", prevTz)
