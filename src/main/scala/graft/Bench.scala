@@ -50,20 +50,22 @@ object Bench {
       val sqls = names.flatMap(n => SparkEntry.oracleSql.get(n).map(n -> _))
       if (sqls.isEmpty) return None
       val tmp = java.nio.file.Files.createTempDirectory("graft_bench_oracle")
-      val json = sqls
-        .map { case (k, v) => "\"" + k + "\":\"" + jsonEscape(v) + "\"" }
-        .mkString("{", ",", "}")
-      java.nio.file.Files.write(tmp.resolve("oracle_sql.json"), json.getBytes("UTF-8"))
-      val pb = new ProcessBuilder("python3", script.toString, sfDir, tmp.toString, "2")
-      pb.redirectErrorStream(true)
-      val p   = pb.start()
-      val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
-      val ok  = p.waitFor() == 0
-      if (!ok) { System.err.println(s"[bench] paired oracle failed:\n$out"); None }
-      else
-        out.linesIterator
-          .find(_.startsWith("TOTAL\t"))
-          .map(_.split('\t')(1).toDouble)
+      try {
+        val json = sqls
+          .map { case (k, v) => "\"" + k + "\":\"" + jsonEscape(v) + "\"" }
+          .mkString("{", ",", "}")
+        java.nio.file.Files.write(tmp.resolve("oracle_sql.json"), json.getBytes("UTF-8"))
+        val pb = new ProcessBuilder("python3", script.toString, sfDir, tmp.toString, "2")
+        pb.redirectErrorStream(true)
+        val p   = pb.start()
+        val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
+        val ok  = p.waitFor() == 0
+        if (!ok) { System.err.println(s"[bench] paired oracle failed:\n$out"); None }
+        else
+          out.linesIterator
+            .find(_.startsWith("TOTAL\t"))
+            .map(_.split('\t')(1).toDouble)
+      } finally graft.sources.ParquetSink.deleteRecursively(tmp.toString)
     } catch { case e: Throwable => System.err.println(s"[bench] paired oracle skipped: $e"); None }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
