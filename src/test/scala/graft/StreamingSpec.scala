@@ -376,6 +376,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("TTL'd registry equals the unbounded registry while all arrivals fit the horizon") {
+    import spark.implicits._
+    import scala.concurrent.duration._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "an entirely different document about spark structured streaming state",
+      "a third corpus document mentioning training data pipelines at scale"
+    )
+    // batches span 20 minutes of event time — inside the 10-hour horizon,
+    // so eviction never fires and the TTL op must be semantics-preserving:
+    // its final per-bucket minima equal the NoTimeout registry's exactly
+    def finalMins(run: MemoryStream[(Long, Timestamp, String)] => org.apache.spark.sql.streaming.StreamingQuery,
+                  table: String): Map[String, Long] = {
+      val in = MemoryStream[(Long, Timestamp, String)]
+      val q  = run(in)
+      try {
+        in.addData((10L, hts(0), texts(0)), (11L, hts(1), texts(1)))
+        q.processAllAvailable()
+        in.addData((1000010L, hts(10), texts(0)), (12L, hts(11), texts(2)))
+        q.processAllAvailable()
+        in.addData((1000011L, hts(20), texts(1)))
+        q.processAllAvailable()
+        spark.table(table).as[(String, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      } finally q.stop()
+    }
+    val ttl = finalMins(
+      in =>
+        Streaming
+          .nearDupBandMinsTtl(in.toDF().toDF("doc_id", "ts", "text"), horizon = 10.hours)
+          .toDF("bkey", "min_id")
+          .writeStream.format("memory").queryName("ttl_equiv_a").outputMode(OutputMode.Append()).start(),
+      "ttl_equiv_a"
+    )
+    val unbounded = finalMins(
+      in =>
+        Streaming
+          .nearDupBandMins(in.toDF().toDF("doc_id", "ts", "text").select($"doc_id", $"text"))
+          .toDF("bkey", "min_id")
+          .writeStream.format("memory").queryName("ttl_equiv_b").outputMode(OutputMode.Append()).start(),
+      "ttl_equiv_b"
+    )
+    assert(ttl === unbounded, "within the horizon the TTL op must reproduce the unbounded registry exactly")
+  }
+
   test("at-arrival near-dup flags judge each doc against the registry as of its arrival") {
     import spark.implicits._
     import scala.concurrent.duration._
