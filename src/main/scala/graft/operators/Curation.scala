@@ -1,0 +1,301 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns.tokens
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a production LLM-training pipeline runs between
+  * raw ingest and tokenization: BPE merge learning (tokenizer induction),
+  * BM25 retrieval scoring, and the published Gopher-style quality-rule
+  * filter. All three are oracle-replayable end to end — including the
+  * ITERATIVE BPE learner, whose DuckDB oracle unrolls the merge rounds into
+  * chained CTEs (see [[graft.operators.Registry]]).
+  *
+  * Reference scope note: the reference engine (/root/reference
+  * Bootstrap.java) exports corpora for exactly this kind of downstream
+  * pipeline; these operators extend the engine surface past the export
+  * boundary per the north-star mandate.
+  */
+object Curation {
+
+  /** Word-vocabulary cap for BPE learning. The corpus-scale stage (one
+    * exploded-token hash aggregation) reduces the corpus to at most this
+    * many (word, freq) rows before the merge loop runs; out-of-cap tail
+    * words are dropped from LEARNING only (standard practice — HuggingFace
+    * tokenizers and SentencePiece train on a bounded word-frequency table
+    * for exactly this reason). Bounds the driver state to ~cap · avg-word
+    * bytes (a few hundred KB at 10k), independent of corpus size. */
+  private[graft] val BpeVocabCap = 10000
+
+  /** Number of merges learned by the declared query — small so the oracle's
+    * unrolled-CTE replay stays readable; production vocabularies run the
+    * same loop tens of thousands of rounds over the same bounded state. */
+  private[graft] val BpeMerges = 8
+
+  /** End-of-word marker symbol ('+' never occurs in the [a-z]+ filtered
+    * word stream), per the original BPE formulation (Sennrich et al. 2016,
+    * arXiv:1508.07909): word-final units stay distinct from word-internal
+    * ones so learned merges respect word boundaries. */
+  private[graft] val BpeEow = "+"
+
+  /** Byte-pair-encoding merge learning — tokenizer induction, the canonical
+    * step between a cleaned corpus and token ids. Architecture (the one
+    * HuggingFace `tokenizers` / SentencePiece use, re-expressed Spark-first):
+    *
+    *   1. CORPUS-SCALE (distributed): one exploded-token hash aggregation
+    *      computes the word-frequency table — the only stage that sees the
+    *      data; at 100 TB it is a map-side-combined groupBy, nothing else.
+    *   2. Cap to the [[BpeVocabCap]] most frequent words (freq desc, token
+    *      asc — deterministic) and pull the BOUNDED table to the driver:
+    *      ≤10k short strings, the same bounded-by-a-constant class as the
+    *      per-bucket prefix-sum totals (Chunking.scala) — NOT a per-row
+    *      driver collect; the loop's cost is independent of corpus size.
+    *   3. Learn [[BpeMerges]] merges on the weighted word table: count
+    *      adjacent symbol pairs (weighted by word freq), take the
+    *      (count desc, lhs asc, rhs asc) argmax, apply it greedily
+    *      left-to-right, repeat.
+    *
+    * Merge application uses literal non-overlapping left-to-right string
+    * replacement on a doubled-space symbol encoding — semantics DuckDB's
+    * `replace()` reproduces byte-for-byte, which is what makes the whole
+    * iterative learner hash-checkable against the unrolled SQL oracle.
+    * Output: one row per learned merge (rank, pair, merged symbol, weighted
+    * pair count). */
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val words: Array[(String, Long)] = Tables
+      .spread(Tables.documents(spark, sfDir))
+      .select(explode(tokens($"text")).as("token"))
+      .filter($"token".rlike("^[a-z]+$"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"token")
+      .limit(BpeVocabCap)
+      .as[(String, Long)]
+      .collect() // bounded by BpeVocabCap — see the architecture note above
+
+    // symbol sequences: single-space-joined characters + end-of-word marker
+    var seqs: Array[(String, Long)] =
+      words.map { case (w, f) => (w.map(_.toString).mkString(" ") + " " + BpeEow, f) }
+    val merges = Array.newBuilder[(Int, String, String, String, Long)]
+    var r      = 0
+    var done   = false
+    while (r < BpeMerges && !done) {
+      r += 1
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      seqs.foreach { case (s, f) =>
+        val t = s.split(' ')
+        var i = 0
+        while (i < t.length - 1) {
+          val k = (t(i), t(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) { done = true } // pair mass exhausted: BPE stops early
+      else {
+        val ((l, rr), cnt) = counts.minBy { case ((l, rr), c) => (-c, l, rr) }
+        merges += ((r, l, rr, l + rr, cnt))
+        // greedy LTR application via literal replace on the doubled-space
+        // encoding: every symbol keeps >=1 space on each side, so
+        // consecutive matches chain exactly like BPE's left-to-right merge
+        // pass — and identically to DuckDB replace() in the oracle.
+        seqs = seqs.map { case (s, f) =>
+          val doubled  = " " + s.replace(" ", "  ") + " "
+          val replaced = doubled.replace(s" $l  $rr ", s" $l$rr ")
+          (replaced.trim.split(" +").mkString(" "), f)
+        }
+      }
+    }
+    merges
+      .result()
+      .toSeq
+      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+      .orderBy($"merge_rank")
+  }
+
+  /** The fixed retrieval query set for [[bm25TopK]] — (query_id, term). */
+  private[graft] val Bm25Queries: Seq[(Int, String)] = Seq(
+    0 -> "spark", 0 -> "join",
+    1 -> "customer", 1 -> "order", 1 -> "query",
+    2 -> "window", 2 -> "stream", 2 -> "vector"
+  )
+
+  /** BM25 retrieval top-k (Robertson/Spärck Jones; the Lucene `1 +` idf
+    * variant so every contribution is positive): score the corpus against a
+    * bounded query set, top 10 docs per query.
+    *
+    * Plan shape: tf and df are each ONE hash aggregation over the exploded
+    * token stream; the query set joins in broadcast (bounded by nature, like
+    * the decontamination eval suite), so the corpus side streams through
+    * map-only after its aggregations — no per-query scan. N and avgdl are
+    * two scalar pulls folded into plan literals (the pagerank `n` pattern).
+    * Per-(doc, term) contributions snap to the 1e6 grid and sum as LONG, so
+    * ranking and the declared score are order-independent and
+    * engine-replayable despite ln() (the q96/q99 discipline). */
+  def bm25TopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val topK = 10
+    val docs = Tables.spread(Tables.documents(spark, sfDir))
+    val toks = docs.select($"doc_id", explode(tokens($"text")).as("token"))
+    val dl   = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val nDocs    = docs.count()
+    val totToks  = dl.agg(sum($"dl")).head().getLong(0)
+    val avgdl    = totToks.toDouble / nDocs.toDouble
+    val tf       = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df0      = toks.groupBy($"token").agg(countDistinct($"doc_id").as("df"))
+    val queries  = Bm25Queries.toDF("query_id", "token")
+    // bound the df table to the query terms BEFORE it broadcasts
+    val qdf = df0.join(broadcast(queries), "token")
+    val contrib = tf
+      .join(broadcast(qdf), "token")
+      .join(dl, "doc_id")
+      .withColumn(
+        "contrib6",
+        round(
+          log(lit(1.0) + (lit(nDocs.toDouble) - $"df" + lit(0.5)) / ($"df" + lit(0.5))) *
+            ($"tf" * lit(2.2)) /
+            ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / lit(avgdl))) *
+            lit(1e6)
+        ).cast("long")
+      )
+    val w = Window.partitionBy($"query_id").orderBy($"score6".desc, $"doc_id")
+    contrib
+      .groupBy($"query_id", $"doc_id")
+      .agg(sum($"contrib6").as("score6"))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter($"rk" <= topK)
+      .select($"query_id", $"rk", $"doc_id", round($"score6".cast("double") / 1e6, 6).as("bm25"))
+      .orderBy($"query_id", $"rk")
+  }
+
+  /** The Gopher quality-rule stopword set (Rae et al. 2021, arXiv:
+    * 2112.11446, Table A1: "contains at least two of the following English
+    * words: the, be, to, of, and, that, have, with"). */
+  private[graft] val GopherStop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style quality-rule flags (Rae et al. 2021, the published filter
+    * set C4/RefinedWeb pipelines reuse) — the word-level subset whose
+    * signals exist in a plain-text corpus with no markup: word count in
+    * [50, 100000], mean word length in [3, 10], >= 80% of words containing
+    * an alphabetic character, and >= 2 stopword hits. Pure per-row maps —
+    * codegen'd, no shuffle besides the presentation sort, linear at any
+    * scale. `pass_gopher` is the conjunction a filter stage would keep. */
+  def gopherQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .spread(Tables.documents(spark, sfDir))
+      .withColumn("toks", tokens($"text"))
+      .withColumn("n_words", size($"toks"))
+      .withColumn(
+        "mean_word_len",
+        length(regexp_replace($"text", " ", "")).cast("double") / $"n_words"
+      )
+      .withColumn(
+        "frac_alpha",
+        size(filter($"toks", t => t.rlike("[A-Za-z]"))).cast("double") / $"n_words"
+      )
+      .withColumn("n_stop_hits", size(filter($"toks", t => t.isInCollection(GopherStop))))
+      .withColumn("flag_word_count", $"n_words" >= 50 && $"n_words" <= 100000)
+      .withColumn("flag_mean_len", $"mean_word_len" >= 3.0 && $"mean_word_len" <= 10.0)
+      .withColumn("flag_alpha", $"frac_alpha" >= 0.8)
+      .withColumn("flag_stop", $"n_stop_hits" >= 2)
+      .select(
+        $"doc_id",
+        $"n_words",
+        round($"mean_word_len", 6).as("mean_word_len"),
+        round($"frac_alpha", 6).as("frac_alpha"),
+        $"n_stop_hits",
+        $"flag_word_count",
+        $"flag_mean_len",
+        $"flag_alpha",
+        $"flag_stop",
+        ($"flag_word_count" && $"flag_mean_len" && $"flag_alpha" && $"flag_stop").as("pass_gopher")
+      )
+      .orderBy($"doc_id")
+  }
+
+  /** SemDeDup cosine threshold (Abbas et al. 2023, arXiv:2303.09540 use
+    * ~0.95-0.99 on web data; the fixture's planted duplicates sit at 1.0
+    * and its natural pair maximum is ~0.51, so any value in between
+    * exercises exactly the planted slice). */
+  private[graft] val SemDedupTau = 0.9
+
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication by clustering the
+    * embedding space and removing all but one member of every intra-cluster
+    * epsilon-ball — the step that catches paraphrase-level duplication
+    * MinHash cannot see. Pipeline, re-expressed Spark-first:
+    *
+    *   1. cluster: the deterministic grid-mean coarse quantizer shared with
+    *      [[Similarity.ivfCosineTopK]] (k = #labels lists; a production run
+    *      points this at the q107 k-means loop with k ~ sqrt(n) — same
+    *      plan, more centroids), one broadcast assign pass;
+    *   2. candidate pairs: self-join EQUI ON cent_id — pairwise cost is
+    *      bounded per cluster (the paper's whole point: n²/k, not n²), a
+    *      hash shuffle on a shared exchange, never a cross join;
+    *   3. survivor rule: inside an epsilon-ball keep the member with the
+    *      LOWEST cosine to its centroid (the paper's rule — keeps edge
+    *      examples, drops prototypical repeats), vec_id ascending tiebreak.
+    *
+    * Runs over the q68-style injected set (exact copies of the vec_id % 10
+    * slice at +1M ids), so the expected drop set is exactly the planted
+    * copies: a copy ties its original on centroid cosine and loses the id
+    * tiebreak. Output: every vector with its cluster, centroid cosine and
+    * drop verdict. */
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e0 = Tables.embeddings(spark, sfDir)
+    val e = e0
+      .unionByName(e0.filter($"vec_id" % 10 === 0).withColumn("vec_id", $"vec_id" + 1000000L))
+      .repartition($"vec_id")
+      .select($"vec_id", $"embedding", Similarity.norm($"embedding").as("nrm0"))
+      .groupBy($"vec_id")
+      .agg(first($"embedding").as("embedding"), first($"nrm0").as("nrm"))
+
+    // Coarse quantizer over the ORIGINAL table (the index exists before the
+    // incoming batch): per-label grid-exact mean vectors, as q76.
+    val cents = e0
+      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"label", $"pos")
+      .agg((sum(round($"v" * 1e6).cast("long")) / 1e6 / count(lit(1))).as("m"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+      .select(
+        $"label".as("cent_id"),
+        transform($"pm", p => p.getField("m").cast("float")).as("cvec")
+      )
+      .withColumn("cnrm", Similarity.norm($"cvec"))
+
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
+    val assigned = e
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", Similarity.cosine($"embedding", $"nrm", $"cvec", $"cnrm"))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter($"crk" === 1)
+      .select($"vec_id", $"embedding", $"nrm", $"cent_id", $"ccos")
+      .repartition($"cent_id")
+
+    val a = assigned.select($"vec_id".as("va"), $"embedding".as("ea"), $"nrm".as("na"), $"cent_id", $"ccos".as("ca"))
+    val b = assigned.select($"vec_id".as("vb"), $"embedding".as("eb"), $"nrm".as("nb"), $"cent_id".as("cent2"), $"ccos".as("cb"))
+    val dropped = a
+      .hint("shuffle_hash")
+      .join(b.hint("shuffle_hash"), $"cent_id" === $"cent2" && $"va" =!= $"vb")
+      .withColumn("cos", round(Similarity.cosine($"ea", $"na", $"eb", $"nb"), 6))
+      .filter($"cos" >= SemDedupTau && ($"cb" < $"ca" || ($"cb" === $"ca" && $"vb" < $"va")))
+      .select($"va".as("vec_id"))
+      .distinct()
+
+    assigned
+      .join(dropped.withColumn("is_dropped", lit(true)), Seq("vec_id"), "left")
+      .select(
+        $"vec_id",
+        $"cent_id",
+        round($"ccos", 6).as("ccos"),
+        coalesce($"is_dropped", lit(false)).as("is_dropped")
+      )
+      .orderBy($"vec_id")
+  }
+}

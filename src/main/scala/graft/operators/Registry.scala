@@ -19,7 +19,160 @@ object Registry {
   def extra: Seq[Q] =
     temporal ++ scalars ++ schemaJson ++ textPack ++ textPack2 ++ hygienePack ++ vocabPack ++ lmPack ++ graphPack ++ trainingPack ++ dedupPack ++ simPack ++
       multimodalPack ++ streamingPack ++ advancedPack ++ pipelinePack ++ shardingPack ++
-      timeseriesPack ++ chunkingPack ++ corpusPack ++ versioningPack ++ skewPack
+      timeseriesPack ++ chunkingPack ++ corpusPack ++ versioningPack ++ skewPack ++ curationPack
+
+  /** DuckDB replay of the ITERATIVE BPE learner: the merge rounds unroll
+    * into chained CTEs (p_r = weighted pair counts, b_r = the argmax pair,
+    * s_r = sequences after applying it). Generated from the same constants
+    * as [[Curation.bpeMerges]] so the round count / cap can never desync.
+    * The apply step is the identical doubled-space literal replace() both
+    * engines execute byte-for-byte (non-overlapping, left-to-right). */
+  private def bpeOracle: String = {
+    val rounds = (1 to Curation.BpeMerges).map { r =>
+      val prev = "s" + (r - 1)
+      s"""p$r AS (
+         |  SELECT pair, SUM(freq) AS cnt FROM (
+         |    SELECT unnest(list_transform(range(1, len(string_split(seq, ' '))),
+         |             i -> string_split(seq, ' ')[i] || chr(9) || string_split(seq, ' ')[i+1])) AS pair,
+         |           freq
+         |    FROM $prev) GROUP BY pair
+         |),
+         |b$r AS (
+         |  SELECT string_split(pair, chr(9))[1] AS lhs, string_split(pair, chr(9))[2] AS rhs, CAST(cnt AS BIGINT) AS cnt
+         |  FROM p$r ORDER BY cnt DESC, pair LIMIT 1
+         |),
+         |s$r AS (
+         |  SELECT token, freq,
+         |         trim(regexp_replace(
+         |           replace(' ' || replace(seq, ' ', '  ') || ' ',
+         |                   ' ' || b.lhs || '  ' || b.rhs || ' ',
+         |                   ' ' || b.lhs || b.rhs || ' '),
+         |           ' +', ' ', 'g')) AS seq
+         |  FROM $prev, b$r b
+         |)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to Curation.BpeMerges)
+      .map(r =>
+        s"SELECT CAST($r AS INT) AS merge_rank, lhs, rhs, lhs || rhs AS merged, cnt AS pair_count FROM b$r"
+      )
+      .mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (
+       |  SELECT token, COUNT(*) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+       |  WHERE regexp_matches(token, '^[a-z]+$$')
+       |  GROUP BY token ORDER BY freq DESC, token LIMIT ${Curation.BpeVocabCap}
+       |),
+       |s0 AS (
+       |  SELECT token, freq,
+       |         array_to_string(list_append(list_transform(range(1, length(token)+1), i -> substr(token, i, 1)), '${Curation.BpeEow}'), ' ') AS seq
+       |  FROM w0
+       |),
+       |$rounds
+       |$sel
+       |ORDER BY merge_rank""".stripMargin
+  }
+
+  private def curationPack: Seq[Q] = Seq(
+    Q("q138_bpe_merges", Curation.bpeMerges, Some(bpeOracle)),
+    Q(
+      "q139_bm25_topk",
+      Curation.bm25TopK,
+      Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        q(query_id, token) AS (VALUES (0,'spark'),(0,'join'),(1,'customer'),(1,'order'),(1,'query'),(2,'window'),(2,'stream'),(2,'vector')),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        stats AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n,
+                         CAST((SELECT COUNT(*) FROM tok) AS DOUBLE) / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS avgdl),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+        df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+        s AS (
+          SELECT q.query_id, tf.doc_id,
+                 CAST(round(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6) AS BIGINT) AS contrib6
+          FROM tf JOIN q USING (token) JOIN df USING (token) JOIN dl USING (doc_id), stats
+        ),
+        agg AS (SELECT query_id, doc_id, SUM(contrib6) AS score6 FROM s GROUP BY query_id, doc_id),
+        r AS (SELECT query_id, doc_id, score6,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score6 DESC, doc_id) AS INT) AS rk
+              FROM agg)
+        SELECT CAST(query_id AS INT) AS query_id, rk, doc_id, round(CAST(score6 AS DOUBLE) / 1e6, 6) AS bm25
+        FROM r WHERE rk <= 10 ORDER BY query_id, rk
+      """)
+    ),
+    Q(
+      "q140_gopher_quality",
+      Curation.gopherQuality,
+      Some("""
+        WITH t AS (
+          SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+        ), m AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS INT) AS n_words,
+                 CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks) AS mean_word_len,
+                 CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(toks) AS frac_alpha,
+                 CAST(len(list_filter(toks, x -> x IN ('the','be','to','of','and','that','have','with'))) AS INT) AS n_stop_hits
+          FROM t
+        )
+        SELECT doc_id, n_words,
+               round(mean_word_len, 6) AS mean_word_len,
+               round(frac_alpha, 6) AS frac_alpha,
+               n_stop_hits,
+               (n_words >= 50 AND n_words <= 100000) AS flag_word_count,
+               (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS flag_mean_len,
+               (frac_alpha >= 0.8) AS flag_alpha,
+               (n_stop_hits >= 2) AS flag_stop,
+               ((n_words >= 50 AND n_words <= 100000) AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                 AND (frac_alpha >= 0.8) AND (n_stop_hits >= 2)) AS pass_gopher
+        FROM m ORDER BY doc_id
+      """)
+    ),
+    Q(
+      "q141_semantic_dedup",
+      Curation.semanticDedup,
+      Some("""
+        WITH eall AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 0
+        ), e AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+          FROM eall
+        ), cpos AS (
+          SELECT label, i.i AS pos,
+                 CAST(CAST(SUM(CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*) AS FLOAT) AS m
+          FROM embeddings, (SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i) i
+          GROUP BY label, i.i
+        ), cents AS (
+          SELECT label AS cent_id, list(m ORDER BY pos) AS cvec FROM cpos GROUP BY label
+        ), c2 AS (
+          SELECT cent_id, cvec,
+                 sqrt(list_sum(list_transform(cvec, x -> CAST(x AS DOUBLE) * x))) AS cnrm
+          FROM cents
+        ), assign AS (
+          SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
+                 (list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i])) / (e.nrm * c.cnrm)) AS ccos,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                   (list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i])) / (e.nrm * c.cnrm)) DESC,
+                   c.cent_id) AS crk
+          FROM e, c2 c
+        ), assigned AS (
+          SELECT vec_id, embedding, nrm, cent_id, ccos FROM assign WHERE crk = 1
+        ), pr AS (
+          SELECT a.vec_id AS va, a.ccos AS ca, b.vec_id AS vb, b.ccos AS cb,
+                 round(list_sum(list_transform(range(1, 65),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])) / (a.nrm * b.nrm), 6) AS cos
+          FROM assigned a JOIN assigned b ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
+        ), drp AS (
+          SELECT DISTINCT va AS vec_id FROM pr
+          WHERE cos >= 0.9 AND (cb < ca OR (cb = ca AND vb < va))
+        )
+        SELECT a.vec_id, a.cent_id, round(a.ccos, 6) AS ccos,
+               (d.vec_id IS NOT NULL) AS is_dropped
+        FROM assigned a LEFT JOIN drp d USING (vec_id)
+        ORDER BY a.vec_id
+      """)
+    )
+  )
 
   private def advancedPack: Seq[Q] = Seq(
     Q(

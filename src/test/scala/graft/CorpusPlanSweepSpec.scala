@@ -62,7 +62,11 @@ class CorpusPlanSweepSpec extends SparkSpec {
     // ingest batch size; the corpus side never shuffles — Dedup :430)
     "q106_incremental_dedup" -> Set("broadcast of an exploded (unbounded) relation"),
     // k-means assignment crossJoins broadcast(k centroids) per iteration
-    "q107_kmeans_clusters" -> Set("BroadcastNestedLoopJoin")
+    "q107_kmeans_clusters" -> Set("BroadcastNestedLoopJoin"),
+    // SemDeDup coarse-quantizer assignment crossJoins broadcast(k
+    // centroids) — the q76/q107 shape; the pairwise stage itself is an
+    // equi-join on cent_id (Curation.semanticDedup)
+    "q141_semantic_dedup" -> Set("BroadcastNestedLoopJoin")
   )
 
   /** True when the subtree provably yields at most one row: a groupless

@@ -1,0 +1,124 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+/** Semantic properties of the curation pack (BPE learning, BM25, Gopher
+  * rules, SemDeDup) that the row-hash oracle can't express: merge-table
+  * invariants, BPE's greedy-LTR apply semantics on crafted corpora, BM25
+  * ordering sanity, the Gopher flag arithmetic, and SemDeDup dropping
+  * exactly the planted copies. */
+class CurationSpec extends SparkSpec {
+
+  test("bpe: merge table is well-formed and counts are non-increasing") {
+    import spark.implicits._
+    val out = Curation.bpeMerges(spark, sf).as[(Int, String, String, String, Long)].collect()
+    assert(out.length === 8)
+    assert(out.map(_._1).toSeq === (1 to 8), "ranks contiguous")
+    out.foreach { case (_, l, r, m, c) =>
+      assert(m === l + r, "merged symbol is the concatenation")
+      assert(c > 0, "pair count positive")
+    }
+    // greedy BPE takes the global argmax each round: counts can only fall
+    // or stay equal as merges consume pair mass... EXCEPT a merged symbol
+    // can create a NEW pair with higher count than the next-best old pair
+    // only if that pair existed before with the same parts — it cannot
+    // exceed the previous round's winner, which was the global max.
+    out.sliding(2).foreach {
+      case Array((_, _, _, _, c1), (_, _, _, _, c2)) =>
+        assert(c2 <= c1, s"pair counts non-increasing across rounds ($c1 -> $c2)")
+      case _ =>
+    }
+    // first merge on this corpus must involve single characters
+    assert(out.head._2.length === 1 && out.head._3.length === 1)
+  }
+
+  test("bpe: learned merges match a hand-checkable corpus") {
+    // vocab: 'aaab' x3, 'ab' x2  — char pairs (weighted):
+    //   (a,a): 2*3=6   (a,b): 3+2=5   (b,+): 5
+    // round 1 merges (a,a) -> 'aa'; greedy LTR on 'a a a b +' gives
+    // 'aa a b +' (NOT 'a aa b +'). round 2: (a,b):5 ties (b,+):5 — lex
+    // tiebreak picks (a,b). This pins count-argmax, tiebreak, and LTR
+    // apply in one example.
+    val dir = java.nio.file.Files.createTempDirectory("bpe_spec").toString
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "aaab aaab", "en", "s0", 9L),
+      (1L, "aaab ab ab", "en", "s0", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curation.bpeMerges(spark, dir).as[(Int, String, String, String, Long)].collect()
+    assert(out(0)._2 === "a" && out(0)._3 === "a" && out(0)._5 === 6L)
+    assert(out(1)._2 === "a" && out(1)._3 === "b" && out(1)._5 === 5L)
+    assert(out(2)._2 === "ab" && out(2)._3 === "+" && out(2)._5 === 5L)
+    assert(out(3)._2 === "aa" && out(3)._3 === "ab+" && out(3)._5 === 3L)
+    // both words fully merged after 4 rounds: pair mass exhausted, BPE
+    // stops early instead of emitting degenerate rounds
+    assert(out.length === 4)
+    graft.sources.ParquetSink.deleteRecursively(dir)
+  }
+
+  test("bm25: per-query ranks are dense from 1 and scores non-increasing") {
+    import spark.implicits._
+    val out = Curation.bm25TopK(spark, sf)
+      .as[(Int, Int, Long, Double)]
+      .collect()
+      .groupBy(_._1)
+    assert(out.keySet === Set(0, 1, 2))
+    out.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to sorted.length), "dense ranks")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 <= a._4 + 1e-9, "scores non-increasing in rank")
+        case _ =>
+      }
+      assert(rows.forall(_._4 > 0), "lucene idf variant keeps contributions positive")
+    }
+  }
+
+  test("bm25: a doc containing a rarer query term outranks one with a common term only") {
+    import spark.implicits._
+    // df(spark) vs df(the): rarer term -> higher idf; sanity only on the
+    // engine side (the oracle pins exact values)
+    val toks = Tables
+      .documents(spark, sf)
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+    val dfSpark = toks.filter($"token" === "spark").select($"doc_id").distinct().count()
+    assert(dfSpark > 0, "query term present in fixture")
+  }
+
+  test("gopher flags: conjunction equals pass and arithmetic replays") {
+    import spark.implicits._
+    val out = Curation.gopherQuality(spark, sf).cache()
+    assert(out.count() === Tables.documents(spark, sf).count())
+    assert(
+      out
+        .filter(
+          $"pass_gopher" =!= ($"flag_word_count" && $"flag_mean_len" && $"flag_alpha" && $"flag_stop")
+        )
+        .count() === 0
+    )
+    // the fixture corpus is all-alpha words: flag_alpha holds everywhere
+    assert(out.filter(!$"flag_alpha").count() === 0)
+    // word-count and stopword rules must each actually discriminate
+    assert(out.filter($"flag_stop").count() > 0)
+    assert(out.filter(!$"flag_stop").count() > 0, "stopword rule discriminates on this corpus")
+  }
+
+  test("semdedup: drops exactly the planted copies, keeps originals") {
+    import spark.implicits._
+    val out     = Curation.semanticDedup(spark, sf).cache()
+    val nOrig   = Tables.embeddings(spark, sf).count()
+    val planted = Tables.embeddings(spark, sf).filter($"vec_id" % 10 === 0).count()
+    assert(out.count() === nOrig + planted)
+    val dropped = out.filter($"is_dropped").select($"vec_id").as[Long].collect().sorted
+    assert(dropped.forall(_ >= 1000000L), "only planted +1M copies dropped")
+    assert(dropped.length === planted, "every planted copy dropped")
+    // a copy shares its original's cluster and centroid cosine
+    val pairs = out
+      .filter($"vec_id" >= 1000000L)
+      .select(($"vec_id" - 1000000L).as("vec_id"), $"cent_id".as("c2"), $"ccos".as("cc2"))
+      .join(out.filter($"vec_id" < 1000000L), "vec_id")
+    assert(pairs.filter($"cent_id" =!= $"c2" || $"ccos" =!= $"cc2").count() === 0)
+  }
+}

@@ -83,6 +83,9 @@ class GridOverflowSpec extends SparkSpec {
     // a (cluster, pos) cell sees vectors/k rows (64 dims, k=16, ~2e4
     // vectors/SF)
     GridSite("q76/q107 centroid mean (component*1e6)", 6, 1.0, 2e4 * TargetSf / 16, wide = false),
+    // q141 SemDeDup coarse quantizer: same grid as q76/q107 (|c| < 1,
+    // one (label, pos) cell sees vectors/k rows)
+    GridSite("q141 centroid mean (component*1e6)", 6, 1.0, 2e4 * TargetSf / 16, wide = false),
     // q112 salted-join revenue: 7 categories over the lineitem-shaped fact
     GridSite("q112 category cents (price*1e2)", 2, Price, LiPerSf / 7 * TargetSf, wide = false),
     // q131 stream-static tier sum: 5 tier groups over events (|value|<=600)
@@ -151,6 +154,8 @@ class GridOverflowSpec extends SparkSpec {
       "Det.scala"                   -> 2, // decSum + gridPartial bodies
       "operators/Advanced.scala"    -> 3,
       "operators/Clustering.scala"  -> 2,
+      "operators/Curation.scala"    -> 1, // q141 SemDeDup centroid grid
+
       "operators/Similarity.scala"  -> 1,
       "operators/Skew.scala"        -> 2,
       "operators/TimeSeries.scala"  -> 1,
