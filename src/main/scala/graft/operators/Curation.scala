@@ -64,6 +64,21 @@ object Curation {
     * pair count). */
   def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    bpeLearn(spark, sfDir)._1
+      .toSeq
+      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+      .orderBy($"merge_rank")
+  }
+
+  /** The shared learner: capped word-frequency table (distributed stage) +
+    * the bounded merge loop. Returns the merge table AND the final
+    * per-word symbol sequences — the encoder ([[bpeEncode]]) is exactly a
+    * broadcast join against the latter. */
+  private def bpeLearn(
+      spark: SparkSession,
+      sfDir: String
+  ): (Array[(Int, String, String, String, Long)], Array[(String, String)]) = {
+    import spark.implicits._
     val words: Array[(String, Long)] = Tables
       .spread(Tables.documents(spark, sfDir))
       .select(explode(tokens($"text")).as("token"))
@@ -108,11 +123,38 @@ object Curation {
         }
       }
     }
-    merges
-      .result()
-      .toSeq
-      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
-      .orderBy($"merge_rank")
+    (merges.result(), words.map(_._1).zip(seqs.map(_._1)))
+  }
+
+  /** BPE corpus encoding with the merges [[bpeMerges]] learned: each
+    * in-vocabulary word maps to its final symbol sequence (the learner's
+    * end state — applying the merge list to a word IS that sequence), so
+    * encoding is ONE broadcast join of the bounded word→sequence table
+    * against the exploded token stream plus a per-doc re-aggregation — the
+    * same map-only corpus shape as [[Vocab.encodeDocs]]. Out-of-vocabulary
+    * words (past the cap / failing the [a-z]+ filter) are excluded from
+    * the counts on both sides (inner join). Output per doc: in-vocab word
+    * count, BPE token count, and the char-level compression ratio
+    * (chars incl. end-of-word marker / BPE tokens, >= 1 by construction). */
+  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val vocabSeqs = bpeLearn(spark, sfDir)._2.toSeq.toDF("token", "seq")
+    Tables
+      .spread(Tables.documents(spark, sfDir))
+      .select($"doc_id", explode(tokens($"text")).as("token"))
+      .join(broadcast(vocabSeqs), "token")
+      .select(
+        $"doc_id",
+        size(split($"seq", " ")).cast("long").as("n_bpe"),
+        (length($"token") + 1).cast("long").as("n_chars1")
+      )
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum($"n_bpe").as("n_bpe_tokens"),
+        round(sum($"n_chars1").cast("double") / sum($"n_bpe"), 6).as("compression")
+      )
+      .orderBy($"doc_id")
   }
 
   /** The fixed retrieval query set for [[bm25TopK]] — (query_id, term). */
@@ -213,6 +255,70 @@ object Curation {
         $"flag_alpha",
         $"flag_stop",
         ($"flag_word_count" && $"flag_mean_len" && $"flag_alpha" && $"flag_stop").as("pass_gopher")
+      )
+      .orderBy($"doc_id")
+  }
+
+  /** The DSIR target-domain slice: sources src0/src1 stand in for the
+    * high-quality target corpus (e.g. Wikipedia+books in the paper). */
+  private[graft] val DsirTargetSources = Seq("src0", "src1")
+
+  /** DSIR-style importance weighting (Xie et al. 2023, arXiv:2302.03169,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every raw document by the log importance ratio
+    * log p_target(x) − log p_raw(x) under two bag-of-tokens unigram
+    * models — the signal importance RESAMPLING then draws against; the
+    * deterministic variant declared here flags the positive-ratio slice
+    * (docs that look more like the target domain than the raw corpus).
+    *
+    * Scale shape: both models are capped to the [[Vocab.LmVocabSize]] most
+    * frequent tokens before broadcasting (the q92/q96 discipline — a raw
+    * vocabulary scales with the corpus and would OOM the driver), with the
+    * deterministic ln(1/total) UNK floor for out-of-vocab tokens. Scoring
+    * is one exploded-token pass against the two bounded broadcast tables +
+    * one per-doc re-aggregation; per-token log-probs snap to the 1e6 grid
+    * and sum as LONG, so the weight is order-free and engine-replayable. */
+  def importanceWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.spread(Tables.documents(spark, sfDir))
+    val tok  = docs.select($"doc_id", explode(tokens($"text")).as("token"))
+
+    // (lp table bounded to lmK rows, OOV floor) for a token stream
+    def model(t: DataFrame, name: String): (DataFrame, Long) = {
+      val freqs = t.groupBy($"token").agg(count(lit(1)).as("freq"))
+      val total = freqs.agg(sum($"freq")).head().getLong(0)
+      val lp = freqs
+        .orderBy($"freq".desc, $"token")
+        .limit(Vocab.LmVocabSize)
+        .select($"token", round(log($"freq" / lit(total.toDouble)) * 1e6).cast("long").as(name))
+      val oov6 = BigDecimal(math.log(1.0 / total.toDouble) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toLong
+      (lp, oov6)
+    }
+
+    val (lpT, oovT) = model(
+      docs
+        .filter($"source".isInCollection(DsirTargetSources))
+        .select($"doc_id", explode(tokens($"text")).as("token")),
+      "lpt6"
+    )
+    val (lpC, oovC) = model(tok, "lpc6")
+
+    tok
+      .join(broadcast(lpT), Seq("token"), "left")
+      .join(broadcast(lpC), Seq("token"), "left")
+      .select(
+        $"doc_id",
+        (coalesce($"lpt6", lit(oovT)) - coalesce($"lpc6", lit(oovC))).as("d6")
+      )
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum($"d6").as("imp6"))
+      .select(
+        $"doc_id",
+        $"n_toks",
+        round($"imp6" / 1e6, 6).as("log_importance"),
+        ($"imp6" > 0L).as("is_selected")
       )
       .orderBy($"doc_id")
   }

@@ -28,6 +28,34 @@ object Registry {
     * The apply step is the identical doubled-space literal replace() both
     * engines execute byte-for-byte (non-overlapping, left-to-right). */
   private def bpeOracle: String = {
+    val sel = (1 to Curation.BpeMerges)
+      .map(r =>
+        s"SELECT CAST($r AS INT) AS merge_rank, lhs, rhs, lhs || rhs AS merged, cnt AS pair_count FROM b$r"
+      )
+      .mkString("\nUNION ALL\n")
+    s"""$bpeOracleCtes
+       |$sel
+       |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** DuckDB replay of the BPE ENCODER: the learner's final sequences CTE
+    * (s_k) IS the word→subword mapping, so encoding is a join of the token
+    * stream against it — mirroring [[Curation.bpeEncode]]'s broadcast join
+    * against the learner's end state. */
+  private def bpeEncodeOracle: String = {
+    val k = Curation.BpeMerges
+    s"""$bpeOracleCtes,
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |enc AS (
+       |  SELECT doc_id, len(string_split(s.seq, ' ')) AS n_bpe, length(t.token) + 1 AS n_chars1
+       |  FROM tok t JOIN s$k s ON t.token = s.token
+       |)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+       |       round(CAST(SUM(n_chars1) AS DOUBLE) / CAST(SUM(n_bpe) AS BIGINT), 6) AS compression
+       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  private def bpeOracleCtes: String = {
     val rounds = (1 to Curation.BpeMerges).map { r =>
       val prev = "s" + (r - 1)
       s"""p$r AS (
@@ -51,11 +79,6 @@ object Registry {
          |  FROM $prev, b$r b
          |)""".stripMargin
     }.mkString(",\n")
-    val sel = (1 to Curation.BpeMerges)
-      .map(r =>
-        s"SELECT CAST($r AS INT) AS merge_rank, lhs, rhs, lhs || rhs AS merged, cnt AS pair_count FROM b$r"
-      )
-      .mkString("\nUNION ALL\n")
     s"""WITH w0 AS (
        |  SELECT token, COUNT(*) AS freq
        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
@@ -67,13 +90,50 @@ object Registry {
        |         array_to_string(list_append(list_transform(range(1, length(token)+1), i -> substr(token, i, 1)), '${Curation.BpeEow}'), ' ') AS seq
        |  FROM w0
        |),
-       |$rounds
-       |$sel
-       |ORDER BY merge_rank""".stripMargin
+       |$rounds""".stripMargin
   }
 
   private def curationPack: Seq[Q] = Seq(
     Q("q138_bpe_merges", Curation.bpeMerges, Some(bpeOracle)),
+    Q("q142_bpe_encode", Curation.bpeEncode, Some(bpeEncodeOracle)),
+    Q(
+      "q143_importance_weights",
+      Curation.importanceWeights,
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        ), ttok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+          WHERE source IN ('src0', 'src1')
+        ), fc AS (
+          SELECT token, COUNT(*) AS freq FROM tok GROUP BY token
+        ), totc AS (
+          SELECT CAST(SUM(freq) AS DOUBLE) AS total FROM fc
+        ), lpc AS (
+          SELECT token, CAST(round(ln(freq / total) * 1e6) AS BIGINT) AS lpc6
+          FROM fc, totc ORDER BY freq DESC, token LIMIT 24
+        ), oovc AS (
+          SELECT CAST(round(ln(1.0 / total) * 1e6) AS BIGINT) AS oovc6 FROM totc
+        ), ft AS (
+          SELECT token, COUNT(*) AS freq FROM ttok GROUP BY token
+        ), tott AS (
+          SELECT CAST(SUM(freq) AS DOUBLE) AS total FROM ft
+        ), lpt AS (
+          SELECT token, CAST(round(ln(freq / total) * 1e6) AS BIGINT) AS lpt6
+          FROM ft, tott ORDER BY freq DESC, token LIMIT 24
+        ), oovt AS (
+          SELECT CAST(round(ln(1.0 / total) * 1e6) AS BIGINT) AS oovt6 FROM tott
+        ), scored AS (
+          SELECT doc_id, COALESCE(lpt6, oovt6) - COALESCE(lpc6, oovc6) AS d6
+          FROM tok LEFT JOIN lpt USING (token) LEFT JOIN lpc USING (token), oovt, oovc
+        )
+        SELECT doc_id, COUNT(*) AS n_toks,
+               round(CAST(SUM(d6) AS DOUBLE) / 1e6, 6) AS log_importance,
+               (SUM(d6) > 0) AS is_selected
+        FROM scored
+        GROUP BY doc_id ORDER BY doc_id
+      """)
+    ),
     Q(
       "q139_bm25_topk",
       Curation.bm25TopK,

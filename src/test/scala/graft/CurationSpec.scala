@@ -87,6 +87,41 @@ class CurationSpec extends SparkSpec {
     assert(dfSpark > 0, "query term present in fixture")
   }
 
+  test("bpe encode: compression >= 1 and bpe tokens <= chars+eow, >= words") {
+    import spark.implicits._
+    val out = Curation.bpeEncode(spark, sf).cache()
+    assert(out.count() === Tables.documents(spark, sf).count(), "all-alpha corpus: every doc has in-vocab words")
+    assert(out.filter($"compression" < 1.0).count() === 0, "merging never lengthens a sequence")
+    assert(out.filter($"n_bpe_tokens" < $"n_words").count() === 0, "a word encodes to >= 1 symbol")
+    // merges actually fired: the corpus-wide ratio must exceed 1 strictly
+    val totals = out.agg(sum($"n_bpe_tokens"), sum($"n_words")).head()
+    assert(totals.getLong(0) > totals.getLong(1), "sanity: multi-symbol words remain")
+    assert(
+      out.filter($"compression" > 1.0).count() > 0,
+      "learned merges compress at least some documents"
+    )
+  }
+
+  test("dsir importance: target-slice docs score higher on average") {
+    import spark.implicits._
+    val out = Curation.importanceWeights(spark, sf)
+      .join(Tables.documents(spark, sf).select($"doc_id", $"source"), "doc_id")
+      .withColumn("is_target", $"source".isin("src0", "src1"))
+      .cache()
+    assert(out.count() === Tables.documents(spark, sf).count())
+    val means = out
+      .groupBy($"is_target")
+      .agg(avg($"log_importance").as("m"))
+      .as[(Boolean, Double)]
+      .collect()
+      .toMap
+    // the shared-vocab synthetic corpus gives a weak but real signal; the
+    // direction must hold (target docs look more target-like)
+    assert(means(true) >= means(false), s"target-slice mean importance ${means(true)} >= raw ${means(false)}")
+    // is_selected is exactly the positive-ratio slice
+    assert(out.filter($"is_selected" =!= ($"log_importance" > 0)).count() === 0)
+  }
+
   test("gopher flags: conjunction equals pass and arithmetic replays") {
     import spark.implicits._
     val out = Curation.gopherQuality(spark, sf).cache()
