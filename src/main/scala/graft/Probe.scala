@@ -300,6 +300,146 @@ object Probe {
       if (!ok) sys.exit(1)
       return
     }
+    if (which == "scalecur") {
+      // Engine-only scaling curve for the curation family (q138 BPE
+      // learning, q139 BM25) over synthetic corpora whose WORD VOCABULARY
+      // GROWS LINEARLY with the data (~40 distinct all-alpha md5-derived
+      // tokens per doc) — the regime where an uncapped BPE word table
+      // would grow the driver state without bound and an uncapped df
+      // broadcast would OOM. Tripwires (exit 1): BPE driver state must be
+      // EXACTLY BpeVocabCap rows at every size (the cap is what bounds
+      // it), both ops >0 merges / bounded top-k output, and >5x time per
+      // 4x data step fails.
+      import spark.implicits._
+      import graft.operators.Curation
+      // digits -> letters so every token passes the learner's [a-z]+ gate
+      def synthDocs(n: Long) =
+        spark
+          .range(n)
+          .repartition(32)
+          .select(
+            $"id".as("doc_id"),
+            concat_ws(
+              " ",
+              transform(
+                sequence(lit(0L), lit(39L)),
+                j =>
+                  translate(
+                    substring(md5(($"id" * 40L + j).cast("string")), 1, 6),
+                    "0123456789",
+                    "ghijklmnop"
+                  )
+              )
+            ).as("text")
+          )
+      // the same token derivation driver-side, for query terms that exist
+      def tokOf(i: Long): String = {
+        val md  = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        hex.substring(0, 6).map(c => if (c.isDigit) ('g' + (c - '0')).toChar else c)
+      }
+      val queryTerms = Seq(0 -> tokOf(0L), 0 -> tokOf(1L), 0 -> tokOf(2L))
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.mode("overwrite").format("noop").save()
+      // warm
+      Curation.bpeLearnFrom(synthDocs(25000))
+      noop(Curation.bm25TopKOf(synthDocs(25000), queryTerms))
+      var ok = true
+      val steps = Seq(25000L, 100000L, 400000L).map { n =>
+        val docs = synthDocs(n)
+        val t0   = System.nanoTime()
+        val (merges, seqs) = Curation.bpeLearnFrom(docs)
+        val sBpe = (System.nanoTime() - t0) / 1e9
+        val t1   = System.nanoTime()
+        noop(Curation.bm25TopKOf(docs, queryTerms))
+        val sBm = (System.nanoTime() - t1) / 1e9
+        println(
+          f"[scalecur] docs=$n%7d bpe=$sBpe%7.2f s (state=${seqs.length}%5d rows, ${merges.length} merges) bm25=$sBm%7.2f s"
+        )
+        if (seqs.length != Curation.BpeVocabCap) {
+          println(s"[scalecur] VIOLATION bpe driver state ${seqs.length} != cap ${Curation.BpeVocabCap}")
+          ok = false
+        }
+        if (merges.length != Curation.BpeMerges) {
+          println(s"[scalecur] VIOLATION bpe merges ${merges.length} != ${Curation.BpeMerges}")
+          ok = false
+        }
+        (n, sBpe, sBm)
+      }
+      steps.sliding(2).foreach {
+        case Seq((n0, b0, m0), (n1, b1, m1)) =>
+          val rB = b1 / b0
+          val rM = m1 / m0
+          println(
+            f"[scalecur] $n0%d→$n1%d (4x data): bpe ${rB}%.2fx ${if (rB <= 5.0) "OK" else "VIOLATION"} bm25 ${rM}%.2fx ${if (rM <= 5.0) "OK" else "VIOLATION"}"
+          )
+          if (rB > 5.0 || rM > 5.0) ok = false
+        case _ => ()
+      }
+      // ---- SemDeDup phase: the in-cluster pairwise stage (q141) ----
+      // Synthetic 64-dim vectors, every 10th an EXACT copy of its
+      // predecessor (the scalesim generator); clusters of a FIXED mean
+      // size (500) — the deployment rule that keeps the n²/k pairwise
+      // stage LINEAR in n (k grows with the data, cluster size does not).
+      // ccos is constant, so the survivor rule resolves every exact pair
+      // by the vec_id tiebreak: expected drops = exactly the copies.
+      // Tripwires: any wrong drop count, or >5x time per 4x step.
+      locally {
+        import graft.functions.Kernels
+        val dim = 64
+        def synthAssigned(n: Long) = {
+          val base = when($"id" % 10 === 0 && $"id" > 0, $"id" - 1).otherwise($"id")
+          spark
+            .range(n)
+            .repartition(32)
+            .select(
+              $"id".as("vec_id"),
+              (base / 500L).cast("long").as("cent_id"),
+              transform(
+                sequence(lit(0), lit(dim - 1)),
+                d =>
+                  (((conv(substring(md5(concat_ws("_", base, d)), 1, 8), 16, 10).cast("long") % 2001L) -
+                    1000L).cast("double") / 1000.0).cast("float")
+              ).as("embedding")
+            )
+            .select(
+              $"vec_id",
+              $"embedding",
+              sqrt(Kernels.dot($"embedding", $"embedding")).as("nrm"),
+              $"cent_id",
+              lit(0.5).as("ccos")
+            )
+        }
+        def run(n: Long): (Long, Double) = {
+          val t0 = System.nanoTime()
+          val dropped = Curation.inClusterDropped(synthAssigned(n)).count()
+          (dropped, (System.nanoTime() - t0) / 1e9)
+        }
+        run(25000) // warm
+        val semSteps = Seq(25000L, 100000L, 400000L).map { n =>
+          val (dropped, sec) = run(n)
+          val expected       = (n - 1) / 10
+          println(f"[scalecur] semdedup n=$n%7d dropped=$dropped%7d (expect $expected) time=$sec%7.2f s")
+          if (dropped != expected) {
+            println(s"[scalecur] VIOLATION semdedup dropped $dropped != $expected")
+            ok = false
+          }
+          (n, sec)
+        }
+        semSteps.sliding(2).foreach {
+          case Seq((n0, t0), (n1, t1)) =>
+            val r = t1 / t0
+            println(
+              f"[scalecur] semdedup $n0%d→$n1%d (4x data): ${r}%.2fx time ${if (r <= 5.0) "OK" else "VIOLATION (super-linear — cluster size not bounded?)"}"
+            )
+            if (r > 5.0) ok = false
+          case _ => ()
+        }
+      }
+      spark.stop()
+      if (!ok) sys.exit(1)
+      return
+    }
     if (which == "scalestream") {
       // Engine-only scaling curve for the q136 streaming near-dup registry:
       // the same synthetic dup-injected corpus as `scale` (every 10th doc

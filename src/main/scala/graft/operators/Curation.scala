@@ -77,10 +77,17 @@ object Curation {
   private def bpeLearn(
       spark: SparkSession,
       sfDir: String
+  ): (Array[(Int, String, String, String, Long)], Array[(String, String)]) =
+    bpeLearnFrom(Tables.spread(Tables.documents(spark, sfDir)))
+
+  /** The docs-parameterized learner (scaling probes drive it over synthetic
+    * corpora whose word vocabulary GROWS with the data, proving the
+    * [[BpeVocabCap]] keeps driver state and loop cost constant). */
+  private[graft] def bpeLearnFrom(
+      docs: DataFrame
   ): (Array[(Int, String, String, String, Long)], Array[(String, String)]) = {
-    import spark.implicits._
-    val words: Array[(String, Long)] = Tables
-      .spread(Tables.documents(spark, sfDir))
+    import docs.sparkSession.implicits._
+    val words: Array[(String, Long)] = docs
       .select(explode(tokens($"text")).as("token"))
       .filter($"token".rlike("^[a-z]+$"))
       .groupBy($"token")
@@ -176,11 +183,16 @@ object Curation {
     * Per-(doc, term) contributions snap to the 1e6 grid and sum as LONG, so
     * ranking and the declared score are order-independent and
     * engine-replayable despite ln() (the q96/q99 discipline). */
-  def bm25TopK(spark: SparkSession, sfDir: String): DataFrame = {
+  def bm25TopK(spark: SparkSession, sfDir: String): DataFrame =
+    bm25TopKOf(Tables.spread(Tables.documents(spark, sfDir)), Bm25Queries)
+
+  /** The docs/queries-parameterized BM25 shape (scaling probes drive it
+    * over synthetic corpora with growing vocabularies). */
+  private[graft] def bm25TopKOf(docs: DataFrame, queryTerms: Seq[(Int, String)]): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val topK = 10
-    val docs = Tables.spread(Tables.documents(spark, sfDir))
     val toks = docs.select($"doc_id", explode(tokens($"text")).as("token"))
     val dl   = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
     val nDocs    = docs.count()
@@ -188,7 +200,7 @@ object Curation {
     val avgdl    = totToks.toDouble / nDocs.toDouble
     val tf       = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
     val df0      = toks.groupBy($"token").agg(countDistinct($"doc_id").as("df"))
-    val queries  = Bm25Queries.toDF("query_id", "token")
+    val queries  = queryTerms.toDF("query_id", "token")
     // bound the df table to the query terms BEFORE it broadcasts
     val qdf = df0.join(broadcast(queries), "token")
     val contrib = tf
@@ -350,6 +362,24 @@ object Curation {
     * copies: a copy ties its original on centroid cosine and loses the id
     * tiebreak. Output: every vector with its cluster, centroid cosine and
     * drop verdict. */
+  /** The epsilon-ball drop stage shared by [[semanticDedup]] and the
+    * `scalecur` probe: candidate pairs EQUI ON cent_id (cost bounded per
+    * cluster — n²/k; deployments hold mean cluster SIZE constant so the
+    * stage stays linear in n), exact cosine verify, lowest-centroid-cosine
+    * survivor with vec_id tiebreak. Input columns:
+    * (vec_id, embedding, nrm, cent_id, ccos). Returns the dropped ids. */
+  private[graft] def inClusterDropped(assigned: DataFrame): DataFrame = {
+    import assigned.sparkSession.implicits._
+    val a = assigned.select($"vec_id".as("va"), $"embedding".as("ea"), $"nrm".as("na"), $"cent_id", $"ccos".as("ca"))
+    val b = assigned.select($"vec_id".as("vb"), $"embedding".as("eb"), $"nrm".as("nb"), $"cent_id".as("cent2"), $"ccos".as("cb"))
+    a.hint("shuffle_hash")
+      .join(b.hint("shuffle_hash"), $"cent_id" === $"cent2" && $"va" =!= $"vb")
+      .withColumn("cos", round(Similarity.cosine($"ea", $"na", $"eb", $"nb"), 6))
+      .filter($"cos" >= SemDedupTau && ($"cb" < $"ca" || ($"cb" === $"ca" && $"vb" < $"va")))
+      .select($"va".as("vec_id"))
+      .distinct()
+  }
+
   def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -384,15 +414,7 @@ object Curation {
       .select($"vec_id", $"embedding", $"nrm", $"cent_id", $"ccos")
       .repartition($"cent_id")
 
-    val a = assigned.select($"vec_id".as("va"), $"embedding".as("ea"), $"nrm".as("na"), $"cent_id", $"ccos".as("ca"))
-    val b = assigned.select($"vec_id".as("vb"), $"embedding".as("eb"), $"nrm".as("nb"), $"cent_id".as("cent2"), $"ccos".as("cb"))
-    val dropped = a
-      .hint("shuffle_hash")
-      .join(b.hint("shuffle_hash"), $"cent_id" === $"cent2" && $"va" =!= $"vb")
-      .withColumn("cos", round(Similarity.cosine($"ea", $"na", $"eb", $"nb"), 6))
-      .filter($"cos" >= SemDedupTau && ($"cb" < $"ca" || ($"cb" === $"ca" && $"vb" < $"va")))
-      .select($"va".as("vec_id"))
-      .distinct()
+    val dropped = inClusterDropped(assigned)
 
     assigned
       .join(dropped.withColumn("is_dropped", lit(true)), Seq("vec_id"), "left")
