@@ -209,4 +209,53 @@ object Advanced {
       spark.catalog.dropTempView(cusV)
     }
   }
+
+  /** Single-pass table profiler — the dataset-card / data-quality stats a
+    * pipeline publishes alongside an export (per column: row count, nulls,
+    * exact distinct count, min/max): ONE aggregation computes every
+    * statistic for every profiled column in a single scan (no per-column
+    * passes), then a `stack` reshapes the one-row result into long format.
+    * Numeric and temporal minima/maxima surface on a shared DOUBLE axis
+    * (timestamps as unix micros — exact in a double up to 2^53), string
+    * columns on a STRING axis, so no cross-engine float-formatting is
+    * involved anywhere. At scale this is one map-side-combined pass;
+    * distinct counts expand per column but stay in the same shuffle. */
+  def tableProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .lineitem(spark, sfDir)
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"l_quantity".isNull.cast("long")).as("qty_nulls"),
+        countDistinct($"l_quantity").as("qty_distinct"),
+        min($"l_quantity").cast("double").as("qty_min"),
+        max($"l_quantity").cast("double").as("qty_max"),
+        sum($"l_extendedprice".isNull.cast("long")).as("ep_nulls"),
+        countDistinct($"l_extendedprice").as("ep_distinct"),
+        min($"l_extendedprice").cast("double").as("ep_min"),
+        max($"l_extendedprice").cast("double").as("ep_max"),
+        sum($"l_shipdate".isNull.cast("long")).as("sd_nulls"),
+        countDistinct($"l_shipdate").as("sd_distinct"),
+        min(unix_micros($"l_shipdate")).cast("double").as("sd_min"),
+        max(unix_micros($"l_shipdate")).cast("double").as("sd_max"),
+        sum($"l_returnflag".isNull.cast("long")).as("rf_nulls"),
+        countDistinct($"l_returnflag").as("rf_distinct"),
+        min($"l_returnflag").as("rf_min"),
+        max($"l_returnflag").as("rf_max")
+      )
+      .select(
+        $"n".as("n_rows"),
+        expr("""stack(4,
+          'l_quantity',      qty_nulls, qty_distinct, qty_min, qty_max, CAST(NULL AS STRING), CAST(NULL AS STRING),
+          'l_extendedprice', ep_nulls,  ep_distinct,  ep_min,  ep_max,  CAST(NULL AS STRING), CAST(NULL AS STRING),
+          'l_shipdate',      sd_nulls,  sd_distinct,  sd_min,  sd_max,  CAST(NULL AS STRING), CAST(NULL AS STRING),
+          'l_returnflag',    rf_nulls,  rf_distinct,  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), rf_min, rf_max)
+          AS (col_name, n_null, n_distinct, min_num, max_num, min_str, max_str)""")
+      )
+      .select(
+        $"col_name", $"n_rows", $"n_null", $"n_distinct",
+        $"min_num", $"max_num", $"min_str", $"max_str"
+      )
+      .orderBy($"col_name")
+  }
 }

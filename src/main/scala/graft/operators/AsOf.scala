@@ -69,6 +69,46 @@ object AsOf {
       .orderBy($"day")
   }
 
+  /** The BIG-BIG scale path for the same interval-overlap semantics as
+    * [[sessionDayOverlap]]: when NEITHER side of an interval join is
+    * broadcastable (two interval tables that both scale with the data),
+    * the standard plan is BINNING — explode each interval into the
+    * fixed-width bins it covers (here: calendar days, bin = µs div 86.4e9)
+    * and EQUI-JOIN on the bin id with the overlap predicate as residual.
+    * Each (interval, bin) pair appears exactly once, the join is a hash
+    * shuffle both sides (hinted, so the plan demonstrates the big-big
+    * shape rather than letting AQE broadcast the small fixture side), and
+    * the explode factor is interval-length/bin-width — bounded by choosing
+    * the bin at the expected interval scale. Declared with the IDENTICAL
+    * oracle as q35: two physical plans, one hash-checked semantics. */
+  def sessionDayOverlapBinned(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val D        = 86400000000L
+    val sessions = graft.streaming.Streaming.sessionize(Tables.events(spark, sfDir))
+    val days = Tables
+      .events(spark, sfDir)
+      .select(to_date($"ts").as("day"))
+      .distinct()
+      .withColumn("day_start_us", unix_micros($"day".cast("timestamp")))
+      .withColumn("day_end_us", $"day_start_us" + D)
+      .withColumn("day_bin", expr(s"day_start_us div ${D}L"))
+    // covered bins: [start div D, (end-1) div D] — end is exclusive and
+    // strictly > start (sessions close at last-event + gap), so a session
+    // ending exactly at midnight stays out of the new day, matching the
+    // strict end > day_start overlap predicate
+    val binned = sessions.withColumn(
+      "day_bin",
+      explode(expr(s"sequence(session_start_us div ${D}L, (session_end_us - 1) div ${D}L)"))
+    )
+    binned
+      .hint("shuffle_hash")
+      .join(days.hint("shuffle_hash"), Seq("day_bin"))
+      .filter($"session_start_us" < $"day_end_us" && $"session_end_us" > $"day_start_us")
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_sessions"), countDistinct($"user_id").as("n_users"))
+      .orderBy($"day")
+  }
+
   /** For each purchase: how many views the same user made in the preceding
     * hour (exclusive of the purchase instant) — a range join expressed as a
     * RANGE window frame, one shuffle total. */

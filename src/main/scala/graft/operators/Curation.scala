@@ -189,10 +189,20 @@ object Curation {
   /** The docs/queries-parameterized BM25 shape (scaling probes drive it
     * over synthetic corpora with growing vocabularies). */
   private[graft] def bm25TopKOf(docs: DataFrame, queryTerms: Seq[(Int, String)]): DataFrame = {
+    import docs.sparkSession.implicits._
+    bm25Ranked(docs, queryTerms)
+      .filter($"rk" <= 10)
+      .select($"query_id", $"rk", $"doc_id", round($"score6".cast("double") / 1e6, 6).as("bm25"))
+      .orderBy($"query_id", $"rk")
+  }
+
+  /** The full ranked scoring shape shared by [[bm25TopKOf]] and
+    * [[mmrRerank]]: (query_id, doc_id, score6, rk) with the integer-grid
+    * score kept for downstream integer-exact arithmetic. */
+  private[graft] def bm25Ranked(docs: DataFrame, queryTerms: Seq[(Int, String)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val topK = 10
     val toks = docs.select($"doc_id", explode(tokens($"text")).as("token"))
     val dl   = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
     val nDocs    = docs.count()
@@ -220,9 +230,69 @@ object Curation {
       .groupBy($"query_id", $"doc_id")
       .agg(sum($"contrib6").as("score6"))
       .withColumn("rk", row_number().over(w).cast("int"))
-      .filter($"rk" <= topK)
-      .select($"query_id", $"rk", $"doc_id", round($"score6".cast("double") / 1e6, 6).as("bm25"))
-      .orderBy($"query_id", $"rk")
+  }
+
+  /** MMR weighting (Carbonell & Goldstein 1998): lambda = 0.7, expressed
+    * as the integer pair (7, 3) so the whole reranking objective
+    * 7·score6 − 3·jaccard6 stays in EXACT integer arithmetic. */
+  private[graft] val MmrSteps = 5
+
+  /** MMR diversity reranking (Carbonell & Goldstein 1998, the maximal
+    * marginal relevance criterion) over the q139 BM25 candidates for query
+    * 1: greedily select [[MmrSteps]] documents maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-selected, with
+    * distinct-token-set Jaccard as the inter-candidate similarity — the
+    * diversity-aware subset-selection step retrieval and training-data
+    * pipelines run after scoring. Every quantity lives on an integer grid
+    * (score6, jaccard6 via floor division, the 7/3 lambda weights), so the
+    * greedy argmax chain is EXACTLY replayable; the DuckDB oracle unrolls
+    * the selection steps into chained CTEs like the q138 BPE learner.
+    *
+    * Scale shape: the candidate set is top-k BOUNDED (the expensive corpus
+    * stage is q139's scoring); everything after the cut — pairwise
+    * Jaccard, the greedy loop — is O(k²) on k rows, independent of corpus
+    * size. The pairwise join is equi on query_id within the bounded set. */
+  def mmrRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.spread(Tables.documents(spark, sfDir))
+    val cands = bm25Ranked(docs, Bm25Queries)
+      .filter($"query_id" === 1 && $"rk" <= 10)
+      .select($"doc_id", $"score6")
+    val ctoks = cands
+      .join(docs.select($"doc_id", array_distinct(tokens($"text")).as("toks")), "doc_id")
+      .select($"doc_id", $"toks")
+    val a = ctoks.select($"doc_id".as("a_id"), $"toks".as("ta"))
+    val b = ctoks.select($"doc_id".as("b_id"), $"toks".as("tb"))
+    // deliberate all-pairs over the top-k CUT (<= k² = 100 rows): the
+    // cartesian is bounded by the rank filter, reviewed in the plan sweep
+    val pairs = a
+      .crossJoin(b)
+      .filter($"a_id" =!= $"b_id")
+      .withColumn("ninter", size(array_intersect($"ta", $"tb")))
+      .withColumn("j6", expr("(1000000 * ninter) div (size(ta) + size(tb) - ninter)"))
+      .select($"a_id", $"b_id", $"j6")
+
+    var selected = cands
+      .orderBy($"score6".desc, $"doc_id")
+      .limit(1)
+      .select($"doc_id", lit(1).as("mmr_rank"), ($"score6" * 7).as("mmr6"))
+    for (r <- 2 to MmrSteps) {
+      val msim = pairs
+        .join(selected.select($"doc_id".as("b_id")), "b_id")
+        .groupBy($"a_id")
+        .agg(max($"j6").as("msim6"))
+      val next = cands
+        .join(selected.select($"doc_id"), Seq("doc_id"), "left_anti")
+        .join(msim, $"doc_id" === $"a_id")
+        .withColumn("mmr6", $"score6" * 7 - $"msim6" * 3)
+        .orderBy($"mmr6".desc, $"doc_id")
+        .limit(1)
+        .select($"doc_id", lit(r).as("mmr_rank"), $"mmr6")
+      selected = selected.unionByName(next)
+    }
+    selected
+      .select($"mmr_rank", $"doc_id", round($"mmr6".cast("double") / 1e6, 6).as("mmr"))
+      .orderBy($"mmr_rank")
   }
 
   /** The Gopher quality-rule stopword set (Rae et al. 2021, arXiv:

@@ -21,6 +21,103 @@ object Registry {
       multimodalPack ++ streamingPack ++ advancedPack ++ pipelinePack ++ shardingPack ++
       timeseriesPack ++ chunkingPack ++ corpusPack ++ versioningPack ++ skewPack ++ curationPack
 
+  /** The q35/q144 shared oracle: gap-based sessionization + relational
+    * interval-overlap against calendar days. Two declared queries run two
+    * different physical plans (broadcast BNLJ vs binned shuffle-hash
+    * equi-join) against this one semantics. */
+  private val sessionDayOverlapSql: String = """
+    WITH t AS (
+      SELECT user_id, epoch_us(ts) AS ts_us FROM events
+    ), g AS (
+      SELECT user_id, ts_us,
+             CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+                    OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM t
+    ), s AS (
+      SELECT user_id, ts_us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM g
+    ), ses AS (
+      SELECT user_id, MIN(ts_us) AS session_start_us,
+             MAX(ts_us) + 1800000000 AS session_end_us
+      FROM s GROUP BY user_id, sess
+    ), days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day,
+             epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS d0
+      FROM events
+    )
+    SELECT day, COUNT(*) AS n_sessions, COUNT(DISTINCT user_id) AS n_users
+    FROM ses JOIN days
+      ON session_start_us < d0 + 86400000000 AND session_end_us > d0
+    GROUP BY day ORDER BY day
+  """
+
+  /** The q139/q146 shared BM25 scoring CTEs, ending in the ranked
+    * relation `r(query_id, doc_id, score6, rk)`. */
+  private val bm25OracleCtes: String = """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    q(query_id, token) AS (VALUES (0,'spark'),(0,'join'),(1,'customer'),(1,'order'),(1,'query'),(2,'window'),(2,'stream'),(2,'vector')),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n,
+                     CAST((SELECT COUNT(*) FROM tok) AS DOUBLE) / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS avgdl),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    s AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(round(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6) AS BIGINT) AS contrib6
+      FROM tf JOIN q USING (token) JOIN df USING (token) JOIN dl USING (doc_id), stats
+    ),
+    agg AS (SELECT query_id, doc_id, SUM(contrib6) AS score6 FROM s GROUP BY query_id, doc_id),
+    r AS (SELECT query_id, doc_id, score6,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score6 DESC, doc_id) AS INT) AS rk
+          FROM agg)"""
+
+  /** DuckDB replay of the greedy MMR selection: the BM25 CTEs feed the
+    * bounded candidate set; each greedy step unrolls into an (s_r, u_r)
+    * CTE pair — argmax of 7·score6 − 3·max-jaccard6-to-selected, then the
+    * running selected set — the same unrolled-iteration trick as the BPE
+    * learner's oracle. */
+  private def mmrOracle: String = {
+    val steps = (2 to Curation.MmrSteps).map { r =>
+      val prev = "u" + (r - 1)
+      s"""s$r AS (
+         |  SELECT c.doc_id, CAST($r AS INT) AS mmr_rank, c.score6 * 7 - m.msim6 * 3 AS mmr6
+         |  FROM c JOIN (
+         |    SELECT p.a_id, MAX(p.j6) AS msim6 FROM p JOIN $prev u ON p.b_id = u.doc_id
+         |    WHERE p.a_id NOT IN (SELECT doc_id FROM $prev) GROUP BY p.a_id
+         |  ) m ON c.doc_id = m.a_id
+         |  ORDER BY mmr6 DESC, c.doc_id LIMIT 1
+         |),
+         |u$r AS (SELECT doc_id FROM $prev UNION ALL SELECT doc_id FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to Curation.MmrSteps)
+      .map(r => s"SELECT mmr_rank, doc_id, mmr6 FROM s$r")
+      .mkString("\nUNION ALL\n")
+    s"""$bm25OracleCtes,
+       |c AS (SELECT doc_id, score6 FROM r WHERE query_id = 1 AND rk <= 10),
+       |ct AS (
+       |  SELECT c.doc_id, list_distinct(string_split(d.text, ' ')) AS toks, c.score6
+       |  FROM c JOIN documents d ON c.doc_id = d.doc_id
+       |),
+       |p AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |         (1000000 * len(list_intersect(a.toks, b.toks)))
+       |           // (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS j6
+       |  FROM ct a JOIN ct b ON a.doc_id <> b.doc_id
+       |),
+       |s1 AS (
+       |  SELECT doc_id, CAST(1 AS INT) AS mmr_rank, score6 * 7 AS mmr6
+       |  FROM c ORDER BY score6 DESC, doc_id LIMIT 1
+       |),
+       |u1 AS (SELECT doc_id FROM s1),
+       |$steps
+       |SELECT mmr_rank, doc_id, round(CAST(mmr6 AS DOUBLE) / 1e6, 6) AS mmr
+       |FROM ($unionAll)
+       |ORDER BY mmr_rank""".stripMargin
+  }
+
   /** DuckDB replay of the ITERATIVE BPE learner: the merge rounds unroll
     * into chained CTEs (p_r = weighted pair counts, b_r = the argmax pair,
     * s_r = sequences after applying it). Generated from the same constants
@@ -137,25 +234,50 @@ object Registry {
     Q(
       "q139_bm25_topk",
       Curation.bm25TopK,
-      Some("""
-        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-        q(query_id, token) AS (VALUES (0,'spark'),(0,'join'),(1,'customer'),(1,'order'),(1,'query'),(2,'window'),(2,'stream'),(2,'vector')),
-        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
-        stats AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n,
-                         CAST((SELECT COUNT(*) FROM tok) AS DOUBLE) / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS avgdl),
-        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
-        df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
-        s AS (
-          SELECT q.query_id, tf.doc_id,
-                 CAST(round(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6) AS BIGINT) AS contrib6
-          FROM tf JOIN q USING (token) JOIN df USING (token) JOIN dl USING (doc_id), stats
-        ),
-        agg AS (SELECT query_id, doc_id, SUM(contrib6) AS score6 FROM s GROUP BY query_id, doc_id),
-        r AS (SELECT query_id, doc_id, score6,
-                     CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score6 DESC, doc_id) AS INT) AS rk
-              FROM agg)
+      Some(s"""
+        $bm25OracleCtes
         SELECT CAST(query_id AS INT) AS query_id, rk, doc_id, round(CAST(score6 AS DOUBLE) / 1e6, 6) AS bm25
         FROM r WHERE rk <= 10 ORDER BY query_id, rk
+      """)
+    ),
+    Q("q146_mmr_rerank", Curation.mmrRerank, Some(mmrOracle)),
+    Q(
+      "q145_table_profile",
+      Advanced.tableProfile,
+      Some("""
+        WITH a AS (
+          SELECT COUNT(*) AS n,
+                 SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS qty_nulls,
+                 COUNT(DISTINCT l_quantity) AS qty_distinct,
+                 CAST(MIN(l_quantity) AS DOUBLE) AS qty_min,
+                 CAST(MAX(l_quantity) AS DOUBLE) AS qty_max,
+                 SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS ep_nulls,
+                 COUNT(DISTINCT l_extendedprice) AS ep_distinct,
+                 CAST(MIN(l_extendedprice) AS DOUBLE) AS ep_min,
+                 CAST(MAX(l_extendedprice) AS DOUBLE) AS ep_max,
+                 SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS sd_nulls,
+                 COUNT(DISTINCT l_shipdate) AS sd_distinct,
+                 CAST(MIN(epoch_us(l_shipdate)) AS DOUBLE) AS sd_min,
+                 CAST(MAX(epoch_us(l_shipdate)) AS DOUBLE) AS sd_max,
+                 SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS rf_nulls,
+                 COUNT(DISTINCT l_returnflag) AS rf_distinct,
+                 MIN(l_returnflag) AS rf_min,
+                 MAX(l_returnflag) AS rf_max
+          FROM lineitem
+        )
+        SELECT 'l_quantity' AS col_name, n AS n_rows, CAST(qty_nulls AS BIGINT) AS n_null,
+               qty_distinct AS n_distinct, qty_min AS min_num, qty_max AS max_num,
+               CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM a
+        UNION ALL
+        SELECT 'l_extendedprice', n, CAST(ep_nulls AS BIGINT), ep_distinct, ep_min, ep_max,
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM a
+        UNION ALL
+        SELECT 'l_shipdate', n, CAST(sd_nulls AS BIGINT), sd_distinct, sd_min, sd_max,
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM a
+        UNION ALL
+        SELECT 'l_returnflag', n, CAST(rf_nulls AS BIGINT), rf_distinct,
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), rf_min, rf_max FROM a
+        ORDER BY col_name
       """)
     ),
     Q(
@@ -1974,34 +2096,16 @@ object Registry {
     Q(
       "q35_interval_join",
       AsOf.sessionDayOverlap,
-      Some("""
-        WITH t AS (
-          SELECT user_id, epoch_us(ts) AS ts_us FROM events
-        ), g AS (
-          SELECT user_id, ts_us,
-                 CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
-                        OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) >= 1800000000
-                      THEN 1 ELSE 0 END AS is_new
-          FROM t
-        ), s AS (
-          SELECT user_id, ts_us,
-                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
-          FROM g
-        ), ses AS (
-          SELECT user_id, MIN(ts_us) AS session_start_us,
-                 MAX(ts_us) + 1800000000 AS session_end_us
-          FROM s GROUP BY user_id, sess
-        ), days AS (
-          SELECT DISTINCT CAST(ts AS DATE) AS day,
-                 epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS d0
-          FROM events
-        )
-        SELECT day, COUNT(*) AS n_sessions, COUNT(DISTINCT user_id) AS n_users
-        FROM ses JOIN days
-          ON session_start_us < d0 + 86400000000 AND session_end_us > d0
-        GROUP BY day ORDER BY day
-      """)
+      Some(sessionDayOverlapSql)
+    ),
+    // Same SEMANTICS and oracle as q35 — the declared point is the other
+    // PHYSICAL PLAN: a big-big interval join via day-bin explode +
+    // shuffle-hash equi-join (neither side broadcast), hash-checked to
+    // produce identical results.
+    Q(
+      "q144_binned_interval_join",
+      AsOf.sessionDayOverlapBinned,
+      Some(sessionDayOverlapSql)
     ),
     Q(
       "q31_range_window_join",

@@ -66,7 +66,13 @@ class CorpusPlanSweepSpec extends SparkSpec {
     // SemDeDup coarse-quantizer assignment crossJoins broadcast(k
     // centroids) — the q76/q107 shape; the pairwise stage itself is an
     // equi-join on cent_id (Curation.semanticDedup)
-    "q141_semantic_dedup" -> Set("BroadcastNestedLoopJoin")
+    "q141_semantic_dedup" -> Set("BroadcastNestedLoopJoin"),
+    // MMR pairwise similarity: all-pairs over the rk<=10 BM25 candidate
+    // CUT — both sides top-k bounded (<=100 pairs at any corpus size; the
+    // corpus-scale work happens in the scoring stage upstream). The
+    // bound is a window-rank filter, invisible to plan structure
+    // (Curation.mmrRerank)
+    "q146_mmr_rerank" -> Set("CartesianProduct")
   )
 
   /** True when the subtree provably yields at most one row: a groupless

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Curation
+import graft.operators.{Advanced, Curation}
 import org.apache.spark.sql.functions._
 
 /** Semantic properties of the curation pack (BPE learning, BM25, Gopher
@@ -138,6 +138,39 @@ class CurationSpec extends SparkSpec {
     // word-count and stopword rules must each actually discriminate
     assert(out.filter($"flag_stop").count() > 0)
     assert(out.filter(!$"flag_stop").count() > 0, "stopword rule discriminates on this corpus")
+  }
+
+  test("binned interval join: identical results to the broadcast plan, no BNLJ") {
+    import graft.operators.AsOf
+    val broadcastPlan = AsOf.sessionDayOverlap(spark, sf)
+    val binnedPlan    = AsOf.sessionDayOverlapBinned(spark, sf)
+    assert(binnedPlan.exceptAll(broadcastPlan).isEmpty && broadcastPlan.exceptAll(binnedPlan).isEmpty,
+      "two physical plans, one semantics")
+    val phys = binnedPlan.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin"), "the binned plan must be the equi-join shape")
+  }
+
+  test("table profile: stats are internally consistent") {
+    import spark.implicits._
+    val out = Advanced.tableProfile(spark, sf).cache()
+    assert(out.count() === 4)
+    val n = Tables.lineitem(spark, sf).count()
+    assert(out.filter($"n_rows" =!= n).count() === 0, "n_rows replicated from the single pass")
+    assert(out.filter($"n_null" =!= 0L).count() === 0, "fixture has no nulls in profiled columns")
+    assert(out.filter($"n_distinct" > $"n_rows").count() === 0)
+    assert(out.filter($"min_num" > $"max_num").count() === 0)
+    assert(out.filter($"col_name" === "l_returnflag" && $"min_str".isNull).count() === 0)
+  }
+
+  test("mmr rerank: dense ranks, distinct picks, greedy head = top bm25") {
+    import spark.implicits._
+    val out = Curation.mmrRerank(spark, sf).as[(Int, Long, Double)].collect()
+    assert(out.map(_._1).toSeq === (1 to 5), "dense selection ranks")
+    assert(out.map(_._2).distinct.length === 5, "a doc is selected at most once")
+    val top = Curation.bm25TopK(spark, sf)
+      .filter($"query_id" === 1 && $"rk" === 1)
+      .select($"doc_id").as[Long].head()
+    assert(out.head._2 === top, "first MMR pick is the relevance argmax")
   }
 
   test("semdedup: drops exactly the planted copies, keeps originals") {
