@@ -208,6 +208,65 @@ object Dedup {
       .orderBy($"id1", $"id2")
   }
 
+  /** Prefix-filtered set-similarity self-join (the AllPairs/PPJoin prefix
+    * scheme — Bayardo et al. WWW'07, Xiao et al. WWW'08): instead of
+    * indexing EVERY shingle of every document (ngramJaccardPairs'
+    * candidate generator scales with total shingle volume), index only
+    * each document's PREFIX under a rarest-first global shingle order —
+    * p(n) = n − ⌈t·n⌉ + 1 elements. The prefix lemma guarantees any pair
+    * with true Jaccard ≥ t shares a prefix element (if both prefixes were
+    * disjoint, every common element would sit past one side's prefix
+    * boundary, capping the overlap below t·n — contradiction), so
+    * candidate generation is LOSSLESS at the threshold while the inverted
+    * index shrinks by ~t and carries the RAREST shingles (the ones with
+    * the smallest join buckets — the performance point of the
+    * df-ascending order). Candidates are then verified EXACTLY against
+    * the full shingle sets. Declared with the IDENTICAL oracle as q67:
+    * same semantics, hash-identical results, cheaper candidate plan.
+    * (Rounding note: the declared filter is on the 6-decimal rounded
+    * jaccard; with set sizes ≪ 4·10⁵ no rational p/q can land inside
+    * [0.6 − 5e−7, 0.6), so the rounded and true thresholds select the
+    * same pairs and the prefix lemma applies verbatim.) */
+  def prefixJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = docsWithDups(spark, sfDir)
+      .repartition($"doc_id")
+      .select($"doc_id", array_distinct(graft.functions.Kernels.shingleHashes(tokens($"text"), 3)).as("sh0"))
+      .groupBy($"doc_id")
+      .agg(first($"sh0").as("sh"))
+    val ex = docs.select($"doc_id", size($"sh").as("n_sh"), explode($"sh").as("shingle"))
+    val df = ex.groupBy($"shingle").agg(count(lit(1)).as("df"))
+    // rarest-first global order; position within each doc is a PARALLEL
+    // per-doc window. prefix length n − ⌈0.6n⌉ + 1 with ⌈0.6n⌉ = (3n+4) div 5
+    val w = Window.partitionBy($"doc_id").orderBy($"df".asc, $"shingle".asc)
+    // the df join must SHUFFLE on shingle: at fixture stats the planner
+    // would broadcast the EXPLODED side — unbounded at scale (the sweep
+    // catches exactly this); hinted, both sides hash-partition on the key
+    val pfx = ex
+      .hint("shuffle_hash")
+      .join(df.hint("shuffle_hash"), "shingle")
+      .withColumn("pos", row_number().over(w))
+      .filter($"pos" <= expr("n_sh - (3 * n_sh + 4) div 5 + 1"))
+      .select($"doc_id", $"shingle")
+      .repartition($"shingle")
+    val a = pfx.select($"doc_id".as("id1"), $"shingle")
+    val b = pfx.select($"doc_id".as("id2"), $"shingle".as("shingle2"))
+    val cand = a
+      .hint("shuffle_hash")
+      .join(b.hint("shuffle_hash"), $"shingle" === $"shingle2" && $"id1" < $"id2")
+      .select($"id1", $"id2")
+      .distinct()
+    cand
+      .join(docs.select($"doc_id".as("id1"), $"sh".as("sh1")), "id1")
+      .join(docs.select($"doc_id".as("id2"), $"sh".as("sh2")), "id2")
+      .withColumn("n_inter", size(array_intersect($"sh1", $"sh2")))
+      .withColumn("jaccard", round($"n_inter" / (size($"sh1") + size($"sh2") - $"n_inter"), 6))
+      .filter($"jaccard" >= 0.6)
+      .select($"id1", $"id2", $"jaccard")
+      .orderBy($"id1", $"id2")
+  }
+
   /** The dup-injected embedding set with norms, behind the same
     * repartition + groupBy/first barrier as the text dedup pipelines (one
     * reusable exchange, no pushed-down recompute). */

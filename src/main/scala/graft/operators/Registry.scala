@@ -497,6 +497,29 @@ object Registry {
        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
      )"""
 
+  /** The q67/q147 shared oracle: distinct 3-gram shingle Jaccard pairs at
+    * threshold 0.6 over the dup-injected corpus. Two declared queries run
+    * two physical plans (full inverted index vs prefix-filtered index)
+    * against this one semantics — the prefix lemma guarantees identical
+    * results. */
+  private val ngramJaccardSql: String = s"""
+    WITH $dupCorpus, tk AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+    ), sh AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS dsh FROM tk
+    ), ex AS (
+      SELECT doc_id, CAST(len(dsh) AS INT) AS n_sh, unnest(dsh) AS shingle FROM sh
+    ), j AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, a.n_sh AS n1, b.n_sh AS n2, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id1, id2, round(CAST(n_inter AS DOUBLE) / (n1 + n2 - n_inter), 6) AS jaccard
+    FROM j WHERE round(CAST(n_inter AS DOUBLE) / (n1 + n2 - n_inter), 6) >= 0.6
+    ORDER BY id1, id2
+  """
+
   /** Round-3 corpus-engineering pack: substring-level dedup, domain
     * mixing, TF-IDF, frequency sketches, weighted sampling, embedding
     * quantization. */
@@ -1428,27 +1451,12 @@ object Registry {
         ORDER BY id1, id2
       """)
     ),
-    Q(
-      "q67_ngram_jaccard_pairs",
-      Dedup.ngramJaccardPairs,
-      Some(s"""
-        WITH $dupCorpus, tk AS (
-          SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
-        ), sh AS (
-          SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
-            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS dsh FROM tk
-        ), ex AS (
-          SELECT doc_id, CAST(len(dsh) AS INT) AS n_sh, unnest(dsh) AS shingle FROM sh
-        ), j AS (
-          SELECT a.doc_id AS id1, b.doc_id AS id2, a.n_sh AS n1, b.n_sh AS n2, COUNT(*) AS n_inter
-          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY 1, 2, 3, 4
-        )
-        SELECT id1, id2, round(CAST(n_inter AS DOUBLE) / (n1 + n2 - n_inter), 6) AS jaccard
-        FROM j WHERE round(CAST(n_inter AS DOUBLE) / (n1 + n2 - n_inter), 6) >= 0.6
-        ORDER BY id1, id2
-      """)
-    ),
+    Q("q67_ngram_jaccard_pairs", Dedup.ngramJaccardPairs, Some(ngramJaccardSql)),
+    // Same SEMANTICS and oracle as q67 — the declared point is the other
+    // PHYSICAL PLAN: a prefix-filtered (AllPairs/PPJoin) candidate
+    // generator indexing only each doc's rarest-shingle prefix, losslessly
+    // at the threshold, hash-checked to produce identical pairs.
+    Q("q147_prefix_jaccard_pairs", Dedup.prefixJaccardPairs, Some(ngramJaccardSql)),
     Q(
       "q89_capped_jaccard_pairs",
       Dedup.cappedJaccardPairs,

@@ -58,6 +58,63 @@ class CurationSpec extends SparkSpec {
     graft.sources.ParquetSink.deleteRecursively(dir)
   }
 
+  test("bpe: property — the doubled-space replace apply equals a reference greedy-LTR merge") {
+    import spark.implicits._
+    // reference learner: array-based greedy left-to-right merge (the
+    // textbook BPE apply), independent of the string-replace trick the
+    // operator uses — any divergence on ANY corpus is a bug in the trick
+    def refMerge(seq: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i   = 0
+      while (i < seq.length) {
+        if (i < seq.length - 1 && seq(i) == l && seq(i + 1) == r) { out += (l + r); i += 2 }
+        else { out += seq(i); i += 1 }
+      }
+      out.result()
+    }
+    def refLearn(words: Seq[(String, Long)], k: Int): Seq[(Int, String, String, String, Long)] = {
+      var seqs   = words.map { case (w, f) => (w.map(_.toString).toVector :+ "+", f) }
+      val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+      var r      = 0
+      var done   = false
+      while (r < k && !done) {
+        r += 1
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        seqs.foreach { case (s, f) =>
+          s.sliding(2).foreach {
+            case Vector(x, y) => counts.update((x, y), counts.getOrElse((x, y), 0L) + f)
+            case _            =>
+          }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, rr), cnt) = counts.minBy { case ((l, rr), c) => (-c, l, rr) }
+          merges += ((r, l, rr, l + rr, cnt))
+          seqs = seqs.map { case (s, f) => (refMerge(s, l, rr), f) }
+        }
+      }
+      merges.result()
+    }
+    val rng = new scala.util.Random(42)
+    (1 to 25).foreach { trial =>
+      val nWords = 1 + rng.nextInt(8)
+      val words = (0 until nWords)
+        .map(_ => (1 to (1 + rng.nextInt(6))).map(_ => ('a' + rng.nextInt(2)).toChar).mkString)
+        .distinct
+        .map(w => (w, 1L + rng.nextInt(5)))
+      // one doc per word, repeated freq times — engine word counts = freqs
+      val text = words.flatMap { case (w, f) => Seq.fill(f.toInt)(w) }.mkString(" ")
+      val docs = Seq((0L, text)).toDF("doc_id", "text")
+      val engine = graft.operators.Curation
+        .bpeLearnFrom(docs)
+        ._1
+        .toSeq
+        .map { case (r, l, rr, m, c) => (r, l, rr, m, c) }
+      val ref = refLearn(words, 8)
+      assert(engine === ref, s"trial $trial diverged on corpus: $words")
+    }
+  }
+
   test("bm25: per-query ranks are dense from 1 and scores non-increasing") {
     import spark.implicits._
     val out = Curation.bm25TopK(spark, sf)

@@ -186,4 +186,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(expect.nonEmpty, "fixture degenerate: no eval docs share shingles")
     assert(out.collect().toSeq === expect)
   }
+
+  test("prefix-filtered jaccard equals the full inverted-index join exactly") {
+    val full = graft.operators.Dedup.ngramJaccardPairs(spark, sf)
+    val pfx  = graft.operators.Dedup.prefixJaccardPairs(spark, sf)
+    assert(
+      pfx.exceptAll(full).isEmpty && full.exceptAll(pfx).isEmpty,
+      "the prefix lemma makes candidate generation lossless at the threshold"
+    )
+    assert(full.count() > 0, "fixture degenerate: no jaccard pairs")
+  }
+
+  test("prefix index is strictly smaller than the full inverted index") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = graft.operators.Dedup
+      .docsWithDups(spark, sf)
+      .select(
+        $"doc_id",
+        array_distinct(
+          graft.functions.Kernels.shingleHashes(split($"text", " "), 3)
+        ).as("sh")
+      )
+      .select($"doc_id", size($"sh").as("n_sh"))
+    val stats = docs
+      .agg(
+        sum($"n_sh").as("full_index"),
+        sum(expr("n_sh - (3 * n_sh + 4) div 5 + 1")).as("prefix_index")
+      )
+      .head()
+    val (fullIdx, pfxIdx) = (stats.getLong(0), stats.getLong(1))
+    // p(n) = n - ceil(0.6n) + 1  =>  ~40% of the full index
+    assert(pfxIdx < fullIdx / 2, s"prefix index $pfxIdx not < half of $fullIdx")
+  }
 }
