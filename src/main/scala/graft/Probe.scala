@@ -345,14 +345,18 @@ object Probe {
       Curation.bpeLearnFrom(synthDocs(25000))
       noop(Curation.bm25TopKOf(synthDocs(25000), queryTerms))
       var ok = true
+      // best-of-2 per (size, op): a single-shot reading on the small sizes
+      // is overhead-dominated and one GC pause can push a 4x-step ratio
+      // past the tripwire on timing noise alone (observed 3.4x vs 6.4x on
+      // identical code) — the same reason Bench times best-of-N
+      def best2(f: => Unit): Double =
+        (1 to 2).map { _ => val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9 }.min
       val steps = Seq(25000L, 100000L, 400000L).map { n =>
         val docs = synthDocs(n)
-        val t0   = System.nanoTime()
-        val (merges, seqs) = Curation.bpeLearnFrom(docs)
-        val sBpe = (System.nanoTime() - t0) / 1e9
-        val t1   = System.nanoTime()
-        noop(Curation.bm25TopKOf(docs, queryTerms))
-        val sBm = (System.nanoTime() - t1) / 1e9
+        var merges: Array[(Int, String, String, String, Long)] = Array.empty
+        var seqs: Array[(String, String)]                      = Array.empty
+        val sBpe = best2 { val r = Curation.bpeLearnFrom(docs); merges = r._1; seqs = r._2 }
+        val sBm  = best2(noop(Curation.bm25TopKOf(docs, queryTerms)))
         println(
           f"[scalecur] docs=$n%7d bpe=$sBpe%7.2f s (state=${seqs.length}%5d rows, ${merges.length} merges) bm25=$sBm%7.2f s"
         )
@@ -411,9 +415,13 @@ object Probe {
             )
         }
         def run(n: Long): (Long, Double) = {
-          val t0 = System.nanoTime()
-          val dropped = Curation.inClusterDropped(synthAssigned(n)).count()
-          (dropped, (System.nanoTime() - t0) / 1e9)
+          // best-of-2, same rationale as the learn/bm25 timings above
+          val runs = (1 to 2).map { _ =>
+            val t0      = System.nanoTime()
+            val dropped = Curation.inClusterDropped(synthAssigned(n)).count()
+            (dropped, (System.nanoTime() - t0) / 1e9)
+          }
+          (runs.head._1, runs.map(_._2).min)
         }
         run(25000) // warm
         val semSteps = Seq(25000L, 100000L, 400000L).map { n =>
