@@ -222,8 +222,12 @@ object Advanced {
     * distinct counts expand per column but stay in the same shuffle. */
   def tableProfile(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // spread: the 4-way exact-distinct Expand multiplies every row by 4
+    // before the partial aggregate — compute-bound, so it must not run
+    // inside the fixture's single scan task (at real scale the scan is
+    // split-parallel and the barrier only rebalances)
     Tables
-      .lineitem(spark, sfDir)
+      .spread(Tables.lineitem(spark, sfDir))
       .agg(
         count(lit(1)).as("n"),
         sum($"l_quantity".isNull.cast("long")).as("qty_nulls"),
