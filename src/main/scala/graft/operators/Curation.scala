@@ -415,6 +415,43 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** Composed curation funnel — the audit a production corpus pipeline
+    * publishes with every release: raw → Gopher quality gate ([[gopherQuality]])
+    * → DSIR positive-importance selection ([[importanceWeights]]) → exact
+    * dedup survivors (md5-digest min-id election on the POST-filter set —
+    * composition order matters and is pinned by the oracle), counted per
+    * source at every stage. Each stage is the already-declared operator's
+    * own DataFrame joined on doc_id, so the funnel is a pure composition —
+    * no re-implementation — and the whole chain stays one declarative plan
+    * (Catalyst shares the scans). Output: per-source funnel counts. */
+  def curationPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"source", $"text")
+    val quality  = gopherQuality(spark, sfDir).select($"doc_id", $"pass_gopher")
+    val selected = importanceWeights(spark, sfDir).select($"doc_id", $"is_selected")
+    val staged = docs
+      .join(quality, "doc_id")
+      .join(selected, "doc_id")
+      .withColumn("keep_q", $"pass_gopher")
+      .withColumn("keep_i", $"pass_gopher" && $"is_selected")
+    // dedup election within the importance-surviving set only
+    val survivors = staged
+      .filter($"keep_i")
+      .groupBy(md5($"text").as("content_h"))
+      .agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id", lit(true).as("is_survivor"))
+    staged
+      .join(survivors, Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_raw"),
+        sum($"keep_q".cast("long")).as("n_quality"),
+        sum($"keep_i".cast("long")).as("n_import"),
+        sum(coalesce($"is_survivor", lit(false)).cast("long")).as("n_dedup")
+      )
+      .orderBy($"source")
+  }
+
   /** SemDeDup cosine threshold (Abbas et al. 2023, arXiv:2303.09540 use
     * ~0.95-0.99 on web data; the fixture's planted duplicates sit at 1.0
     * and its natural pair maximum is ~0.51, so any value in between

@@ -242,6 +242,67 @@ object Registry {
     ),
     Q("q146_mmr_rerank", Curation.mmrRerank, Some(mmrOracle)),
     Q(
+      "q148_curation_pipeline",
+      Curation.curationPipeline,
+      Some("""
+        WITH t AS (
+          SELECT doc_id, source, text, string_split(text, ' ') AS toks FROM documents
+        ), m AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS INT) AS n_words,
+                 CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks) AS mean_word_len,
+                 CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(toks) AS frac_alpha,
+                 len(list_filter(toks, x -> x IN ('the','be','to','of','and','that','have','with'))) AS n_stop_hits
+          FROM t
+        ), gq AS (
+          SELECT doc_id,
+                 ((n_words >= 50 AND n_words <= 100000) AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                   AND (frac_alpha >= 0.8) AND (n_stop_hits >= 2)) AS pass_gopher
+          FROM m
+        ), tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        ), ttok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+          WHERE source IN ('src0', 'src1')
+        ), fc AS (
+          SELECT token, COUNT(*) AS freq FROM tok GROUP BY token
+        ), totc AS (
+          SELECT CAST(SUM(freq) AS DOUBLE) AS total FROM fc
+        ), lpc AS (
+          SELECT token, CAST(round(ln(freq / total) * 1e6) AS BIGINT) AS lpc6
+          FROM fc, totc ORDER BY freq DESC, token LIMIT 24
+        ), oovc AS (
+          SELECT CAST(round(ln(1.0 / total) * 1e6) AS BIGINT) AS oovc6 FROM totc
+        ), ft AS (
+          SELECT token, COUNT(*) AS freq FROM ttok GROUP BY token
+        ), tott AS (
+          SELECT CAST(SUM(freq) AS DOUBLE) AS total FROM ft
+        ), lpt AS (
+          SELECT token, CAST(round(ln(freq / total) * 1e6) AS BIGINT) AS lpt6
+          FROM ft, tott ORDER BY freq DESC, token LIMIT 24
+        ), oovt AS (
+          SELECT CAST(round(ln(1.0 / total) * 1e6) AS BIGINT) AS oovt6 FROM tott
+        ), si AS (
+          SELECT doc_id, SUM(COALESCE(lpt6, oovt6) - COALESCE(lpc6, oovc6)) AS imp6
+          FROM tok LEFT JOIN lpt USING (token) LEFT JOIN lpc USING (token), oovt, oovc
+          GROUP BY doc_id
+        ), staged AS (
+          SELECT d.doc_id, d.source, d.text, g.pass_gopher AS keep_q,
+                 (g.pass_gopher AND si.imp6 > 0) AS keep_i
+          FROM documents d JOIN gq g USING (doc_id) JOIN si USING (doc_id)
+        ), surv AS (
+          SELECT MIN(doc_id) AS doc_id FROM staged WHERE keep_i GROUP BY md5(text)
+        )
+        SELECT source,
+               COUNT(*) AS n_raw,
+               CAST(SUM(CASE WHEN keep_q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+               CAST(SUM(CASE WHEN keep_i THEN 1 ELSE 0 END) AS BIGINT) AS n_import,
+               CAST(SUM(CASE WHEN sv.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup
+        FROM staged LEFT JOIN surv sv USING (doc_id)
+        GROUP BY source ORDER BY source
+      """)
+    ),
+    Q(
       "q145_table_profile",
       Advanced.tableProfile,
       Some("""

@@ -66,13 +66,11 @@ class CorpusPlanSweepSpec extends SparkSpec {
     // SemDeDup coarse-quantizer assignment crossJoins broadcast(k
     // centroids) — the q76/q107 shape; the pairwise stage itself is an
     // equi-join on cent_id (Curation.semanticDedup)
-    "q141_semantic_dedup" -> Set("BroadcastNestedLoopJoin"),
-    // MMR pairwise similarity: all-pairs over the rk<=10 BM25 candidate
-    // CUT — both sides top-k bounded (<=100 pairs at any corpus size; the
-    // corpus-scale work happens in the scoring stage upstream). The
-    // bound is a window-rank filter, invisible to plan structure
-    // (Curation.mmrRerank)
-    "q146_mmr_rerank" -> Set("CartesianProduct")
+    "q141_semantic_dedup" -> Set("BroadcastNestedLoopJoin")
+    // (q146's deliberate <=100-pair cartesian over the top-k cut runs
+    // EAGERLY inside its localCheckpoint at declaration time, so the
+    // declared plan the sweep walks no longer contains it — the bound is
+    // documented at the crossJoin site in Curation.mmrRerank)
   )
 
   /** True when the subtree provably yields at most one row: a groupless

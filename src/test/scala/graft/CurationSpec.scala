@@ -230,6 +230,19 @@ class CurationSpec extends SparkSpec {
     assert(out.head._2 === top, "first MMR pick is the relevance argmax")
   }
 
+  test("curation pipeline: funnel counts are monotone and total to the corpus") {
+    import spark.implicits._
+    val out = Curation.curationPipeline(spark, sf).cache()
+    assert(out.agg(sum($"n_raw")).head().getLong(0) === Tables.documents(spark, sf).count())
+    assert(out.filter($"n_quality" > $"n_raw").count() === 0)
+    assert(out.filter($"n_import" > $"n_quality").count() === 0)
+    assert(out.filter($"n_dedup" > $"n_import").count() === 0)
+    // every stage must actually act on this corpus: some docs pass, some fail
+    val t = out.agg(sum($"n_raw"), sum($"n_quality"), sum($"n_import"), sum($"n_dedup")).head()
+    assert(t.getLong(1) > 0 && t.getLong(1) < t.getLong(0), "quality gate discriminates")
+    assert(t.getLong(2) > 0, "importance selection keeps a non-empty slice")
+  }
+
   test("semdedup: drops exactly the planted copies, keeps originals") {
     import spark.implicits._
     val out     = Curation.semanticDedup(spark, sf).cache()
