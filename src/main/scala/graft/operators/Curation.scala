@@ -251,7 +251,12 @@ object Curation {
     * Scale shape: the candidate set is top-k BOUNDED (the expensive corpus
     * stage is q139's scoring); everything after the cut — pairwise
     * Jaccard, the greedy loop — is O(k²) on k rows, independent of corpus
-    * size. The pairwise join is equi on query_id within the bounded set. */
+    * size. The bounded intermediates are localCheckpointed so the greedy
+    * chain neither re-runs the scoring pipeline per step nor grows a
+    * ~2^steps plan tree; on a long-lived production cluster, swap
+    * localCheckpoint for a reliable checkpoint dir (localCheckpoint
+    * blocks lineage recompute after executor loss — acceptable for a
+    * ≤k-row intermediate, stated for honesty). */
   def mmrRerank(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.spread(Tables.documents(spark, sfDir))
