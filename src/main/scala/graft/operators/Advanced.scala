@@ -210,6 +210,49 @@ object Advanced {
     }
   }
 
+  /** Winsorization (percentile clipping) of `events.value` per event type —
+    * the robust-statistics preprocessing step (outlier clamping before
+    * training-signal aggregation): clip to the exact per-group discrete
+    * [p05, p95], report clip bounds, clipped counts, and the winsorized
+    * mean on the 1e4 grid. The discrete percentile is pinned POSITIONALLY
+    * (value at row_number == ceil(p·n) under (value, event_id) order) so
+    * both engines pick the identical element — no interpolation-convention
+    * risk. Scale shape: one partitioned window sort per group for the
+    * bounds + one broadcast of the per-type bounds table (bounded by the
+    * type cardinality) + one aggregation; at 100 TB swap the exact
+    * positional bound for approx_percentile (q36) — the clamp/audit
+    * pipeline is unchanged. */
+  def winsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir).select($"event_type", $"event_id", $"value")
+    val w  = Window.partitionBy($"event_type")
+    val r = ev
+      .withColumn("rk", row_number().over(w.orderBy($"value", $"event_id")))
+      .withColumn("n", count(lit(1)).over(w))
+    val bounds = r
+      .groupBy($"event_type")
+      .agg(
+        max(when($"rk" === expr("CAST(ceil(0.05 * n) AS BIGINT)"), $"value")).as("clip_lo"),
+        max(when($"rk" === expr("CAST(ceil(0.95 * n) AS BIGINT)"), $"value")).as("clip_hi")
+      )
+    ev.join(broadcast(bounds), "event_type")
+      .withColumn("cv", least(greatest($"value", $"clip_lo"), $"clip_hi"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(($"value" < $"clip_lo").cast("long")).as("n_lo"),
+        sum(($"value" > $"clip_hi").cast("long")).as("n_hi"),
+        round(max($"clip_lo"), 6).as("clip_lo"),
+        round(max($"clip_hi"), 6).as("clip_hi"),
+        round(
+          sum(round($"cv" * 1e4).cast("long")).cast("double") / 1e4 / count(lit(1)),
+          6
+        ).as("mean_winsorized")
+      )
+      .orderBy($"event_type")
+  }
+
   /** Single-pass table profiler — the dataset-card / data-quality stats a
     * pipeline publishes alongside an export (per column: row count, nulls,
     * exact distinct count, min/max): ONE aggregation computes every

@@ -303,6 +303,37 @@ object Registry {
       """)
     ),
     Q(
+      "q149_winsorize",
+      Advanced.winsorize,
+      Some("""
+        WITH e AS (
+          SELECT event_type, event_id, value FROM events
+        ), r AS (
+          SELECT event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM e
+        ), b AS (
+          SELECT event_type,
+                 MAX(CASE WHEN rk = CAST(ceil(0.05 * n) AS BIGINT) THEN value END) AS clip_lo,
+                 MAX(CASE WHEN rk = CAST(ceil(0.95 * n) AS BIGINT) THEN value END) AS clip_hi
+          FROM r GROUP BY event_type
+        ), c AS (
+          SELECT e.event_type, e.value, b.clip_lo, b.clip_hi,
+                 least(greatest(e.value, b.clip_lo), b.clip_hi) AS cv
+          FROM e JOIN b USING (event_type)
+        )
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CASE WHEN value < clip_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+               CAST(SUM(CASE WHEN value > clip_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+               round(MAX(clip_lo), 6) AS clip_lo,
+               round(MAX(clip_hi), 6) AS clip_hi,
+               round(CAST(SUM(CAST(round(cv * 1e4) AS BIGINT)) AS DOUBLE) / 1e4 / COUNT(*), 6) AS mean_winsorized
+        FROM c GROUP BY event_type ORDER BY event_type
+      """)
+    ),
+    Q(
       "q145_table_profile",
       Advanced.tableProfile,
       Some("""

@@ -243,6 +243,18 @@ class CurationSpec extends SparkSpec {
     assert(t.getLong(2) > 0, "importance selection keeps a non-empty slice")
   }
 
+  test("winsorize: bounds bracket the clipped counts and the mean") {
+    import spark.implicits._
+    val out = Advanced.winsorize(spark, sf).cache()
+    assert(out.count() === Tables.events(spark, sf).select($"event_type").distinct().count())
+    assert(out.filter($"clip_lo" > $"clip_hi").count() === 0)
+    // ~5% clipped each side (discrete percentile: within 6% of n)
+    assert(out.filter($"n_lo" > ($"n" * 0.06).cast("long")).count() === 0)
+    assert(out.filter($"n_hi" > ($"n" * 0.06).cast("long")).count() === 0)
+    assert(out.filter($"n_lo" + $"n_hi" === 0L).count() === 0, "clipping actually fires")
+    assert(out.filter($"mean_winsorized" < $"clip_lo" || $"mean_winsorized" > $"clip_hi").count() === 0)
+  }
+
   test("semdedup: drops exactly the planted copies, keeps originals") {
     import spark.implicits._
     val out     = Curation.semanticDedup(spark, sf).cache()

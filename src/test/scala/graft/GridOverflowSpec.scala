@@ -89,7 +89,10 @@ class GridOverflowSpec extends SparkSpec {
     // q112 salted-join revenue: 7 categories over the lineitem-shaped fact
     GridSite("q112 category cents (price*1e2)", 2, Price, LiPerSf / 7 * TargetSf, wide = false),
     // q131 stream-static tier sum: 5 tier groups over events (|value|<=600)
-    GridSite("q131 tier sum (value*1e4)", 4, 600, 1e6 * TargetSf / 5, wide = false)
+    GridSite("q131 tier sum (value*1e4)", 4, 600, 1e6 * TargetSf / 5, wide = false),
+    // q149 winsorized mean: same group/value bounds as q131 (clamping can
+    // only shrink |value|)
+    GridSite("q149 winsorized mean (value*1e4)", 4, 600, 1e6 * TargetSf / 5, wide = false)
   )
 
   private def groupTotal(s: GridSite): BigDecimal =
@@ -152,7 +155,7 @@ class GridOverflowSpec extends SparkSpec {
     // subpackage, shows up as a diff against this map
     val expected = Map(
       "Det.scala"                   -> 2, // decSum + gridPartial bodies
-      "operators/Advanced.scala"    -> 3,
+      "operators/Advanced.scala"    -> 4, // +q149 winsorized-mean grid
       "operators/Clustering.scala"  -> 2,
       "operators/Curation.scala"    -> 1, // q141 SemDeDup centroid grid
 
