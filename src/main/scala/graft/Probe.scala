@@ -687,7 +687,9 @@ object Probe {
       // and the q76 IVF shape (sampled coarse quantizer, nprobe of nlist);
       // a banding curve (tables × planes) is recorded at c=0.90.
       // Tripwires (exit 1): shipped-parameter recall@10 < 0.9 at c≥0.90
-      // (LSH) and < 0.9 at c=0.95 (IVF nprobe=4).
+      // (LSH), < 0.9 at c=0.95 (IVF declared nprobe), and < 0.9 at EVERY
+      // c including 0.80 (IVF production nprobe = Similarity.IvfNprobeProd
+      // — the recall-vs-nprobe curve at c=0.80 is recorded alongside).
       import spark.implicits._
       import graft.functions.Kernels
       import graft.operators.Similarity
@@ -786,22 +788,40 @@ object Probe {
         )
       }
       var ok = true
+      val nprobeDecl = graft.operators.Similarity.IvfNprobe
+      val nprobeProd = graft.operators.Similarity.IvfNprobeProd
       val cs = Seq(0.95, 0.90, 0.80)
       Seq(25000L, 100000L).foreach { n =>
         cs.foreach { c =>
           val e     = corpus(n, c)
           val truth = bruteTopk(e).localCheckpoint()
           val rLsh  = recallVs(truth, lshTopk(e, 4, 4))
-          val rIvf  = recallVs(truth, ivfTopk(e, 64, 4, n))
-          println(f"[scalerecall] n=$n%7d c=$c%.2f lsh(4t x 4p) recall@10=$rLsh%.3f ivf(64 lists, nprobe 4) recall@10=$rIvf%.3f")
+          val rIvf  = recallVs(truth, ivfTopk(e, 64, nprobeDecl, n))
+          val rIvfP = recallVs(truth, ivfTopk(e, 64, nprobeProd, n))
+          println(f"[scalerecall] n=$n%7d c=$c%.2f lsh(4t x 4p) recall@10=$rLsh%.3f ivf(64 lists, nprobe $nprobeDecl) recall@10=$rIvf%.3f ivf(nprobe $nprobeProd) recall@10=$rIvfP%.3f")
           if (c >= 0.90 && rLsh < 0.9) {
             println(f"[scalerecall] VIOLATION shipped LSH recall $rLsh%.3f < 0.9 at c=$c%.2f")
             ok = false
           }
           if (c == 0.95 && rIvf < 0.9) {
-            println(f"[scalerecall] VIOLATION shipped IVF recall $rIvf%.3f < 0.9 at c=0.95")
+            println(f"[scalerecall] VIOLATION declared IVF recall $rIvf%.3f < 0.9 at c=0.95")
             ok = false
           }
+          if (rIvfP < 0.9) {
+            println(f"[scalerecall] VIOLATION production IVF (nprobe=$nprobeProd) recall $rIvfP%.3f < 0.9 at c=$c%.2f")
+            ok = false
+          }
+        }
+      }
+      // recall-vs-nprobe curve at the hardest graded corner (c=0.80,
+      // n=100k): how recall buys with probe width — the dial IvfNprobeProd
+      // is read off
+      locally {
+        val e     = corpus(100000L, 0.80)
+        val truth = bruteTopk(e).localCheckpoint()
+        Seq(4, 8, 16).foreach { np =>
+          val r = recallVs(truth, ivfTopk(e, 64, np, 100000L))
+          println(f"[scalerecall] nprobe curve n=100000 c=0.80: 64 lists, nprobe $np%2d recall@10=$r%.3f")
         }
       }
       // banding curve at c=0.90, n=100k: how recall buys with tables/planes

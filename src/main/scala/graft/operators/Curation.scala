@@ -175,11 +175,14 @@ object Curation {
     * variant so every contribution is positive): score the corpus against a
     * bounded query set, top 10 docs per query.
     *
-    * Plan shape: tf and df are each ONE hash aggregation over the exploded
-    * token stream; the query set joins in broadcast (bounded by nature, like
-    * the decontamination eval suite), so the corpus side streams through
-    * map-only after its aggregations — no per-query scan. N and avgdl are
-    * two scalar pulls folded into plan literals (the pagerank `n` pattern).
+    * Plan shape: ONE hash aggregation (tf) over the exploded token stream
+    * is the only stage that sees the corpus; dl and df both derive from
+    * tf's aggregated output (exchange-reused), and the query set joins in
+    * broadcast (bounded by nature, like the decontamination eval suite),
+    * so the corpus side streams through map-only after its single
+    * aggregation — no per-query scan. N and avgdl are scalar pulls folded
+    * into plan literals (the pagerank `n` pattern); N is a parquet
+    * metadata count.
     * Per-(doc, term) contributions snap to the 1e6 grid and sum as LONG, so
     * ranking and the declared score are order-independent and
     * engine-replayable despite ln() (the q96/q99 discipline). */
@@ -203,13 +206,21 @@ object Curation {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select($"doc_id", explode(tokens($"text")).as("token"))
-    val dl   = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
-    val nDocs    = docs.count()
-    val totToks  = dl.agg(sum($"dl")).head().getLong(0)
-    val avgdl    = totToks.toDouble / nDocs.toDouble
-    val tf       = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
-    val df0      = toks.groupBy($"token").agg(countDistinct($"doc_id").as("df"))
+    // SINGLE corpus-scale pass: tf is the one aggregation that sees the
+    // exploded token stream; dl (per-doc length = sum of its tf rows) and
+    // df (docs-per-token = count of its tf rows, distinct by construction)
+    // both derive from tf's MUCH smaller output, so Catalyst's
+    // ReuseExchange shares one tokenize+shuffle across all three branches
+    // — at 100 TB that is one corpus pass where three used to run.
+    val tf = docs
+      .select($"doc_id", explode(tokens($"text")).as("token"))
+      .groupBy($"doc_id", $"token")
+      .agg(count(lit(1)).as("tf"))
+    val dl  = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    val df0 = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val nDocs   = docs.count() // parquet metadata count — no data pass
+    val totToks = tf.agg(sum($"tf")).head().getLong(0)
+    val avgdl   = totToks.toDouble / nDocs.toDouble
     val queries  = queryTerms.toDF("query_id", "token")
     // bound the df table to the query terms BEFORE it broadcasts
     val qdf = df0.join(broadcast(queries), "token")
@@ -232,15 +243,16 @@ object Curation {
       .withColumn("rk", row_number().over(w).cast("int"))
   }
 
-  /** MMR weighting (Carbonell & Goldstein 1998): lambda = 0.7, expressed
-    * as the integer pair (7, 3) so the whole reranking objective
-    * 7·score6 − 3·jaccard6 stays in EXACT integer arithmetic. */
+  /** Number of greedy MMR selection steps [[mmrRerank]] runs (and the
+    * number of unrolled CTE step-pairs in its DuckDB oracle). */
   private[graft] val MmrSteps = 5
 
   /** MMR diversity reranking (Carbonell & Goldstein 1998, the maximal
     * marginal relevance criterion) over the q139 BM25 candidates for query
     * 1: greedily select [[MmrSteps]] documents maximizing
-    * λ·relevance − (1−λ)·max-similarity-to-selected, with
+    * λ·relevance − (1−λ)·max-similarity-to-selected (λ = 0.7, expressed
+    * as the integer weight pair (7, 3) so the whole objective
+    * 7·score6 − 3·jaccard6 stays in EXACT integer arithmetic), with
     * distinct-token-set Jaccard as the inter-candidate similarity — the
     * diversity-aware subset-selection step retrieval and training-data
     * pipelines run after scoring. Every quantity lives on an integer grid
@@ -279,7 +291,9 @@ object Curation {
       .crossJoin(b)
       .filter($"a_id" =!= $"b_id")
       .withColumn("ninter", size(array_intersect($"ta", $"tb")))
-      .withColumn("j6", expr("(1000000 * ninter) div (size(ta) + size(tb) - ninter)"))
+      // numerator in LONG: size() is INT and 1000000 * ninter wraps 32-bit
+      // past ~2147 shared tokens, while the DuckDB oracle computes BIGINT
+      .withColumn("j6", expr("(1000000L * ninter) div (size(ta) + size(tb) - ninter)"))
       .select($"a_id", $"b_id", $"j6")
       .localCheckpoint() // <=90 rows, re-read every greedy step
 

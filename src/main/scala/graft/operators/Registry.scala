@@ -123,7 +123,10 @@ object Registry {
     * s_r = sequences after applying it). Generated from the same constants
     * as [[Curation.bpeMerges]] so the round count / cap can never desync.
     * The apply step is the identical doubled-space literal replace() both
-    * engines execute byte-for-byte (non-overlapping, left-to-right). */
+    * engines execute byte-for-byte (non-overlapping, left-to-right). When
+    * pair mass exhausts before round k (b_r empty — small or low-entropy
+    * corpora), s_r LEFT JOINs the empty argmax and COALESCEs back to
+    * s_{r-1}, matching the learner's early-stop end state. */
   private def bpeOracle: String = {
     val sel = (1 to Curation.BpeMerges)
       .map(r =>
@@ -168,12 +171,12 @@ object Registry {
          |),
          |s$r AS (
          |  SELECT token, freq,
-         |         trim(regexp_replace(
+         |         COALESCE(trim(regexp_replace(
          |           replace(' ' || replace(seq, ' ', '  ') || ' ',
          |                   ' ' || b.lhs || '  ' || b.rhs || ' ',
          |                   ' ' || b.lhs || b.rhs || ' '),
-         |           ' +', ' ', 'g')) AS seq
-         |  FROM $prev, b$r b
+         |           ' +', ' ', 'g')), seq) AS seq
+         |  FROM $prev LEFT JOIN b$r b ON TRUE
          |)""".stripMargin
     }.mkString(",\n")
     s"""WITH w0 AS (
