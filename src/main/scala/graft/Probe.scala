@@ -8,6 +8,76 @@ import org.apache.spark.sql.functions._
   * optionally dumps the formatted physical plan — the iterate-on-plans loop
   * the build guide asks for. */
 object Probe {
+
+  /** The `scalecur` synthetic growing-vocabulary corpus: ~40 distinct
+    * all-alpha md5-derived 6-char tokens per doc (digits translated to
+    * letters so every token passes the BPE learner's [a-z]+ gate). */
+  private def curSynthDocs(spark: SparkSession, n: Long) = {
+    import spark.implicits._
+    spark
+      .range(n)
+      .repartition(32)
+      .select(
+        $"id".as("doc_id"),
+        concat_ws(
+          " ",
+          transform(
+            sequence(lit(0L), lit(39L)),
+            j =>
+              translate(
+                substring(md5(($"id" * 40L + j).cast("string")), 1, 6),
+                "0123456789",
+                "ghijklmnop"
+              )
+          )
+        ).as("text")
+      )
+  }
+
+  /** `scalecur` production-merge-depth phase (standalone: `bpedepth`). The
+    * declared q138 learns 8 merges so its unrolled-CTE oracle stays
+    * readable; real tokenizers run the SAME loop tens of thousands of
+    * rounds over the same cap-bounded word table — the driver loop is
+    * O(cap · merges), independent of corpus size. Depths {8, 1k, 8k} over
+    * the n=100k growing-vocabulary corpus: state must stay cap-pinned at
+    * every depth, learned merges must equal the requested depth (pair
+    * mass cannot exhaust before ~10k rounds at the 10k-word cap: the loop
+    * only stops when every word is a single symbol, which needs at least
+    * one distinct final merge per distinct word), and the 1k→8k step (8×
+    * rounds) must cost ≤ 12× (slack for the fixed corpus-stage prefix in
+    * every call) — near-linear in depth, recording the production-depth
+    * wall cost. Returns false on violation. */
+  private def bpeDepthPhase(spark: SparkSession): Boolean = {
+    import graft.operators.Curation
+    var ok   = true
+    val docs = curSynthDocs(spark, 100000L)
+    Curation.bpeLearnFromAt(docs, 8) // warm (corpus stage + loop)
+    val rows = Seq(8, 1000, 8000).map { m =>
+      val t0             = System.nanoTime()
+      val (merges, seqs) = Curation.bpeLearnFromAt(docs, m)
+      val sec            = (System.nanoTime() - t0) / 1e9
+      println(
+        f"[scalecur] bpe-depth merges=$m%5d time=$sec%8.2f s state=${seqs.length}%5d rows learned=${merges.length}%5d"
+      )
+      if (seqs.length != Curation.BpeVocabCap) {
+        println(s"[scalecur] VIOLATION bpe-depth state ${seqs.length} != cap ${Curation.BpeVocabCap}")
+        ok = false
+      }
+      if (merges.length != m) {
+        println(s"[scalecur] VIOLATION bpe-depth learned ${merges.length} != requested $m")
+        ok = false
+      }
+      (m, sec)
+    }
+    val r = rows(2)._2 / rows(1)._2
+    println(
+      f"[scalecur] bpe-depth 1000→8000 (8x rounds): ${r}%.2fx time ${if (r <= 12.0) "OK"
+        else "VIOLATION (super-linear in depth)"}"
+    )
+    if (r > 12.0) ok = false
+    ok
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val which = if (args.length > 1) args(1) else "all"
@@ -312,26 +382,7 @@ object Probe {
       // 4x data step fails.
       import spark.implicits._
       import graft.operators.Curation
-      // digits -> letters so every token passes the learner's [a-z]+ gate
-      def synthDocs(n: Long) =
-        spark
-          .range(n)
-          .repartition(32)
-          .select(
-            $"id".as("doc_id"),
-            concat_ws(
-              " ",
-              transform(
-                sequence(lit(0L), lit(39L)),
-                j =>
-                  translate(
-                    substring(md5(($"id" * 40L + j).cast("string")), 1, 6),
-                    "0123456789",
-                    "ghijklmnop"
-                  )
-              )
-            ).as("text")
-          )
+      def synthDocs(n: Long) = curSynthDocs(spark, n)
       // the same token derivation driver-side, for query terms that exist
       def tokOf(i: Long): String = {
         val md  = java.security.MessageDigest.getInstance("MD5")
@@ -444,6 +495,7 @@ object Probe {
           case _ => ()
         }
       }
+      if (!bpeDepthPhase(spark)) ok = false
       spark.stop()
       if (!ok) sys.exit(1)
       return
@@ -549,40 +601,82 @@ object Probe {
               stateRows(qU)
             }
           } finally qU.stop()
-        // (b) TTL registry, 90-minute horizon, epochs 1 h apart
-        val inT = MemoryStream[(Long, java.sql.Timestamp, String)]
-        val qT = graft.streaming.Streaming
-          .nearDupBandMinsTtl(inT.toDF().toDF("doc_id", "ts", "text"), horizon = 90.minutes)
-          .toDF("bkey", "min_id")
-          .writeStream
-          .format("noop")
-          .outputMode("append")
-          .start()
-        val ttlSamples =
+        // (b) TTL registry, 90-minute horizon, epochs 1 h apart — run on
+        // BOTH state-store backends: the default in-memory HDFS-backed
+        // provider (the test toy) and RocksDB (the production backend a
+        // 100 TB deployment actually configures). The provider is a
+        // per-query conf read at stream start, so each run sets it before
+        // start() and restores after. Emissions go to a memory sink so the
+        // reduced final registries (bkey → min) can be compared: the TTL
+        // semantics AND the plateau bound must be backend-independent.
+        def runTtl(label: String, provider: Option[String]): (Seq[Long], Map[String, Long]) = {
+          val confKey = "spark.sql.streaming.stateStore.providerClass"
+          val prior   = spark.conf.getOption(confKey)
+          provider.foreach(spark.conf.set(confKey, _))
           try {
-            (0 until nEpochs).map { e =>
-              val t = new java.sql.Timestamp(3600000L * (e + 1))
-              inT.addData((0 until perEpoch).map(i => ((e * perEpoch + i).toLong, t, docText((e * perEpoch + i).toLong))))
-              qT.processAllAvailable()
-              stateRows(qT)
-            }
-          } finally qT.stop()
-        println(s"[scalestream] ttl: unbounded state/epoch = ${unboundedSamples.mkString(", ")}")
-        println(s"[scalestream] ttl: 90min-TTL state/epoch = ${ttlSamples.mkString(", ")}")
+            val inT      = MemoryStream[(Long, java.sql.Timestamp, String)]
+            val sinkName = s"ttl_emit_$label"
+            val qT = graft.streaming.Streaming
+              .nearDupBandMinsTtl(inT.toDF().toDF("doc_id", "ts", "text"), horizon = 90.minutes)
+              .toDF("bkey", "min_id")
+              .writeStream
+              .format("memory")
+              .queryName(sinkName)
+              .outputMode("append")
+              .start()
+            val samples =
+              try {
+                (0 until nEpochs).map { e =>
+                  val t = new java.sql.Timestamp(3600000L * (e + 1))
+                  inT.addData((0 until perEpoch).map(i => ((e * perEpoch + i).toLong, t, docText((e * perEpoch + i).toLong))))
+                  qT.processAllAvailable()
+                  stateRows(qT)
+                }
+              } finally qT.stop()
+            val reg = spark
+              .table(sinkName)
+              .groupBy($"bkey")
+              .agg(min($"min_id").as("m"))
+              .as[(String, Long)]
+              .collect()
+              .toMap
+            (samples, reg)
+          } finally {
+            prior.fold(spark.conf.unset(confKey))(spark.conf.set(confKey, _))
+          }
+        }
+        val backends = Seq(
+          "default" -> None,
+          "rocksdb" -> Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        )
+        val ttlRuns   = backends.map { case (label, p) => (label, runTtl(label, p)) }
         val totalDocs = perEpoch.toLong * nEpochs
+        println(s"[scalestream] ttl: unbounded state/epoch = ${unboundedSamples.mkString(", ")}")
         if (unboundedSamples.last < 3L * totalDocs) {
           println(s"[scalestream] VIOLATION unbounded registry measured ${unboundedSamples.last} rows — expected ~4x$totalDocs; state metric broken?")
           ok = false
         }
-        val tail4 = ttlSamples.takeRight(4)
-        if (tail4.max > 1.5 * tail4.min) {
-          println(s"[scalestream] VIOLATION TTL state did not plateau: last-4 samples ${tail4.mkString(", ")}")
-          ok = false
+        ttlRuns.foreach { case (label, (ttlSamples, _)) =>
+          println(s"[scalestream] ttl: 90min-TTL ($label backend) state/epoch = ${ttlSamples.mkString(", ")}")
+          val tail4 = ttlSamples.takeRight(4)
+          if (tail4.max > 1.5 * tail4.min) {
+            println(s"[scalestream] VIOLATION TTL ($label) state did not plateau: last-4 samples ${tail4.mkString(", ")}")
+            ok = false
+          }
+          if (ttlSamples.last > unboundedSamples.last / 2) {
+            println(s"[scalestream] VIOLATION TTL ($label) final state ${ttlSamples.last} not under half of unbounded ${unboundedSamples.last}")
+            ok = false
+          }
         }
-        if (ttlSamples.last > unboundedSamples.last / 2) {
-          println(s"[scalestream] VIOLATION TTL final state ${ttlSamples.last} not under half of unbounded ${unboundedSamples.last}")
+        val regs = ttlRuns.map(_._2._2)
+        if (regs(0) != regs(1)) {
+          val only0 = (regs(0).keySet -- regs(1).keySet).size
+          val only1 = (regs(1).keySet -- regs(0).keySet).size
+          val diff  = regs(0).keySet.intersect(regs(1).keySet).count(k => regs(0)(k) != regs(1)(k))
+          println(s"[scalestream] VIOLATION TTL registry differs across backends: $only0 buckets only-default, $only1 only-rocksdb, $diff value diffs")
           ok = false
-        }
+        } else
+          println(s"[scalestream] ttl: final registries identical across backends (${regs(0).size} buckets)")
       }
       spark.stop()
       if (!ok) sys.exit(1)
@@ -668,6 +762,12 @@ object Probe {
           if (ratio > 5.0) ok = false
         case _ => ()
       }
+      spark.stop()
+      if (!ok) sys.exit(1)
+      return
+    }
+    if (which == "bpedepth") { // the scalecur merge-depth phase, standalone
+      val ok = bpeDepthPhase(spark)
       spark.stop()
       if (!ok) sys.exit(1)
       return
@@ -1033,6 +1133,56 @@ object Probe {
         .map(n => s"${Verify.jsonStr(n)}: ${Verify.jsonStr(SparkEntry.oracleSql(n))}")
         .mkString("{", ",", "}")
       Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+      // ---- curation slice: the q138-q149 pack needs DIFFERENT replication
+      // semantics than the dedup slice above. documents replicate UNSALTED
+      // (BM25's literal query terms must keep matching; the funnel's exact
+      // dedup then sees a realistically ~90%-duplicated corpus — each text
+      // has one copy per replica and the min-doc_id survivor election
+      // resolves to replica 0). embeddings replicate with a per-replica
+      // CIRCULAR SHIFT of the vector (dot(shift(a,k), shift(b,k)) =
+      // dot(a,b) exactly, so every within-replica cosine — including the
+      // %10-injected exact copies q141 plants — is preserved bit-for-bit,
+      // while cross-replica cosines drop to the random floor) plus a label
+      // salt, so SemDeDup gets 10x clusters at CONSTANT cluster size: the
+      // linear-in-n deployment shape its in-cluster pair stage documents.
+      val curDir = "/tmp/graft_sf1cur"
+      val curOut = "/tmp/graft_sf1cur_out"
+      val curSet = Seq(
+        "q139_bm25_topk",
+        "q141_semantic_dedup",
+        "q143_importance_weights",
+        "q148_curation_pipeline"
+      )
+      Files.createDirectories(Paths.get(curDir))
+      replicate(Tables.documents(spark, sfDir), "doc_id")
+        .repartition(8).write.mode("overwrite").parquet(s"$curDir/documents.parquet")
+      val edim = Tables.EmbeddingDim
+      replicate(Tables.embeddings(spark, sfDir), "vec_id")
+        .withColumn("rep2", (col("vec_id") / off).cast("int"))
+        .withColumn("label", $"label" + $"rep2" * 100)
+        .withColumn(
+          "embedding",
+          concat(
+            slice($"embedding", $"rep2" + 1, lit(edim) - $"rep2"),
+            slice($"embedding", lit(1), $"rep2")
+          )
+        )
+        .drop("rep2")
+        .repartition(4).write.mode("overwrite").parquet(s"$curDir/embeddings.parquet")
+      val nDocC = spark.read.parquet(s"$curDir/documents.parquet").count()
+      val nEmbC = spark.read.parquet(s"$curDir/embeddings.parquet").count()
+      println(s"[sf1] curation slice at $curDir: documents=$nDocC embeddings=$nEmbC rows")
+      curSet.foreach { n =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, curDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$curOut/$n")
+        println(f"[sf1] $n%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      val jsonCur = curSet
+        .map(n => s"${Verify.jsonStr(n)}: ${Verify.jsonStr(SparkEntry.oracleSql(n))}")
+        .mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$curOut/oracle_sql.json"), jsonCur)
       spark.stop()
       return
     }

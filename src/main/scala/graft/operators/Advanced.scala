@@ -253,6 +253,64 @@ object Advanced {
       .orderBy($"event_type")
   }
 
+  /** Sketch accuracy parameter for [[winsorizeApproxAudit]] — Spark's
+    * approx_percentile rank-error guarantee is n/accuracy. */
+  private[graft] val WinsorizeApproxAcc = 10000
+
+  /** Declared query (q151): the 100 TB winsorize plan, audited. [[winsorize]]
+    * (q149) computes EXACT per-group clip bounds with a per-group window
+    * sort — the right fixture semantics, but at 100 TB a full sort per
+    * group is the expensive path and its own scaladoc names the swap:
+    * approx_percentile. This query DECLARES that swap and pins it with an
+    * oracle: compute the 5/95 bounds with the GK sketch
+    * (approx_percentile, accuracy = [[WinsorizeApproxAcc]] — one
+    * map-side-combined aggregation, no sort, no window), then audit each
+    * sketch bound EXACTLY against the sketch's published rank guarantee —
+    * one more pass counts the values strictly-below / at-or-below each
+    * approx bound, giving the bound's exact tie-rank interval, which must
+    * overlap the target rank ceil(p·n) within rank_tol =
+    * 2·floor(n/accuracy) + 2 (the guarantee with merge slack and the
+    * ±1 target-definition difference). The audit booleans — NOT the
+    * sketch values, which no other engine can replay — are the declared
+    * output, so the DuckDB oracle replays the deterministic contract
+    * (every group in tolerance): if a sketch regression ever pushed a
+    * bound outside its guarantee, the engine would emit false and the
+    * hash compare would fail. Columns (n, rank_tol) are exactly
+    * derivable on both sides. */
+  def winsorizeApproxAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val acc = WinsorizeApproxAcc
+    val ev  = Tables.events(spark, sfDir).select($"event_type", $"value")
+    val ap = ev
+      .groupBy($"event_type")
+      .agg(
+        expr(s"approx_percentile(value, 0.05, $acc)").as("alo"),
+        expr(s"approx_percentile(value, 0.95, $acc)").as("ahi")
+      )
+    ev.join(broadcast(ap), "event_type")
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(($"value" < $"alo").cast("long")).as("lo_lt"),
+        sum(($"value" <= $"alo").cast("long")).as("lo_le"),
+        sum(($"value" < $"ahi").cast("long")).as("hi_lt"),
+        sum(($"value" <= $"ahi").cast("long")).as("hi_le")
+      )
+      .withColumn("rank_tol", lit(2L) * floor($"n" / acc).cast("long") + lit(2L))
+      .withColumn("t_lo", ceil($"n" * 0.05).cast("long"))
+      .withColumn("t_hi", ceil($"n" * 0.95).cast("long"))
+      .select(
+        $"event_type",
+        $"n",
+        $"rank_tol",
+        ($"lo_le" >= $"t_lo" - $"rank_tol" && $"lo_lt" + 1 <= $"t_lo" + $"rank_tol")
+          .as("lo_within_tol"),
+        ($"hi_le" >= $"t_hi" - $"rank_tol" && $"hi_lt" + 1 <= $"t_hi" + $"rank_tol")
+          .as("hi_within_tol")
+      )
+      .orderBy($"event_type")
+  }
+
   /** Single-pass table profiler — the dataset-card / data-quality stats a
     * pipeline publishes alongside an export (per column: row count, nulls,
     * exact distinct count, min/max): ONE aggregation computes every

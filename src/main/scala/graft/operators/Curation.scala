@@ -85,6 +85,18 @@ object Curation {
     * [[BpeVocabCap]] keeps driver state and loop cost constant). */
   private[graft] def bpeLearnFrom(
       docs: DataFrame
+  ): (Array[(Int, String, String, String, Long)], Array[(String, String)]) =
+    bpeLearnFromAt(docs, BpeMerges)
+
+  /** The (docs, depth)-parameterized learner. The declared query runs
+    * [[BpeMerges]] rounds so its unrolled-CTE oracle stays readable;
+    * production vocabularies run the SAME loop tens of thousands of rounds
+    * over the same cap-bounded state — the `scalecur` probe drives this at
+    * merge depths up to 8k and tripwires cap-pinned state and
+    * near-linear-in-depth loop time. */
+  private[graft] def bpeLearnFromAt(
+      docs: DataFrame,
+      nMerges: Int
   ): (Array[(Int, String, String, String, Long)], Array[(String, String)]) = {
     import docs.sparkSession.implicits._
     val words: Array[(String, Long)] = docs
@@ -97,17 +109,26 @@ object Curation {
       .as[(String, Long)]
       .collect() // bounded by BpeVocabCap — see the architecture note above
 
-    // symbol sequences: single-space-joined characters + end-of-word marker
-    var seqs: Array[(String, Long)] =
-      words.map { case (w, f) => (w.map(_.toString).mkString(" ") + " " + BpeEow, f) }
+    // symbol sequences: per-character symbol arrays + end-of-word marker.
+    // The merge pass below is greedy LEFT-TO-RIGHT NON-OVERLAPPING — after
+    // a match consumes (i, i+1) scanning resumes at i+2 and the freshly
+    // merged symbol is not reconsidered this round — which is exactly the
+    // semantics of a literal replace() on the doubled-space string
+    // encoding (both Java's String.replace and DuckDB's replace() scan
+    // the source once, appending replacements without rescanning them),
+    // so the unrolled-CTE oracle replays it byte-for-byte. The array form
+    // exists for the production-depth regime the `bpedepth` probe grades:
+    // no per-round split/regex over the whole table, and words not
+    // containing the merged pair are carried through untouched.
+    var seqs: Array[(Array[String], Long)] =
+      words.map { case (w, f) => (w.map(_.toString).toArray :+ BpeEow, f) }
     val merges = Array.newBuilder[(Int, String, String, String, Long)]
     var r      = 0
     var done   = false
-    while (r < BpeMerges && !done) {
+    while (r < nMerges && !done) {
       r += 1
       val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      seqs.foreach { case (s, f) =>
-        val t = s.split(' ')
+      seqs.foreach { case (t, f) =>
         var i = 0
         while (i < t.length - 1) {
           val k = (t(i), t(i + 1))
@@ -118,19 +139,27 @@ object Curation {
       if (counts.isEmpty) { done = true } // pair mass exhausted: BPE stops early
       else {
         val ((l, rr), cnt) = counts.minBy { case ((l, rr), c) => (-c, l, rr) }
-        merges += ((r, l, rr, l + rr, cnt))
-        // greedy LTR application via literal replace on the doubled-space
-        // encoding: every symbol keeps >=1 space on each side, so
-        // consecutive matches chain exactly like BPE's left-to-right merge
-        // pass — and identically to DuckDB replace() in the oracle.
-        seqs = seqs.map { case (s, f) =>
-          val doubled  = " " + s.replace(" ", "  ") + " "
-          val replaced = doubled.replace(s" $l  $rr ", s" $l$rr ")
-          (replaced.trim.split(" +").mkString(" "), f)
+        val m              = l + rr
+        merges += ((r, l, rr, m, cnt))
+        seqs = seqs.map { case (t, f) =>
+          var has = false
+          var i   = 0
+          while (!has && i < t.length - 1) { has = t(i) == l && t(i + 1) == rr; i += 1 }
+          if (!has) (t, f)
+          else {
+            val out = Array.newBuilder[String]
+            out.sizeHint(t.length)
+            i = 0
+            while (i < t.length) {
+              if (i < t.length - 1 && t(i) == l && t(i + 1) == rr) { out += m; i += 2 }
+              else { out += t(i); i += 1 }
+            }
+            (out.result(), f)
+          }
         }
       }
     }
-    (merges.result(), words.map(_._1).zip(seqs.map(_._1)))
+    (merges.result(), words.map(_._1).zip(seqs.map(_._1.mkString(" "))))
   }
 
   /** BPE corpus encoding with the merges [[bpeMerges]] learned: each

@@ -336,6 +336,22 @@ object Registry {
         FROM c GROUP BY event_type ORDER BY event_type
       """)
     ),
+    // q149's documented 100 TB swap (approx_percentile bounds, no per-group
+    // sort), declared as a within-guarantee AUDIT: the engine checks each
+    // sketch bound's exact tie-rank interval against the target rank within
+    // the sketch's published tolerance and emits the booleans; the oracle
+    // replays the deterministic contract — every group in tolerance — so a
+    // sketch regression breaks the hash compare.
+    Q(
+      "q151_winsorize_approx_audit",
+      Advanced.winsorizeApproxAudit,
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+               2 * CAST(floor(COUNT(*) / 10000.0) AS BIGINT) + 2 AS rank_tol,
+               true AS lo_within_tol, true AS hi_within_tol
+        FROM events GROUP BY event_type ORDER BY event_type
+      """)
+    ),
     Q(
       "q145_table_profile",
       Advanced.tableProfile,
@@ -591,6 +607,31 @@ object Registry {
        UNION ALL
        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
      )"""
+
+  /** Shared oracle CTE chain (follows `dupCorpus`): 3-gram shingles →
+    * 16-perm minhash signature → 4 LSH band keys over `corpus` — the exact
+    * band pipeline [[graft.streaming.Streaming.nearDupBandsBatch]] signs
+    * with, replayed by both the q136 registry-final audit and the q150
+    * at-arrival gate. */
+  private val bandCtes =
+    """tk AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+        ), sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS dsh FROM tk
+        ), hsh AS (
+          SELECT doc_id, list_transform(dsh,
+            x -> ('0x' || substr(md5(x),1,15))::BIGINT % 2147483647) AS hs
+          FROM sh
+        ), sg AS (
+          SELECT doc_id, list_transform(range(0, 16), s ->
+            CAST(list_min(list_transform(hs,
+              h -> ((s*2+1) * h + s*12289) % 2147483647)) AS BIGINT)) AS sig
+          FROM hsh
+        ), bands AS (
+          SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS key
+          FROM sg, (SELECT unnest([0,1,2,3]) AS b)
+        )"""
 
   /** The q67/q147 shared oracle: distinct 3-gram shingle Jaccard pairs at
     * threshold 0.6 over the dup-injected corpus. Two declared queries run
@@ -2085,29 +2126,38 @@ object Registry {
       "q136_stream_near_dup",
       Streaming.nearDupStreamAudit,
       Some(s"""
-        WITH $dupCorpus, tk AS (
-          SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
-        ), sh AS (
-          SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
-            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS dsh FROM tk
-        ), hsh AS (
-          SELECT doc_id, list_transform(dsh,
-            x -> ('0x' || substr(md5(x),1,15))::BIGINT % 2147483647) AS hs
-          FROM sh
-        ), sg AS (
-          SELECT doc_id, list_transform(range(0, 16), s ->
-            CAST(list_min(list_transform(hs,
-              h -> ((s*2+1) * h + s*12289) % 2147483647)) AS BIGINT)) AS sig
-          FROM hsh
-        ), bands AS (
-          SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS key
-          FROM sg, (SELECT unnest([0,1,2,3]) AS b)
-        ), fm AS (
+        WITH $dupCorpus, $bandCtes, fm AS (
           SELECT b.doc_id, MIN(a.doc_id) AS first_match
           FROM bands b JOIN bands a ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
           GROUP BY b.doc_id
         )
         SELECT c.doc_id, fm.first_match, fm.first_match IS NOT NULL AS is_dup
+        FROM (SELECT doc_id FROM corpus) c LEFT JOIN fm USING (doc_id)
+        ORDER BY doc_id
+      """)
+    ),
+    // The AT-ARRIVAL gate under a PINNED batching (epoch = (doc_id % 7) % 4,
+    // one file per micro-batch, within-batch order doc_id): a document is
+    // flagged iff some band bucket was claimed by a SMALLER id that arrived
+    // strictly earlier — smaller epoch, or same epoch and smaller id. A copy
+    // landing in an EARLIER epoch than its original is never flagged in
+    // either direction (fresh bucket at its own arrival; only a larger id in
+    // the registry at the original's) — the at-arrival/batch-dedup
+    // divergence the engine's contract documents, here hash-pinned.
+    Q(
+      "q150_at_arrival_gate",
+      Streaming.atArrivalGateAudit,
+      Some(s"""
+        WITH $dupCorpus, $bandCtes, be AS (
+          SELECT doc_id, b, key, (doc_id % 7) % 4 AS ep FROM bands
+        ), fm AS (
+          SELECT x.doc_id, MIN(a.doc_id) AS first_match
+          FROM be x JOIN be a ON a.b = x.b AND a.key = x.key
+            AND a.doc_id < x.doc_id
+            AND (a.ep < x.ep OR (a.ep = x.ep AND a.doc_id < x.doc_id))
+          GROUP BY x.doc_id
+        )
+        SELECT c.doc_id, fm.first_match, fm.first_match IS NOT NULL AS is_dup_at_arrival
         FROM (SELECT doc_id FROM corpus) c LEFT JOIN fm USING (doc_id)
         ORDER BY doc_id
       """)

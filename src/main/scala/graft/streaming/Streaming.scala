@@ -509,6 +509,86 @@ object Streaming {
     spark.read.parquet(out).orderBy($"doc_id")
   }
 
+  /** Declared query (q150): the AT-ARRIVAL ingest gate under the oracle.
+    * [[nearDupAtArrivalFlags]]'s output depends on how the stream is
+    * batched — which is exactly why q136 reports the batching-invariant
+    * registry-final semantics — so the declared gate replay PINS the
+    * batching: the dup-injected corpus splits into 4 epoch files by the
+    * deterministic assignment epoch = (doc_id % 7) % 4 (1,000,000 ≡ 1 mod
+    * 7, so some injected copies land in EARLIER epochs than their
+    * originals — exercising the no-retroactive-flag contract: that pair is
+    * never flagged, because at the copy's arrival the bucket is fresh and
+    * at the original's arrival the registry holds only the LARGER id),
+    * each file written with a strictly ascending modification time so
+    * FileStreamSource's one-file-per-trigger replay arrives in epoch
+    * order, with ts = epoch minutes so within-batch arrival order is
+    * doc_id. Under that fixed replay the gate's verdicts are fully
+    * deterministic and the DuckDB oracle recomputes them relationally: an
+    * arrival-ordered band self-join (earlier := smaller epoch, or same
+    * epoch and smaller doc_id), min first-match per document, counted only
+    * when smaller than the arriving id — exactly [[atArrivalVerdicts]].
+    * The TTL horizon is set beyond the replay span so no bucket evicts
+    * mid-replay (eviction and re-detection are MemoryStream-pinned in the
+    * spec and probed by `scalestream`). */
+  def atArrivalGateAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val in = graft.sources.ParquetSink.memoFixture(spark, "stream_atarrival_in", sfDir) { dir =>
+      val docs = graft.operators.Dedup
+        .docsWithDups(spark, sfDir)
+        .withColumn("epoch", (($"doc_id" % 7) % 4).cast("int"))
+        .withColumn("ts", timestamp_seconds(lit(1704067200L) + $"epoch" * 60))
+      Files.createDirectories(Paths.get(dir))
+      (0 to 3).foreach { e =>
+        val tmp = s"$dir/.tmp_epoch$e"
+        docs
+          .filter($"epoch" === e)
+          .select($"doc_id", $"ts", $"text")
+          .coalesce(1)
+          .write
+          .mode("overwrite")
+          .parquet(tmp)
+        val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst  = Paths.get(dir, f"epoch$e.parquet")
+        Files.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+        graft.sources.ParquetSink.deleteRecursively(tmp)
+        Files.setLastModifiedTime(
+          dst,
+          java.nio.file.attribute.FileTime.fromMillis(1704067200000L + e * 60000L)
+        )
+      }
+    }
+    val out = graft.sources.ParquetSink.memoFixture(spark, "stream_atarrival_out", sfDir) { outDir =>
+      val root = Files.createTempDirectory("graft_q150").toString
+      try {
+        import scala.concurrent.duration._
+        val stream = spark.readStream
+          .schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(in)
+        val q = nearDupAtArrivalFlags(stream, horizon = 3650.days)
+          .toDF()
+          .writeStream
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch { (batch: DataFrame, epoch: Long) =>
+            atArrivalVerdicts(batch).write.mode("overwrite").parquet(s"$root/verdicts/epoch=$epoch")
+            ()
+          }
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+        val v       = spark.read.parquet(s"$root/verdicts")
+        val nEpochs = v.agg(count_distinct($"epoch")).as[Long].head()
+        require(nEpochs >= 2, s"q150 ran $nEpochs epochs — fixture must stream as multiple micro-batches")
+        v.select($"doc_id", $"first_match", $"is_dup_at_arrival")
+          .write
+          .mode("overwrite")
+          .parquet(outDir)
+      } finally graft.sources.ParquetSink.deleteRecursively(root)
+    }
+    spark.read.parquet(out).orderBy($"doc_id")
+  }
+
   /** Shared core of the q136 audit and the `scalestream` probe: stream the
     * parquet fixture at `inDir` (one file per micro-batch) through the
     * [[nearDupBandMins]] registry with scratch under `root` (caller owns
