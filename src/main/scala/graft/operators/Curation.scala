@@ -500,6 +500,106 @@ object Curation {
       .orderBy($"source")
   }
 
+  /** Capstone corpus-release (q152) — the end-to-end audit a training-data
+    * release publishes, composed from the already-declared operators into
+    * one pipeline and pinned by one oracle:
+    *
+    *   raw → Gopher quality gate ([[gopherQuality]]) → DSIR
+    *   positive-importance selection ([[importanceWeights]]) → EXACT dedup
+    *   (md5 min-id election) → NEAR-DUP gate (MinHash/LSH band
+    *   smaller-partner rule over the exact survivors — the one-hop form;
+    *   the full transitive-closure endgame is q120's own declared result)
+    *   → token counts + sliding-window chunk inventory (the q83 32/16
+    *   geometry) → reproducible train/val/test split (the q79 h60 rule) →
+    *   PARTITIONED RELEASE WRITE (one parquet dir per split) → audit.
+    *
+    * The final counts are computed from the RE-READ release parquet (the
+    * q80 discipline: the write round-trip is part of what the oracle
+    * checks), while the per-stage funnel counts come from the lazy
+    * pipeline — so the declared row per source carries the complete
+    * provenance: n_raw → n_quality → n_import → n_exact → n_final, plus
+    * released chunk/token mass and split sizes.
+    *
+    * Scale shape: every stage is an already-graded plan — the band
+    * self-join is shuffle_hash on a shared exchange (never a broadcast of
+    * an exploded side), the release write repartitions by split so each
+    * partition is one file, and the audit joins are per-source
+    * aggregations over bounded keys. */
+  def corpusRelease(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFns.h60
+    val docs     = Tables.documents(spark, sfDir).select($"doc_id", $"source", $"text")
+    val quality  = gopherQuality(spark, sfDir).select($"doc_id", $"pass_gopher")
+    val selected = importanceWeights(spark, sfDir).select($"doc_id", $"is_selected")
+    val staged = docs
+      .join(quality, "doc_id")
+      .join(selected, "doc_id")
+      .withColumn("keep_q", $"pass_gopher")
+      .withColumn("keep_i", $"pass_gopher" && $"is_selected")
+    val exact = staged
+      .filter($"keep_i")
+      .groupBy(md5($"text").as("content_h"))
+      .agg(min($"doc_id").as("doc_id"))
+      .join(docs, "doc_id")
+      .select($"doc_id", $"source", $"text")
+    // near-dup gate: LSH bands over the exact-survivor set, one shared
+    // exchange on the band key, shuffle_hash self-join (q65 discipline)
+    val bands = graft.streaming.Streaming
+      .nearDupBandsBatch(exact.select($"doc_id", $"text"))
+      .repartition($"bkey")
+    val flagged = bands
+      .hint("shuffle_hash")
+      .join(bands.select($"doc_id".as("a_id"), $"bkey").hint("shuffle_hash"), "bkey")
+      .filter($"a_id" < $"doc_id")
+      .select($"doc_id")
+      .distinct()
+    val release = exact
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .withColumn("n_toks", size(tokens($"text")).cast("long"))
+      .withColumn("h", h60(concat(lit("split:"), $"doc_id".cast("string"))) % 100)
+      .withColumn("split", when($"h" < 90, "train").when($"h" < 95, "val").otherwise("test"))
+      .select($"doc_id", $"source", $"text", $"n_toks", $"split")
+    val out = graft.sources.ParquetSink.memoFixture(spark, "corpus_release", sfDir) { dir =>
+      release.repartition($"split").write.mode("overwrite").partitionBy("split").parquet(dir)
+    }
+    val relAgg = spark.read
+      .parquet(out)
+      .withColumn("n_chunks", expr("(greatest(n_toks - 31, 1) - 1) div 16 + 1"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_final"),
+        sum($"n_toks").as("sum_toks"),
+        sum($"n_chunks").as("n_chunks"),
+        sum(($"split" === "train").cast("long")).as("n_train"),
+        sum(($"split" === "val").cast("long")).as("n_val"),
+        sum(($"split" === "test").cast("long")).as("n_test")
+      )
+    staged
+      .join(exact.select($"doc_id", lit(true).as("is_exact")), Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_raw"),
+        sum($"keep_q".cast("long")).as("n_quality"),
+        sum($"keep_i".cast("long")).as("n_import"),
+        sum(coalesce($"is_exact", lit(false)).cast("long")).as("n_exact")
+      )
+      .join(relAgg, Seq("source"), "left")
+      .select(
+        $"source",
+        $"n_raw",
+        $"n_quality",
+        $"n_import",
+        $"n_exact",
+        coalesce($"n_final", lit(0L)).as("n_final"),
+        coalesce($"n_chunks", lit(0L)).as("n_chunks"),
+        coalesce($"sum_toks", lit(0L)).as("sum_toks"),
+        coalesce($"n_train", lit(0L)).as("n_train"),
+        coalesce($"n_val", lit(0L)).as("n_val"),
+        coalesce($"n_test", lit(0L)).as("n_test")
+      )
+      .orderBy($"source")
+  }
+
   /** SemDeDup cosine threshold (Abbas et al. 2023, arXiv:2303.09540 use
     * ~0.95-0.99 on web data; the fixture's planted duplicates sit at 1.0
     * and its natural pair maximum is ~0.51, so any value in between

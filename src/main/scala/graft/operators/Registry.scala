@@ -193,6 +193,57 @@ object Registry {
        |$rounds""".stripMargin
   }
 
+  /** Shared oracle CTE chain: the q148/q152 curation funnel — Gopher
+    * quality flags (gq), DSIR log-importance (si, both unigram models
+    * capped at the q143 vocabulary bound), and the joined per-doc `staged`
+    * relation carrying (doc_id, source, text, keep_q, keep_i). */
+  private val funnelCtes: String = """t AS (
+          SELECT doc_id, source, text, string_split(text, ' ') AS toks FROM documents
+        ), m AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS INT) AS n_words,
+                 CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks) AS mean_word_len,
+                 CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(toks) AS frac_alpha,
+                 len(list_filter(toks, x -> x IN ('the','be','to','of','and','that','have','with'))) AS n_stop_hits
+          FROM t
+        ), gq AS (
+          SELECT doc_id,
+                 ((n_words >= 50 AND n_words <= 100000) AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                   AND (frac_alpha >= 0.8) AND (n_stop_hits >= 2)) AS pass_gopher
+          FROM m
+        ), tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        ), ttok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+          WHERE source IN ('src0', 'src1')
+        ), fc AS (
+          SELECT token, COUNT(*) AS freq FROM tok GROUP BY token
+        ), totc AS (
+          SELECT CAST(SUM(freq) AS DOUBLE) AS total FROM fc
+        ), lpc AS (
+          SELECT token, CAST(round(ln(freq / total) * 1e6) AS BIGINT) AS lpc6
+          FROM fc, totc ORDER BY freq DESC, token LIMIT 24
+        ), oovc AS (
+          SELECT CAST(round(ln(1.0 / total) * 1e6) AS BIGINT) AS oovc6 FROM totc
+        ), ft AS (
+          SELECT token, COUNT(*) AS freq FROM ttok GROUP BY token
+        ), tott AS (
+          SELECT CAST(SUM(freq) AS DOUBLE) AS total FROM ft
+        ), lpt AS (
+          SELECT token, CAST(round(ln(freq / total) * 1e6) AS BIGINT) AS lpt6
+          FROM ft, tott ORDER BY freq DESC, token LIMIT 24
+        ), oovt AS (
+          SELECT CAST(round(ln(1.0 / total) * 1e6) AS BIGINT) AS oovt6 FROM tott
+        ), si AS (
+          SELECT doc_id, SUM(COALESCE(lpt6, oovt6) - COALESCE(lpc6, oovc6)) AS imp6
+          FROM tok LEFT JOIN lpt USING (token) LEFT JOIN lpc USING (token), oovt, oovc
+          GROUP BY doc_id
+        ), staged AS (
+          SELECT d.doc_id, d.source, d.text, g.pass_gopher AS keep_q,
+                 (g.pass_gopher AND si.imp6 > 0) AS keep_i
+          FROM documents d JOIN gq g USING (doc_id) JOIN si USING (doc_id)
+        )"""
+
   private def curationPack: Seq[Q] = Seq(
     Q("q138_bpe_merges", Curation.bpeMerges, Some(bpeOracle)),
     Q("q142_bpe_encode", Curation.bpeEncode, Some(bpeEncodeOracle)),
@@ -247,53 +298,8 @@ object Registry {
     Q(
       "q148_curation_pipeline",
       Curation.curationPipeline,
-      Some("""
-        WITH t AS (
-          SELECT doc_id, source, text, string_split(text, ' ') AS toks FROM documents
-        ), m AS (
-          SELECT doc_id,
-                 CAST(len(toks) AS INT) AS n_words,
-                 CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks) AS mean_word_len,
-                 CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(toks) AS frac_alpha,
-                 len(list_filter(toks, x -> x IN ('the','be','to','of','and','that','have','with'))) AS n_stop_hits
-          FROM t
-        ), gq AS (
-          SELECT doc_id,
-                 ((n_words >= 50 AND n_words <= 100000) AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
-                   AND (frac_alpha >= 0.8) AND (n_stop_hits >= 2)) AS pass_gopher
-          FROM m
-        ), tok AS (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
-        ), ttok AS (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
-          WHERE source IN ('src0', 'src1')
-        ), fc AS (
-          SELECT token, COUNT(*) AS freq FROM tok GROUP BY token
-        ), totc AS (
-          SELECT CAST(SUM(freq) AS DOUBLE) AS total FROM fc
-        ), lpc AS (
-          SELECT token, CAST(round(ln(freq / total) * 1e6) AS BIGINT) AS lpc6
-          FROM fc, totc ORDER BY freq DESC, token LIMIT 24
-        ), oovc AS (
-          SELECT CAST(round(ln(1.0 / total) * 1e6) AS BIGINT) AS oovc6 FROM totc
-        ), ft AS (
-          SELECT token, COUNT(*) AS freq FROM ttok GROUP BY token
-        ), tott AS (
-          SELECT CAST(SUM(freq) AS DOUBLE) AS total FROM ft
-        ), lpt AS (
-          SELECT token, CAST(round(ln(freq / total) * 1e6) AS BIGINT) AS lpt6
-          FROM ft, tott ORDER BY freq DESC, token LIMIT 24
-        ), oovt AS (
-          SELECT CAST(round(ln(1.0 / total) * 1e6) AS BIGINT) AS oovt6 FROM tott
-        ), si AS (
-          SELECT doc_id, SUM(COALESCE(lpt6, oovt6) - COALESCE(lpc6, oovc6)) AS imp6
-          FROM tok LEFT JOIN lpt USING (token) LEFT JOIN lpc USING (token), oovt, oovc
-          GROUP BY doc_id
-        ), staged AS (
-          SELECT d.doc_id, d.source, d.text, g.pass_gopher AS keep_q,
-                 (g.pass_gopher AND si.imp6 > 0) AS keep_i
-          FROM documents d JOIN gq g USING (doc_id) JOIN si USING (doc_id)
-        ), surv AS (
+      Some(s"""
+        WITH $funnelCtes, surv AS (
           SELECT MIN(doc_id) AS doc_id FROM staged WHERE keep_i GROUP BY md5(text)
         )
         SELECT source,
@@ -303,6 +309,63 @@ object Registry {
                CAST(SUM(CASE WHEN sv.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup
         FROM staged LEFT JOIN surv sv USING (doc_id)
         GROUP BY source ORDER BY source
+      """)
+    ),
+    // The capstone release audit: the q148 funnel extended through the
+    // near-dup gate (band smaller-partner rule over the exact survivors —
+    // bandCtes with `corpus` bound to that set), chunk/token inventory,
+    // h60 split, and the partitioned write round-trip (the engine computes
+    // the final columns from the RE-READ release parquet; the oracle
+    // recomputes them from `documents`, so a lossy write breaks the hash).
+    Q(
+      "q152_corpus_release",
+      Curation.corpusRelease,
+      Some(s"""
+        WITH $funnelCtes,
+        ex AS (SELECT MIN(doc_id) AS doc_id FROM staged WHERE keep_i GROUP BY md5(text)),
+        corpus AS (SELECT d.doc_id, d.text FROM documents d JOIN ex USING (doc_id)),
+        $bandCtes,
+        fl AS (
+          SELECT DISTINCT b.doc_id
+          FROM bands b JOIN bands a ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        rel AS (
+          SELECT d.doc_id, d.source, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks,
+                 ('0x' || substr(md5('split:' || CAST(d.doc_id AS VARCHAR)),1,15))::BIGINT % 100 AS h
+          FROM documents d JOIN ex USING (doc_id)
+          WHERE d.doc_id NOT IN (SELECT doc_id FROM fl)
+        ),
+        rel2 AS (
+          SELECT source, n_toks,
+                 CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split,
+                 (GREATEST(n_toks - 31, 1) - 1) // 16 + 1 AS n_chunks
+          FROM rel
+        ),
+        ra AS (
+          SELECT source, COUNT(*) AS n_final, CAST(SUM(n_toks) AS BIGINT) AS sum_toks,
+                 CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+                 CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+                 CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+                 CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+          FROM rel2 GROUP BY source
+        ),
+        ea AS (SELECT d.source, COUNT(*) AS n_exact FROM documents d JOIN ex USING (doc_id) GROUP BY d.source),
+        sa AS (
+          SELECT source, COUNT(*) AS n_raw,
+                 CAST(SUM(CASE WHEN keep_q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+                 CAST(SUM(CASE WHEN keep_i THEN 1 ELSE 0 END) AS BIGINT) AS n_import
+          FROM staged GROUP BY source
+        )
+        SELECT sa.source, sa.n_raw, sa.n_quality, sa.n_import,
+               CAST(COALESCE(ea.n_exact, 0) AS BIGINT) AS n_exact,
+               CAST(COALESCE(ra.n_final, 0) AS BIGINT) AS n_final,
+               CAST(COALESCE(ra.n_chunks, 0) AS BIGINT) AS n_chunks,
+               CAST(COALESCE(ra.sum_toks, 0) AS BIGINT) AS sum_toks,
+               CAST(COALESCE(ra.n_train, 0) AS BIGINT) AS n_train,
+               CAST(COALESCE(ra.n_val, 0) AS BIGINT) AS n_val,
+               CAST(COALESCE(ra.n_test, 0) AS BIGINT) AS n_test
+        FROM sa LEFT JOIN ea USING (source) LEFT JOIN ra USING (source)
+        ORDER BY sa.source
       """)
     ),
     Q(
