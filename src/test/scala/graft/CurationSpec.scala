@@ -255,6 +255,30 @@ class CurationSpec extends SparkSpec {
     assert(out.filter($"mean_winsorized" < $"clip_lo" || $"mean_winsorized" > $"clip_hi").count() === 0)
   }
 
+  test("corpus release: funnel monotone, splits partition the release, chunk mass consistent") {
+    import spark.implicits._
+    val out = Curation.corpusRelease(spark, sf).cache()
+    assert(out.agg(sum($"n_raw")).head().getLong(0) === Tables.documents(spark, sf).count())
+    assert(out.filter($"n_quality" > $"n_raw").count() === 0)
+    assert(out.filter($"n_import" > $"n_quality").count() === 0)
+    assert(out.filter($"n_exact" > $"n_import").count() === 0)
+    assert(out.filter($"n_final" > $"n_exact").count() === 0)
+    // the three splits partition the released set exactly
+    assert(out.filter($"n_train" + $"n_val" + $"n_test" =!= $"n_final").count() === 0)
+    // every released doc yields >= 1 chunk and chunks never exceed tokens
+    assert(out.filter($"n_chunks" < $"n_final").count() === 0)
+    assert(out.filter($"n_chunks" > $"sum_toks" + $"n_final").count() === 0)
+    val t = out.agg(sum($"n_raw"), sum($"n_final")).head()
+    assert(t.getLong(1) > 0 && t.getLong(1) < t.getLong(0), "release is a strict non-empty subset")
+  }
+
+  test("winsorize approx audit: every group within the sketch's rank guarantee") {
+    import spark.implicits._
+    val out = Advanced.winsorizeApproxAudit(spark, sf).cache()
+    assert(out.count() === Tables.events(spark, sf).select($"event_type").distinct().count())
+    assert(out.filter(!$"lo_within_tol" || !$"hi_within_tol").count() === 0)
+  }
+
   test("semdedup: drops exactly the planted copies, keeps originals") {
     import spark.implicits._
     val out     = Curation.semanticDedup(spark, sf).cache()

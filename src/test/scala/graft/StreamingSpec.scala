@@ -471,4 +471,30 @@ class StreamingSpec extends SparkSpec {
       assert(verdicts(2000000L) === ((false, None)), "post-expiry arrival is fresh at the gate")
     } finally q.stop()
   }
+
+  test("q150 gate audit: at-arrival semantics over the pinned epoch replay") {
+    import spark.implicits._
+    val out = graft.streaming.Streaming.atArrivalGateAudit(spark, sf).cache()
+    val n   = graft.operators.Dedup.docsWithDups(spark, sf).count()
+    assert(out.count() === n, "one verdict per document")
+    assert(out.filter($"first_match" >= $"doc_id").count() === 0, "a match is always a smaller id")
+    // injected pairs (d, d+1M): epoch = (id % 7) % 4, and 1M ≡ 1 mod 7, so
+    // copies scatter across earlier/same/later epochs than their originals
+    val pairs = out
+      .filter($"doc_id" >= 1000000L)
+      .select(
+        ($"doc_id" - 1000000L).as("doc_id"),
+        $"is_dup_at_arrival".as("copy_flagged"),
+        (($"doc_id" % 7) % 4).as("ep_copy")
+      )
+      .join(out.select($"doc_id", (($"doc_id" % 7) % 4).as("ep_orig")), "doc_id")
+      .cache()
+    // a copy arriving in the SAME OR LATER epoch than its original sees the
+    // original already in the registry — always flagged
+    assert(pairs.filter($"ep_copy" >= $"ep_orig" && !$"copy_flagged").count() === 0)
+    // the at-arrival / batch-dedup divergence: at least one copy landed in
+    // an EARLIER epoch than its original and sailed through unflagged (the
+    // bucket was fresh at its arrival; q136's registry-final audit flags it)
+    assert(pairs.filter($"ep_copy" < $"ep_orig" && !$"copy_flagged").count() > 0)
+  }
 }
