@@ -1757,11 +1757,13 @@ object Registry {
     )
   )
 
-  private def simPack: Seq[Q] = Seq(
-    Q(
-      "q69_cosine_topk",
-      Similarity.cosineTopK,
-      Some("""
+  /** The q69/q153 shared oracle: exact brute-force cosine top-10 per query.
+    * Two declared queries run two physical plans against this one
+    * semantics — the broadcast-query full scan (q69) and the IVF index at
+    * FULL probe width (q153): every vector lives in exactly one inverted
+    * list, so probing all lists reconstructs the brute-force candidate set
+    * and the results are hash-identical. */
+  private val bruteCosineSql: String = """
         WITH e AS (
           SELECT vec_id, embedding,
                  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
@@ -1779,8 +1781,15 @@ object Registry {
           FROM s
         )
         SELECT query_id, rk, cand_id, cos FROM r WHERE rk <= 10 ORDER BY query_id, rk
-      """)
-    ),
+      """
+
+  private def simPack: Seq[Q] = Seq(
+    Q("q69_cosine_topk", Similarity.cosineTopK, Some(bruteCosineSql)),
+    // Same SEMANTICS and oracle as q69 — the declared point is the other
+    // PHYSICAL PLAN: the IVF index probed at full width is lossless, so the
+    // recall loss scalerecall measures at narrow nprobe is entirely the
+    // probe cut, never the index construction.
+    Q("q153_ivf_full_probe", Similarity.ivfFullProbeTopK, Some(bruteCosineSql)),
     // Approximate by DESIGN but deterministic by CONSTRUCTION: the md5-seeded
     // hyperplanes let DuckDB replay the whole LSH pipeline (bucket signs →
     // candidate join → exact rescoring → ranks) for a full hash compare.

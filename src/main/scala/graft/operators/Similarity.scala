@@ -105,8 +105,19 @@ object Similarity {
   def ivfCosineTopK(spark: SparkSession, sfDir: String): DataFrame =
     ivfCosineTopKAt(spark, sfDir, IvfNprobe)
 
+  /** Declared query (q153): the IVF plan at FULL probe width (nprobe ≥
+    * nlist — every inverted list probed). Every vector is assigned to
+    * exactly one list, so probing all lists scores exactly the
+    * brute-force candidate set and the result is HASH-IDENTICAL to q69's
+    * oracle — the plan-pair proving the index machinery is lossless at
+    * the nprobe dial's endpoint (the recall scalerecall measures at
+    * narrow nprobe is lost to the probe cut alone). */
+  def ivfFullProbeTopK(spark: SparkSession, sfDir: String): DataFrame =
+    ivfCosineTopKAt(spark, sfDir, Int.MaxValue)
+
   /** The nprobe-parameterized IVF shape ([[IvfNprobe]] for the declared
-    * query, [[IvfNprobeProd]] for the graded production setting). */
+    * query, [[IvfNprobeProd]] for the graded production setting,
+    * Int.MaxValue for the q153 full-probe plan pair). */
   private[graft] def ivfCosineTopKAt(spark: SparkSession, sfDir: String, nprobe: Int): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -53,6 +53,8 @@ class CorpusPlanSweepSpec extends SparkSpec {
     // IVF: centroid assignment crossJoins broadcast(k centroids); probes
     // side is query-set-bounded (Similarity.ivfTopK)
     "q76_ivf_cosine_topk" -> Set("BroadcastNestedLoopJoin"),
+    // same IVF assignment shape at full probe width (the q69 plan pair)
+    "q153_ivf_full_probe" -> Set("BroadcastNestedLoopJoin"),
     // decontamination broadcasts the exploded EVAL side — eval suites are
     // small by nature; broadcasting them IS the 100 TB plan (Dedup :311)
     "q86_decontaminate" -> Set("broadcast of an exploded (unbounded) relation"),
