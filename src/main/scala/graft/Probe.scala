@@ -1152,7 +1152,14 @@ object Probe {
         "q139_bm25_topk",
         "q141_semantic_dedup",
         "q143_importance_weights",
-        "q148_curation_pipeline"
+        "q148_curation_pipeline",
+        // round-11 additions: the pinned-replay at-arrival gate (bands over
+        // the 10x dup-injected corpus, 4 epoch files), the capstone release
+        // (funnel + near-dup gate + split + partitioned write at 50k docs),
+        // and the IVF full-probe plan pair over the 20k decorrelated slice
+        "q150_at_arrival_gate",
+        "q152_corpus_release",
+        "q153_ivf_full_probe"
       )
       Files.createDirectories(Paths.get(curDir))
       replicate(Tables.documents(spark, sfDir), "doc_id")
