@@ -76,6 +76,21 @@ object Clustering {
   private def truncate(df: DataFrame, round: Int, last: Int): DataFrame =
     if (round % CheckpointEvery == 0 && round < last) df.localCheckpoint() else df
 
+  /** The TRAINED coarse quantizer for [[Similarity.ivfTrainedTopK]] (q154):
+    * the centroid table after the declared two-iteration Lloyd loop — seed
+    * by vec_id mod k, assign, recompute. Returns (cent_id, cvec, cnrm),
+    * the contract [[Similarity.ivfQuery]] consumes; bit-replayable because
+    * every stage is the same grid-exact arithmetic q107's oracle unrolls. */
+  private[graft] def trainedCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables
+      .spread(Tables.embeddings(spark, sfDir))
+      .select($"vec_id", $"embedding", Similarity.norm($"embedding").as("nrm"))
+    val c0 = gridCentroids(e.select(($"vec_id" % K).cast("int").as("cluster"), $"embedding"))
+    val a1 = assign(e, c0)
+    gridCentroids(a1.select($"cluster", $"embedding"))
+  }
+
   def kmeansClusters(spark: SparkSession, sfDir: String): DataFrame =
     kmeansClusters(spark, sfDir, iterations = 2)
 

@@ -1838,12 +1838,8 @@ object Registry {
     Q(
       "q76_ivf_cosine_topk",
       Similarity.ivfCosineTopK,
-      Some("""
-        WITH e AS (
-          SELECT vec_id, embedding,
-                 sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
-          FROM embeddings
-        ), cpos AS (
+      Some(s"""
+        WITH $embNrmCte, cpos AS (
           SELECT label, i.i AS pos,
                  CAST(CAST(SUM(CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*) AS FLOAT) AS m
           FROM embeddings, (SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i) i
@@ -1855,7 +1851,65 @@ object Registry {
           SELECT cent_id, cvec,
                  sqrt(list_sum(list_transform(cvec, x -> CAST(x AS DOUBLE) * x))) AS cnrm
           FROM cents
-        ), assign AS (
+        ), $ivfQueryTailSql
+      """)
+    ),
+    // IVF over the TRAINED quantizer: the q107 two-iteration grid-exact
+    // Lloyd CTEs produce the centroid table (c2), then the identical q76
+    // query tail runs against it — training, indexing, probing, rescoring
+    // all replayed bit-exactly. Declares the "production points this at
+    // the k-means loop" composition as a checked query.
+    Q(
+      "q154_ivf_trained_topk",
+      Similarity.ivfTrainedTopK,
+      Some(s"""
+        WITH $embNrmCte, m0 AS (
+          SELECT CAST(vec_id % 8 AS INT) AS cluster, i.i AS pos,
+                 CAST(CAST(SUM(CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*) AS FLOAT) AS m
+          FROM embeddings, (SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i) i
+          GROUP BY cluster, i.i
+        ), c0 AS (
+          SELECT cluster AS cent_id, cvec,
+                 sqrt(list_sum(list_transform(cvec, x -> CAST(x AS DOUBLE) * x))) AS cnrm
+          FROM (SELECT cluster, list(m ORDER BY pos) AS cvec FROM m0 GROUP BY cluster)
+        ), s1 AS (
+          SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i])) / (e.nrm * c.cnrm) AS ccos
+          FROM e, c0 c
+        ), a1 AS (
+          SELECT vec_id, embedding, cent_id AS cluster FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+            FROM s1
+          ) WHERE crk = 1
+        ), m1 AS (
+          SELECT cluster, i.i AS pos,
+                 CAST(CAST(SUM(CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*) AS FLOAT) AS m
+          FROM a1, (SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i) i
+          GROUP BY cluster, i.i
+        ), c2 AS (
+          SELECT cluster AS cent_id, cvec,
+                 sqrt(list_sum(list_transform(cvec, x -> CAST(x AS DOUBLE) * x))) AS cnrm
+          FROM (SELECT cluster, list(m ORDER BY pos) AS cvec FROM m1 GROUP BY cluster)
+        ), $ivfQueryTailSql
+      """)
+    )
+  )
+
+  /** Shared oracle CTE: embeddings with their L2 norm. */
+  private val embNrmCte: String = """e AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+          FROM embeddings
+        )"""
+
+  /** The q76/q154 shared IVF-query oracle tail: nearest-centroid index
+    * assignment, query probing at [[Similarity.IvfNprobe]], candidate
+    * scoring restricted to probed lists, top-10 rank. Expects upstream
+    * CTEs `e` (vec_id, embedding, nrm) and `c2` (cent_id, cvec, cnrm) —
+    * q76 binds c2 to the per-label means, q154 to the trained Lloyd
+    * centroids. */
+  private def ivfQueryTailSql: String = s"""assign AS (
           SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
                  ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
                    (list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i])) / (e.nrm * c.cnrm)) DESC,
@@ -1870,7 +1924,7 @@ object Registry {
                    c.cent_id) AS crk
           FROM e q, c2 c WHERE q.vec_id < 10
         ), probes AS (
-          SELECT query_id, qe, qn, probe_cent FROM probe WHERE crk <= 4
+          SELECT query_id, qe, qn, probe_cent FROM probe WHERE crk <= ${Similarity.IvfNprobe}
         ), scored AS (
           SELECT p.query_id, a.vec_id AS cand_id,
                  round(list_sum(list_transform(range(1, 65),
@@ -1881,10 +1935,7 @@ object Registry {
                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INT) AS rk
           FROM scored
         )
-        SELECT query_id, rk, cand_id, cos FROM ranked WHERE rk <= 10 ORDER BY query_id, rk
-      """)
-    )
-  )
+        SELECT query_id, rk, cand_id, cos FROM ranked WHERE rk <= 10 ORDER BY query_id, rk"""
 
   private def chunkingPack: Seq[Q] = Seq(
     Q(

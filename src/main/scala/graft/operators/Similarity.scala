@@ -115,12 +115,26 @@ object Similarity {
   def ivfFullProbeTopK(spark: SparkSession, sfDir: String): DataFrame =
     ivfCosineTopKAt(spark, sfDir, Int.MaxValue)
 
+  /** Declared query (q154): the IVF plan over a TRAINED coarse quantizer —
+    * the centroids from q107's two-iteration grid-exact Lloyd loop
+    * ([[Clustering.trainedCentroids]]) instead of the per-label means.
+    * This declares the composition the q76/SemDeDup scaladocs describe
+    * ("a production run points this at the k-means loop") as a checked
+    * query: training, index assignment, probing, and rescoring all replay
+    * bit-exactly in the DuckDB oracle (the q107 Lloyd CTEs feed the q76
+    * query tail). Same probe width as q76. */
+  def ivfTrainedTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.spread(Tables.embeddings(spark, sfDir))
+      .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+    ivfQuery(e, Clustering.trainedCentroids(spark, sfDir), IvfNprobe)
+  }
+
   /** The nprobe-parameterized IVF shape ([[IvfNprobe]] for the declared
     * query, [[IvfNprobeProd]] for the graded production setting,
     * Int.MaxValue for the q153 full-probe plan pair). */
   private[graft] def ivfCosineTopKAt(spark: SparkSession, sfDir: String, nprobe: Int): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val e = Tables.spread(Tables.embeddings(spark, sfDir))
       .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
 
@@ -141,8 +155,18 @@ object Similarity {
       )
       .withColumn("cnrm", norm($"cvec"))
 
-    // Assign every vector to its nearest centroid (broadcast the tiny
-    // centroid table; rank by cosine).
+    ivfQuery(e, cents, nprobe)
+  }
+
+  /** The IVF QUERY tail shared by q76/q153 (label-mean quantizer) and q154
+    * (trained quantizer): assign every vector to its nearest centroid
+    * (broadcast the tiny centroid table), probe the queries' `nprobe`
+    * nearest lists, score only candidates in probed lists via the
+    * equi-join on centroid id, rank top 10. `cents` must carry
+    * (cent_id, cvec, cnrm). */
+  private[graft] def ivfQuery(e: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+    import e.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
     val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
     val assigned = e
       .crossJoin(broadcast(cents))
@@ -151,7 +175,6 @@ object Similarity {
       .filter($"crk" === 1)
       .select($"vec_id", $"embedding", $"nrm", $"cent_id")
 
-    // Queries probe their nprobe nearest lists.
     val wProbe = Window.partitionBy($"query_id").orderBy($"ccos".desc, $"probe_cent")
     val probes = e
       .filter($"vec_id" < 10)
@@ -163,7 +186,6 @@ object Similarity {
       .filter($"crk" <= nprobe)
       .select($"query_id", $"qe", $"qn", $"probe_cent")
 
-    // Score only candidates in the probed lists (equi-join on centroid id).
     val wRank = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
     assigned
       .join(broadcast(probes), $"cent_id" === $"probe_cent" && $"vec_id" =!= $"query_id")

@@ -55,6 +55,9 @@ class CorpusPlanSweepSpec extends SparkSpec {
     "q76_ivf_cosine_topk" -> Set("BroadcastNestedLoopJoin"),
     // same IVF assignment shape at full probe width (the q69 plan pair)
     "q153_ivf_full_probe" -> Set("BroadcastNestedLoopJoin"),
+    // trained-quantizer IVF: the Lloyd training assigns + the index/probe
+    // assigns each crossJoin broadcast(k bounded centroids) — q76/q107 shape
+    "q154_ivf_trained_topk" -> Set("BroadcastNestedLoopJoin"),
     // decontamination broadcasts the exploded EVAL side — eval suites are
     // small by nature; broadcasting them IS the 100 TB plan (Dedup :311)
     "q86_decontaminate" -> Set("broadcast of an exploded (unbounded) relation"),
