@@ -524,7 +524,13 @@ object Curation {
     * self-join is shuffle_hash on a shared exchange (never a broadcast of
     * an exploded side), the release write repartitions by split so each
     * partition is one file, and the audit joins are per-source
-    * aggregations over bounded keys. */
+    * aggregations over bounded keys. The declared form is deliberately
+    * FULLY declarative (every stage re-derives from the documents scan,
+    * which is what lets one DuckDB statement replay it); a 100 TB run
+    * inserts `staged.persist(StorageLevel.DISK_ONLY)` after the funnel
+    * join and `exact.persist` before the band stage — the stages consume
+    * those frames 2-3× each, and a disk-backed materialization replaces
+    * the re-scans without changing a single result bit. */
   def corpusRelease(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.TextFns.h60
