@@ -1079,7 +1079,11 @@ object Probe {
         // dedup/text families over the 10x-replicated documents slice
         "q65_minhash_lsh_pairs",
         "q97_span_dedup",
-        "q120_dedup_endgame"
+        "q120_dedup_endgame",
+        // the approx-winsorize rank-guarantee audit at 10x the events rows:
+        // n/accuracy grows to ~2 ranks of real sketch tolerance, so the
+        // contract is exercised (not vacuously exact) and must still hold
+        "q151_winsorize_approx_audit"
       )
       // max o_orderkey at sf0.1 is 149,999 (duckdb-checked); 10M per
       // replica keeps ranges disjoint with ~66× headroom
@@ -1159,7 +1163,8 @@ object Probe {
         // and the IVF full-probe plan pair over the 20k decorrelated slice
         "q150_at_arrival_gate",
         "q152_corpus_release",
-        "q153_ivf_full_probe"
+        "q153_ivf_full_probe",
+        "q154_ivf_trained_topk"
       )
       Files.createDirectories(Paths.get(curDir))
       replicate(Tables.documents(spark, sfDir), "doc_id")
