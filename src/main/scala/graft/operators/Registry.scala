@@ -758,6 +758,45 @@ object Registry {
         FROM r, m WHERE rk <= cap GROUP BY source ORDER BY source
       """)
     ),
+    // Temperature mixture (α = 0.5): per-source release quota ∝ floor(√n·1e6),
+    // grid-integer so both engines agree exactly; quota-zero sources still
+    // report their audit row (LEFT JOIN both sides).
+    Q(
+      "q155_temperature_mixture",
+      Sharding.temperatureMixture,
+      Some("""
+        WITH d AS (
+          SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+                 md5(CAST(doc_id AS VARCHAR)) AS hk
+          FROM documents
+        ), c AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(floor(sqrt(COUNT(*)) * 1e6) AS BIGINT) AS s6
+          FROM d GROUP BY source
+        ), t AS (
+          SELECT CAST(SUM(s6) AS BIGINT) AS sum_s6,
+                 CAST(SUM(n_docs) AS BIGINT) // 2 AS target_total
+          FROM c
+        ), q AS (
+          SELECT source, n_docs, s6,
+                 (t.target_total * s6) // t.sum_s6 AS target,
+                 LEAST((t.target_total * s6) // t.sum_s6, n_docs) AS n_kept
+          FROM c, t
+        ), r AS (
+          SELECT d.source, d.n_toks,
+                 ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY d.hk, d.doc_id) AS rk
+          FROM d
+        ), kept AS (
+          SELECT r.source, CAST(SUM(r.n_toks) AS BIGINT) AS toks_kept
+          FROM r JOIN q ON r.source = q.source AND r.rk <= q.n_kept
+          GROUP BY r.source
+        )
+        SELECT q.source, q.n_docs, round(q.s6 / 1e6, 6) AS weight, q.target, q.n_kept,
+               COALESCE(kept.toks_kept, 0) AS toks_kept
+        FROM q LEFT JOIN kept USING (source)
+        ORDER BY q.source
+      """)
+    ),
     Q(
       "q99_tfidf_topk",
       Vocab.tfidfTopTerms,

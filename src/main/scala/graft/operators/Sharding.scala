@@ -77,6 +77,74 @@ object Sharding {
       .orderBy($"lang", $"pos")
   }
 
+  /** Mixture temperature for [[temperatureMixture]] — α = 0.5 (square-root
+    * scaling), the published data-mixture practice (multilingual BERT /
+    * XLM-R / PaLM sample domains ∝ n^α with α < 1 to upweight small
+    * domains relative to proportional sampling). */
+  private[graft] val MixtureAlpha = 0.5
+
+  /** Temperature-based domain mixture (q155): re-mix the corpus so each
+    * source's share of the release is ∝ n_i^α instead of ∝ n_i — the
+    * standard fix for head-domain domination (α = [[MixtureAlpha]]). All
+    * arithmetic is grid-integer so both engines agree bit-for-bit:
+    * per-source weight s6 = floor(sqrt(n_i)·1e6) (floor of a double is
+    * exact cross-engine; round of an irrational is not), target_i =
+    * (T · s6_i) div Σs6 with T = ⌊Σn_i / 2⌋ (release half the corpus,
+    * re-mixed), kept_i = min(target_i, n_i) (an upweighted small domain
+    * clips at its own size — standard), and the kept slice is each
+    * source's lowest-md5-rank documents (the [[domainMixture]] /
+    * [[stratifiedSample]] determinism rule). The two scalar pulls (Σs6,
+    * T) fold into plan literals; the rank window partitions by source —
+    * parallel across domains, one shuffle at any scale. Capacity note
+    * (the GridOverflowSpec discipline): T·s6 ≈ (n/2)·√n·1e6 stays inside
+    * LONG up to ~7×10⁸ documents; past that, drop the weight grid to 1e3
+    * (same plan, same semantics, quota precision still ≪ 1 doc). Output:
+    * the per-source mixture audit. */
+  def temperatureMixture(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFns.tokens
+    val d = Tables
+      .documents(spark, sfDir)
+      .select(
+        $"doc_id",
+        $"source",
+        size(tokens($"text")).cast("long").as("n_toks"),
+        md5($"doc_id".cast("string")).as("hk")
+      )
+    val counts = d
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("s6", floor(sqrt($"n_docs") * 1e6).cast("long"))
+    // two bounded scalar pulls -> plan literals (the pagerank `n` pattern)
+    val r      = counts.agg(sum($"s6"), sum($"n_docs")).head()
+    val sumS6  = r.getLong(0)
+    val target = r.getLong(1) / 2
+    val quotas = counts
+      .withColumn("target", expr(s"(${target}L * s6) div ${sumS6}L").cast("long"))
+      .withColumn("n_kept", least($"target", $"n_docs"))
+    val w = Window.partitionBy($"source").orderBy($"hk", $"doc_id")
+    val keptAgg = d
+      .join(broadcast(quotas.select($"source", $"n_kept")), "source")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= $"n_kept")
+      .groupBy($"source")
+      .agg(sum($"n_toks").as("toks_kept"))
+    // LEFT join: a source whose quota rounds to zero (tiny SF) still
+    // reports its audit row with toks_kept = 0
+    quotas
+      .join(keptAgg, Seq("source"), "left")
+      .select(
+        $"source",
+        $"n_docs",
+        round($"s6" / 1e6, 6).as("weight"),
+        $"target",
+        $"n_kept",
+        coalesce($"toks_kept", lit(0L)).as("toks_kept")
+      )
+      .orderBy($"source")
+  }
+
   /** Domain-mixture rebalancing — cap every source domain at the smallest
     * domain's document count, keeping each domain's lowest-md5-rank slice
     * (the deterministic analog of "downsample over-represented domains to a

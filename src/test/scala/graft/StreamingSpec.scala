@@ -472,6 +472,82 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup registry: keyed state survives stop/restart on one checkpoint") {
+    // The 100 TB deployment claim behind every streaming operator is that a
+    // query can be STOPPED and RESUMED from its checkpoint with state
+    // intact. Drive the real file-source path: run the band registry over
+    // two files, stop the query, add two more files (one a cross-restart
+    // duplicate of a pre-restart doc), start a NEW query on the SAME
+    // checkpoint, and require (a) the second run resumes at the next batch
+    // id instead of reprocessing, and (b) the reduced final registry
+    // equals the batch LSH registry over all four files — which can only
+    // happen if the pre-restart keyed state was restored (the duplicate's
+    // bucket minimum is its pre-restart partner's id).
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_restart").toString
+    val in   = s"$root/in"
+    Files.createDirectories(Paths.get(in))
+    def docText(id: Long): String =
+      (0 until 40).map(j => java.lang.Long.toHexString(id * 40L + j + 0x51f15e5L)).mkString(" ")
+    def writeFile(name: String, ids: Seq[Long], texts: Seq[String]): Unit = {
+      val tmp = s"$root/.tmp_$name"
+      ids.zip(texts).toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(in, s"$name.parquet"))
+      graft.sources.ParquetSink.deleteRecursively(tmp)
+    }
+    def runOnce(): Set[Long] = {
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in)
+      val q = Streaming
+        .nearDupBandMins(stream)
+        .toDF("bkey", "min_id")
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, e: Long) =>
+          b.write.mode("overwrite").parquet(s"$root/out/epoch=$e")
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      new java.io.File(s"$root/out")
+        .listFiles()
+        .map(_.getName)
+        .collect { case s if s.startsWith("epoch=") => s.drop(6).toLong }
+        .toSet
+    }
+    try {
+      writeFile("f0", Seq(10L, 11L), Seq(docText(10), docText(11)))
+      writeFile("f1", Seq(12L, 13L), Seq(docText(12), docText(13)))
+      val epochs1 = runOnce()
+      assert(epochs1 === Set(0L, 1L), s"first run processes the two files: $epochs1")
+      // f3 duplicates f0's doc 10 — detectable only if state survived
+      writeFile("f2", Seq(20L, 21L), Seq(docText(20), docText(21)))
+      writeFile("f3", Seq(1000010L), Seq(docText(10)))
+      val epochs2 = runOnce()
+      assert(epochs2 === Set(0L, 1L, 2L, 3L), s"restart resumes at batch 2, no reprocessing: $epochs2")
+      val reg = spark.read
+        .parquet(s"$root/out")
+        .groupBy($"bkey")
+        .agg(min($"min_id").as("m"))
+      val expected = Streaming
+        .nearDupBandsBatch(spark.read.parquet(in))
+        .groupBy($"bkey")
+        .agg(min($"doc_id").as("m"))
+      assert(reg.join(expected, Seq("bkey", "m"), "full_outer").filter($"m".isNull).count() === 0)
+      assert(reg.count() === expected.count(), "registry equals the batch LSH over all four files")
+      // the cross-restart duplicate resolved against PRE-restart state
+      val dupMins = reg
+        .join(Streaming.nearDupBandsBatch(spark.read.parquet(in)).filter($"doc_id" === 1000010L).select($"bkey"), "bkey")
+        .select($"m").as[Long].collect()
+      assert(dupMins.nonEmpty && dupMins.forall(_ === 10L), s"duplicate's buckets resolve to the pre-restart id: ${dupMins.toSeq}")
+    } finally graft.sources.ParquetSink.deleteRecursively(root)
+  }
+
   test("q150 gate audit: at-arrival semantics over the pinned epoch replay") {
     import spark.implicits._
     val out = graft.streaming.Streaming.atArrivalGateAudit(spark, sf).cache()
