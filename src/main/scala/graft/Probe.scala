@@ -1198,6 +1198,64 @@ object Probe {
       spark.stop()
       return
     }
+    if (which == "sf10") {
+      // TWO orders of magnitude past the fixtures (the sf1 ladder's next
+      // rung): replicate the sf0.1 FACT tables 100x into disjoint key
+      // ranges (offset 10M per replica — 100 replicas stay under 1e9,
+      // event_id mod 64 preserved since 10M ≡ 0 mod 64) with every
+      // dimension unchanged, giving 60M lineitem / 10M events rows, then
+      // run the aggregation-grid and events families and dump results +
+      // oracle SQL so `tools/check.py /tmp/graft_sf10 /tmp/graft_sf10_out`
+      // hash-replays the identical SQL in DuckDB over the identical
+      // parquet. Direct evidence the two-level long-then-decimal grids,
+      // the unhinted AQE join plans, and the window pruning hold at
+      // sf10-equivalent row counts.
+      import spark.implicits._
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val dir    = "/tmp/graft_sf10"
+      val outDir = "/tmp/graft_sf10_out"
+      val set = Seq(
+        "q01_pricing_summary",
+        "q11_join_revenue_by_nation",
+        "q29_stats_agg",
+        "q02_top_event_types",
+        "q03_recent_window_daily"
+      )
+      val off = 10000000L
+      def rep100(df: org.apache.spark.sql.DataFrame, key: String) =
+        df.withColumn("rep", explode(sequence(lit(0L), lit(99L))))
+          .withColumn(key, col(key) + $"rep" * off)
+          .drop("rep")
+      Files.createDirectories(Paths.get(dir))
+      Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+        Files.copy(
+          Paths.get(s"$sfDir/$t.parquet"),
+          Paths.get(s"$dir/$t.parquet"),
+          StandardCopyOption.REPLACE_EXISTING
+        )
+      }
+      rep100(Tables.lineitem(spark, sfDir), "l_orderkey")
+        .repartition(64).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      rep100(Tables.orders(spark, sfDir), "o_orderkey")
+        .repartition(32).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      rep100(Tables.events(spark, sfDir), "event_id")
+        .repartition(32).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val nLi = spark.read.parquet(s"$dir/lineitem.parquet").count()
+      val nEv = spark.read.parquet(s"$dir/events.parquet").count()
+      println(s"[sf10] synthetic slice at $dir: lineitem=$nLi events=$nEv rows")
+      set.foreach { n =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, dir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$n")
+        println(f"[sf10] $n%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      val json = set
+        .map(n => s"${Verify.jsonStr(n)}: ${Verify.jsonStr(SparkEntry.oracleSql(n))}")
+        .mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+      spark.stop()
+      return
+    }
     val names = if (which == "all") SparkEntry.queries.keys.toSeq.sorted else Seq(which)
     names.foreach { n =>
       if (doExplain) SparkEntry.queries(n)(spark, sfDir).explain("formatted")
