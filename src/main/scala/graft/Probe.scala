@@ -1144,10 +1144,14 @@ object Probe {
       // dedup then sees a realistically ~90%-duplicated corpus — each text
       // has one copy per replica and the min-doc_id survivor election
       // resolves to replica 0). embeddings replicate with a per-replica
-      // CIRCULAR SHIFT of the vector (dot(shift(a,k), shift(b,k)) =
-      // dot(a,b) exactly, so every within-replica cosine — including the
-      // %10-injected exact copies q141 plants — is preserved bit-for-bit,
-      // while cross-replica cosines drop to the random floor) plus a label
+      // CIRCULAR SHIFT of the vector: exact-copy pairs stay exact copies
+      // (identical vectors shift to identical vectors, so the %10-injected
+      // copies q141 plants still score 1.0), cross-replica cosines drop to
+      // the random floor, and within-replica NON-copy cosines agree with
+      // replica 0 only up to fp summation order (rotation reorders the
+      // sequential sum — ulp-level drift the hash compare never observes,
+      // because engine and oracle both consume the same shifted parquet)
+      // plus a label
       // salt, so SemDeDup gets 10x clusters at CONSTANT cluster size: the
       // linear-in-n deployment shape its in-cluster pair stage documents.
       val curDir = "/tmp/graft_sf1cur"

@@ -5,7 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // optional 3rd arg: comma-separated query-name substrings — builder-side
+    // focused iteration; the driver always runs the full set (2 args)
+    val nameFilter: String => Boolean = args.drop(2).headOption match {
+      case Some(pats) => { val ps = pats.split(','); (n: String) => ps.exists(n.contains) }
+      case None       => _ => true
+    }
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString
@@ -24,7 +30,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(q => nameFilter(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -32,6 +38,7 @@ object Verify {
       }
     }
     val json = SparkEntry.oracleSql
+      .filter(q => nameFilter(q._1))
       .map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

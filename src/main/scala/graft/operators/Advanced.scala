@@ -254,7 +254,16 @@ object Advanced {
   }
 
   /** Sketch accuracy parameter for [[winsorizeApproxAudit]] — Spark's
-    * approx_percentile rank-error guarantee is n/accuracy. */
+    * approx_percentile rank-error guarantee is n/accuracy per single-pass
+    * summary. The audit's rank_tol = 2·floor(n/accuracy)+2 treats the
+    * partial-summary MERGE as at most doubling that error; Spark's GK merge
+    * bound is empirical, not proved, so at very high partition counts the
+    * merged error could in principle exceed 2× and flip an audit boolean
+    * (a spurious hash failure, not a wrong answer). The fixture pins
+    * shuffle.partitions=32 where the 2× slack holds with wide margin; a
+    * deployment at thousands of partitions should either derive the slack
+    * from the merge fan-in or pre-aggregate per-partition summaries in a
+    * fixed-depth tree. */
   private[graft] val WinsorizeApproxAcc = 10000
 
   /** Declared query (q151): the 100 TB winsorize plan, audited. [[winsorize]]

@@ -7,116 +7,293 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column pack: image/audio/video as opaque `binary` columns with
   * typed metadata, decoded/feature-extracted per partition.
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * deterministic STUB (the "pixels" are md5 bytes of the document text); the
-  * Spark-side plumbing is real and is what's being exercised: binary column
-  * construction, metadata struct schema, typed `mapPartitions` batch
-  * iteration (the Scala analog of `mapInPandas` — per-partition imperative
-  * decode, exactly the shape a libjpeg/ffmpeg call-out would use), and
-  * partition-parallel frame sampling. Because the fake payload is md5-derived
-  * the DuckDB oracle can verify the features byte-for-byte.
+  * The payloads are REAL encoded media — PNG images written and read back
+  * with `javax.imageio.ImageIO`, WAV audio written and read back with
+  * `javax.sound.sampled.AudioSystem` (both JDK-standard codecs, no external
+  * deps) — and the decode step in each operator is a genuine codec decode,
+  * not byte math over a fake payload. The trick that keeps the features
+  * hash-oracle-able by DuckDB (which has no codecs): the pixel/sample DATA
+  * is a closed-form integer function of `doc_id`, and PNG / 16-bit PCM WAV
+  * are lossless, so decoded values equal generated values exactly and the
+  * oracle replays the features from the closed form without ever seeing a
+  * byte of PNG/WAV. An encoder or decoder regression on the engine side
+  * therefore breaks the hash compare.
+  *
+  * Scale shape: encode and decode both run inside typed `mapPartitions`
+  * batches (the per-partition imperative call-out shape a libjpeg/ffmpeg
+  * pipeline uses) — embarrassingly parallel, no shuffle before the
+  * presentation sort. At 100 TB the binary columns arrive from an object
+  * store via `binaryFile` (q125 / q159) instead of being synthesized, and
+  * the same decode partitions apply unchanged.
   */
 object Multimodal {
 
-  /** One "image" row: opaque payload + typed metadata. */
+  // ImageIO's default scratch-file cache serializes concurrent encodes on a
+  // temp-dir lock and leaves files behind; in-memory streams are strictly
+  // better for these small rasters.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Deterministic channel value at linear index k of doc `d`'s raster
+    * (k = (y·w + x)·3 + c): the closed form both the engine's generator and
+    * the DuckDB oracle compute. All-positive Long math, so `%` agrees
+    * between Scala and SQL. */
+  @inline private def pix(d: Long, salt: Long, k: Long): Int =
+    ((d * 31L + salt + k * 7L) % 256L).toInt
+
+  private def imageDims(d: Long): (Int, Int) = ((d % 16 + 4).toInt, (d % 12 + 4).toInt)
+
+  /** Encode doc `d`'s deterministic raster as a real PNG. `fSalt` offsets
+    * the pixel function for video frames. */
+  private def encodePng(d: Long, w: Int, h: Int, fSalt: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val k = (y.toLong * w + x) * 3L
+        val rgb =
+          (pix(d, fSalt, k) << 16) | (pix(d, fSalt, k + 1) << 8) | pix(d, fSalt, k + 2)
+        img.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** One image row: real PNG payload + typed metadata. */
   final case class ImageRow(doc_id: Long, img: Array[Byte], width: Int, height: Int, channels: Int)
 
-  /** Extracted features (the stub decoder's output). */
+  /** Features extracted from the DECODED pixels (never from the metadata —
+    * width/height come from the PNG header the decoder parsed). */
   final case class ImageFeatures(
       doc_id: Long,
-      n_bytes: Int,
-      first_byte: Int,
-      last_byte: Int,
-      byte_sum: Int,
-      mean_byte: Double,
-      n_pixels: Int
+      width: Int,
+      height: Int,
+      n_vals: Long,
+      pix_sum: Long,
+      pix_min: Int,
+      pix_max: Int,
+      n_gt128: Long,
+      mean_milli: Long
   )
 
-  final case class VideoRow(doc_id: Long, video: Array[Byte], n_frames: Int, frame_bytes: Int)
-
-  final case class FrameFeature(doc_id: Long, frame_idx: Int, first_byte: Int, byte_sum: Int)
-
-  /** The multimodal table: binary payload (16 md5 bytes standing in for an
-    * encoded image) + metadata derived deterministically from doc_id. */
+  /** The multimodal table: a real PNG per document (4–19 × 4–15 px RGB,
+    * pixel data = the closed form above) + typed metadata. */
   def imageTable(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables
       .spread(Tables.documents(spark, sfDir))
-      .select(
-        $"doc_id",
-        unhex(md5($"text")).as("img"),
-        ($"doc_id" % 64 + 1).cast("int").as("width"),
-        ($"doc_id" % 32 + 1).cast("int").as("height"),
-        lit(3).as("channels")
-      )
+      .select($"doc_id")
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { d =>
+          val (w, h) = imageDims(d)
+          ImageRow(d, encodePng(d, w, h, 0L), w, h, 3)
+        }
+      }
+      .toDF()
   }
 
-  /** Decode + feature-extract via typed mapPartitions (stub decoder over the
-    * binary payload; real batch-iteration plumbing). Embarrassingly parallel
-    * — no shuffle before the presentation sort. */
+  /** Declared query (q71): REAL image decode + feature extraction via typed
+    * mapPartitions. `ImageIO.read` parses the PNG container, inflates the
+    * scanlines, and yields the raster; every feature is computed from those
+    * decoded pixels. The oracle replays the closed form — a codec bug on
+    * either side of the round trip breaks the hash. */
   def imageFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     imageTable(spark, sfDir)
       .as[ImageRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          // STUB decode: a real implementation would decode r.img with an
-          // image codec here; the fake features are deterministic byte math.
-          val u = r.img.map(_ & 0xff)
-          ImageFeatures(
-            doc_id = r.doc_id,
-            n_bytes = r.img.length,
-            first_byte = u.head,
-            last_byte = u.last,
-            byte_sum = u.sum,
-            mean_byte = u.sum.toDouble / u.length,
-            n_pixels = r.width * r.height * r.channels
-          )
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.img))
+          val (w, h) = (img.getWidth, img.getHeight) // from the decoded header
+          var sum = 0L; var min = 255; var max = 0; var gt = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              var c = 0
+              while (c < 3) {
+                val v = (rgb >>> (16 - 8 * c)) & 0xff
+                sum += v; gt += (if (v > 128) 1 else 0)
+                if (v < min) min = v
+                if (v > max) max = v
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h * 3
+          ImageFeatures(r.doc_id, w, h, n, sum, min, max, gt, sum * 1000L / n)
         }
       }
       .toDF()
       .orderBy($"doc_id")
   }
 
-  final case class AudioRow(doc_id: Long, pcm: Array[Byte], sample_rate: Int, n_windows: Int, window_bytes: Int)
+  // ---- audio ----
+
+  /** Deterministic 16-bit sample at time t of doc `d`: range −2048..2047.
+    * All-positive Long math before the final shift, so `%` agrees between
+    * Scala and SQL. */
+  @inline private def sample(d: Long, t: Long): Int = ((d * 7919L + t * 104729L) % 4096L).toInt - 2048
+
+  private val AudioWindows = 3
+  private val WindowSamples = 160 // 10 ms @ 16 kHz
+  private val SampleRate = 16000
+
+  final case class AudioRow(doc_id: Long, wav: Array[Byte])
 
   final case class AudioFeature(
       doc_id: Long,
       window_idx: Int,
+      sample_rate: Int,
       energy: Long,
       peak: Int,
-      is_silence: Boolean
+      n_zero_cross: Long
   )
 
-  /** "Audio" = 3 concatenated 16-byte PCM windows (md5(text || '#' || w));
-    * per-window energy / peak / silence-gate features via the same typed
-    * mapPartitions batch plumbing — the windowed DSP call-out shape of an
-    * audio pipeline with the codec stubbed. Samples are unsigned bytes;
-    * energy = Σ(s−128)², the silence gate fires below a fixed threshold. */
+  /** Encode doc `d`'s 480 deterministic samples as a real RIFF/WAVE file
+    * (PCM_SIGNED 16-bit mono little-endian) via AudioSystem. */
+  private def encodeWav(d: Long): Array[Byte] = {
+    val n = AudioWindows * WindowSamples
+    val pcm = new Array[Byte](n * 2)
+    var t = 0
+    while (t < n) {
+      val s = sample(d, t)
+      pcm(2 * t) = (s & 0xff).toByte // little-endian
+      pcm(2 * t + 1) = ((s >> 8) & 0xff).toByte
+      t += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(SampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Declared query (q58): REAL WAV decode + windowed DSP features.
+    * `AudioSystem.getAudioInputStream` parses the RIFF header (the emitted
+    * `sample_rate` comes from that parsed header, not a constant on the
+    * engine side), the PCM frames are re-read as 16-bit LE samples, and
+    * per-window energy (Σ s²), peak (max |s|) and zero-crossing count are
+    * computed from the decoded signal. Lossless PCM → the oracle replays
+    * the closed form. */
   def audioFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val windows = (0 until 3).map(w => unhex(md5(concat($"text", lit(s"#$w")))))
     Tables
       .spread(Tables.documents(spark, sfDir))
-      .select(
-        $"doc_id",
-        concat(windows: _*).as("pcm"),
-        lit(16000).as("sample_rate"),
-        lit(3).as("n_windows"),
-        lit(16).as("window_bytes")
-      )
-      .as[AudioRow]
+      .select($"doc_id")
+      .as[Long]
+      .mapPartitions(ids => ids.map(d => AudioRow(d, encodeWav(d))))
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          (0 until r.n_windows).iterator.map { w =>
-            val win = r.pcm.slice(w * r.window_bytes, (w + 1) * r.window_bytes).map(_ & 0xff)
-            val energy = win.map(s => { val d = (s - 128).toLong; d * d }).sum
-            AudioFeature(r.doc_id, w, energy, win.max, energy < 20000L)
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.wav))
+          val fmt = in.getFormat
+          val rate = fmt.getSampleRate.toInt // from the decoded RIFF header
+          val pcm = in.readAllBytes()
+          in.close()
+          val n = pcm.length / 2
+          val s = new Array[Int](n)
+          var t = 0
+          while (t < n) {
+            s(t) = ((pcm(2 * t) & 0xff) | (pcm(2 * t + 1).toInt << 8)) // LE signed
+            t += 1
+          }
+          (0 until AudioWindows).iterator.map { w =>
+            var energy = 0L; var peak = 0; var zc = 0L
+            var i = 0
+            while (i < WindowSamples) {
+              val v = s(w * WindowSamples + i)
+              energy += v.toLong * v
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              if (i > 0 && s(w * WindowSamples + i - 1).toLong * v < 0) zc += 1
+              i += 1
+            }
+            AudioFeature(r.doc_id, w, rate, energy, peak, zc)
           }
         }
       }
       .toDF()
       .orderBy($"doc_id", $"window_idx")
+  }
+
+  // ---- video ----
+
+  private def frameDims(d: Long): (Int, Int) = ((d % 8 + 4).toInt, (d % 6 + 4).toInt)
+  private val VideoFrames = 4
+
+  final case class VideoRow(doc_id: Long, video: Array[Byte], n_frames: Int)
+
+  final case class FrameFeature(doc_id: Long, frame_idx: Int, pix_sum: Long, pix_max: Int)
+
+  /** Declared query (q72): frame sampling over a real (tiny) container
+    * format — the video column is 4 PNG frames each prefixed with a 4-byte
+    * big-endian length. The decode partition walks the container, samples
+    * every 2nd frame, ImageIO-decodes ONLY the sampled frames (the point of
+    * frame sampling: skip the decode cost of the rest), and extracts
+    * per-frame features from the decoded pixels. */
+  def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .spread(Tables.documents(spark, sfDir))
+      .select($"doc_id")
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { d =>
+          val (w, h) = frameDims(d)
+          val bos = new java.io.ByteArrayOutputStream()
+          val out = new java.io.DataOutputStream(bos)
+          (0 until VideoFrames).foreach { f =>
+            val png = encodePng(d, w, h, f * 1009L)
+            out.writeInt(png.length)
+            out.write(png)
+          }
+          VideoRow(d, bos.toByteArray, VideoFrames)
+        }
+      }
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(r.video))
+          (0 until r.n_frames).iterator.flatMap { f =>
+            val len = in.readInt()
+            val png = new Array[Byte](len)
+            in.readFully(png)
+            if (f % 2 != 0) None // sampled out: container walked, decode skipped
+            else {
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+              var sum = 0L; var max = 0
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val rgb = img.getRGB(x, y)
+                  var c = 0
+                  while (c < 3) {
+                    val v = (rgb >>> (16 - 8 * c)) & 0xff
+                    sum += v
+                    if (v > max) max = v
+                    c += 1
+                  }
+                  x += 1
+                }
+                y += 1
+              }
+              Some(FrameFeature(r.doc_id, f, sum, max))
+            }
+          }
+        }
+      }
+      .toDF()
+      .orderBy($"doc_id", $"frame_idx")
   }
 
   /** Declared query (q125): blob-store ingest through Spark's `binaryFile`
@@ -183,26 +360,75 @@ object Multimodal {
       .orderBy($"event_id")
   }
 
-  /** "Video" = 4 concatenated 16-byte frames (md5(text || ':' || f)); sample
-    * every 2nd frame and extract per-frame features — the frame-sampling
-    * plumbing of a video pipeline with the codec stubbed out. */
-  def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Declared query (q159): the two halves of the multimodal front married —
+    * real PNG FILES on disk, ingested distributed via `binaryFile`, then
+    * REAL-decoded in the same typed mapPartitions batch shape as q71. The
+    * file set is a bounded deterministic slice of `documents` (fixture
+    * PREP, one PNG per selected doc, same local-mode caveat as q125); the
+    * scan yields (path, content) rows, the doc id is parsed from the
+    * path, and the features come from the decoded pixels — so the oracle
+    * replays the closed form over the same doc slice. */
+  private val pngDirs = new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  sys.addShutdownHook {
+    pngDirs.values.forEach(d => graft.sources.ParquetSink.deleteRecursively(d.toString))
+  }
+
+  def pngFilePipeline(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val frames = (0 until 4).map(f => unhex(md5(concat($"text", lit(s":$f")))))
-    Tables
-      .spread(Tables.documents(spark, sfDir))
-      .select($"doc_id", concat(frames: _*).as("video"), lit(4).as("n_frames"), lit(16).as("frame_bytes"))
-      .as[VideoRow]
+    val dir = pngDirs.computeIfAbsent(
+      sfDir,
+      _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft_pngs")
+        val ids = Tables
+          .documents(spark, sfDir)
+          .filter($"doc_id" % 53 === 0)
+          .select($"doc_id")
+          .orderBy($"doc_id")
+          .as[Long]
+          .head(97) // bounded fixture prep, not a data collect
+        ids.foreach { id =>
+          val (w, h) = imageDims(id)
+          java.nio.file.Files.write(d.resolve(f"img_$id%012d.png"), encodePng(id, w, h, 0L))
+        }
+        d
+      }
+    )
+    spark.read
+      .format("binaryFile")
+      .option("pathGlobFilter", "*.png")
+      .load(dir.toString)
+      .select(
+        regexp_extract($"path", "img_(\\d+)\\.png", 1).cast("long").as("doc_id"),
+        $"content"
+      )
+      .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        rows.flatMap { r =>
-          // STUB decode: sample frames 0 and 2 (every 2nd), slice the payload
-          (0 until r.n_frames by 2).iterator.map { f =>
-            val frame = r.video.slice(f * r.frame_bytes, (f + 1) * r.frame_bytes).map(_ & 0xff)
-            FrameFeature(r.doc_id, f, frame.head, frame.sum)
+        rows.map { case (d, png) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L; var min = 255; var max = 0; var gt = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              var c = 0
+              while (c < 3) {
+                val v = (rgb >>> (16 - 8 * c)) & 0xff
+                sum += v; gt += (if (v > 128) 1 else 0)
+                if (v < min) min = v
+                if (v > max) max = v
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
           }
+          val n = w.toLong * h * 3
+          ImageFeatures(d, w, h, n, sum, min, max, gt, sum * 1000L / n)
         }
       }
       .toDF()
-      .orderBy($"doc_id", $"frame_idx")
+      .orderBy($"doc_id")
   }
 }

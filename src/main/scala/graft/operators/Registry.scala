@@ -408,9 +408,11 @@ object Registry {
     Q(
       "q151_winsorize_approx_audit",
       Advanced.winsorizeApproxAudit,
-      Some("""
+      // rank_tol interpolates the SAME constant the engine reads, so the
+      // tolerance can never silently desync between engine and oracle
+      Some(s"""
         SELECT event_type, COUNT(*) AS n,
-               2 * CAST(floor(COUNT(*) / 10000.0) AS BIGINT) + 2 AS rank_tol,
+               2 * CAST(floor(COUNT(*) / ${Advanced.WinsorizeApproxAcc}.0) AS BIGINT) + 2 AS rank_tol,
                true AS lo_within_tol, true AS hi_within_tol
         FROM events GROUP BY event_type ORDER BY event_type
       """)
@@ -1948,7 +1950,12 @@ object Registry {
     * CTEs `e` (vec_id, embedding, nrm) and `c2` (cent_id, cvec, cnrm) —
     * q76 binds c2 to the per-label means, q154 to the trained Lloyd
     * centroids. */
-  private def ivfQueryTailSql: String = s"""assign AS (
+  /** The coarse assign + probe prefix shared by the IVF tails (q76/q154's
+    * scoring tail and q156's PQ tail): nearest-centroid index assignment
+    * and query probing at [[Similarity.IvfNprobe]]. Expects CTEs `e` and
+    * `c2`; yields `assigned` (vec_id, embedding, nrm, cent_id) and
+    * `probes` (query_id, qe, qn, probe_cent). */
+  private def ivfProbeSql: String = s"""assign AS (
           SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
                  ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
                    (list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i])) / (e.nrm * c.cnrm)) DESC,
@@ -1964,7 +1971,9 @@ object Registry {
           FROM e q, c2 c WHERE q.vec_id < 10
         ), probes AS (
           SELECT query_id, qe, qn, probe_cent FROM probe WHERE crk <= ${Similarity.IvfNprobe}
-        ), scored AS (
+        )"""
+
+  private def ivfQueryTailSql: String = s"""$ivfProbeSql, scored AS (
           SELECT p.query_id, a.vec_id AS cand_id,
                  round(list_sum(list_transform(range(1, 65),
                    i -> CAST(p.qe[i] AS DOUBLE) * a.embedding[i])) / (p.qn * a.nrm), 6) AS cos
@@ -2167,28 +2176,33 @@ object Registry {
   )
 
   private def multimodalPack: Seq[Q] = Seq(
+    // q71/q58/q72/q159 oracles replay the CLOSED FORM the engine's media
+    // generators rasterize; the engine side round-trips through a real
+    // PNG/WAV codec (lossless), so decoded == generated and an ImageIO/
+    // AudioSystem encode or decode bug breaks the hash compare.
     Q(
       "q71_image_features",
       Multimodal.imageFeatures,
       Some("""
-        WITH b AS (
-          SELECT doc_id, md5(text) AS h,
-                 CAST(doc_id % 64 + 1 AS INT) AS width,
-                 CAST(doc_id % 32 + 1 AS INT) AS height
-          FROM documents
-        ), f AS (
+        WITH d AS (
           SELECT doc_id,
-                 16 AS n_bytes,
-                 ('0x' || substr(h, 1, 2))::INT AS first_byte,
-                 ('0x' || substr(h, 31, 2))::INT AS last_byte,
-                 CAST(list_sum(list_transform(range(0, 16),
-                   i -> ('0x' || substr(h, i*2+1, 2))::INT)) AS INT) AS byte_sum,
-                 width * height * 3 AS n_pixels
-          FROM b
+                 CAST(doc_id % 16 + 4 AS INT) AS width,
+                 CAST(doc_id % 12 + 4 AS INT) AS height
+          FROM documents
+        ), v AS (
+          SELECT doc_id, width, height,
+                 list_transform(range(0, width*height*3),
+                   k -> (doc_id*31 + k*7) % 256) AS vals
+          FROM d
         )
-        SELECT doc_id, n_bytes, first_byte, last_byte, byte_sum,
-               CAST(byte_sum AS DOUBLE) / 16.0 AS mean_byte, n_pixels
-        FROM f ORDER BY doc_id
+        SELECT doc_id, width, height,
+               CAST(width*height*3 AS BIGINT) AS n_vals,
+               CAST(list_sum(vals) AS BIGINT) AS pix_sum,
+               CAST(list_min(vals) AS INT) AS pix_min,
+               CAST(list_max(vals) AS INT) AS pix_max,
+               CAST(list_sum(list_transform(vals, x -> CASE WHEN x > 128 THEN 1 ELSE 0 END)) AS BIGINT) AS n_gt128,
+               CAST(list_sum(vals) * 1000 AS BIGINT) // CAST(width*height*3 AS BIGINT) AS mean_milli
+        FROM v ORDER BY doc_id
       """)
     ),
     Q(
@@ -2196,17 +2210,20 @@ object Registry {
       Multimodal.audioFeatures,
       Some("""
         WITH w AS (
-          SELECT doc_id, ww.w AS window_idx, md5(text || '#' || CAST(ww.w AS VARCHAR)) AS h
+          SELECT doc_id, ww.w AS window_idx
           FROM documents, (SELECT unnest([0, 1, 2]) AS w) ww
         ), s AS (
           SELECT doc_id, CAST(window_idx AS INT) AS window_idx,
-                 list_transform(range(0, 16), i -> ('0x' || substr(h, i*2+1, 2))::INT) AS samples
+                 list_transform(range(0, 160),
+                   i -> (doc_id*7919 + (window_idx*160 + i)*104729) % 4096 - 2048) AS sm
           FROM w
         )
         SELECT doc_id, window_idx,
-               CAST(list_sum(list_transform(samples, x -> CAST((x - 128) * (x - 128) AS BIGINT))) AS BIGINT) AS energy,
-               CAST(list_max(samples) AS INT) AS peak,
-               list_sum(list_transform(samples, x -> CAST((x - 128) * (x - 128) AS BIGINT))) < 20000 AS is_silence
+               16000 AS sample_rate,
+               CAST(list_sum(list_transform(sm, x -> x*x)) AS BIGINT) AS energy,
+               CAST(list_max(list_transform(sm, x -> abs(x))) AS INT) AS peak,
+               CAST(list_sum(list_transform(range(1, 160),
+                 i -> CASE WHEN sm[i]*sm[i+1] < 0 THEN 1 ELSE 0 END)) AS BIGINT) AS n_zero_cross
         FROM s ORDER BY doc_id, window_idx
       """)
     ),
@@ -2214,18 +2231,45 @@ object Registry {
       "q72_frame_sample",
       Multimodal.frameSample,
       Some("""
-        WITH f AS (
-          SELECT doc_id, unnest([0, 2]) AS frame_idx, text FROM documents
-        ), h AS (
-          SELECT doc_id, frame_idx,
-                 md5(text || ':' || CAST(frame_idx AS VARCHAR)) AS fh
-          FROM f
+        WITH fr AS (
+          SELECT doc_id, unnest([0, 2]) AS frame_idx,
+                 CAST(doc_id % 8 + 4 AS INT) AS w, CAST(doc_id % 6 + 4 AS INT) AS h
+          FROM documents
+        ), v AS (
+          SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+                 list_transform(range(0, w*h*3),
+                   k -> (doc_id*31 + frame_idx*1009 + k*7) % 256) AS vals
+          FROM fr
         )
         SELECT doc_id, frame_idx,
-               ('0x' || substr(fh, 1, 2))::INT AS first_byte,
-               CAST(list_sum(list_transform(range(0, 16),
-                 i -> ('0x' || substr(fh, i*2+1, 2))::INT)) AS INT) AS byte_sum
-        FROM h ORDER BY doc_id, frame_idx
+               CAST(list_sum(vals) AS BIGINT) AS pix_sum,
+               CAST(list_max(vals) AS INT) AS pix_max
+        FROM v ORDER BY doc_id, frame_idx
+      """)
+    ),
+    Q(
+      "q159_png_file_pipeline",
+      Multimodal.pngFilePipeline,
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(doc_id % 16 + 4 AS INT) AS width,
+                 CAST(doc_id % 12 + 4 AS INT) AS height
+          FROM (SELECT doc_id FROM documents WHERE doc_id % 53 = 0 ORDER BY doc_id LIMIT 97)
+        ), v AS (
+          SELECT doc_id, width, height,
+                 list_transform(range(0, width*height*3),
+                   k -> (doc_id*31 + k*7) % 256) AS vals
+          FROM d
+        )
+        SELECT doc_id, width, height,
+               CAST(width*height*3 AS BIGINT) AS n_vals,
+               CAST(list_sum(vals) AS BIGINT) AS pix_sum,
+               CAST(list_min(vals) AS INT) AS pix_min,
+               CAST(list_max(vals) AS INT) AS pix_max,
+               CAST(list_sum(list_transform(vals, x -> CASE WHEN x > 128 THEN 1 ELSE 0 END)) AS BIGINT) AS n_gt128,
+               CAST(list_sum(vals) * 1000 AS BIGINT) // CAST(width*height*3 AS BIGINT) AS mean_milli
+        FROM v ORDER BY doc_id
       """)
     )
   )

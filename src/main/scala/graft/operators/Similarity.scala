@@ -137,13 +137,18 @@ object Similarity {
     import spark.implicits._
     val e = Tables.spread(Tables.embeddings(spark, sfDir))
       .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+    ivfQuery(e, labelCents(spark, sfDir), nprobe)
+  }
 
-    // Coarse quantizer: per-label mean vector (k = #labels inverted lists).
-    // The mean goes through the Det scaled-long grid (round(v·1e6) summed as
-    // LONG) so it is independent of shuffle-merge order AND bit-replayable
-    // by the DuckDB oracle — a raw double avg would differ in final ulps
-    // between engines and across runs.
-    val cents = Tables.embeddings(spark, sfDir)
+  /** Coarse quantizer shared by q76/q153/q156: per-label mean vector
+    * (k = #labels inverted lists). The mean goes through the Det
+    * scaled-long grid (round(v·1e6) summed as LONG) so it is independent
+    * of shuffle-merge order AND bit-replayable by the DuckDB oracle — a
+    * raw double avg would differ in final ulps between engines and across
+    * runs. */
+  private[graft] def labelCents(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, sfDir)
       .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
       .groupBy($"label", $"pos")
       .agg((sum(round($"v" * 1e6).cast("long")) / 1e6 / count(lit(1))).as("m"))
@@ -154,8 +159,6 @@ object Similarity {
         transform($"pm", p => p.getField("m").cast("float")).as("cvec")
       )
       .withColumn("cnrm", norm($"cvec"))
-
-    ivfQuery(e, cents, nprobe)
   }
 
   /** The IVF QUERY tail shared by q76/q153 (label-mean quantizer) and q154
@@ -241,6 +244,176 @@ object Similarity {
     * widens to the same double in both engines, the product/divide sequence
     * is identical IEEE arithmetic, and round() on doubles rounds half away
     * from zero in both — so the int codes hash-compare exactly. */
+  // ---- IVF-PQ (q156): product quantization composed into the IVF tail ----
+
+  /** PQ geometry: 64-dim vectors split into 8 sub-vectors of 8 dims. */
+  private[graft] val PqBlocks = 8
+  private[graft] val PqBlockDim = Dim / PqBlocks
+  /** Codes per sub-vector codebook (4-bit PQ). The scalerecall probe grades
+    * recall at (nprobe, codes) corners; this is the declared setting. */
+  private[graft] val PqCodes = 16
+  /** ADC shortlist width before exact rescoring. */
+  private[graft] val PqShortlist = 50
+
+  /** Integer squared-L2 between two equal-length long arrays — exact in
+    * both engines (all values on the 1e6 grid; max Σ ≈ 1e14 « 2^63). */
+  private def d2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+
+  /** (vec_id, b, gvec): the 1e6-grid sub-vectors of every embedding —
+    * slice, not explode/regroup, so the fan-out is a cheap projection. */
+  private def pqBlocks(g: DataFrame): DataFrame = {
+    import g.sparkSession.implicits._
+    g.select(
+      $"vec_id",
+      explode(
+        array((0 until PqBlocks).map(b =>
+          struct(lit(b).as("b"), slice($"grid", b * PqBlockDim + 1, PqBlockDim).as("gvec"))): _*)
+      ).as("blk")
+    ).select($"vec_id", $"blk.b".as("b"), $"blk.gvec".as("gvec"))
+  }
+
+  /** Per-(block, code) centroid of `assigned` (vec_id, b, gvec, c): the
+    * truncated-integer per-dim mean `sum div count` — Spark `div` and
+    * DuckDB `//` both truncate toward zero, so the codebook is bit-equal
+    * in both engines with NO floating point anywhere. */
+  private def pqCodebook(assigned: DataFrame): DataFrame = {
+    import assigned.sparkSession.implicits._
+    assigned
+      .select($"b", $"c", posexplode($"gvec").as(Seq("j", "gv")))
+      .groupBy($"b", $"c", $"j")
+      .agg(expr("sum(gv) div count(1)").cast("long").as("cg"))
+      .groupBy($"b", $"c")
+      .agg(array_sort(collect_list(struct($"j", $"cg"))).as("jc"))
+      .select($"b", $"c", transform($"jc", s => s.getField("cg")).as("cvec"))
+  }
+
+  /** Nearest-code assignment of every (vec, block) against codebook `cb`
+    * (b, c, cvec) — integer d2, deterministic code tiebreak. */
+  private def pqAssign(blocks: DataFrame, cb: DataFrame): DataFrame = {
+    import blocks.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"vec_id", $"b").orderBy($"bd2".asc, $"c".asc)
+    blocks
+      .join(broadcast(cb), "b")
+      .withColumn("bd2", d2($"gvec", $"cvec"))
+      .withColumn("crk", row_number().over(w))
+      .filter($"crk" === 1)
+      .select($"vec_id", $"b", $"gvec", $"c")
+  }
+
+  /** Declared query (q156): IVF-PQ — the production 100 TB ANN composition.
+    * Product-quantization codebooks are TRAINED per 8-dim sub-vector block
+    * (seed code = vec_id mod 16, one Lloyd assign+recompute step — the
+    * q107/q154 trained-centroid pattern on the 1e6 integer grid with
+    * truncated-integer means, zero floating point), every vector is
+    * ENCODED to 8 nibbles (4-bit codes — a 64× compression of the float
+    * vector), the coarse IVF tail (q76's label-mean quantizer) restricts
+    * candidates to the probed inverted lists, candidates are scored by
+    * ASYMMETRIC DISTANCE (exact integer d2 between the query's grid
+    * sub-vectors and each candidate's reconstructed codebook entries —
+    * the candidate's floats are never touched), the best
+    * [[PqShortlist]] per query by ADC advance, and the shortlist alone is
+    * EXACTLY rescored by cosine for the final top-10. Every stage —
+    * training, encoding, probing, ADC, rescore — replays bit-exactly in
+    * the DuckDB oracle. Scale shape: codebooks and probe tables broadcast
+    * (≤ 128 rows); the ADC join is equi on (cand_id) then (b, code);
+    * no all-pairs anywhere; the scan side touches nprobe/nlist of the
+    * data and reads 8 bytes of code per candidate instead of 256 bytes
+    * of float — the memory-bandwidth win PQ exists for. */
+  def ivfPqTopK(spark: SparkSession, sfDir: String): DataFrame =
+    ivfPqTopKAt(spark, sfDir, IvfNprobe, PqCodes)
+
+  /** (nprobe, nCodes)-parameterized IVF-PQ — the scalerecall probe grades
+    * the corners; the declared query pins (IvfNprobe, PqCodes). */
+  private[graft] def ivfPqTopKAt(
+      spark: SparkSession,
+      sfDir: String,
+      nprobe: Int,
+      nCodes: Int
+  ): DataFrame = {
+    val e = {
+      import spark.implicits._
+      Tables.spread(Tables.embeddings(spark, sfDir))
+        .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+    }
+    ivfPqQuery(e, labelCents(spark, sfDir), nprobe, nCodes)
+  }
+
+  /** The IVF-PQ query tail over any (vec_id, embedding, nrm) relation and
+    * coarse-centroid table — shared by the declared query and the
+    * scalerecall synthetic-corpus probe. */
+  private[graft] def ivfPqQuery(
+      e: DataFrame,
+      cents: DataFrame,
+      nprobe: Int,
+      nCodes: Int
+  ): DataFrame = {
+    import e.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+
+    val g = e.select(
+      $"vec_id",
+      transform($"embedding", v => round(v.cast("double") * 1e6).cast("long")).as("grid")
+    )
+    val blocks = pqBlocks(g)
+
+    // train: seed codebook from vec_id mod nCodes, one Lloyd step
+    val cb0 = pqCodebook(blocks.withColumn("c", ($"vec_id" % nCodes).cast("int")))
+    val cb1 = pqCodebook(pqAssign(blocks, cb0))
+    // encode: nearest cb1 code per (vec, block)
+    val codes = pqAssign(blocks, cb1).select($"vec_id", $"b", $"c".as("code"))
+
+    // coarse IVF: assign all vectors to lists, probe the queries' nprobe lists
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
+    val assigned = e
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine($"embedding", $"nrm", $"cvec", $"cnrm"))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter($"crk" === 1)
+      .select($"vec_id", $"cent_id")
+    val wProbe = Window.partitionBy($"query_id").orderBy($"ccos".desc, $"probe_cent")
+    val probes = e
+      .filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine($"qe", $"qn", $"cvec", $"cnrm"))
+      .withColumn("probe_cent", $"cent_id")
+      .withColumn("crk", row_number().over(wProbe))
+      .filter($"crk" <= nprobe)
+      .select($"query_id", $"probe_cent")
+    val cand = assigned
+      .join(broadcast(probes), $"cent_id" === $"probe_cent" && $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("cand_id"))
+
+    // ADC: query grid blocks vs each candidate's reconstructed code vectors
+    val qb = blocks.filter($"vec_id" < 10).select($"vec_id".as("query_id"), $"b", $"gvec".as("qvec"))
+    val cbR = cb1.select($"b".as("cb_b"), $"c".as("cb_c"), $"cvec")
+    val adc = cand
+      .join(codes.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+      .join(broadcast(cbR), $"b" === $"cb_b" && $"code" === $"cb_c")
+      .join(broadcast(qb), Seq("query_id", "b"))
+      .withColumn("bd2", d2($"qvec", $"cvec"))
+      .groupBy($"query_id", $"cand_id")
+      .agg(sum($"bd2").as("adc"))
+    val wShort = Window.partitionBy($"query_id").orderBy($"adc".asc, $"cand_id")
+    val short = adc
+      .withColumn("srk", row_number().over(wShort))
+      .filter($"srk" <= PqShortlist)
+      .select($"query_id", $"cand_id")
+
+    // exact rescore of the shortlist only
+    val wRank = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id")
+    short
+      .join(e.select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn")), "query_id")
+      .join(e.select($"vec_id".as("cand_id"), $"embedding".as("ce"), $"nrm".as("cn")), "cand_id")
+      .withColumn("cos", round(cosine($"qe", $"qn", $"ce", $"cn"), 6))
+      .withColumn("rk", row_number().over(wRank))
+      .filter($"rk" <= 10)
+      .select($"query_id", $"rk", $"cand_id", $"cos")
+      .orderBy($"query_id", $"rk")
+  }
+
   def quantizeEmbeddings(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables

@@ -83,8 +83,9 @@ class DisciplineSpec extends AnyFunSuite {
 
   test("imperative per-partition loops stay confined to the codec surfaces") {
     // the only justified imperative per-partition loops are codec
-    // call-outs (genuinely non-SQL): the stub image/audio codec in
-    // Multimodal, and the Avro container encode/decode in AvroData;
+    // call-outs (genuinely non-SQL): the real ImageIO/AudioSystem
+    // encode/decode batches in Multimodal, and the Avro container
+    // encode/decode in AvroData;
     // everything else must be declarative so Catalyst can see through it
     val sites = hits(
       """\.(mapPartitions|foreachPartition)""",

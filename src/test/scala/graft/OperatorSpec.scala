@@ -50,18 +50,34 @@ class OperatorSpec extends SparkSpec {
     assert(df.columns.toSeq === Seq("event_id", "user_id", "ts_us", "last_view_ts_us"))
   }
 
-  test("image features: byte math matches an independent md5 computation") {
-    import spark.implicits._
+  test("image features: real PNG decode matches the closed-form raster") {
     val feats = Multimodal.imageFeatures(spark, sf).limit(5).collect()
-    val texts = Tables.documents(spark, sf).orderBy($"doc_id").limit(5)
-      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
-    val md = java.security.MessageDigest.getInstance("MD5")
+    assert(feats.nonEmpty)
     feats.foreach { r =>
-      val bytes = md.digest(texts(r.getAs[Long]("doc_id")).getBytes("UTF-8")).map(_ & 0xff)
-      assert(r.getAs[Int]("n_bytes") === 16)
-      assert(r.getAs[Int]("first_byte") === bytes.head)
-      assert(r.getAs[Int]("last_byte") === bytes.last)
-      assert(r.getAs[Int]("byte_sum") === bytes.sum)
+      val d = r.getAs[Long]("doc_id")
+      val (w, h) = ((d % 16 + 4).toInt, (d % 12 + 4).toInt)
+      val vals = (0L until w.toLong * h * 3).map(k => ((d * 31L + k * 7L) % 256L).toInt)
+      assert(r.getAs[Int]("width") === w)
+      assert(r.getAs[Int]("height") === h)
+      assert(r.getAs[Long]("pix_sum") === vals.map(_.toLong).sum)
+      assert(r.getAs[Int]("pix_min") === vals.min)
+      assert(r.getAs[Int]("pix_max") === vals.max)
+      assert(r.getAs[Long]("n_gt128") === vals.count(_ > 128).toLong)
+    }
+  }
+
+  test("audio features: real WAV round trip — header rate + signal stats match closed form") {
+    val feats = Multimodal.audioFeatures(spark, sf).filter("window_idx = 1").limit(3).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      val s = (160 until 320).map(t => ((d * 7919L + t * 104729L) % 4096L).toInt - 2048)
+      assert(r.getAs[Int]("sample_rate") === 16000, "sample_rate must come from the decoded RIFF header")
+      assert(r.getAs[Long]("energy") === s.map(v => v.toLong * v).sum)
+      assert(r.getAs[Int]("peak") === s.map(math.abs).max)
+      assert(
+        r.getAs[Long]("n_zero_cross") ===
+          s.sliding(2).count(p => p.head.toLong * p.last < 0).toLong)
     }
   }
 
