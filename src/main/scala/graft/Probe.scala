@@ -10,9 +10,13 @@ import org.apache.spark.sql.functions._
 object Probe {
 
   /** The `scalecur` synthetic growing-vocabulary corpus: ~40 distinct
-    * all-alpha md5-derived 6-char tokens per doc (digits translated to
-    * letters so every token passes the BPE learner's [a-z]+ gate). */
-  private def curSynthDocs(spark: SparkSession, n: Long) = {
+    * all-alpha md5-derived tokens per doc (digits translated to letters so
+    * every token passes the BPE learner's [a-z]+ gate). `tokLen` defaults
+    * to 6; the production-depth BPE phase uses 14 — a 10k-word cap of
+    * 6-char words exhausts its pair mass near 19k merges (every word a
+    * single symbol), while 14-char words carry enough distinct pair
+    * structure to sustain the 32k-merge GPT-2/Llama vocabulary regime. */
+  private def curSynthDocs(spark: SparkSession, n: Long, tokLen: Int = 6) = {
     import spark.implicits._
     spark
       .range(n)
@@ -25,7 +29,7 @@ object Probe {
             sequence(lit(0L), lit(39L)),
             j =>
               translate(
-                substring(md5(($"id" * 40L + j).cast("string")), 1, 6),
+                substring(md5(($"id" * 40L + j).cast("string")), 1, tokLen),
                 "0123456789",
                 "ghijklmnop"
               )
@@ -37,25 +41,36 @@ object Probe {
   /** `scalecur` production-merge-depth phase (standalone: `bpedepth`). The
     * declared q138 learns 8 merges so its unrolled-CTE oracle stays
     * readable; real tokenizers run the SAME loop tens of thousands of
-    * rounds over the same cap-bounded word table — the driver loop is
-    * O(cap · merges), independent of corpus size. Depths {8, 1k, 8k} over
-    * the n=100k growing-vocabulary corpus: state must stay cap-pinned at
-    * every depth, learned merges must equal the requested depth (pair
-    * mass cannot exhaust before ~10k rounds at the 10k-word cap: the loop
-    * only stops when every word is a single symbol, which needs at least
-    * one distinct final merge per distinct word), and the 1k→8k step (8×
-    * rounds) must cost ≤ 12× (slack for the fixed corpus-stage prefix in
-    * every call) — near-linear in depth, recording the production-depth
-    * wall cost. Returns false on violation. */
+    * rounds over the same cap-bounded word table — the incremental
+    * pair-delta loop's cost is proportional to affected words per round,
+    * independent of corpus size. Depths {8, 1k, 8k, 32k — GPT-2/Llama
+    * vocabulary scale} over the n=100k growing-vocabulary corpus of
+    * 14-char words (6-char words exhaust their pair mass near 19k merges —
+    * every word a single symbol — measured r12; 14-char words carry the
+    * distinct pair structure 32k rounds need): state must stay cap-pinned
+    * at every depth, learned merges must equal the requested depth (the
+    * loop only stops when every word is a single symbol, which needs at
+    * least one distinct final merge per distinct word), and each 8×/4×-
+    * rounds step must
+    * cost ≤ 12× on the MIN of two timed runs per depth (single samples
+    * gate on host noise — the state/merge-count invariants are the real
+    * contract, the timing ratio guards the algorithmic class). Returns
+    * false on violation. */
   private def bpeDepthPhase(spark: SparkSession): Boolean = {
     import graft.operators.Curation
     var ok   = true
-    val docs = curSynthDocs(spark, 100000L)
+    val docs = curSynthDocs(spark, 100000L, tokLen = 14)
     Curation.bpeLearnFromAt(docs, 8) // warm (corpus stage + loop)
-    val rows = Seq(8, 1000, 8000).map { m =>
-      val t0             = System.nanoTime()
-      val (merges, seqs) = Curation.bpeLearnFromAt(docs, m)
-      val sec            = (System.nanoTime() - t0) / 1e9
+    val rows = Seq(8, 1000, 8000, 32000).map { m =>
+      var sec                                                  = Double.MaxValue
+      var merges: Array[(Int, String, String, String, Long)]   = null
+      var seqs: Array[(String, String)]                        = null
+      (1 to 2).foreach { _ => // min-of-2: one noisy sample must not gate exit
+        val t0  = System.nanoTime()
+        val out = Curation.bpeLearnFromAt(docs, m)
+        sec = math.min(sec, (System.nanoTime() - t0) / 1e9)
+        merges = out._1; seqs = out._2
+      }
       println(
         f"[scalecur] bpe-depth merges=$m%5d time=$sec%8.2f s state=${seqs.length}%5d rows learned=${merges.length}%5d"
       )
@@ -69,12 +84,14 @@ object Probe {
       }
       (m, sec)
     }
-    val r = rows(2)._2 / rows(1)._2
-    println(
-      f"[scalecur] bpe-depth 1000→8000 (8x rounds): ${r}%.2fx time ${if (r <= 12.0) "OK"
-        else "VIOLATION (super-linear in depth)"}"
-    )
-    if (r > 12.0) ok = false
+    rows.sliding(2).foreach { case Seq((m1, s1), (m2, s2)) =>
+      val r = s2 / s1
+      println(
+        f"[scalecur] bpe-depth $m1→$m2 (${m2 / m1}x rounds): ${r}%.2fx time ${if (r <= 12.0) "OK"
+          else "VIOLATION (super-linear in depth)"}"
+      )
+      if (r > 12.0) ok = false
+    }
     ok
   }
 
@@ -772,6 +789,186 @@ object Probe {
       if (!ok) sys.exit(1)
       return
     }
+    if (which == "crossover") {
+      // Plan-pair crossover measurement (round-11 verdict task 4): each
+      // declared plan pair ships one fixture-fast plan and one scale-safe
+      // plan; at fixture scale the scale-safe plan is LOCALLY slower and
+      // the claim that it wins at scale was design-argument only. This
+      // phase times both plans of each pair, same invocation, best-of-2,
+      // over corpora whose adversarial structure GROWS with n, and exits 1
+      // if the scale-safe plan is not ahead at the top size.
+      //
+      // Pair 1 — q67 full inverted index vs q147 prefix-filtered AllPairs.
+      // Corpus: every doc carries an 8-token PREAMBLE shared by its
+      // doc_id%50 group (a constant FRACTION of docs per group — the
+      // Zipf-head trigram regime: bucket sizes grow linearly with n, so
+      // the full index's candidate stage grows ~n² while true Jaccard of
+      // preamble-only pairs stays ≈6/70 ≪ 0.6) + 32 unique tokens, every
+      // 10th doc an exact copy (the true pairs, linear in n). The prefix
+      // lemma puts ONLY the rarest shingles in the index, so the hot
+      // preamble shingles never generate candidates there — this is
+      // exactly the skew q89's df-cap documents, handled losslessly.
+      //
+      // Pair 2 — q69 brute cosine vs the q76-shape IVF query path at the
+      // production probe width, with the inverted-list INDEX PREBUILT
+      // (localCheckpoint): production builds the index once and amortizes
+      // it over query batches, so the deployment question is per-batch
+      // query cost — brute scans n per query, IVF scans ~nprobe/nlist of n.
+      import spark.implicits._
+      import graft.functions.Kernels
+      import graft.operators.{Dedup, Similarity}
+      import org.apache.spark.sql.expressions.Window
+      var ok = true
+      def best2(f: => Long): (Long, Double) = {
+        val runs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); val c = f; (c, (System.nanoTime() - t0) / 1e9)
+        }
+        (runs.head._1, runs.map(_._2).min)
+      }
+      def xDocs(n: Long) = {
+        val base = when($"id" % 10 === 0 && $"id" > 0, $"id" - 1).otherwise($"id")
+        spark
+          .range(n)
+          .repartition(32)
+          .select(
+            $"id".as("doc_id"),
+            concat_ws(
+              " ",
+              concat(
+                transform(
+                  sequence(lit(0L), lit(7L)),
+                  j => substring(md5(concat_ws("_", lit("hot"), base % 50L, j)), 1, 6)
+                ),
+                transform(
+                  sequence(lit(8L), lit(39L)),
+                  j => substring(md5((base * 40L + j).cast("string")), 1, 6)
+                )
+              )
+            ).as("text")
+          )
+      }
+      // equality spot-check at the smallest size: the pair contract is
+      // hash-identical results (test-enforced at fixture scale; re-proven
+      // here on the adversarial corpus)
+      locally {
+        val d    = xDocs(25000L).localCheckpoint()
+        val full = Dedup.ngramJaccardPairsOf(d)
+        val pfx  = Dedup.prefixJaccardPairsOf(d)
+        val diff = full.except(pfx).count() + pfx.except(full).count()
+        if (diff != 0) {
+          println(s"[crossover] VIOLATION q67/q147 pair sets differ by $diff rows at n=25000")
+          ok = false
+        }
+      }
+      val textSteps = Seq(25000L, 100000L, 400000L).map { n =>
+        val d            = xDocs(n).localCheckpoint()
+        val (cFull, sF)  = best2(Dedup.ngramJaccardPairsOf(d).count())
+        val (cPfx, sP)   = best2(Dedup.prefixJaccardPairsOf(d).count())
+        println(
+          f"[crossover] text n=$n%7d full=$sF%8.2f s ($cFull pairs) prefix=$sP%8.2f s ($cPfx pairs) ratio=${sP / sF}%.2fx"
+        )
+        if (cFull != cPfx) {
+          println(s"[crossover] VIOLATION pair counts differ: full=$cFull prefix=$cPfx at n=$n")
+          ok = false
+        }
+        (n, sF, sP)
+      }
+      if (textSteps.last._3 > textSteps.last._2) {
+        println(
+          f"[crossover] VIOLATION prefix plan (${textSteps.last._3}%.2f s) behind full index (${textSteps.last._2}%.2f s) at top size"
+        )
+        ok = false
+      }
+      // the sf10 dedup slice, when present, extends the curve to the 1M-doc
+      // dup-injected REAL corpus (run `graft.Probe <sfDir> sf10` first)
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get("/tmp/graft_sf10dd/documents.parquet"))) {
+        val d           = Dedup.docsWithDups(spark, "/tmp/graft_sf10dd")
+        val (cFull, sF) = best2(Dedup.ngramJaccardPairsOf(d).count())
+        val (cPfx, sP)  = best2(Dedup.prefixJaccardPairsOf(d).count())
+        println(
+          f"[crossover] text sf10dd slice  full=$sF%8.2f s ($cFull pairs) prefix=$sP%8.2f s ($cPfx pairs) ratio=${sP / sF}%.2fx"
+        )
+        if (cFull != cPfx) {
+          println(s"[crossover] VIOLATION pair counts differ on sf10dd: full=$cFull prefix=$cPfx")
+          ok = false
+        }
+      }
+      // ---- pair 2: brute vs prebuilt-index IVF query path ----
+      val dim = 64
+      val nQ  = 20
+      def baseVec(key: org.apache.spark.sql.Column) =
+        transform(
+          sequence(lit(0), lit(dim - 1)),
+          d =>
+            (((conv(substring(md5(concat_ws("_", key, d)), 1, 8), 16, 10).cast("long") % 2001L) -
+              1000L).cast("double") / 1000.0).cast("float")
+        )
+      def vecs(n: Long) =
+        spark
+          .range(n)
+          .repartition(32)
+          .select($"id".as("vec_id"), baseVec($"id").as("embedding"))
+          .select($"vec_id", $"embedding", sqrt(Kernels.dot($"embedding", $"embedding")).as("nrm"))
+          .localCheckpoint()
+      def topk(scored: org.apache.spark.sql.DataFrame) = {
+        val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+        scored
+          .withColumn("cos", round(Kernels.dot($"qe", $"embedding") / ($"qn" * $"nrm"), 6))
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 10)
+          .select($"query_id", $"vec_id")
+      }
+      val annSteps = Seq(25000L, 100000L, 400000L).map { n =>
+        val e = vecs(n)
+        val q = e
+          .filter($"vec_id" < nQ)
+          .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+          .localCheckpoint()
+        val cents = e
+          .filter($"vec_id" % (n / 64L) === 17)
+          .select($"vec_id".as("cent_id"), $"embedding".as("cvec"), $"nrm".as("cnrm"))
+        val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
+        // the index: built once, frozen — its cost is amortized across
+        // query batches and excluded from the per-batch timings below
+        val assigned = e
+          .crossJoin(broadcast(cents))
+          .withColumn("ccos", Kernels.dot($"embedding", $"cvec") / ($"nrm" * $"cnrm"))
+          .withColumn("crk", row_number().over(wAssign))
+          .filter($"crk" === 1)
+          .select($"vec_id", $"embedding", $"nrm", $"cent_id")
+          .localCheckpoint()
+        val (cB, sB) = best2(topk(e.join(broadcast(q), $"vec_id" =!= $"query_id")).count())
+        val wProbe = Window.partitionBy($"query_id").orderBy($"ccos".desc, $"probe_cent")
+        def ivfQ = {
+          val probes = q
+            .crossJoin(broadcast(cents))
+            .withColumn("ccos", Kernels.dot($"qe", $"cvec") / ($"qn" * $"cnrm"))
+            .withColumn("probe_cent", $"cent_id")
+            .withColumn("crk", row_number().over(wProbe))
+            .filter($"crk" <= Similarity.IvfNprobeProd)
+            .select($"query_id", $"qe", $"qn", $"probe_cent")
+          topk(assigned.join(broadcast(probes), $"cent_id" === $"probe_cent" && $"vec_id" =!= $"query_id"))
+        }
+        val (cI, sI) = best2(ivfQ.count())
+        println(
+          f"[crossover] ann  n=$n%7d brute=$sB%7.2f s ($cB rows) ivf(nprobe ${Similarity.IvfNprobeProd})=$sI%7.2f s ($cI rows) ratio=${sI / sB}%.2fx"
+        )
+        if (cI != nQ.toLong * 10) {
+          println(s"[crossover] VIOLATION ivf top-k returned $cI rows, expected ${nQ * 10}")
+          ok = false
+        }
+        (n, sB, sI)
+      }
+      if (annSteps.last._3 > annSteps.last._2) {
+        println(
+          f"[crossover] VIOLATION ivf query path (${annSteps.last._3}%.2f s) behind brute (${annSteps.last._2}%.2f s) at top size"
+        )
+        ok = false
+      }
+      spark.stop()
+      if (!ok) sys.exit(1)
+      return
+    }
     if (which == "scalerecall") {
       // Statistical ANN recall probe — the quality bar a real ANN user asks
       // about first. scalesim's planted-copy floor is mechanical (exact
@@ -931,6 +1128,37 @@ object Probe {
         Seq((2, 4), (4, 4), (8, 4), (4, 8)).foreach { case (t, p) =>
           val r = recallVs(truth, lshTopk(e, t, p))
           println(f"[scalerecall] banding n=100000 c=0.90: ${t}t x ${p}p recall@10=$r%.3f")
+        }
+      }
+      // IVF-PQ (q156 shape) at (nprobe, codes) corners: same sampled coarse
+      // quantizer as ivfTopk, so the PQ rows are directly comparable to the
+      // plain-IVF rows above — the recall delta at equal nprobe isolates
+      // what the ADC approximation + shortlist cut cost on top of the probe
+      // cut. Tripwire: at the production probe width (IvfNprobeProd) and
+      // the declared 16-code books, recall@10 must hold ≥ 0.9 at c ≥ 0.90
+      // — the corner a deployment ships.
+      def pqCents(e: org.apache.spark.sql.DataFrame, nList: Int, n: Long) = e
+        .filter($"vec_id" % (n / nList) === 17 && $"vec_id" < (n - nQ.toLong * mNbrs))
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"), $"nrm".as("cnrm"))
+      def pqTopk(e: org.apache.spark.sql.DataFrame, nProbe: Int, nCodes: Int, n: Long) =
+        Similarity
+          .ivfPqQuery(e, pqCents(e, 64, n), nProbe, nCodes, qLo = 1L, qHi = nQ.toLong)
+          .select($"query_id", $"cand_id".as("vec_id"))
+      Seq(0.95, 0.90).foreach { c =>
+        val n     = 100000L
+        val e     = corpus(n, c)
+        val truth = bruteTopk(e).localCheckpoint()
+        Seq((nprobeDecl, 16), (nprobeProd, 16), (nprobeProd, 64)).foreach { case (np, codes) =>
+          val r = recallVs(truth, pqTopk(e, np, codes, n))
+          println(
+            f"[scalerecall] ivf-pq n=$n%7d c=$c%.2f 64 lists, nprobe $np%2d, $codes%3d codes/block recall@10=$r%.3f"
+          )
+          if (np == nprobeProd && codes == 16 && r < 0.9) {
+            println(
+              f"[scalerecall] VIOLATION ivf-pq production corner (nprobe=$np, 16 codes) recall $r%.3f < 0.9 at c=$c%.2f"
+            )
+            ok = false
+          }
         }
       }
       spark.stop()
@@ -1257,6 +1485,79 @@ object Probe {
         .map(n => s"${Verify.jsonStr(n)}: ${Verify.jsonStr(SparkEntry.oracleSql(n))}")
         .mkString("{", ",", "}")
       Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+      // ---- sf10 for the LLM-pipeline families (the engine's stated
+      // differentiator — round-11 verdict's top order): the sf1 slice
+      // semantics carried to 100×. Dedup slice: 500k documents, every
+      // token salted per replica (cross-replica Jaccard zero, so pair
+      // counts grow linearly while each replica keeps the fixture's %10
+      // injected exact-dup structure). Curation/ANN slice: 500k UNSALTED
+      // documents (BM25's literal query terms keep matching) + 200k
+      // embeddings with a per-replica circular shift (exact-copy pairs
+      // stay exact, cross-replica cosines drop to the random floor; shift
+      // = rep mod 64 since 100 replicas exceed the 64 dims) and a label
+      // salt (rep·100 — SemDeDup gets 100× clusters at CONSTANT cluster
+      // size, q153's coarse quantizer gets 1000 lists). check.py replays
+      // `/tmp/graft_sf10dd(cur)_out` against the identical parquet.
+      val ddDir  = "/tmp/graft_sf10dd"
+      val ddOut  = "/tmp/graft_sf10dd_out"
+      val ddSet  = Seq("q65_minhash_lsh_pairs", "q120_dedup_endgame", "q147_prefix_jaccard_pairs")
+      Files.createDirectories(Paths.get(ddDir))
+      rep100(Tables.documents(spark, sfDir), "doc_id")
+        .withColumn("rep2", (col("doc_id") / off).cast("long"))
+        .withColumn(
+          "text",
+          regexp_replace($"text", lit("(\\S+)"), concat(lit("r"), $"rep2", lit("_$1")))
+        )
+        .drop("rep2")
+        .repartition(32).write.mode("overwrite").parquet(s"$ddDir/documents.parquet")
+      println(s"[sf10] dedup slice at $ddDir: documents=${spark.read.parquet(s"$ddDir/documents.parquet").count()} rows")
+      ddSet.foreach { n =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, ddDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$ddOut/$n")
+        println(f"[sf10] $n%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      Files.writeString(
+        Paths.get(s"$ddOut/oracle_sql.json"),
+        ddSet.map(n => s"${Verify.jsonStr(n)}: ${Verify.jsonStr(SparkEntry.oracleSql(n))}")
+          .mkString("{", ",", "}")
+      )
+
+      val curDir = "/tmp/graft_sf10cur"
+      val curOut = "/tmp/graft_sf10cur_out"
+      val curSet = Seq("q139_bm25_topk", "q141_semantic_dedup", "q153_ivf_full_probe")
+      Files.createDirectories(Paths.get(curDir))
+      rep100(Tables.documents(spark, sfDir), "doc_id")
+        .repartition(32).write.mode("overwrite").parquet(s"$curDir/documents.parquet")
+      val edim = Tables.EmbeddingDim
+      rep100(Tables.embeddings(spark, sfDir), "vec_id")
+        .withColumn("rep2", ((col("vec_id") / off) % edim).cast("int"))
+        .withColumn("label", $"label" + ((col("vec_id") / off) * 100).cast("int"))
+        .withColumn(
+          "embedding",
+          concat(
+            slice($"embedding", $"rep2" + 1, lit(edim) - $"rep2"),
+            slice($"embedding", lit(1), $"rep2")
+          )
+        )
+        .drop("rep2")
+        .repartition(16).write.mode("overwrite").parquet(s"$curDir/embeddings.parquet")
+      println(
+        s"[sf10] curation slice at $curDir: documents=${spark.read.parquet(s"$curDir/documents.parquet").count()}" +
+          s" embeddings=${spark.read.parquet(s"$curDir/embeddings.parquet").count()} rows"
+      )
+      curSet.foreach { n =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, curDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$curOut/$n")
+        println(f"[sf10] $n%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      Files.writeString(
+        Paths.get(s"$curOut/oracle_sql.json"),
+        curSet.map(n => s"${Verify.jsonStr(n)}: ${Verify.jsonStr(SparkEntry.oracleSql(n))}")
+          .mkString("{", ",", "}")
+      )
       spark.stop()
       return
     }

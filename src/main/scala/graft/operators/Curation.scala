@@ -92,8 +92,23 @@ object Curation {
     * [[BpeMerges]] rounds so its unrolled-CTE oracle stays readable;
     * production vocabularies run the SAME loop tens of thousands of rounds
     * over the same cap-bounded state — the `scalecur` probe drives this at
-    * merge depths up to 8k and tripwires cap-pinned state and
-    * near-linear-in-depth loop time. */
+    * merge depths up to 32k (GPT-2/Llama vocabulary scale) and tripwires
+    * cap-pinned state and near-linear-in-depth loop time.
+    *
+    * The loop maintains pair counts INCREMENTALLY (the HF-tokenizers
+    * algorithm): a global pair→count map, a pair→word-ids occurrence index,
+    * and a lazy-invalidation priority queue over counts. Each round pops
+    * the argmax (count desc, lhs asc, rhs asc — stale queue entries are
+    * discarded by comparing against the live map), rewrites ONLY the words
+    * the occurrence index names for that pair (subtract the word's old
+    * adjacent-pair mass, apply the merge, add the new mass), and re-enqueues
+    * just the pairs whose counts changed. Per-round cost is proportional to
+    * the affected words, not the table — which is what makes 32k-round
+    * production depth a seconds-scale driver loop instead of minutes. The
+    * learned merge table is bit-identical to the naive
+    * recount-everything-each-round formulation (CurationSpec proves this
+    * against an in-test reference learner), so the q138 unrolled-CTE oracle
+    * is unaffected. */
   private[graft] def bpeLearnFromAt(
       docs: DataFrame,
       nMerges: Int
@@ -116,37 +131,73 @@ object Curation {
     // semantics of a literal replace() on the doubled-space string
     // encoding (both Java's String.replace and DuckDB's replace() scan
     // the source once, appending replacements without rescanning them),
-    // so the unrolled-CTE oracle replays it byte-for-byte. The array form
-    // exists for the production-depth regime the `bpedepth` probe grades:
-    // no per-round split/regex over the whole table, and words not
-    // containing the merged pair are carried through untouched.
-    var seqs: Array[(Array[String], Long)] =
-      words.map { case (w, f) => (w.map(_.toString).toArray :+ BpeEow, f) }
+    // so the unrolled-CTE oracle replays it byte-for-byte.
+    val seqs: Array[Array[String]] =
+      words.map { case (w, _) => w.map(_.toString).toArray :+ BpeEow }
+    val freqs = words.map(_._2)
+
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val occ    = scala.collection.mutable.HashMap.empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    var wi     = 0
+    while (wi < seqs.length) {
+      val t = seqs(wi); val f = freqs(wi)
+      var i = 0
+      while (i < t.length - 1) {
+        val k = (t(i), t(i + 1))
+        counts.update(k, counts.getOrElse(k, 0L) + f)
+        occ.getOrElseUpdate(k, scala.collection.mutable.HashSet.empty[Int]) += wi
+        i += 1
+      }
+      wi += 1
+    }
+    // lazy-invalidation max-queue: greatest = highest count, ties broken by
+    // SMALLEST (lhs, rhs) — the exact (count desc, lhs asc, rhs asc) argmax
+    // of the naive formulation
+    implicit val ord: Ordering[(Long, String, String)] =
+      new Ordering[(Long, String, String)] {
+        def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(a._1, b._1)
+          if (c != 0) c
+          else {
+            val l = b._2.compareTo(a._2)
+            if (l != 0) l else b._3.compareTo(a._3)
+          }
+        }
+      }
+    val pq = scala.collection.mutable.PriorityQueue.empty[(Long, String, String)]
+    counts.foreach { case ((l, rr), c) => pq.enqueue((c, l, rr)) }
+
     val merges = Array.newBuilder[(Int, String, String, String, Long)]
     var r      = 0
     var done   = false
     while (r < nMerges && !done) {
-      r += 1
-      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      seqs.foreach { case (t, f) =>
-        var i = 0
-        while (i < t.length - 1) {
-          val k = (t(i), t(i + 1))
-          counts.update(k, counts.getOrElse(k, 0L) + f)
-          i += 1
-        }
+      // pop to the first LIVE entry (count matches the map) — stale
+      // snapshots from earlier count values are discarded here
+      var top: (Long, String, String) = null
+      while (top == null && pq.nonEmpty) {
+        val e = pq.dequeue()
+        if (counts.getOrElse((e._2, e._3), 0L) == e._1) top = e
       }
-      if (counts.isEmpty) { done = true } // pair mass exhausted: BPE stops early
+      if (top == null) { done = true } // pair mass exhausted: BPE stops early
       else {
-        val ((l, rr), cnt) = counts.minBy { case ((l, rr), c) => (-c, l, rr) }
-        val m              = l + rr
+        r += 1
+        val (cnt, l, rr) = top
+        val m            = l + rr
         merges += ((r, l, rr, m, cnt))
-        seqs = seqs.map { case (t, f) =>
+        val changed = scala.collection.mutable.HashSet.empty[(String, String)]
+        occ.remove((l, rr)).foreach(_.foreach { w =>
+          val t   = seqs(w)
+          val f   = freqs(w)
           var has = false
           var i   = 0
           while (!has && i < t.length - 1) { has = t(i) == l && t(i + 1) == rr; i += 1 }
-          if (!has) (t, f)
-          else {
+          if (has) { // the index is a superset: ids left by earlier rewrites skip here
+            i = 0
+            while (i < t.length - 1) {
+              val k = (t(i), t(i + 1))
+              counts.update(k, counts(k) - f); changed += k
+              i += 1
+            }
             val out = Array.newBuilder[String]
             out.sizeHint(t.length)
             i = 0
@@ -154,12 +205,25 @@ object Curation {
               if (i < t.length - 1 && t(i) == l && t(i + 1) == rr) { out += m; i += 2 }
               else { out += t(i); i += 1 }
             }
-            (out.result(), f)
+            val nt = out.result()
+            seqs(w) = nt
+            i = 0
+            while (i < nt.length - 1) {
+              val k = (nt(i), nt(i + 1))
+              counts.update(k, counts.getOrElse(k, 0L) + f); changed += k
+              occ.getOrElseUpdate(k, scala.collection.mutable.HashSet.empty[Int]) += w
+              i += 1
+            }
           }
+        })
+        changed.foreach { k =>
+          val c = counts.getOrElse(k, 0L)
+          if (c <= 0L) { counts.remove(k); occ.remove(k) }
+          else pq.enqueue((c, k._1, k._2))
         }
       }
     }
-    (merges.result(), words.map(_._1).zip(seqs.map(_._1.mkString(" "))))
+    (merges.result(), words.map(_._1).zip(seqs.map(_.mkString(" "))))
   }
 
   /** BPE corpus encoding with the merges [[bpeMerges]] learned: each
@@ -461,6 +525,128 @@ object Curation {
         ($"imp6" > 0L).as("is_selected")
       )
       .orderBy($"doc_id")
+  }
+
+  /** Feature-hash buckets for [[qualityClassifier]] (bucket QcBuckets is
+    * the bias feature, so the weight vector has QcBuckets+1 entries). */
+  private[graft] val QcBuckets = 63
+
+  /** Fixed training rounds for [[qualityClassifier]] — the oracle unrolls
+    * them; production loops the same two aggregations to convergence.
+    * Batch-perceptron full-batch updates OSCILLATE (measured on the
+    * fixture: round accuracies swing 0.36↔0.77 with no monotone trend),
+    * so the declared model is the POCKET variant: train QcRounds rounds,
+    * score every round's weights on the corpus in one shared pass, ship
+    * the best round (tie → earliest). Pocket is the standard
+    * deterministic fix (Gallant 1990) and keeps every step integer. */
+  private[graft] val QcRounds = 16
+
+  /** Weak-label word sets for [[qualityClassifier]]: a doc is weak-labeled
+    * high quality (+1) iff its positive-marker count exceeds its
+    * negative-marker count — a rule LINEAR in token counts, so the hashed
+    * linear model can genuinely learn it (collisions aside). */
+  private[graft] val QcPosWords = Seq("spark", "fast")
+  private[graft] val QcNegWords = Seq("slow", "batch")
+
+  /** Declared query (q157): a TRAINED quality classifier — the learned
+    * scorer production pipelines run next to rule filters (Gopher, q140)
+    * and importance weights (DSIR, q143): a fastText-style linear model
+    * over hashed token-count features (h60(token) mod [[QcBuckets]] + a
+    * bias feature), trained with [[QcRounds]] batch-perceptron rounds
+    * against weak labels ([[QcPosWords]]/[[QcNegWords]]), POCKET-selected
+    * (every round's weights scored in one shared pass, best round ships —
+    * see [[QcRounds]]) and then applied back to the corpus. ENTIRELY
+    * integer arithmetic — counts, weights,
+    * margins, updates are all LONG sums (no sigmoid, no learning rate, no
+    * floats) — so every round replays bit-exactly in the DuckDB oracle's
+    * unrolled CTEs. Round shape (the q107 iterative pattern): margins =
+    * one broadcast join of the ≤64-row weight table + a per-doc
+    * aggregation; updates = one aggregation over the misclassified docs'
+    * features; no driver state, no per-row collect. At 100 TB the feature
+    * relation is (docs × ≤64 buckets) and every shuffle is keyed on
+    * doc_id or the 64 bucket ids with map-side partial aggregation.
+    * Output: per-source confusion counts + margin mass of the final
+    * model. */
+  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame =
+    qualityClassifierOf(Tables.spread(Tables.documents(spark, sfDir)))
+
+  /** The classifier over any (doc_id, source, text) relation — the declared
+    * query binds the fixture corpus; CurationSpec binds a planted
+    * low/high-quality corpus and asserts the learned model separates it. */
+  private[graft] def qualityClassifierOf(docsIn: DataFrame): DataFrame = {
+    import docsIn.sparkSession.implicits._
+    val docs = docsIn
+      .withColumn("toks", tokens($"text"))
+      .withColumn("cpos", size(filter($"toks", t => t.isInCollection(QcPosWords))))
+      .withColumn("cneg", size(filter($"toks", t => t.isInCollection(QcNegWords))))
+      .select(
+        $"doc_id",
+        $"source",
+        when($"cpos" > $"cneg", 1L).otherwise(-1L).as("y"),
+        $"toks"
+      )
+    // hashed token-count features + per-doc bias feature; reused every
+    // round, so materialize once (localCheckpoint — the iterative-loop
+    // discipline, and at scale a persist to cluster storage)
+    val feats = docs
+      .select($"doc_id", $"y", explode($"toks").as("tok"))
+      .withColumn("f", (graft.functions.TextFns.h60($"tok") % QcBuckets).cast("int"))
+      .groupBy($"doc_id", $"y", $"f")
+      .agg(count(lit(1)).cast("long").as("x"))
+      .unionByName(docs.select($"doc_id", $"y", lit(QcBuckets).as("f"), lit(1L).as("x")))
+      .localCheckpoint()
+
+    def margins(w: DataFrame): DataFrame =
+      feats
+        .join(broadcast(w), "f")
+        .groupBy($"doc_id", $"y")
+        .agg(sum($"w" * $"x").as("margin"))
+
+    // round 1: w0 = 0 ⇒ every margin is 0 ⇒ every doc misclassified
+    // (y·margin ≤ 0), so w1 is the full Σ y·x — computed directly
+    var w      = feats.groupBy($"f").agg(sum($"y" * $"x").as("w"))
+    val rounds = scala.collection.mutable.ArrayBuffer((1, w))
+    for (r <- 2 to QcRounds) {
+      val mis = margins(w).filter($"y" * $"margin" <= 0).select($"doc_id")
+      val upd = feats.join(mis, "doc_id").groupBy($"f").agg(sum($"y" * $"x").as("dw"))
+      w = w
+        .join(upd, Seq("f"), "left")
+        .select($"f", ($"w" + coalesce($"dw", lit(0L))).as("w"))
+      // the weight table is 64 rows; truncating its lineage every few
+      // rounds keeps the 16-round plan tree from nesting 16 join+agg
+      // layers (the iterative-loop discipline)
+      if (r % 4 == 0 && r < QcRounds) w = w.localCheckpoint()
+      rounds += ((r, w))
+    }
+
+    // pocket selection: margins of EVERY round's weights in one shared
+    // pass (the per-round tables union to QcRounds·65 rows, broadcast),
+    // per-round train accuracy, best round wins (tie → earliest)
+    val allW = rounds
+      .map { case (r, df) => df.withColumn("r", lit(r)) }
+      .reduce(_ unionByName _)
+    val am = feats
+      .join(broadcast(allW), "f")
+      .groupBy($"r", $"doc_id", $"y")
+      .agg(sum($"w" * $"x").as("margin"))
+    val acc = am
+      .groupBy($"r")
+      .agg(sum((when($"margin" > 0L, 1L).otherwise(-1L) === $"y").cast("long")).as("n_ok"))
+    val best = acc.orderBy($"n_ok".desc, $"r".asc).limit(1).select($"r")
+
+    docs
+      .select($"doc_id", $"source")
+      .join(am.join(broadcast(best), "r"), "doc_id")
+      .withColumn("pred", when($"margin" > 0L, 1L).otherwise(-1L))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(($"pred" === 1L).cast("long")).as("n_pred_pos"),
+        sum(($"y" === 1L).cast("long")).as("n_label_pos"),
+        sum(($"pred" === $"y").cast("long")).as("n_correct"),
+        sum($"margin").as("sum_margin")
+      )
+      .orderBy($"source")
   }
 
   /** Composed curation funnel — the audit a production corpus pipeline

@@ -180,8 +180,14 @@ object Dedup {
     * an exploded million-row side (what the planner picked unhinted) is the
     * single-threaded build + GC spike that made this query's timings swing
     * 4×; a hash-partitioned join stays parallel at any scale. */
-  def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
+    ngramJaccardPairsOf(docsWithDups(spark, sfDir))
+
+  /** The (doc_id, text)-parameterized q67 plan — the `crossover` probe
+    * drives it and [[prefixJaccardPairsOf]] over the same growing corpora
+    * to measure where the prefix index overtakes the full index. */
+  private[graft] def ngramJaccardPairsOf(docsIn: DataFrame): DataFrame = {
+    import docsIn.sparkSession.implicits._
     // The explicit repartition on the JOIN KEY is the reuse point: both
     // self-join sides are thin renames over this one exchange, their
     // required distribution is already satisfied (alias-aware output
@@ -189,7 +195,7 @@ object Dedup {
     // the whole shingle pipeline materializes exactly once. (Renaming the
     // key per side and letting the join plan its own exchanges defeats
     // AQE's stage cache: the rename's Alias survives canonicalization.)
-    val docs = docsWithDups(spark, sfDir)
+    val docs = docsIn
       .repartition($"doc_id")
       .select($"doc_id", array_distinct(graft.functions.Kernels.shingleHashes(tokens($"text"), 3)).as("sh0"))
       .groupBy($"doc_id")
@@ -227,10 +233,15 @@ object Dedup {
     * jaccard; with set sizes ≪ 4·10⁵ no rational p/q can land inside
     * [0.6 − 5e−7, 0.6), so the rounded and true thresholds select the
     * same pairs and the prefix lemma applies verbatim.) */
-  def prefixJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  def prefixJaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
+    prefixJaccardPairsOf(docsWithDups(spark, sfDir))
+
+  /** The (doc_id, text)-parameterized q147 plan — see
+    * [[ngramJaccardPairsOf]]. */
+  private[graft] def prefixJaccardPairsOf(docsIn: DataFrame): DataFrame = {
+    import docsIn.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    val docs = docsWithDups(spark, sfDir)
+    val docs = docsIn
       .repartition($"doc_id")
       .select($"doc_id", array_distinct(graft.functions.Kernels.shingleHashes(tokens($"text"), 3)).as("sh0"))
       .groupBy($"doc_id")

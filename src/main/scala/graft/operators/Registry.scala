@@ -244,9 +244,86 @@ object Registry {
           FROM documents d JOIN gq g USING (doc_id) JOIN si USING (doc_id)
         )"""
 
+  /** The q157 oracle: the batch-perceptron rounds unrolled into chained
+    * CTEs, generated from the SAME constants the engine reads
+    * ([[Curation.QcBuckets]]/[[Curation.QcRounds]]/word sets) — the BPE
+    * oracle-generation pattern. All-integer arithmetic, so every round is
+    * bit-exact. */
+  private def qcOracle: String = {
+    val b   = Curation.QcBuckets
+    val pos = Curation.QcPosWords.map(w => s"'$w'").mkString(", ")
+    val neg = Curation.QcNegWords.map(w => s"'$w'").mkString(", ")
+    val head = s"""
+        WITH lab AS (
+          SELECT doc_id, source,
+                 CASE WHEN len(list_filter(string_split(text, ' '), x -> x IN ($pos))) >
+                           len(list_filter(string_split(text, ' '), x -> x IN ($neg)))
+                      THEN 1 ELSE -1 END AS y,
+                 string_split(text, ' ') AS tk
+          FROM documents
+        ), tokx AS (
+          SELECT doc_id, y, unnest(tk) AS tok FROM lab
+        ), tf AS (
+          SELECT doc_id, y, CAST(('0x' || substr(md5(tok), 1, 15))::BIGINT % $b AS INT) AS f,
+                 CAST(COUNT(*) AS BIGINT) AS x
+          FROM tokx GROUP BY doc_id, y, f
+        ), feats AS MATERIALIZED (
+          SELECT * FROM tf
+          UNION ALL
+          SELECT doc_id, y, $b AS f, CAST(1 AS BIGINT) AS x FROM lab
+        ), w1 AS MATERIALIZED (
+          SELECT f, CAST(SUM(y * x) AS BIGINT) AS w FROM feats GROUP BY f
+        )"""
+    val R = Curation.QcRounds
+    // m{r} = margins of w{r-1}; generated through m{R+1} so every round's
+    // weights (w1..wR) have a scored margin table for the pocket pick
+    val rounds = (2 to R).map { r =>
+      s""", m$r AS MATERIALIZED (
+          SELECT fe.doc_id, fe.y, CAST(SUM(wp.w * fe.x) AS BIGINT) AS margin
+          FROM feats fe JOIN w${r - 1} wp ON fe.f = wp.f GROUP BY fe.doc_id, fe.y
+        ), mis$r AS (
+          SELECT doc_id FROM m$r WHERE y * margin <= 0
+        ), w$r AS MATERIALIZED (
+          SELECT wp.f, CAST(wp.w + COALESCE(u.dw, 0) AS BIGINT) AS w
+          FROM w${r - 1} wp LEFT JOIN (
+            SELECT f, CAST(SUM(y * x) AS BIGINT) AS dw
+            FROM feats JOIN mis$r USING (doc_id) GROUP BY f
+          ) u ON wp.f = u.f
+        )"""
+    }.mkString
+    val lastM = s""", m${R + 1} AS (
+          SELECT fe.doc_id, fe.y, CAST(SUM(wf.w * fe.x) AS BIGINT) AS margin
+          FROM feats fe JOIN w$R wf ON fe.f = wf.f GROUP BY fe.doc_id, fe.y
+        )"""
+    // pocket: m{r+1} carries the margins of round r's weights
+    val allm = (1 to R)
+      .map(r => s"SELECT $r AS r, doc_id, y, margin FROM m${r + 1}")
+      .mkString("\n          UNION ALL ")
+    head + rounds + lastM + s""", allm AS (
+          $allm
+        ), acc AS (
+          SELECT r, SUM(CASE WHEN (CASE WHEN margin > 0 THEN 1 ELSE -1 END) = y THEN 1 ELSE 0 END) AS n_ok
+          FROM allm GROUP BY r
+        ), best AS (
+          SELECT r FROM acc ORDER BY n_ok DESC, r ASC LIMIT 1
+        ), prd AS (
+          SELECT doc_id, y, margin, CASE WHEN margin > 0 THEN 1 ELSE -1 END AS pred
+          FROM allm JOIN best USING (r)
+        )
+        SELECT l.source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN p.pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+               CAST(SUM(CASE WHEN p.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_label_pos,
+               CAST(SUM(CASE WHEN p.pred = p.y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               CAST(SUM(p.margin) AS BIGINT) AS sum_margin
+        FROM prd p JOIN lab l USING (doc_id)
+        GROUP BY l.source ORDER BY l.source"""
+  }
+
   private def curationPack: Seq[Q] = Seq(
     Q("q138_bpe_merges", Curation.bpeMerges, Some(bpeOracle)),
     Q("q142_bpe_encode", Curation.bpeEncode, Some(bpeEncodeOracle)),
+    Q("q157_quality_classifier", Curation.qualityClassifier, Some(qcOracle)),
     Q(
       "q143_importance_weights",
       Curation.importanceWeights,
@@ -1880,19 +1957,7 @@ object Registry {
       "q76_ivf_cosine_topk",
       Similarity.ivfCosineTopK,
       Some(s"""
-        WITH $embNrmCte, cpos AS (
-          SELECT label, i.i AS pos,
-                 CAST(CAST(SUM(CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*) AS FLOAT) AS m
-          FROM embeddings, (SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i) i
-          GROUP BY label, i.i
-        ), cents AS (
-          SELECT label AS cent_id, list(m ORDER BY pos) AS cvec
-          FROM cpos GROUP BY label
-        ), c2 AS (
-          SELECT cent_id, cvec,
-                 sqrt(list_sum(list_transform(cvec, x -> CAST(x AS DOUBLE) * x))) AS cnrm
-          FROM cents
-        ), $ivfQueryTailSql
+        WITH $embNrmCte, $labelCentsCteSql, $ivfQueryTailSql
       """)
     ),
     // IVF over the TRAINED quantizer: the q107 two-iteration grid-exact
@@ -1934,14 +1999,124 @@ object Registry {
           FROM (SELECT cluster, list(m ORDER BY pos) AS cvec FROM m1 GROUP BY cluster)
         ), $ivfQueryTailSql
       """)
+    ),
+    // IVF-PQ: the coarse probe prefix (q76's label-mean quantizer) bounds
+    // the candidate set; the PQ CTEs replay codebook training (seed =
+    // vec_id mod codes, one Lloyd step of truncated-integer means — DuckDB
+    // `//` and Spark `div` both truncate toward zero, so the codebooks are
+    // bit-equal with no floating point), nibble encoding, integer
+    // asymmetric-distance scoring, the ADC shortlist cut, and the exact
+    // cosine rescore of the shortlist alone.
+    Q(
+      "q156_ivf_pq_topk",
+      Similarity.ivfPqTopK,
+      Some(s"""
+        WITH $embNrmCte, $labelCentsCteSql, $ivfProbeSql, $pqCodebookCteSql, cand AS (
+          SELECT p.query_id, a.vec_id AS cand_id
+          FROM assigned a JOIN probes p ON a.cent_id = p.probe_cent AND a.vec_id <> p.query_id
+        ), qb AS (
+          SELECT vec_id AS query_id, b, gvec AS qvec FROM blocks WHERE vec_id < 10
+        ), adc AS (
+          SELECT cand.query_id, cand.cand_id,
+                 CAST(SUM(list_sum(list_transform(range(1, ${Similarity.PqBlockDim} + 1),
+                   i -> (qb.qvec[i] - cb.cvec[i]) * (qb.qvec[i] - cb.cvec[i])))) AS BIGINT) AS adc
+          FROM cand
+          JOIN codes co ON co.vec_id = cand.cand_id
+          JOIN cb1 cb ON cb.b = co.b AND cb.c = co.code
+          JOIN qb ON qb.query_id = cand.query_id AND qb.b = co.b
+          GROUP BY cand.query_id, cand.cand_id
+        ), short AS (
+          SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc ASC, cand_id) AS srk
+            FROM adc
+          ) WHERE srk <= ${Similarity.PqShortlist}
+        ), scored AS (
+          SELECT s.query_id, s.cand_id,
+                 round(list_sum(list_transform(range(1, 65),
+                   i -> CAST(qe.embedding[i] AS DOUBLE) * ce.embedding[i])) / (qe.nrm * ce.nrm), 6) AS cos
+          FROM short s
+          JOIN e qe ON s.query_id = qe.vec_id
+          JOIN e ce ON s.cand_id = ce.vec_id
+        ), ranked AS (
+          SELECT query_id, cand_id, cos,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INT) AS rk
+          FROM scored
+        )
+        SELECT query_id, rk, cand_id, cos FROM ranked WHERE rk <= 10 ORDER BY query_id, rk
+      """)
     )
   )
+
+  /** The q156 PQ oracle CTEs: 1e6-grid sub-vector blocks, seeded codebook,
+    * one Lloyd step (integer means, integer d2), final encode. Yields
+    * `blocks` (vec_id, b, gvec), `cb1` (b, c, cvec), `codes`
+    * (vec_id, b, code). Geometry/constants interpolate the SAME
+    * [[Similarity]] vals the engine reads. */
+  private def pqCodebookCteSql: String = {
+    val bd = Similarity.PqBlockDim
+    s"""gr AS (
+          SELECT vec_id,
+                 list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS g
+          FROM embeddings
+        ), blocks AS (
+          SELECT vec_id, bb.b AS b,
+                 list_transform(range(1, $bd + 1), j -> g[bb.b * $bd + j]) AS gvec
+          FROM gr, (SELECT unnest(range(0, ${Similarity.PqBlocks})) AS b) bb
+        ), cb0j AS (
+          SELECT b, CAST(vec_id % ${Similarity.PqCodes} AS INT) AS c, j.j AS j,
+                 CAST(SUM(gvec[j.j]) // COUNT(*) AS BIGINT) AS cg
+          FROM blocks, (SELECT unnest(range(1, $bd + 1)) AS j) j
+          GROUP BY b, c, j.j
+        ), cb0 AS (
+          SELECT b, c, list(cg ORDER BY j) AS cvec FROM cb0j GROUP BY b, c
+        ), pa1 AS (
+          SELECT vec_id, b, gvec, c FROM (
+            SELECT s.vec_id, s.b, s.gvec, cb.c,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.b ORDER BY
+                     list_sum(list_transform(range(1, $bd + 1),
+                       i -> (s.gvec[i] - cb.cvec[i]) * (s.gvec[i] - cb.cvec[i]))) ASC, cb.c) AS crk
+            FROM blocks s JOIN cb0 cb ON s.b = cb.b
+          ) WHERE crk = 1
+        ), cb1j AS (
+          SELECT b, c, j.j AS j, CAST(SUM(gvec[j.j]) // COUNT(*) AS BIGINT) AS cg
+          FROM pa1, (SELECT unnest(range(1, $bd + 1)) AS j) j
+          GROUP BY b, c, j.j
+        ), cb1 AS (
+          SELECT b, c, list(cg ORDER BY j) AS cvec FROM cb1j GROUP BY b, c
+        ), codes AS (
+          SELECT vec_id, b, c AS code FROM (
+            SELECT s.vec_id, s.b, cb.c,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.b ORDER BY
+                     list_sum(list_transform(range(1, $bd + 1),
+                       i -> (s.gvec[i] - cb.cvec[i]) * (s.gvec[i] - cb.cvec[i]))) ASC, cb.c) AS crk
+            FROM blocks s JOIN cb1 cb ON s.b = cb.b
+          ) WHERE crk = 1
+        )"""
+  }
 
   /** Shared oracle CTE: embeddings with their L2 norm. */
   private val embNrmCte: String = """e AS (
           SELECT vec_id, embedding,
                  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
           FROM embeddings
+        )"""
+
+  /** Shared oracle CTEs (q76/q156): the label-mean coarse quantizer on the
+    * scaled-long grid, yielding `c2` (cent_id, cvec, cnrm) — the SQL
+    * mirror of [[Similarity.labelCents]]. */
+  private val labelCentsCteSql: String = """cpos AS (
+          SELECT label, i.i AS pos,
+                 CAST(CAST(SUM(CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*) AS FLOAT) AS m
+          FROM embeddings, (SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i) i
+          GROUP BY label, i.i
+        ), cents AS (
+          SELECT label AS cent_id, list(m ORDER BY pos) AS cvec
+          FROM cpos GROUP BY label
+        ), c2 AS (
+          SELECT cent_id, cvec,
+                 sqrt(list_sum(list_transform(cvec, x -> CAST(x AS DOUBLE) * x))) AS cnrm
+          FROM cents
         )"""
 
   /** The q76/q154 shared IVF-query oracle tail: nearest-centroid index

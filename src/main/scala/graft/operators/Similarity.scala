@@ -341,13 +341,16 @@ object Similarity {
   }
 
   /** The IVF-PQ query tail over any (vec_id, embedding, nrm) relation and
-    * coarse-centroid table — shared by the declared query and the
-    * scalerecall synthetic-corpus probe. */
+    * coarse-centroid table — shared by the declared query (query set =
+    * vec_id 0..9, the fixture convention) and the scalerecall
+    * synthetic-corpus probe (query ids 1..20). */
   private[graft] def ivfPqQuery(
       e: DataFrame,
       cents: DataFrame,
       nprobe: Int,
-      nCodes: Int
+      nCodes: Int,
+      qLo: Long = 0L,
+      qHi: Long = 9L
   ): DataFrame = {
     import e.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -374,7 +377,7 @@ object Similarity {
       .select($"vec_id", $"cent_id")
     val wProbe = Window.partitionBy($"query_id").orderBy($"ccos".desc, $"probe_cent")
     val probes = e
-      .filter($"vec_id" < 10)
+      .filter($"vec_id".between(qLo, qHi))
       .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"))
       .crossJoin(broadcast(cents))
       .withColumn("ccos", cosine($"qe", $"qn", $"cvec", $"cnrm"))
@@ -387,7 +390,9 @@ object Similarity {
       .select($"query_id", $"vec_id".as("cand_id"))
 
     // ADC: query grid blocks vs each candidate's reconstructed code vectors
-    val qb = blocks.filter($"vec_id" < 10).select($"vec_id".as("query_id"), $"b", $"gvec".as("qvec"))
+    val qb = blocks
+      .filter($"vec_id".between(qLo, qHi))
+      .select($"vec_id".as("query_id"), $"b", $"gvec".as("qvec"))
     val cbR = cb1.select($"b".as("cb_b"), $"c".as("cb_c"), $"cvec")
     val adc = cand
       .join(codes.withColumnRenamed("vec_id", "cand_id"), "cand_id")

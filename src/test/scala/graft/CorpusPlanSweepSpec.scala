@@ -58,6 +58,15 @@ class CorpusPlanSweepSpec extends SparkSpec {
     // trained-quantizer IVF: the Lloyd training assigns + the index/probe
     // assigns each crossJoin broadcast(k bounded centroids) — q76/q107 shape
     "q154_ivf_trained_topk" -> Set("BroadcastNestedLoopJoin"),
+    // IVF-PQ: same bounded coarse-centroid crossJoin as q76; the PQ
+    // codebook joins are equi on (b) / (b, code) against a ≤128-row
+    // broadcast codebook, never NL; the ADC query-block side broadcasts
+    // the QUERY SET's exploded sub-vectors — |queries|·PqBlocks ≤ 80
+    // rows, the q70 tiny-query-set class (Similarity.ivfPqQuery `qb`)
+    "q156_ivf_pq_topk" -> Set(
+      "BroadcastNestedLoopJoin",
+      "broadcast of an exploded (unbounded) relation"
+    ),
     // decontamination broadcasts the exploded EVAL side — eval suites are
     // small by nature; broadcasting them IS the 100 TB plan (Dedup :311)
     "q86_decontaminate" -> Set("broadcast of an exploded (unbounded) relation"),

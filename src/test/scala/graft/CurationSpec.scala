@@ -112,6 +112,14 @@ class CurationSpec extends SparkSpec {
         .map { case (r, l, rr, m, c) => (r, l, rr, m, c) }
       val ref = refLearn(words, 8)
       assert(engine === ref, s"trial $trial diverged on corpus: $words")
+      // and at EXHAUSTION depth: k=64 always outruns these tiny corpora's
+      // pair mass, so this drives the incremental learner's lazy-queue
+      // argmax and early-stop through full depletion against the
+      // recount-everything reference — the path the 32k production probe
+      // relies on
+      val engineDeep = graft.operators.Curation.bpeLearnFromAt(docs, 64)._1.toSeq
+      val refDeep    = refLearn(words, 64)
+      assert(engineDeep === refDeep, s"trial $trial diverged at exhaustion depth: $words")
     }
   }
 
@@ -270,6 +278,40 @@ class CurationSpec extends SparkSpec {
     assert(out.filter($"n_chunks" > $"sum_toks" + $"n_final").count() === 0)
     val t = out.agg(sum($"n_raw"), sum($"n_final")).head()
     assert(t.getLong(1) > 0 && t.getLong(1) < t.getLong(0), "release is a strict non-empty subset")
+  }
+
+  test("quality classifier: learned weights separate planted low/high-quality docs") {
+    import spark.implicits._
+    // planted corpus: 20 docs dominated by the positive-marker words (+1
+    // weak label), 20 by the negative markers (−1), each padded with
+    // distinct filler so the model must learn the MARKER buckets, not
+    // memorize doc length. After 3 batch-perceptron rounds the per-source
+    // confusion counts must show perfect separation.
+    val rows = (0 until 40).map { i =>
+      val pos  = i < 20
+      val base = if (pos) "spark fast spark fast query" else "slow batch slow batch merge"
+      val fill = (0 until 6).map(j => s"w${i}x$j").mkString(" ")
+      (i.toLong, if (pos) "hi" else "lo", s"$base $fill")
+    }
+    val docs = rows.toDF("doc_id", "source", "text")
+    val out  = Curation.qualityClassifierOf(docs).cache()
+    val hi   = out.filter($"source" === "hi").head()
+    val lo   = out.filter($"source" === "lo").head()
+    assert(hi.getAs[Long]("n_label_pos") === 20 && lo.getAs[Long]("n_label_pos") === 0)
+    assert(hi.getAs[Long]("n_correct") === 20, "every high-quality doc classified +1")
+    assert(lo.getAs[Long]("n_correct") === 20, "every low-quality doc classified -1")
+    assert(hi.getAs[Long]("sum_margin") > 0 && lo.getAs[Long]("sum_margin") < 0)
+  }
+
+  test("quality classifier: fixture run beats the majority-class baseline") {
+    import spark.implicits._
+    val out  = Curation.qualityClassifier(spark, sf).cache()
+    val tot  = out.agg(sum($"n_docs"), sum($"n_correct"), sum($"n_label_pos")).head()
+    val n    = tot.getLong(0).toDouble
+    val corr = tot.getLong(1).toDouble
+    val pos  = tot.getLong(2).toDouble
+    val majority = math.max(pos, n - pos) / n
+    assert(corr / n > majority, f"accuracy ${corr / n}%.3f must beat majority ${majority}%.3f")
   }
 
   test("winsorize approx audit: every group within the sketch's rank guarantee") {
