@@ -695,6 +695,86 @@ object Probe {
         } else
           println(s"[scalestream] ttl: final registries identical across backends (${regs(0).size} buckets)")
       }
+      // ---- at-arrival gate THROUGHPUT phase (RocksDB backend) ----
+      // q150 proves the gate's semantics; this grades the deployment
+      // question — does admission keep up as the arrival rate grows? The
+      // REAL at-arrival pipeline (nearDupAtArrivalFlags on the production
+      // RocksDB state store, 90-minute horizon) is driven by MemoryStream
+      // epochs of growing size (5k → 20k → 80k docs/epoch, 4 epochs each,
+      // every 10th doc a duplicate so the registry takes hits, not just
+      // inserts) and sustained docs/s is measured over the whole run.
+      // Tripwires (exit 1): flag count must be EXACTLY 4 per arriving doc
+      // (the gate must emit one verdict component per band, never drop an
+      // arrival under load), and >5x wall time per 4x arrival-rate step
+      // (state-store ops super-linear in arriving rows = admission falls
+      // behind at scale).
+      locally {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import scala.concurrent.duration._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        val confKey = "spark.sql.streaming.stateStore.providerClass"
+        val prior   = spark.conf.getOption(confKey)
+        spark.conf.set(confKey, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          def docText(id: Long): String = {
+            val base = if (id % 10 == 0 && id > 0) id - 1 else id
+            (0 until 40).map(j => java.lang.Long.toHexString(base * 40L + j + 0x9e3779b9L)).mkString(" ")
+          }
+          def run(perEpoch: Int): (Long, Double) = {
+            val root  = java.nio.file.Files.createTempDirectory("graft_gaterate").toString
+            try {
+              val in    = MemoryStream[(Long, java.sql.Timestamp, String)]
+              val flags = new java.util.concurrent.atomic.AtomicLong(0L)
+              val q = graft.streaming.Streaming
+                .nearDupAtArrivalFlags(in.toDF().toDF("doc_id", "ts", "text"), horizon = 90.minutes)
+                .toDF()
+                .writeStream
+                .option("checkpointLocation", s"$root/ckpt")
+                .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+                  flags.addAndGet(batch.count())
+                  ()
+                }
+                .start()
+              val t0 = System.nanoTime()
+              try {
+                (0 until 4).foreach { e =>
+                  val t = new java.sql.Timestamp(3600000L * (e + 1))
+                  in.addData(
+                    (0 until perEpoch).map(i => ((e.toLong * perEpoch + i), t, docText(e.toLong * perEpoch + i)))
+                  )
+                  q.processAllAvailable()
+                }
+              } finally q.stop()
+              (flags.get(), (System.nanoTime() - t0) / 1e9)
+            } finally graft.sources.ParquetSink.deleteRecursively(root)
+          }
+          run(5000) // warm: JIT + RocksDB instance init, untimed
+          val steps = Seq(5000, 20000, 80000).map { per =>
+            val (flags, sec) = run(per)
+            val docsN        = per.toLong * 4
+            println(
+              f"[scalestream] gate-rate (rocksdb) docs/epoch=$per%6d total=$docsN%7d time=$sec%7.2f s rate=${docsN / sec}%9.0f docs/s"
+            )
+            if (flags != 4L * docsN) {
+              println(s"[scalestream] VIOLATION gate emitted $flags flags, expected ${4L * docsN} (4/doc)")
+              ok = false
+            }
+            (docsN, sec)
+          }
+          steps.sliding(2).foreach {
+            case Seq((n0, t0), (n1, t1)) =>
+              val ratio = t1 / t0
+              println(
+                f"[scalestream] gate-rate $n0%d→$n1%d (4x rate): ${ratio}%.2fx time ${if (ratio <= 5.0) "OK"
+                  else "VIOLATION (admission falls behind)"}"
+              )
+              if (ratio > 5.0) ok = false
+            case _ => ()
+          }
+        } finally {
+          prior.fold(spark.conf.unset(confKey))(spark.conf.set(confKey, _))
+        }
+      }
       spark.stop()
       if (!ok) sys.exit(1)
       return
@@ -860,7 +940,10 @@ object Probe {
           ok = false
         }
       }
-      val textSteps = Seq(25000L, 100000L, 400000L).map { n =>
+      // sizes stop at 100k: the full index's candidate stage is ~n²·f on
+      // this corpus (measured 0.20x at 25k already) — the point is the
+      // divergence RATE per 2x step, not paying a half-hour quadratic tail
+      val textSteps = Seq(25000L, 50000L, 100000L).map { n =>
         val d            = xDocs(n).localCheckpoint()
         val (cFull, sF)  = best2(Dedup.ngramJaccardPairsOf(d).count())
         val (cPfx, sP)   = best2(Dedup.prefixJaccardPairsOf(d).count())

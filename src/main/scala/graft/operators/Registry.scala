@@ -1628,6 +1628,49 @@ object Registry {
         FROM v ORDER BY o_orderkey, version
       """)
     ),
+    // The oracle replays the same derived feed, latest-wins reduce, and
+    // full-join apply; idempotence (re-apply == apply) is VersioningSpec's
+    // contract on the shared applyCdc.
+    Q(
+      "q158_cdc_upsert",
+      Versioning.cdcUpsert,
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        ), ch AS (
+          SELECT o_orderkey AS k, CAST(NULL AS BIGINT) AS cust, CAST(NULL AS VARCHAR) AS st,
+                 CAST(NULL AS DOUBLE) AS price, 'D' AS op, CAST(1 AS BIGINT) AS seq
+          FROM base WHERE o_orderkey % 11 = 0
+          UNION ALL
+          SELECT o_orderkey, o_custkey, 'U', o_totalprice + 50.0, 'U', 1
+          FROM base WHERE o_orderkey % 11 <> 0 AND o_orderkey % 7 = 0
+          UNION ALL
+          SELECT o_orderkey + 10000000000000, o_custkey, 'N', o_totalprice, 'U', 1
+          FROM base WHERE o_orderkey % 13 = 0
+          UNION ALL
+          SELECT o_orderkey, o_custkey, 'R', o_totalprice + 25.0, 'U', 2
+          FROM base WHERE o_orderkey % 22 = 0
+          UNION ALL
+          SELECT o_orderkey, o_custkey, 'V', o_totalprice + 100.0, 'U', 2
+          FROM base WHERE o_orderkey % 22 <> 0 AND o_orderkey % 21 = 0
+          UNION ALL
+          SELECT o_orderkey + 10000000000000, NULL, NULL, NULL, 'D', 2
+          FROM base WHERE o_orderkey % 26 = 0
+        ), latest AS (
+          SELECT k, cust, st, price, op, seq FROM (
+            SELECT ch.*, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM ch
+          ) WHERE rn = 1
+        )
+        SELECT COALESCE(l.k, b.o_orderkey) AS o_orderkey,
+               CASE WHEN l.op = 'U' THEN l.cust ELSE b.o_custkey END AS o_custkey,
+               CASE WHEN l.op = 'U' THEN l.st ELSE b.o_orderstatus END AS o_orderstatus,
+               CASE WHEN l.op = 'U' THEN l.price ELSE b.o_totalprice END AS o_totalprice,
+               CASE WHEN l.op = 'U' THEN l.seq ELSE CAST(0 AS BIGINT) END AS version
+        FROM base b FULL OUTER JOIN latest l ON b.o_orderkey = l.k
+        WHERE l.op IS NULL OR l.op = 'U'
+        ORDER BY o_orderkey
+      """)
+    ),
     // The oracle recomputes the aggregate from scratch; the engine's
     // base+delta merge must reproduce it exactly (integer-cents grid).
     Q(

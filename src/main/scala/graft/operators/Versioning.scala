@@ -155,6 +155,138 @@ object Versioning {
     * of partitioning and merge order — the property that lets two 100 TB
     * runs (or an engine and its oracle) compare content without sorting a
     * single row. */
+  /** Declared query (q158): idempotent keyed MERGE/upsert — the CDC-apply
+    * verb a lakehouse corpus store runs daily, completing the versioning
+    * family (diff q109, SCD2 q110, MV merge q113 record history; this one
+    * APPLIES a change feed). A two-epoch feed is derived deterministically
+    * from `orders` (epoch 1: deletes %11, repricing updates %7, inserts
+    * under +1e13 keys for %13; epoch 2: resurrections %22 — a delete then
+    * an update of the same key, the latest-wins resurrection case —
+    * second repricings %21, and deletes of epoch-1 INSERTS %26), reduced
+    * to one winning change per key by (seq desc) row_number — LATEST WINS
+    * — and applied with a single full-outer hash join: untouched base
+    * rows pass through (version 0), winning upserts replace the payload
+    * (version = seq), winning deletes drop the key. Ops within an epoch
+    * are mutually exclusive by construction, so the winner is total-order
+    * deterministic.
+    *
+    * IDEMPOTENT by shape: re-applying the same feed to the merged output
+    * reproduces it bit-for-bit (upserts overwrite with identical payloads,
+    * deletes find the key already absent) — VersioningSpec enforces
+    * apply(apply(base)) == apply(base). Scale shape: ONE shuffle on the
+    * key (the change feed reduce and the merge join share it); the feed
+    * side is typically ≪ base and broadcast-eligible, but the declared
+    * plan keeps the hash join — correct at any feed size. */
+  def cdcUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables
+      .orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+    applyCdc(base, cdcChangeFeedOf(base))
+  }
+
+  /** The derived two-epoch change feed (k, cust, st, price, op, seq) —
+    * shared by the declared query and the idempotence test. */
+  private[graft] def cdcChangeFeedOf(base: DataFrame): DataFrame = {
+    import base.sparkSession.implicits._
+    val k = $"o_orderkey"
+    base
+      .filter(k % 11 === 0)
+      .select(
+        k.as("k"),
+        lit(null).cast("long").as("cust"),
+        lit(null).cast("string").as("st"),
+        lit(null).cast("double").as("price"),
+        lit("D").as("op"),
+        lit(1L).as("seq")
+      )
+      .unionByName(
+        base
+          .filter(k % 11 =!= 0 && k % 7 === 0)
+          .select(
+            k.as("k"),
+            $"o_custkey".as("cust"),
+            lit("U").as("st"),
+            ($"o_totalprice" + 50.0).as("price"),
+            lit("U").as("op"),
+            lit(1L).as("seq")
+          )
+      )
+      .unionByName(
+        base
+          // insert keys offset far above any real key at any plausible SF
+          // (1e13 clears SF 100k = 100 TB by 16x — the snapshotDiff rule)
+          .filter(k % 13 === 0)
+          .select(
+            (k + 10000000000000L).as("k"),
+            $"o_custkey".as("cust"),
+            lit("N").as("st"),
+            $"o_totalprice".as("price"),
+            lit("U").as("op"),
+            lit(1L).as("seq")
+          )
+      )
+      .unionByName(
+        base
+          .filter(k % 22 === 0)
+          .select(
+            k.as("k"),
+            $"o_custkey".as("cust"),
+            lit("R").as("st"),
+            ($"o_totalprice" + 25.0).as("price"),
+            lit("U").as("op"),
+            lit(2L).as("seq")
+          )
+      )
+      .unionByName(
+        base
+          .filter(k % 22 =!= 0 && k % 21 === 0)
+          .select(
+            k.as("k"),
+            $"o_custkey".as("cust"),
+            lit("V").as("st"),
+            ($"o_totalprice" + 100.0).as("price"),
+            lit("U").as("op"),
+            lit(2L).as("seq")
+          )
+      )
+      .unionByName(
+        base
+          .filter(k % 26 === 0)
+          .select(
+            (k + 10000000000000L).as("k"),
+            lit(null).cast("long").as("cust"),
+            lit(null).cast("string").as("st"),
+            lit(null).cast("double").as("price"),
+            lit("D").as("op"),
+            lit(2L).as("seq")
+          )
+      )
+  }
+
+  /** Latest-wins CDC apply of `changes` (k, cust, st, price, op, seq) onto
+    * `base` (o_orderkey, o_custkey, o_orderstatus, o_totalprice). */
+  private[graft] def applyCdc(base: DataFrame, changes: DataFrame): DataFrame = {
+    import base.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"k").orderBy($"seq".desc)
+    val latest = changes
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .drop("rn")
+    base
+      .join(latest, $"o_orderkey" === $"k", "full_outer")
+      .filter($"op".isNull || $"op" === "U")
+      .select(
+        coalesce($"k", $"o_orderkey").as("o_orderkey"),
+        when($"op" === "U", $"cust").otherwise($"o_custkey").as("o_custkey"),
+        when($"op" === "U", $"st").otherwise($"o_orderstatus").as("o_orderstatus"),
+        when($"op" === "U", $"price").otherwise($"o_totalprice").as("o_totalprice"),
+        when($"op" === "U", $"seq").otherwise(0L).as("version")
+      )
+      .orderBy($"o_orderkey")
+  }
+
   def integrityManifest(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.TextFns.h60

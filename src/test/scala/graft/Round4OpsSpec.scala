@@ -194,4 +194,52 @@ class Round4OpsSpec extends SparkSpec {
       .filter($"n_docs" < 8 && $"batch_no" =!= $"max_batch")
     assert(shortNonLast.count() === 0)
   }
+
+  test("cdc upsert: latest wins, deletes drop, inserts land, and re-apply is idempotent") {
+    import spark.implicits._
+    val base = Tables
+      .orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+    val feed   = Versioning.cdcChangeFeedOf(base).cache()
+    val merged = Versioning.applyCdc(base, feed).cache()
+    val nBase  = base.count()
+    // deletes that were NOT resurrected are gone (an epoch-2 update of any
+    // kind — %22 resurrection or %21 repricing — overrides the delete);
+    // resurrected keys are back
+    assert(
+      merged
+        .filter(
+          $"o_orderkey" % 11 === 0 && $"o_orderkey" % 22 =!= 0 &&
+            $"o_orderkey" % 21 =!= 0 && $"o_orderkey" < 1000000000L
+        )
+        .count() === 0
+    )
+    val resurrected = merged.filter($"o_orderkey" % 22 === 0 && $"o_orderkey" < 1000000000L)
+    assert(resurrected.count() === base.filter($"o_orderkey" % 22 === 0).count())
+    assert(resurrected.filter($"o_orderstatus" =!= "R" || $"version" =!= 2L).count() === 0)
+    // epoch-2 repricing overrides epoch-1 (%21 keys not %22: status V, version 2)
+    assert(
+      merged
+        .filter($"o_orderkey" % 21 === 0 && $"o_orderkey" % 22 =!= 0 && $"o_orderkey" < 1000000000L)
+        .filter($"o_orderstatus" =!= "V" || $"version" =!= 2L)
+        .count() === 0
+    )
+    // inserts land unless epoch 2 deleted them (%26 of the base key)
+    val ins = merged.filter($"o_orderkey" >= 10000000000000L)
+    assert(
+      ins.count() ===
+        base.filter($"o_orderkey" % 13 === 0 && $"o_orderkey" % 26 =!= 0).count()
+    )
+    // untouched rows pass through at version 0 with their base payload
+    assert(merged.filter($"version" === 0L).count() > nBase / 2)
+    // IDEMPOTENCE: applying the same feed to the merged output reproduces it
+    val again = Versioning.applyCdc(
+      merged.select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice"),
+      feed
+    )
+    val mergedNoV = merged.select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+    val againNoV  = again.select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+    assert(mergedNoV.except(againNoV).count() === 0)
+    assert(againNoV.except(mergedNoV).count() === 0)
+  }
 }
