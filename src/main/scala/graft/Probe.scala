@@ -1394,7 +1394,10 @@ object Probe {
         // the approx-winsorize rank-guarantee audit at 10x the events rows:
         // n/accuracy grows to ~2 ranks of real sketch tolerance, so the
         // contract is exercised (not vacuously exact) and must still hold
-        "q151_winsorize_approx_audit"
+        "q151_winsorize_approx_audit",
+        // CDC upsert over 150k orders: the change-feed mods (%7/%11/%13/
+        // %21/%22/%26) and the +1e13 insert offset are replica-invariant
+        "q158_cdc_upsert"
       )
       // max o_orderkey at sf0.1 is 149,999 (duckdb-checked); 10M per
       // replica keeps ranges disjoint with ~66× headroom
@@ -1479,7 +1482,13 @@ object Probe {
         "q150_at_arrival_gate",
         "q152_corpus_release",
         "q153_ivf_full_probe",
-        "q154_ivf_trained_topk"
+        "q154_ivf_trained_topk",
+        // round-12 additions: IVF-PQ's train/encode/ADC/rescore replay at
+        // 20k decorrelated vectors (100 salted-label coarse lists), and
+        // the pocket-perceptron classifier at 50k docs (10 exact copies
+        // per text — weak labels and features replicate cleanly)
+        "q156_ivf_pq_topk",
+        "q157_quality_classifier"
       )
       Files.createDirectories(Paths.get(curDir))
       replicate(Tables.documents(spark, sfDir), "doc_id")

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextFns.tokens
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators a production LLM-training pipeline runs between
@@ -559,14 +559,16 @@ object Curation {
     * integer arithmetic — counts, weights,
     * margins, updates are all LONG sums (no sigmoid, no learning rate, no
     * floats) — so every round replays bit-exactly in the DuckDB oracle's
-    * unrolled CTEs. Round shape (the q107 iterative pattern): margins =
-    * one broadcast join of the ≤64-row weight table + a per-doc
-    * aggregation; updates = one aggregation over the misclassified docs'
-    * features; no driver state, no per-row collect. At 100 TB the feature
-    * relation is (docs × ≤64 buckets) and every shuffle is keyed on
-    * doc_id or the 64 bucket ids with map-side partial aggregation.
-    * Output: per-source confusion counts + margin mass of the final
-    * model. */
+    * unrolled CTEs. Round shape: the ≤65-long weight vector lives on the
+    * driver (the bounded-by-a-constant state class the BPE word table
+    * established — never per-row data) and each round is ONE aggregation
+    * job over the per-doc feature-array table: margin = an integer fold
+    * against the literal weight map, update = Σ y·x over the misclassified
+    * docs' exploded features with map-side partial aggregation into ≤65
+    * groups. At 100 TB the feature relation is (docs × ≤64 buckets),
+    * nothing else scales with the corpus, and the loop costs one small
+    * shuffle per round. Output: per-source confusion counts + margin mass
+    * of the final model. */
   def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame =
     qualityClassifierOf(Tables.spread(Tables.documents(spark, sfDir)))
 
@@ -596,35 +598,58 @@ object Curation {
       .unionByName(docs.select($"doc_id", $"y", lit(QcBuckets).as("f"), lit(1L).as("x")))
       .localCheckpoint()
 
-    def margins(w: DataFrame): DataFrame =
-      feats
-        .join(broadcast(w), "f")
-        .groupBy($"doc_id", $"y")
-        .agg(sum($"w" * $"x").as("margin"))
+    // per-doc feature arrays: ONE row per document, features packed as
+    // (f, x) structs — each training round is then a single aggregation
+    // job over this table (margin = an integer fold over the array against
+    // a 64-entry literal weight map; no join, no per-round exchange tree).
+    // collect_list order is nondeterministic but the margin is an
+    // order-free LONG sum.
+    val docFeats = feats
+      .groupBy($"doc_id", $"y")
+      .agg(collect_list(struct($"f", $"x")).as("fx"))
+      .localCheckpoint()
+    def marginCol(wm: Column): Column =
+      aggregate(
+        $"fx",
+        lit(0L),
+        (acc, s) => acc + coalesce(element_at(wm, s.getField("f")), lit(0L)) * s.getField("x")
+      )
 
-    // round 1: w0 = 0 ⇒ every margin is 0 ⇒ every doc misclassified
-    // (y·margin ≤ 0), so w1 is the full Σ y·x — computed directly
-    var w      = feats.groupBy($"f").agg(sum($"y" * $"x").as("w"))
+    // the weight vector lives on the DRIVER between rounds: QcBuckets+1
+    // longs — the same bounded-by-a-constant driver-state class as the
+    // BPE word table (DisciplineSpec-audited). Round 1: w0 = 0 ⇒ every
+    // margin is 0 ⇒ every doc misclassified (y·margin ≤ 0), so w1 is the
+    // full Σ y·x — computed directly.
+    var w: Map[Int, Long] = feats
+      .groupBy($"f")
+      .agg(sum($"y" * $"x").as("w"))
+      .as[(Int, Long)]
+      .collect() // bounded: <= QcBuckets+1 rows
+      .toMap
     val rounds = scala.collection.mutable.ArrayBuffer((1, w))
     for (r <- 2 to QcRounds) {
-      val mis = margins(w).filter($"y" * $"margin" <= 0).select($"doc_id")
-      val upd = feats.join(mis, "doc_id").groupBy($"f").agg(sum($"y" * $"x").as("dw"))
-      w = w
-        .join(upd, Seq("f"), "left")
-        .select($"f", ($"w" + coalesce($"dw", lit(0L))).as("w"))
-      // the weight table is 64 rows; truncating its lineage every few
-      // rounds keeps the 16-round plan tree from nesting 16 join+agg
-      // layers (the iterative-loop discipline)
-      if (r % 4 == 0 && r < QcRounds) w = w.localCheckpoint()
+      val wm = typedLit(w)
+      val upd: Map[Int, Long] = docFeats
+        .filter($"y" * marginCol(wm) <= 0L)
+        .select($"y", explode($"fx").as("s"))
+        .select($"y", $"s.f".as("f"), $"s.x".as("x"))
+        .groupBy($"f")
+        .agg(sum($"y" * $"x").as("dw"))
+        .as[(Int, Long)]
+        .collect() // bounded: <= QcBuckets+1 rows
+        .toMap
+      w = (w.keySet ++ upd.keySet).iterator
+        .map(k => k -> (w.getOrElse(k, 0L) + upd.getOrElse(k, 0L)))
+        .toMap
       rounds += ((r, w))
     }
 
     // pocket selection: margins of EVERY round's weights in one shared
-    // pass (the per-round tables union to QcRounds·65 rows, broadcast),
+    // pass (the per-round maps flatten to QcRounds·65 rows, broadcast),
     // per-round train accuracy, best round wins (tie → earliest)
-    val allW = rounds
-      .map { case (r, df) => df.withColumn("r", lit(r)) }
-      .reduce(_ unionByName _)
+    val allW = rounds.toSeq
+      .flatMap { case (r, m) => m.iterator.map { case (f, wv) => (r, f, wv) } }
+      .toDF("r", "f", "w")
     val am = feats
       .join(broadcast(allW), "f")
       .groupBy($"r", $"doc_id", $"y")
