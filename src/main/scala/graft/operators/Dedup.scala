@@ -278,6 +278,54 @@ object Dedup {
       .orderBy($"id1", $"id2")
   }
 
+  /** Declared query (q160): asymmetric CONTAINMENT near-dup — the subset
+    * relation symmetric Jaccard can't see. An excerpt carries most of its
+    * shingles INSIDE a longer original (C(A→B) = |A∩B| / |A| ≈ 1) while
+    * Jaccard collapses with the size ratio — so quote/excerpt duplicates
+    * (the training-data contamination Broder's containment sketches were
+    * built for) survive a Jaccard gate. The corpus derives its own
+    * planted cases (the snapshotDiff self-containment rule): docs %7 gain
+    * a first-⌈n/2⌉-token excerpt under +2M ids, whose distinct shingles
+    * are a strict subset of the original's — containment exactly 1.0
+    * excerpt→original, ≈0.5 in reverse (below the 0.9 gate).
+    *
+    * Plan: the q67 inverted-index shape verbatim — shared shingle-hash
+    * exchange, hinted shuffle-hash self-join on the 60-bit shingle hash,
+    * count-only aggregation — but ORDERED pairs (both directions scored,
+    * the asymmetry is the point) and the CONTAINED side's set size as the
+    * sole denominator. Same 100 TB posture as q67/q89: bucketed by
+    * shingle, df-cappable, never all-pairs. */
+  def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val aug = base.unionByName(
+      base
+        .filter($"doc_id" % 7 === 0)
+        .select(
+          ($"doc_id" + 2000000L).as("doc_id"),
+          expr("concat_ws(' ', slice(split(text, ' '), 1, (size(split(text, ' ')) + 1) div 2))")
+            .as("text")
+        )
+    )
+    val docs = aug
+      .repartition($"doc_id")
+      .select($"doc_id", array_distinct(graft.functions.Kernels.shingleHashes(tokens($"text"), 3)).as("sh0"))
+      .groupBy($"doc_id")
+      .agg(first($"sh0").as("sh"))
+      .select($"doc_id", size($"sh").as("n_sh"), explode($"sh").as("shingle"))
+      .repartition($"shingle")
+    val a = docs.select($"doc_id".as("contained_id"), $"n_sh".as("n_a"), $"shingle")
+    val b = docs.select($"doc_id".as("container_id"), $"shingle".as("shingle2"))
+    a.hint("shuffle_hash")
+      .join(b.hint("shuffle_hash"), $"shingle" === $"shingle2" && $"contained_id" =!= $"container_id")
+      .groupBy($"contained_id", $"container_id", $"n_a")
+      .agg(count(lit(1)).as("n_inter"))
+      .withColumn("containment", round($"n_inter" / $"n_a", 6))
+      .filter($"containment" >= 0.9)
+      .select($"contained_id", $"container_id", $"containment")
+      .orderBy($"contained_id", $"container_id")
+  }
+
   /** The dup-injected embedding set with norms, behind the same
     * repartition + groupBy/first barrier as the text dedup pipelines (one
     * reusable exchange, no pushed-down recompute). */

@@ -1812,6 +1812,39 @@ object Registry {
       """)
     ),
     Q("q67_ngram_jaccard_pairs", Dedup.ngramJaccardPairs, Some(ngramJaccardSql)),
+    // Asymmetric containment: the oracle derives the same excerpt-augmented
+    // corpus (first ⌈n/2⌉ tokens under +2M ids for docs %7), joins string
+    // shingles where the engine joins their 60-bit hashes, and divides by
+    // the CONTAINED side's distinct-shingle count only.
+    Q(
+      "q160_containment_pairs",
+      Dedup.containmentPairs,
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 2000000,
+                 array_to_string((string_split(text, ' '))[1:(len(string_split(text, ' ')) + 1) // 2], ' ')
+          FROM documents WHERE doc_id % 7 = 0
+        ), tk AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+        ), sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS dsh FROM tk
+        ), ex AS (
+          SELECT doc_id, unnest(dsh) AS shingle FROM sh
+        ), p AS (
+          SELECT a.doc_id AS contained_id, b.doc_id AS container_id, COUNT(*) AS n_inter
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT p.contained_id, p.container_id,
+               round(CAST(p.n_inter AS DOUBLE) / len(s.dsh), 6) AS containment
+        FROM p JOIN sh s ON p.contained_id = s.doc_id
+        WHERE round(CAST(p.n_inter AS DOUBLE) / len(s.dsh), 6) >= 0.9
+        ORDER BY contained_id, container_id
+      """)
+    ),
     // Same SEMANTICS and oracle as q67 — the declared point is the other
     // PHYSICAL PLAN: a prefix-filtered (AllPairs/PPJoin) candidate
     // generator indexing only each doc's rarest-shingle prefix, losslessly
@@ -2012,35 +2045,7 @@ object Registry {
       "q154_ivf_trained_topk",
       Similarity.ivfTrainedTopK,
       Some(s"""
-        WITH $embNrmCte, m0 AS (
-          SELECT CAST(vec_id % 8 AS INT) AS cluster, i.i AS pos,
-                 CAST(CAST(SUM(CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*) AS FLOAT) AS m
-          FROM embeddings, (SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i) i
-          GROUP BY cluster, i.i
-        ), c0 AS (
-          SELECT cluster AS cent_id, cvec,
-                 sqrt(list_sum(list_transform(cvec, x -> CAST(x AS DOUBLE) * x))) AS cnrm
-          FROM (SELECT cluster, list(m ORDER BY pos) AS cvec FROM m0 GROUP BY cluster)
-        ), s1 AS (
-          SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
-                 list_sum(list_transform(range(1, len(e.embedding) + 1),
-                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i])) / (e.nrm * c.cnrm) AS ccos
-          FROM e, c0 c
-        ), a1 AS (
-          SELECT vec_id, embedding, cent_id AS cluster FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
-            FROM s1
-          ) WHERE crk = 1
-        ), m1 AS (
-          SELECT cluster, i.i AS pos,
-                 CAST(CAST(SUM(CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*) AS FLOAT) AS m
-          FROM a1, (SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i) i
-          GROUP BY cluster, i.i
-        ), c2 AS (
-          SELECT cluster AS cent_id, cvec,
-                 sqrt(list_sum(list_transform(cvec, x -> CAST(x AS DOUBLE) * x))) AS cnrm
-          FROM (SELECT cluster, list(m ORDER BY pos) AS cvec FROM m1 GROUP BY cluster)
-        ), $ivfQueryTailSql
+        WITH $embNrmCte, $trainedCentsCteSql, $ivfQueryTailSql
       """)
     ),
     // IVF-PQ: the coarse probe prefix (q76's label-mean quantizer) bounds
@@ -2054,7 +2059,30 @@ object Registry {
       "q156_ivf_pq_topk",
       Similarity.ivfPqTopK,
       Some(s"""
-        WITH $embNrmCte, $labelCentsCteSql, $ivfProbeSql, $pqCodebookCteSql, cand AS (
+        WITH $embNrmCte, $labelCentsCteSql, $ivfProbeSql, $pqCodebookCteSql, $pqQueryTailSql
+      """)
+    ),
+    // IVF-PQ over the TRAINED coarse quantizer — the full production ANN
+    // composition in one declared query: q154's grid-exact two-iteration
+    // Lloyd centroids bound the candidate lists, q156's trained PQ
+    // codebooks score them by integer asymmetric distance, the shortlist
+    // rescores exactly. Every stage — coarse training, PQ training,
+    // encoding, probing, ADC, rescore — replays bit-exactly (the oracle
+    // is literally q154's centroid CTEs composed with q156's PQ CTEs).
+    Q(
+      "q161_ivf_pq_trained_topk",
+      Similarity.ivfPqTrainedTopK,
+      Some(s"""
+        WITH $embNrmCte, $trainedCentsCteSql, $ivfProbeSql, $pqCodebookCteSql, $pqQueryTailSql
+      """)
+    )
+  )
+
+  /** The shared q156/q161 PQ query tail: candidate set from the coarse
+    * probe, query grid blocks, integer ADC, shortlist cut, exact rescore,
+    * final top-10. Expects `assigned`/`probes` (from [[ivfProbeSql]]),
+    * `blocks`/`cb1`/`codes` (from [[pqCodebookCteSql]]), and `e`. */
+  private def pqQueryTailSql: String = s"""cand AS (
           SELECT p.query_id, a.vec_id AS cand_id
           FROM assigned a JOIN probes p ON a.cent_id = p.probe_cent AND a.vec_id <> p.query_id
         ), qb AS (
@@ -2086,10 +2114,40 @@ object Registry {
                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INT) AS rk
           FROM scored
         )
-        SELECT query_id, rk, cand_id, cos FROM ranked WHERE rk <= 10 ORDER BY query_id, rk
-      """)
-    )
-  )
+        SELECT query_id, rk, cand_id, cos FROM ranked WHERE rk <= 10 ORDER BY query_id, rk"""
+
+  /** The shared q154/q161 trained-coarse-quantizer CTEs (the grid-exact
+    * two-iteration Lloyd replay of Clustering.trainedCentroids), yielding
+    * `c2` (cent_id, cvec, cnrm). Expects `e` upstream. */
+  private def trainedCentsCteSql: String = """m0 AS (
+          SELECT CAST(vec_id % 8 AS INT) AS cluster, i.i AS pos,
+                 CAST(CAST(SUM(CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*) AS FLOAT) AS m
+          FROM embeddings, (SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i) i
+          GROUP BY cluster, i.i
+        ), c0 AS (
+          SELECT cluster AS cent_id, cvec,
+                 sqrt(list_sum(list_transform(cvec, x -> CAST(x AS DOUBLE) * x))) AS cnrm
+          FROM (SELECT cluster, list(m ORDER BY pos) AS cvec FROM m0 GROUP BY cluster)
+        ), s1 AS (
+          SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i])) / (e.nrm * c.cnrm) AS ccos
+          FROM e, c0 c
+        ), a1 AS (
+          SELECT vec_id, embedding, cent_id AS cluster FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+            FROM s1
+          ) WHERE crk = 1
+        ), m1 AS (
+          SELECT cluster, i.i AS pos,
+                 CAST(CAST(SUM(CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*) AS FLOAT) AS m
+          FROM a1, (SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i) i
+          GROUP BY cluster, i.i
+        ), c2 AS (
+          SELECT cluster AS cent_id, cvec,
+                 sqrt(list_sum(list_transform(cvec, x -> CAST(x AS DOUBLE) * x))) AS cnrm
+          FROM (SELECT cluster, list(m ORDER BY pos) AS cvec FROM m1 GROUP BY cluster)
+        )"""
 
   /** The q156 PQ oracle CTEs: 1e6-grid sub-vector blocks, seeded codebook,
     * one Lloyd step (integer means, integer d2), final encode. Yields

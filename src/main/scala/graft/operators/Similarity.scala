@@ -324,6 +324,21 @@ object Similarity {
   def ivfPqTopK(spark: SparkSession, sfDir: String): DataFrame =
     ivfPqTopKAt(spark, sfDir, IvfNprobe, PqCodes)
 
+  /** Declared query (q161): IVF-PQ over the TRAINED coarse quantizer —
+    * the full production ANN composition: q154's grid-exact two-iteration
+    * Lloyd centroids ([[Clustering.trainedCentroids]]) bound the inverted
+    * lists, [[ivfPqQuery]]'s trained codebooks score the candidates by
+    * integer asymmetric distance, the shortlist rescores exactly. Pure
+    * composition of the two declared halves — one plan, one oracle. */
+  def ivfPqTrainedTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = {
+      import spark.implicits._
+      Tables.spread(Tables.embeddings(spark, sfDir))
+        .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+    }
+    ivfPqQuery(e, Clustering.trainedCentroids(spark, sfDir), IvfNprobe, PqCodes)
+  }
+
   /** (nprobe, nCodes)-parameterized IVF-PQ — the scalerecall probe grades
     * the corners; the declared query pins (IvfNprobe, PqCodes). */
   private[graft] def ivfPqTopKAt(

@@ -67,6 +67,12 @@ class CorpusPlanSweepSpec extends SparkSpec {
       "BroadcastNestedLoopJoin",
       "broadcast of an exploded (unbounded) relation"
     ),
+    // q161 composes q154's trained-quantizer crossJoins (bounded k
+    // centroids) with q156's PQ shapes — both exemptions, same bounds
+    "q161_ivf_pq_trained_topk" -> Set(
+      "BroadcastNestedLoopJoin",
+      "broadcast of an exploded (unbounded) relation"
+    ),
     // decontamination broadcasts the exploded EVAL side — eval suites are
     // small by nature; broadcasting them IS the 100 TB plan (Dedup :311)
     "q86_decontaminate" -> Set("broadcast of an exploded (unbounded) relation"),

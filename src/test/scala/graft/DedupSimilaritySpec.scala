@@ -219,4 +219,29 @@ class DedupSimilaritySpec extends SparkSpec {
     // p(n) = n - ceil(0.6n) + 1  =>  ~40% of the full index
     assert(pfxIdx < fullIdx / 2, s"prefix index $pfxIdx not < half of $fullIdx")
   }
+
+  test("containment: every derived excerpt is contained at exactly 1.0; never the reverse") {
+    import spark.implicits._
+    val out = graft.operators.Dedup.containmentPairs(spark, sf).cache()
+    // the derived excerpts (first ceil(n/2) tokens, ids +2M) have shingle
+    // sets that are strict subsets of their originals: containment must be
+    // exactly 1.0 excerpt -> original for every excerpt long enough to
+    // carry a 3-gram
+    val expected = Tables
+      .documents(spark, sf)
+      .filter($"doc_id" % 7 === 0)
+      .filter(size(split($"text", " ")) >= 5) // ceil(n/2) >= 3 tokens -> >= 1 shingle
+      .count()
+    val planted = out.filter(
+      $"contained_id" >= 2000000L && $"container_id" === $"contained_id" - 2000000L
+    )
+    assert(planted.count() === expected, "every excerpt found against its original")
+    assert(planted.filter($"containment" =!= 1.0).count() === 0, "subset => containment exactly 1.0")
+    // the asymmetry is the point: the original contains only ~half its
+    // excerpt's mass, so the reverse direction never clears the 0.9 gate
+    val reverse = out.filter(
+      $"container_id" >= 2000000L && $"contained_id" === $"container_id" - 2000000L
+    )
+    assert(reverse.count() === 0, "original -> excerpt direction must stay below the gate")
+  }
 }
