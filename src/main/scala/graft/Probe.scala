@@ -1484,11 +1484,15 @@ object Probe {
         "q153_ivf_full_probe",
         "q154_ivf_trained_topk",
         // round-12 additions: IVF-PQ's train/encode/ADC/rescore replay at
-        // 20k decorrelated vectors (100 salted-label coarse lists), and
-        // the pocket-perceptron classifier at 50k docs (10 exact copies
-        // per text — weak labels and features replicate cleanly)
+        // 20k decorrelated vectors (100 salted-label coarse lists), the
+        // pocket-perceptron classifier at 50k docs (10 exact copies per
+        // text — weak labels and features replicate cleanly), containment
+        // dedup (each replica derives its own excerpts), and the composed
+        // trained-coarse IVF-PQ (8 Lloyd clusters over the 20k slice)
         "q156_ivf_pq_topk",
-        "q157_quality_classifier"
+        "q157_quality_classifier",
+        "q160_containment_pairs",
+        "q161_ivf_pq_trained_topk"
       )
       Files.createDirectories(Paths.get(curDir))
       replicate(Tables.documents(spark, sfDir), "doc_id")
