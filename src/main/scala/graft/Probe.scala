@@ -1554,6 +1554,10 @@ object Probe {
         df.withColumn("rep", explode(sequence(lit(0L), lit(99L))))
           .withColumn(key, col(key) + $"rep" * off)
           .drop("rep")
+      // slice builds are idempotent per JVM-external state: a slice dir
+      // already on disk (this round's earlier run) is reused — the 60M-row
+      // fact rewrite is the expensive part of the phase, not the queries
+      def freshDir(p: String): Boolean = !Files.exists(Paths.get(p))
       Files.createDirectories(Paths.get(dir))
       Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
         Files.copy(
@@ -1562,12 +1566,15 @@ object Probe {
           StandardCopyOption.REPLACE_EXISTING
         )
       }
-      rep100(Tables.lineitem(spark, sfDir), "l_orderkey")
-        .repartition(64).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-      rep100(Tables.orders(spark, sfDir), "o_orderkey")
-        .repartition(32).write.mode("overwrite").parquet(s"$dir/orders.parquet")
-      rep100(Tables.events(spark, sfDir), "event_id")
-        .repartition(32).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      if (freshDir(s"$dir/lineitem.parquet"))
+        rep100(Tables.lineitem(spark, sfDir), "l_orderkey")
+          .repartition(64).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      if (freshDir(s"$dir/orders.parquet"))
+        rep100(Tables.orders(spark, sfDir), "o_orderkey")
+          .repartition(32).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      if (freshDir(s"$dir/events.parquet"))
+        rep100(Tables.events(spark, sfDir), "event_id")
+          .repartition(32).write.mode("overwrite").parquet(s"$dir/events.parquet")
       val nLi = spark.read.parquet(s"$dir/lineitem.parquet").count()
       val nEv = spark.read.parquet(s"$dir/events.parquet").count()
       println(s"[sf10] synthetic slice at $dir: lineitem=$nLi events=$nEv rows")
@@ -1597,16 +1604,24 @@ object Probe {
       // `/tmp/graft_sf10dd(cur)_out` against the identical parquet.
       val ddDir  = "/tmp/graft_sf10dd"
       val ddOut  = "/tmp/graft_sf10dd_out"
-      val ddSet  = Seq("q65_minhash_lsh_pairs", "q120_dedup_endgame", "q147_prefix_jaccard_pairs")
+      // q160's excerpt ids (+2M) occupy offsets 2M/3M within each 10M
+      // replica stripe — disjoint from the real ids at offsets 0/1M
+      val ddSet = Seq(
+        "q65_minhash_lsh_pairs",
+        "q120_dedup_endgame",
+        "q147_prefix_jaccard_pairs",
+        "q160_containment_pairs"
+      )
       Files.createDirectories(Paths.get(ddDir))
-      rep100(Tables.documents(spark, sfDir), "doc_id")
-        .withColumn("rep2", (col("doc_id") / off).cast("long"))
-        .withColumn(
-          "text",
-          regexp_replace($"text", lit("(\\S+)"), concat(lit("r"), $"rep2", lit("_$1")))
-        )
-        .drop("rep2")
-        .repartition(32).write.mode("overwrite").parquet(s"$ddDir/documents.parquet")
+      if (freshDir(s"$ddDir/documents.parquet"))
+        rep100(Tables.documents(spark, sfDir), "doc_id")
+          .withColumn("rep2", (col("doc_id") / off).cast("long"))
+          .withColumn(
+            "text",
+            regexp_replace($"text", lit("(\\S+)"), concat(lit("r"), $"rep2", lit("_$1")))
+          )
+          .drop("rep2")
+          .repartition(32).write.mode("overwrite").parquet(s"$ddDir/documents.parquet")
       println(s"[sf10] dedup slice at $ddDir: documents=${spark.read.parquet(s"$ddDir/documents.parquet").count()} rows")
       ddSet.foreach { n =>
         val t0 = System.nanoTime()
@@ -1622,23 +1637,34 @@ object Probe {
 
       val curDir = "/tmp/graft_sf10cur"
       val curOut = "/tmp/graft_sf10cur_out"
-      val curSet = Seq("q139_bm25_topk", "q141_semantic_dedup", "q153_ivf_full_probe")
+      // q156/q161 are NOT in the sf10 set: their coarse-assign oracle is
+      // the same 220M-row cross-join shape whose one-shot DuckDB plan
+      // out-spills this host's disk on q141 (the engine side is fine) —
+      // they are sf1-graded at 20k vectors instead
+      val curSet = Seq(
+        "q139_bm25_topk",
+        "q141_semantic_dedup",
+        "q153_ivf_full_probe",
+        "q157_quality_classifier"
+      )
       Files.createDirectories(Paths.get(curDir))
-      rep100(Tables.documents(spark, sfDir), "doc_id")
-        .repartition(32).write.mode("overwrite").parquet(s"$curDir/documents.parquet")
+      if (freshDir(s"$curDir/documents.parquet"))
+        rep100(Tables.documents(spark, sfDir), "doc_id")
+          .repartition(32).write.mode("overwrite").parquet(s"$curDir/documents.parquet")
       val edim = Tables.EmbeddingDim
-      rep100(Tables.embeddings(spark, sfDir), "vec_id")
-        .withColumn("rep2", ((col("vec_id") / off) % edim).cast("int"))
-        .withColumn("label", $"label" + ((col("vec_id") / off) * 100).cast("int"))
-        .withColumn(
-          "embedding",
-          concat(
-            slice($"embedding", $"rep2" + 1, lit(edim) - $"rep2"),
-            slice($"embedding", lit(1), $"rep2")
+      if (freshDir(s"$curDir/embeddings.parquet"))
+        rep100(Tables.embeddings(spark, sfDir), "vec_id")
+          .withColumn("rep2", ((col("vec_id") / off) % edim).cast("int"))
+          .withColumn("label", $"label" + ((col("vec_id") / off) * 100).cast("int"))
+          .withColumn(
+            "embedding",
+            concat(
+              slice($"embedding", $"rep2" + 1, lit(edim) - $"rep2"),
+              slice($"embedding", lit(1), $"rep2")
+            )
           )
-        )
-        .drop("rep2")
-        .repartition(16).write.mode("overwrite").parquet(s"$curDir/embeddings.parquet")
+          .drop("rep2")
+          .repartition(16).write.mode("overwrite").parquet(s"$curDir/embeddings.parquet")
       println(
         s"[sf10] curation slice at $curDir: documents=${spark.read.parquet(s"$curDir/documents.parquet").count()}" +
           s" embeddings=${spark.read.parquet(s"$curDir/embeddings.parquet").count()} rows"

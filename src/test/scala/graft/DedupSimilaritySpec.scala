@@ -220,6 +220,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pfxIdx < fullIdx / 2, s"prefix index $pfxIdx not < half of $fullIdx")
   }
 
+  test("ivf-pq: dense ranks, non-increasing cosines, and scores bounded by brute force") {
+    import spark.implicits._
+    val brute = graft.operators.Similarity.cosineTopK(spark, sf).cache()
+    val best  = brute.filter($"rk" === 1).select($"query_id", $"cos".as("best_cos"))
+    Seq(
+      graft.operators.Similarity.ivfPqTopK(spark, sf),
+      graft.operators.Similarity.ivfPqTrainedTopK(spark, sf)
+    ).foreach { df =>
+      val out = df.cache()
+      out
+        .groupBy($"query_id")
+        .agg(count(lit(1)).as("n"), min($"rk").as("lo"), max($"rk").as("hi"))
+        .collect()
+        .foreach { r =>
+          assert(r.getInt(2) === 1 && r.getInt(3) === r.getLong(1).toInt, "ranks dense from 1")
+        }
+      val disorder = out
+        .withColumn(
+          "prev",
+          lag($"cos", 1).over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"query_id").orderBy($"rk")
+          )
+        )
+        .filter($"prev".isNotNull && $"cos" > $"prev")
+      assert(disorder.count() === 0, "cosines non-increasing in rank")
+      // the PQ path scores a SUBSET of the corpus: no candidate can beat
+      // the true (brute-force) best cosine of its query
+      val above = out.join(best, "query_id").filter($"cos" > $"best_cos")
+      assert(above.count() === 0, "PQ shortlist cannot outscore brute force")
+    }
+  }
+
   test("containment: every derived excerpt is contained at exactly 1.0; never the reverse") {
     import spark.implicits._
     val out = graft.operators.Dedup.containmentPairs(spark, sf).cache()
