@@ -1683,6 +1683,79 @@ object Probe {
       spark.stop()
       return
     }
+    if (which == "sf100") {
+      // The ladder's top rung: THREE-AND-A-HALF orders of magnitude past
+      // the fixtures. 1000× fact replication (offset 10M per replica —
+      // max key ~1e10, still 1000× under the 1e13 synthetic-insert
+      // offsets; 10M ≡ 0 mod 64 and mod 10, so every %-based predicate
+      // and injection rule is replica-invariant) = 600M lineitem / 150M
+      // orders / 100M events rows, dimensions unchanged. Facts families
+      // only — the doc/vector pipelines' DuckDB oracles at 5M docs are
+      // oracle-bound, not engine-bound (see the q141 sf10 note); grid +
+      // events queries are exactly where 1000× stresses the overflow
+      // audits, the AQE join plans, and the window pruning.
+      // `tools/check.py /tmp/graft_sf100 /tmp/graft_sf100_out` replays
+      // the oracles over the identical parquet.
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val dir    = "/tmp/graft_sf100"
+      val outDir = "/tmp/graft_sf100_out"
+      val set = Seq(
+        "q01_pricing_summary",
+        "q11_join_revenue_by_nation",
+        "q29_stats_agg",
+        "q02_top_event_types",
+        "q03_recent_window_daily"
+      )
+      val off = 10000000L
+      def rep1000(df: org.apache.spark.sql.DataFrame, key: String) =
+        df.withColumn("rep", explode(sequence(lit(0L), lit(999L))))
+          .withColumn(key, col(key) + col("rep") * off)
+          .drop("rep")
+      def freshDir(p: String): Boolean = !Files.exists(Paths.get(p))
+      Files.createDirectories(Paths.get(dir))
+      Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+        Files.copy(
+          Paths.get(s"$sfDir/$t.parquet"),
+          Paths.get(s"$dir/$t.parquet"),
+          StandardCopyOption.REPLACE_EXISTING
+        )
+      }
+      if (freshDir(s"$dir/lineitem.parquet"))
+        rep1000(Tables.lineitem(spark, sfDir), "l_orderkey")
+          .repartition(256).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      if (freshDir(s"$dir/orders.parquet"))
+        rep1000(Tables.orders(spark, sfDir), "o_orderkey")
+          .repartition(128).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      if (freshDir(s"$dir/events.parquet"))
+        rep1000(Tables.events(spark, sfDir), "event_id")
+          .repartition(128).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val nLi = spark.read.parquet(s"$dir/lineitem.parquet").count()
+      val nEv = spark.read.parquet(s"$dir/events.parquet").count()
+      println(s"[sf100] synthetic slice at $dir: lineitem=$nLi events=$nEv rows")
+      // Size the shuffle to the data — the deploy knob BASELINE.md documents
+      // ("set shuffle partitions ~2-3x total cores at scale and let AQE
+      // coalesce"). At 600M rows the session default of 32 puts ~19M rows in
+      // every sort/agg partition (spill territory — measured: q29 268s, q03
+      // 47s); 256 restores ~2.3M rows/partition, the fixture shape. AQE
+      // coalesces small stages back down, so small queries don't pay for it.
+      sys.env.get("GRAFT_SF100_SHUFFLE").foreach { p =>
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        println(s"[sf100] shuffle.partitions=$p")
+      }
+      set.foreach { n =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, dir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$n")
+        println(f"[sf100] $n%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      Files.writeString(
+        Paths.get(s"$outDir/oracle_sql.json"),
+        set.map(n => s"${Verify.jsonStr(n)}: ${Verify.jsonStr(SparkEntry.oracleSql(n))}")
+          .mkString("{", ",", "}")
+      )
+      spark.stop()
+      return
+    }
     val names = if (which == "all") SparkEntry.queries.keys.toSeq.sorted else Seq(which)
     names.foreach { n =>
       if (doExplain) SparkEntry.queries(n)(spark, sfDir).explain("formatted")
