@@ -5,7 +5,7 @@ query: `name<TAB>seconds`, plus a TOTAL line.
 
 Usage: python3 tools/time_oracle.py <sfDir> <verifyOutDir> [runs]
 """
-import sys, json, time
+import sys, os, json, time
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -17,8 +17,11 @@ def main():
     runs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):  # Spark-written dir (synthetic slices)
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     total = 0.0
     for name in sorted(oracles):
