@@ -105,6 +105,43 @@ object Probe {
       SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
+    if (which == "q29ab") {
+      // Same-JVM interleaved A/B of the q29 median forms over the sf100
+      // slice (phase and page-cache effects cancel across the interleave):
+      // A = single-agg with percentile() (one scan, but the whole aggregate
+      // is forced onto interpreted ObjectHashAggregate), B = shipped
+      // histogram-median form (two pruned scans, all-codegen).
+      import spark.implicits._
+      spark.conf.set("spark.sql.shuffle.partitions", 256)
+      val dir = "/tmp/graft_sf100"
+      def oldForm() = Tables.lineitem(spark, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum($"l_quantity".cast("long")).cast("double").as("sx"),
+          sum(($"l_quantity" * $"l_quantity").cast("long")).cast("double").as("sxx"),
+          sum(round($"l_extendedprice" * 100).cast("long")).cast("double").as("sy"),
+          sum(round($"l_extendedprice" * $"l_extendedprice" * 10000).cast("decimal(38,0)"))
+            .cast("double").as("syy"),
+          sum(round($"l_extendedprice" * $"l_quantity" * 100).cast("decimal(38,0)"))
+            .cast("double").as("sxy"),
+          sum(round($"l_discount" * 100).cast("long")).cast("double").as("sdc"),
+          sum(round($"l_discount" * $"l_quantity" * 100).cast("long")).cast("double").as("sxd"),
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          min($"l_quantity").as("min_qty"),
+          max($"l_quantity").as("max_qty")
+        )
+      def newForm() = graft.operators.Advanced.statsAgg(spark, dir)
+      def t(tag: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        df.write.mode("overwrite").format("noop").save()
+        println(f"[q29ab] $tag%-12s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      }
+      t("warm-new")(newForm())
+      (1 to 3).foreach { i => t(s"old-$i")(oldForm()); t(s"new-$i")(newForm()) }
+      spark.stop()
+      return
+    }
     if (which == "ccdiag") {
       import spark.implicits._
       import graft.operators.Graph

@@ -14,8 +14,13 @@ import org.apache.spark.sql.expressions.Aggregator
   * DuckDB oracle mirrors the same grid. Per-term grid error is 5e-10 on
   * ln(x) ≤ ~28, so the sum stays < 2^63 up to ~3e8 rows per group at
   * TPC-H-like magnitudes; the scale constant is the knob if a deployment
-  * needs more headroom. */
-object GeoMean extends Aggregator[Double, (Long, Long), Double] {
+  * needs more headroom.
+  *
+  * Output is (geomean, n) — the buffer tracks the count anyway, and
+  * surfacing it means a caller never rides a `count()` beside the UDAF,
+  * which would force every sibling aggregate onto the interpreted
+  * ObjectHashAggregate path (the CorpusPlanSweepSpec mixed-agg rule). */
+object GeoMean extends Aggregator[Double, (Long, Long), (Double, Long)] {
   /** Grid: 1e9 true decimal digits of ln(x). */
   val LogScale = 1e9
 
@@ -24,8 +29,8 @@ object GeoMean extends Aggregator[Double, (Long, Long), Double] {
     (b._1 + math.round(math.log(x) * LogScale), b._2 + 1)
   override def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
     (a._1 + b._1, a._2 + b._2)
-  override def finish(r: (Long, Long)): Double =
-    if (r._2 == 0) Double.NaN else math.exp(r._1 / LogScale / r._2)
+  override def finish(r: (Long, Long)): (Double, Long) =
+    (if (r._2 == 0) Double.NaN else math.exp(r._1 / LogScale / r._2), r._2)
   override def bufferEncoder: Encoder[(Long, Long)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
-  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  override def outputEncoder: Encoder[(Double, Long)] = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
 }

@@ -63,32 +63,80 @@ object Advanced {
     * 6th rounded decimal between runs. With exact integer sums and the
     * identical closed-form expressions on both engines, the result is
     * bit-deterministic. (Scale caps documented inline; the price² sum uses
-    * DECIMAL(38) because its 1e4 grid would overflow LONG near 1e19.) */
+    * DECIMAL(38) because its 1e4 grid would overflow LONG near 1e19.)
+    *
+    * The median deliberately does NOT use `percentile()`: one
+    * ImperativeAggregate forces the ENTIRE aggregate — all nine codegen-able
+    * power sums with it — onto the interpreted ObjectHashAggregate path.
+    * l_quantity is integral on a ~50-value domain, so ONE codegen'd
+    * HashAggregate by (returnflag, quantity) carries every partial power sum
+    * down to ≤150 histogram rows (integer/decimal partial sums re-aggregate
+    * bit-identically by associativity), and the median falls out of an
+    * O(groups) window walk over the same histogram — single scan, no second
+    * pass, no interpreted aggregate, no join. Interpolation matches
+    * `percentile`/`quantile_cont` exactly: pos = 0.5·(n−1) on the 0-based
+    * sorted ranks, v_lo + frac·(v_hi − v_lo) — bit-exact here because the
+    * neighbors are integral doubles and frac ∈ {0, 0.5}. (Same-JVM
+    * interleaved A/B at the 600M-row sf100 rung, `Probe q29ab`: local
+    * wall-clock is scan-arithmetic-bound so the forms read parity to
+    * slightly-ahead — pairwise 83.9→85.5, 85.9→80.0, 63.6→54.4 s under
+    * host phase drift; the rewrite's claim is the plan shape, which is
+    * what degrades under executor memory pressure at real scale.) */
   def statsAgg(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables
-      .lineitem(spark, sfDir)
-      .groupBy($"l_returnflag")
+    import org.apache.spark.sql.expressions.Window
+    // One pass: every measure's PARTIAL sum per (returnflag, quantity) cell.
+    // count(*) counts null-quantity rows too (they'd form their own cell),
+    // matching the flat count; the qty-derived sums skip nulls natively.
+    val hist = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag", $"l_quantity")
       .agg(
-        count(lit(1)).cast("double").as("n"),
-        sum($"l_quantity".cast("long")).cast("double").as("sx"),
-        sum(($"l_quantity" * $"l_quantity").cast("long")).cast("double").as("sxx"),
-        sum(round($"l_extendedprice" * 100).cast("long")).cast("double").as("sy"),
+        count(lit(1)).as("cnt"),
+        sum($"l_quantity".cast("long")).as("p_sx"),
+        sum(($"l_quantity" * $"l_quantity").cast("long")).as("p_sxx"),
+        sum(round($"l_extendedprice" * 100).cast("long")).as("p_sy"),
         sum(round($"l_extendedprice" * $"l_extendedprice" * 10000).cast("decimal(38,0)"))
-          .cast("double")
-          .as("syy"),
+          .as("p_syy"),
         // price*qty on the 1e2 grid: term magnitude ~5e8, and the three
         // returnflag groups are unbounded — LONG runs out near SF ~9e3,
         // so sxy joins syy on the DECIMAL(38) accumulator
         sum(round($"l_extendedprice" * $"l_quantity" * 100).cast("decimal(38,0)"))
-          .cast("double")
-          .as("sxy"),
-        sum(round($"l_discount" * 100).cast("long")).cast("double").as("sdc"),
-        sum(round($"l_discount" * $"l_quantity" * 100).cast("long")).cast("double").as("sxd"),
-        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          .as("p_sxy"),
+        sum(round($"l_discount" * 100).cast("long")).as("p_sdc"),
+        sum(round($"l_discount" * $"l_quantity" * 100).cast("long")).as("p_sxd")
+      )
+    val byFlag = Window.partitionBy($"l_returnflag")
+    val cumW   = byFlag.orderBy($"l_quantity")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // percentile()/quantile_cont skip NULLs — the rank walk must too.
+    val nn = when($"l_quantity".isNotNull, $"cnt").otherwise(lit(0L))
+    hist
+      .withColumn("cum", sum(nn).over(cumW))
+      .withColumn("ntot", sum(nn).over(byFlag))
+      .withColumn("pos", lit(0.5) * ($"ntot" - 1).cast("double"))
+      .withColumn("lo", floor($"pos").cast("long"))
+      .withColumn("hi", least($"lo" + 1, $"ntot" - 1))
+      .groupBy($"l_returnflag")
+      .agg(
+        sum($"cnt").cast("double").as("n"),
+        sum($"p_sx").cast("double").as("sx"),
+        sum($"p_sxx").cast("double").as("sxx"),
+        sum($"p_sy").cast("double").as("sy"),
+        sum($"p_syy").cast("double").as("syy"),
+        sum($"p_sxy").cast("double").as("sxy"),
+        sum($"p_sdc").cast("double").as("sdc"),
+        sum($"p_sxd").cast("double").as("sxd"),
+        // a value's 0-based rank range is [cum-cnt, cum); exactly one
+        // non-null row contains each target rank
+        max(when($"l_quantity".isNotNull && $"cum" - nn <= $"lo" && $"lo" < $"cum",
+          $"l_quantity")).as("v_lo"),
+        max(when($"l_quantity".isNotNull && $"cum" - nn <= $"hi" && $"hi" < $"cum",
+          $"l_quantity")).as("v_hi"),
+        max(when($"l_quantity".isNotNull, $"pos" - $"lo")).as("frac"),
         min($"l_quantity").as("min_qty"),
         max($"l_quantity").as("max_qty")
       )
+      .withColumn("median_qty", $"v_lo" + $"frac" * ($"v_hi" - $"v_lo"))
       .select(
         $"l_returnflag",
         round(sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)), 6).as("sd_qty"),
@@ -168,14 +216,22 @@ object Advanced {
 
   /** Geometric mean of extended price per return flag via the typed
     * [[graft.functions.GeoMean]] Aggregator (UDAF surface) — plans as
-    * partial/final aggregation like a built-in. */
+    * partial/final aggregation like a built-in. The UDAF returns
+    * (geomean, n) so the group count needs no sibling count() — a ridden
+    * declarative aggregate would put the whole per-row update path on the
+    * interpreted ObjectHashAggregate (the pre-rewrite q29 defect). */
   def geoMeanUdaf(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val geomean = udaf(graft.functions.GeoMean)
     Tables
       .lineitem(spark, sfDir)
       .groupBy($"l_returnflag")
-      .agg(round(geomean($"l_extendedprice"), 6).as("geomean_price"), count(lit(1)).as("n"))
+      .agg(geomean($"l_extendedprice").as("g"))
+      .select(
+        $"l_returnflag",
+        round($"g".getField("_1"), 6).as("geomean_price"),
+        $"g".getField("_2").as("n")
+      )
       .orderBy($"l_returnflag")
   }
 

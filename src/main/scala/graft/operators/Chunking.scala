@@ -157,17 +157,16 @@ object Chunking {
       .withColumn("b", when(h60($"tok") % 16 === 0, 1L).otherwise(0L))
       .withColumn("chunk_id", sum($"b").over(w))
       .groupBy($"doc_id", $"chunk_id")
-      .agg(
-        count(lit(1)).as("n_toks"),
-        md5(
-          array_join(
-            transform(
-              array_sort(collect_list(struct($"pos", $"tok"))),
-              p => p.getField("tok")
-            ),
-            " "
-          )
-        ).as("chunk_md5")
+      // collect_list ALONE: a count() riding beside it would drag the whole
+      // agg's per-row update onto the interpreted path for nothing — the
+      // token count IS the collected array's size (struct(pos,tok) is never
+      // null, so collect_list drops nothing)
+      .agg(array_sort(collect_list(struct($"pos", $"tok"))).as("pm"))
+      .select(
+        $"doc_id",
+        $"chunk_id",
+        size($"pm").cast("long").as("n_toks"),
+        md5(array_join(transform($"pm", p => p.getField("tok")), " ")).as("chunk_md5")
       )
   }
 

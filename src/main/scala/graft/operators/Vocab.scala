@@ -242,17 +242,18 @@ object Vocab {
       .join(broadcast(v), Seq("token"), "left")
       .withColumn("id", coalesce($"token_id", lit(-1)))
       .groupBy($"doc_id")
-      .agg(
-        count(lit(1)).as("n_toks"),
-        sum(when($"id" === -1, 1L).otherwise(0L)).as("n_unk"),
+      // collect_list ALONE (see Chunking.cdcChunkInventory): the token and
+      // unknown counts derive from the collected array — struct(pos,id) is
+      // never null, so size() is the exact count — instead of riding
+      // count/sum beside the ImperativeAggregate and interpreting the
+      // whole per-token update path
+      .agg(array_sort(collect_list(struct($"pos".as("p"), $"id".as("i")))).as("pm"))
+      .select(
+        $"doc_id",
+        size($"pm").cast("long").as("n_toks"),
+        size(filter($"pm", s => s.getField("i") === -1)).cast("long").as("n_unk"),
         md5(
-          concat_ws(
-            ",",
-            transform(
-              array_sort(collect_list(struct($"pos".as("p"), $"id".as("i")))),
-              s => s.getField("i").cast("string")
-            )
-          )
+          concat_ws(",", transform($"pm", s => s.getField("i").cast("string")))
         ).as("ids_md5")
       )
       .orderBy($"doc_id")

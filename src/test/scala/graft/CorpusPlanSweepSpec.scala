@@ -9,14 +9,19 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
 import org.apache.spark.sql.functions._
 
 /** Corpus-wide plan-shape sweep: every declared query's physical plan is
-  * walked for the three silent scale-killers —
+  * walked for the silent scale-killers —
   *
   *   1. `CartesianProduct` (O(n·m) rows shipped everywhere),
-  *   2. `BroadcastNestedLoopJoin` (a cartesian wearing a broadcast), and
+  *   2. `BroadcastNestedLoopJoin` (a cartesian wearing a broadcast),
   *   3. a broadcast whose input subtree contains an UNBOUNDED Generate
   *      (an exploded relation grows with the data — broadcasting it OOMs
   *      the driver at scale; an aggregate or limit between the explode and
-  *      the exchange re-bounds it and is legitimate).
+  *      the exchange re-bounds it and is legitimate),
+  *   4. an unpartitioned window over unbounded input, and
+  *   5. declarative (codegen-able) aggregates mixed into an
+  *      ObjectHashAggregate — one ImperativeAggregate in the list drags
+  *      every sibling onto the interpreted per-row path (the pre-rewrite
+  *      q29 defect; pure collect_list/sketch aggs are the legal idiom).
   *
   * Two escape hatches, both deliberate:
   *
@@ -86,7 +91,14 @@ class CorpusPlanSweepSpec extends SparkSpec {
     // SemDeDup coarse-quantizer assignment crossJoins broadcast(k
     // centroids) — the q76/q107 shape; the pairwise stage itself is an
     // equi-join on cent_id (Curation.semanticDedup)
-    "q141_semantic_dedup" -> Set("BroadcastNestedLoopJoin")
+    "q141_semantic_dedup" -> Set("BroadcastNestedLoopJoin"),
+    // the mixed (hll_union_agg + count) global agg's INPUT is the per-day
+    // sketch table — already reduced to ≤ #days rows by the PURE-imperative
+    // per-day hll_sketch_agg beneath it, so the corpus-scale level never
+    // mixes and the interpreted level sees bounded rows (TimeSeries :89)
+    "q82_hll_sketch_union" -> Set(
+      "codegen-able aggregates riding the interpreted ObjectHashAggregate path"
+    )
     // (q146's deliberate <=100-pair cartesian over the top-k cut runs
     // EAGERLY inside its localCheckpoint at declaration time, so the
     // declared plan the sweep walks no longer contains it — the bound is
@@ -157,6 +169,22 @@ class CorpusPlanSweepSpec extends SparkSpec {
       case w: org.apache.spark.sql.execution.window.WindowExec
           if w.partitionSpec.isEmpty && !limitedBelow(w.child) =>
         Seq("unpartitioned window over unbounded input")
+      // one ImperativeAggregate in an agg list drags EVERY sibling aggregate
+      // onto the interpreted ObjectHashAggregate path (no whole-stage
+      // codegen, per-row boxing at both partial and final levels) — the
+      // pre-rewrite q29 defect, where percentile() cost nine codegen-able
+      // power sums their HashAggregate. A pure imperative agg (collect_list
+      // reassembly, a sketch) is fine: there is nothing codegen-able to
+      // lose. Mixing is the flag; the fix is deriving the imperative part
+      // from a histogram/array instead (q29) or splitting the aggregate.
+      case a: ObjectHashAggregateExec =>
+        val fns = a.aggregateExpressions.map(_.aggregateFunction)
+        val (decl, imp) = fns.partition(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate]
+        )
+        if (decl.nonEmpty && imp.nonEmpty)
+          Seq("codegen-able aggregates riding the interpreted ObjectHashAggregate path")
+        else Nil
       case _ => Nil
     }
   }
@@ -281,6 +309,32 @@ class CorpusPlanSweepSpec extends SparkSpec {
     val top = (1 to 100).toDF("v").orderBy($"v".desc).limit(5)
     val k   = scaleKillers(top.withColumn("rn", row_number().over(Window.orderBy($"v".desc))))
     assert(k.isEmpty, s"false positive on a bounded global window: $k")
+  }
+
+  test("sweep flags codegen-able aggregates mixed into an ObjectHashAggregate") {
+    import spark.implicits._
+    val data = Seq((1, "a b c"), (2, "d e")).toDF("id", "txt")
+    // collect_list (imperative) + count (declarative) in ONE agg: the count
+    // rides the interpreted path — the pre-rewrite q29 shape
+    val k = scaleKillers(
+      data.groupBy($"id").agg(collect_list($"txt").as("l"), count(lit(1)).as("n"))
+    )
+    assert(
+      k.contains("codegen-able aggregates riding the interpreted ObjectHashAggregate path"),
+      s"mixed ObjectHashAggregate escaped the sweep: $k"
+    )
+  }
+
+  test("sweep accepts a pure-imperative ObjectHashAggregate (reassembly idiom)") {
+    import spark.implicits._
+    val data = Seq((1, "a b c"), (2, "d e")).toDF("id", "txt")
+    val k = scaleKillers(
+      data
+        .groupBy($"id")
+        .agg(collect_list($"txt").as("l"))
+        .select($"id", size($"l").as("n")) // the shipped idiom: size post-agg
+    )
+    assert(k.isEmpty, s"false positive on a pure collect_list agg: $k")
   }
 
   test("sweep accepts a scalar (one-row) nested-loop side") {
