@@ -169,6 +169,53 @@ object Advanced {
     ).orderBy($"day")
   }
 
+  /** Exact interpolated quartiles per group WITHOUT an ImperativeAggregate —
+    * the q29 histogram-median pattern promoted to a first-class grouped-
+    * quantile operator and the 100 TB-safe plan pair to q36's
+    * `percentile(...)` exact part. One codegen'd HashAggregate collapses
+    * the scan to a (returnflag, quantity) histogram (l_quantity is integral
+    * on a ~50-value domain, so partial aggregation bounds every partition's
+    * state at ≤150 cells regardless of row count), then an O(groups) window
+    * walk reads each target rank. Interpolation matches
+    * `percentile`/`quantile_cont` exactly — pos = q·(n−1) on the 0-based
+    * sorted ranks, v_lo + frac·(v_hi − v_lo) — and is bit-exact here: the
+    * neighbors are small integral doubles and frac ∈ {0, ¼, ½, ¾}, so every
+    * product and sum is exactly representable. The general-domain variant
+    * of this plan buckets values first (the histogram key becomes the
+    * bucket), trading exactness for the same bounded-state shape. */
+  def groupedQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byFlag = Window.partitionBy($"l_returnflag")
+    val cumW   = byFlag.orderBy($"l_quantity")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w = Tables.lineitem(spark, sfDir)
+      .filter($"l_quantity".isNotNull) // quantile_cont/percentile skip NULLs
+      .groupBy($"l_returnflag", $"l_quantity")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum($"cnt").over(cumW))
+      .withColumn("ntot", sum($"cnt").over(byFlag))
+    def quantileCol(q: Double, nm: String) = {
+      val pos  = lit(q) * ($"ntot" - 1).cast("double")
+      val lo   = floor(pos).cast("long")
+      val hi   = least(lo + 1, $"ntot" - 1)
+      // a value's 0-based rank range is [cum-cnt, cum); exactly one row
+      // contains each target rank, so max(when(...)) selects it
+      val vLo  = max(when($"cum" - $"cnt" <= lo && lo < $"cum", $"l_quantity"))
+      val vHi  = max(when($"cum" - $"cnt" <= hi && hi < $"cum", $"l_quantity"))
+      val frac = max(pos - lo) // constant within the flag
+      (vLo + frac * (vHi - vLo)).as(nm)
+    }
+    w.groupBy($"l_returnflag")
+      .agg(
+        sum($"cnt").as("n"),
+        quantileCol(0.25, "q25"),
+        quantileCol(0.50, "q50"),
+        quantileCol(0.75, "q75")
+      )
+      .orderBy($"l_returnflag")
+  }
+
   /** approx_percentile (sketch quantiles) made fully oracle-checkable: the
     * declared output is the EXACT interpolated quartiles (deterministic,
     * identical in DuckDB's quantile_cont) plus `within_tolerance` — computed

@@ -695,6 +695,23 @@ object Registry {
         FROM events GROUP BY day ORDER BY day
       """)
     ),
+    // Exact quartiles from the bounded value histogram — no
+    // ImperativeAggregate anywhere in the plan (the 100 TB-safe exact-
+    // quantile form; q36 below is the sketch+interpreted-exact audit pair).
+    Q(
+      "q162_grouped_quantiles",
+      Advanced.groupedQuantiles,
+      Some("""
+        SELECT l_returnflag,
+               COUNT(l_quantity) AS n,
+               quantile_cont(l_quantity, 0.25) AS q25,
+               quantile_cont(l_quantity, 0.50) AS q50,
+               quantile_cont(l_quantity, 0.75) AS q75
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+      """)
+    ),
     // Sketch quantiles: declared output = exact quartiles + Spark-side
     // tolerance boolean; the oracle replays the exact part.
     Q(

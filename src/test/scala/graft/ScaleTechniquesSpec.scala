@@ -242,6 +242,28 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("histogram grouped quantiles are BIT-identical to percentile()'s interpolation") {
+    import spark.implicits._
+    // q162's contract: same interpolation as the built-in ImperativeAggregate,
+    // from an all-codegen bounded-histogram plan — exact equality, not
+    // tolerance (integral neighbors, frac in {0, 1/4, 1/2, 3/4})
+    val hist = graft.operators.Advanced.groupedQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val ref = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg(
+        count($"l_quantity").as("n"),
+        expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("q")
+      )
+      .select($"l_returnflag", $"n", $"q".getItem(0), $"q".getItem(1), $"q".getItem(2))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(hist.keySet == ref.keySet)
+    ref.foreach { case (k, e) => assert(hist(k) == e, s"$k hist=${hist(k)} percentile=$e") }
+  }
+
   test("observe() exposes write-audit metrics (O14 without a re-read)") {
     import spark.implicits._
     val obs = new org.apache.spark.sql.Observation("audit")
