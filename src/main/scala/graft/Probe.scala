@@ -1583,6 +1583,7 @@ object Probe {
         "q01_pricing_summary",
         "q11_join_revenue_by_nation",
         "q29_stats_agg",
+        "q162_grouped_quantiles",
         "q02_top_event_types",
         "q03_recent_window_daily"
       )
@@ -1740,6 +1741,7 @@ object Probe {
         "q01_pricing_summary",
         "q11_join_revenue_by_nation",
         "q29_stats_agg",
+        "q162_grouped_quantiles",
         "q02_top_event_types",
         "q03_recent_window_daily"
       )
