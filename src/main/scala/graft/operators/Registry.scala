@@ -2092,6 +2092,26 @@ object Registry {
       Some(s"""
         WITH $embNrmCte, $trainedCentsCteSql, $ivfProbeSql, $pqCodebookCteSql, $pqQueryTailSql
       """)
+    ),
+    // The reference program as one declared query: events served by an
+    // in-JVM stub ES cluster, scrolled back over HTTP through the REAL
+    // wire-protocol connector (sliced scroll, pushed match_phrase,
+    // _source-pruned columns, cleared contexts), then the daily purchase
+    // rollup. The oracle computes the rollup straight from the parquet —
+    // the hash compare proves the HTTP/JSON round trip is lossless.
+    Q(
+      "q163_es_scroll_export",
+      graft.sources.es.EsQueries.dailyPurchases,
+      Some("""
+        SELECT CAST(ts AS DATE) AS day,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY day
+        ORDER BY day
+      """)
     )
   )
 

@@ -1,0 +1,52 @@
+package graft.sources.es
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared queries exercising the wire-protocol ES connector end to end.
+  *
+  * q163 is the reference's whole program as ONE declared query
+  * (Bootstrap.java: discover → scroll-export with a pushed match_phrase →
+  * sink), except the export lands in a DataFrame and aggregates instead of
+  * raw parquet files: seed the stub cluster from the fixture events table,
+  * scroll it back over HTTP through [[EsScrollSource]] (8 slices, pushed
+  * `match_phrase(event_type)`, `_source`-pruned columns), and compute the
+  * daily purchase rollup. The DuckDB oracle computes the same rollup
+  * directly over the events parquet — so the hash compare proves the wire
+  * round-trip (JSON encode → scroll pages → tolerant decode → timestamp
+  * micros) is lossless, not just row-count-preserving.
+  */
+object EsQueries {
+
+  def dailyPurchases(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev  = Tables.events(spark, sfDir)
+    val srv = EsStubServer.fromDataFrame(ev, "events")
+    srv.start()
+    try {
+      val scrolled = spark.read
+        .format("graft.sources.es.EsScrollSource")
+        .schema(ev.schema)
+        .option("url", srv.url)
+        .option("index", "events")
+        .option("slices", 8)
+        .option("pageSize", 5000)
+        .load()
+        .where($"event_type" === "purchase") // pushed as match_phrase; non-matches never cross the wire
+        .select($"ts", $"user_id", $"value") // pruned into the request's _source filter
+      val rollup = scrolled
+        .groupBy(to_date($"ts").as("day"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct($"user_id").as("n_users"),
+          Det.decSum($"value", 2).as("sum_value")
+        )
+      // materialize while the stub cluster is still serving; the rollup is
+      // O(days) rows, so the checkpoint is tiny and later actions (the
+      // verify write, plan sweeps) replay from it, not from HTTP
+      val pinned = rollup.localCheckpoint()
+      pinned.orderBy($"day")
+    } finally srv.stop()
+  }
+}

@@ -1,0 +1,273 @@
+package graft.sources.es
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.DataFrame
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.time.Instant
+import java.util.UUID
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+/** An in-JVM HTTP server speaking the Elasticsearch search/scroll wire
+  * format — the integration-test double for the live cluster the reference
+  * connects to (ElasticsearchConnection.connect, Bootstrap.java:262-263).
+  * [[EsScrollSource]] is a REAL wire-protocol connector; this server is the
+  * only stand-in, and only because no ES cluster exists in this sandbox.
+  *
+  * Implements the slice of the ES REST API a scroll export touches:
+  *   - `POST /{index}/_search?scroll=...` — initial search: evaluates the
+  *     request's query DSL (`match_all` / `match_phrase` / `term` /
+  *     `terms` / `range` / `exists` / `bool` with must/should/must_not)
+  *     against the seeded rows, applies the `slice` spec (docs are
+  *     distributed by row index mod `max` — the server-side detail a
+  *     client never observes), honors `"_source": [cols...]` filtering,
+  *     returns the first `size` hits plus a `_scroll_id`.
+  *   - `POST /_search/scroll` — next page for a live scroll context; an
+  *     exhausted context returns an empty hit page (the loop-termination
+  *     condition the reference polls, EsParquetWriter.java:72).
+  *   - `DELETE /_search/scroll` — clears contexts (counted, so tests can
+  *     assert the connector's scroll hygiene).
+  *
+  * Rows are seeded from a DataFrame via [[EsStubServer.fromDataFrame]] —
+  * the one driver-side collect is the test double's seed (the server plays
+  * the EXTERNAL system holding the data; it is not an engine data path)
+  * and is bounded by fixture scale. Timestamps are served as ISO-8601
+  * instants (the ES `date` convention); `malformedEvery=n` replaces every
+  * n-th hit's `_source` with a scalar to exercise the connector's
+  * per-record skip.
+  */
+class EsStubServer(
+    index: String,
+    colNames: Array[String],
+    rows: IndexedSeq[Array[Any]],
+    malformedEvery: Int = 0
+) {
+  private val mapper = new ObjectMapper
+  private var server: HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
+
+  // observability for specs: what the connector actually sent
+  @volatile var lastSearchBody: String = ""
+  val searchCalls  = new AtomicLong(0)
+  val scrollCalls  = new AtomicLong(0)
+  val clearedScrolls = new AtomicLong(0)
+  /** Total hits serialized over the wire (pushdown tests assert this). */
+  val hitsServed = new AtomicLong(0)
+
+  private case class Ctx(ids: Array[Int], cols: Array[String], pageSize: Int, var pos: Int)
+  private val contexts = new ConcurrentHashMap[String, Ctx]()
+
+  def liveContexts: Int = contexts.size()
+
+  def start(): Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => handle(ex))
+    pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    server.setExecutor(pool)
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def url: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+
+  /** HttpServer.stop does NOT shut down a user-supplied executor; without the
+    * explicit shutdown the 8 non-daemon pool threads keep the JVM alive after
+    * main() returns (a Verify run would never exit). */
+  def stop(): Unit = if (server != null) {
+    server.stop(0)
+    pool.shutdownNow()
+  }
+
+  private def handle(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    try {
+      val resp: String = (ex.getRequestMethod, path) match {
+        case ("DELETE", "/_search/scroll") => clearScroll(body)
+        case ("POST" | "GET", "/_search/scroll") => scrollNext(body)
+        case ("POST" | "GET", p) if p == s"/$index/_search" => initialSearch(body)
+        case _ => throw new IllegalArgumentException(s"unhandled route ${ex.getRequestMethod} $path")
+      }
+      val bytes = resp.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+    } catch {
+      case e: Exception =>
+        val err = s"""{"error":${mapper.writeValueAsString(e.toString)}}""".getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(400, err.length)
+        ex.getResponseBody.write(err)
+    } finally ex.close()
+  }
+
+  private def initialSearch(body: String): String = {
+    searchCalls.incrementAndGet()
+    lastSearchBody = body
+    val req   = mapper.readTree(body)
+    val size  = if (req.has("size")) req.get("size").asInt() else 10
+    val slice = req.path("slice")
+    val (sliceId, sliceMax) =
+      if (slice.isObject) (slice.get("id").asInt(), slice.get("max").asInt()) else (0, 1)
+    val cols: Array[String] =
+      if (req.path("_source").isArray) {
+        val a = req.get("_source").asInstanceOf[ArrayNode]
+        (0 until a.size).map(a.get(_).asText()).toArray
+      } else colNames
+    val q   = req.path("query")
+    val ids = rows.indices.iterator
+      .filter(i => i % sliceMax == sliceId && evalQuery(q, rows(i)))
+      .toArray
+    val id  = s"$index:${UUID.randomUUID().toString}"
+    val ctx = Ctx(ids, cols, size, 0)
+    contexts.put(id, ctx)
+    pageResponse(id, ctx)
+  }
+
+  private def scrollNext(body: String): String = {
+    scrollCalls.incrementAndGet()
+    val id  = mapper.readTree(body).path("scroll_id").asText()
+    val ctx = contexts.get(id)
+    require(ctx != null, s"unknown scroll_id $id") // ES: search_context_missing
+    pageResponse(id, ctx)
+  }
+
+  private def clearScroll(body: String): String = {
+    val idsNode = mapper.readTree(body).path("scroll_id")
+    val ids =
+      if (idsNode.isArray) (0 until idsNode.size).map(idsNode.get(_).asText())
+      else Seq(idsNode.asText())
+    var n = 0
+    ids.foreach(i => if (contexts.remove(i) != null) n += 1)
+    clearedScrolls.addAndGet(n)
+    s"""{"succeeded":true,"num_freed":$n}"""
+  }
+
+  private def pageResponse(id: String, ctx: Ctx): String = synchronized {
+    val root = mapper.createObjectNode()
+    root.put("_scroll_id", id)
+    val hitsObj = root.putObject("hits")
+    hitsObj.putObject("total").put("value", ctx.ids.length).put("relation", "eq")
+    val arr  = hitsObj.putArray("hits")
+    val end  = math.min(ctx.pos + ctx.pageSize, ctx.ids.length)
+    var k = ctx.pos
+    while (k < end) {
+      val rowIdx = ctx.ids(k)
+      val hit = arr.addObject()
+      hit.put("_index", index)
+      hit.put("_id", rowIdx.toString)
+      if (malformedEvery > 0 && (k + 1) % malformedEvery == 0)
+        hit.put("_source", 42) // not an object: the connector must skip it
+      else {
+        val src = hit.putObject("_source")
+        ctx.cols.foreach { c =>
+          val ci = colNames.indexOf(c)
+          if (ci >= 0) putJson(src, c, rows(rowIdx)(ci))
+        }
+      }
+      hitsServed.incrementAndGet()
+      k += 1
+    }
+    ctx.pos = end
+    root.toString
+  }
+
+  private def putJson(n: ObjectNode, k: String, v: Any): Unit = v match {
+    case null                  => n.putNull(k)
+    case s: String             => n.put(k, s)
+    case i: Int                => n.put(k, i)
+    case l: Long               => n.put(k, l)
+    case d: Double             => n.put(k, d)
+    case f: Float              => n.put(k, f.toDouble)
+    case b: Boolean            => n.put(k, b)
+    case t: java.sql.Timestamp => n.put(k, t.toInstant.toString)
+    case d: java.sql.Date      => n.put(k, d.toString)
+    case other                 => n.put(k, String.valueOf(other))
+  }
+
+  // ---- query DSL evaluation over a seeded row -------------------------
+
+  private def field(row: Array[Any], name: String): Any = {
+    val i = colNames.indexOf(name)
+    if (i < 0) null else row(i)
+  }
+
+  /** Comparable form: timestamps → epoch micros, numbers → double. */
+  private def comparable(v: Any): Any = v match {
+    case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    case n: Number             => n.doubleValue()
+    case other                 => other
+  }
+
+  private def queryVal(n: JsonNode): Any =
+    if (n.isNumber) n.asDouble()
+    else if (n.isBoolean) n.asBoolean()
+    else {
+      val s = n.asText()
+      try { val i = Instant.parse(s); i.getEpochSecond * 1000000L + i.getNano / 1000L }
+      catch { case _: Exception => s }
+    }
+
+  private def cmp(a: Any, b: Any): Option[Int] = (comparable(a), b) match {
+    case (null, _)              => None
+    case (x: Long, y: Long)     => Some(java.lang.Long.compare(x, y))
+    case (x: Long, y: Double)   => Some(java.lang.Double.compare(x.toDouble, y))
+    case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+    case (x: Double, y: Long)   => Some(java.lang.Double.compare(x, y.toDouble))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case _                      => None
+  }
+
+  private def evalQuery(q: JsonNode, row: Array[Any]): Boolean = {
+    if (q == null || q.isMissingNode || !q.isObject || q.size() == 0) return true
+    val kind = q.fieldNames().next()
+    val bodyN = q.get(kind)
+    kind match {
+      case "match_all" => true
+      case "match_phrase" | "term" =>
+        val f = bodyN.fieldNames().next()
+        val vNode = bodyN.get(f)
+        val v = queryVal(if (vNode.isObject) vNode.get("value") else vNode)
+        cmp(field(row, f), v).contains(0)
+      case "terms" =>
+        val f   = bodyN.fieldNames().next()
+        val arr = bodyN.get(f)
+        (0 until arr.size).exists(i => cmp(field(row, f), queryVal(arr.get(i))).contains(0))
+      case "range" =>
+        val f  = bodyN.fieldNames().next()
+        val rq = bodyN.get(f)
+        val v  = field(row, f)
+        def ok(op: String, test: Int => Boolean): Boolean =
+          !rq.has(op) || cmp(v, queryVal(rq.get(op))).exists(test)
+        v != null && ok("gt", _ > 0) && ok("gte", _ >= 0) && ok("lt", _ < 0) && ok("lte", _ <= 0)
+      case "exists" =>
+        field(row, bodyN.get("field").asText()) != null
+      case "bool" =>
+        def all(name: String, p: Boolean => Boolean): Boolean = {
+          val a = bodyN.path(name)
+          !a.isArray || (0 until a.size).forall(i => p(evalQuery(a.get(i), row)))
+        }
+        val should = bodyN.path("should")
+        val shouldOk = !should.isArray || should.size() == 0 ||
+          (0 until should.size).exists(i => evalQuery(should.get(i), row))
+        all("must", identity) && all("must_not", !_) && shouldOk
+      case other => throw new IllegalArgumentException(s"stub does not implement query '$other'")
+    }
+  }
+}
+
+object EsStubServer {
+  /** Seed a stub index from a DataFrame. The collect here is the TEST
+    * DOUBLE's seed (the server impersonates the external ES cluster that
+    * owns the data); it is bounded by fixture scale and is never an engine
+    * execution path — the engine path is the HTTP read through
+    * [[EsScrollSource]]. */
+  def fromDataFrame(df: DataFrame, index: String, malformedEvery: Int = 0): EsStubServer = {
+    val cols = df.columns
+    val data = df.collect().map(r => Array.tabulate[Any](cols.length)(r.get)).toIndexedSeq
+    new EsStubServer(index, cols, data, malformedEvery)
+  }
+}

@@ -50,7 +50,7 @@ class DisciplineSpec extends AnyFunSuite {
     assert(fixed.isEmpty, s"fixed-name temp views (use the UUID sfx pattern):\n${fixed.mkString("\n")}")
   }
 
-  test("driver-side collect() stays confined to the seven audited sites") {
+  test("driver-side collect() stays confined to the eight audited sites") {
     // .collect() of row DATA on the driver is the anti-distributed smell;
     // the audited sites are CLI display (x2, bounded output), the
     // per-BUCKET scalar fold in the two-pass prefix sum (bounded by
@@ -61,13 +61,17 @@ class DisciplineSpec extends AnyFunSuite {
     // QcBuckets+1 = 64 longs — the q157 training loop's driver state,
     // Curation.scala doc), and the scalestream probe's cross-backend
     // registry equality check (probe-only diagnostics, bounded by the
-    // probe's own synthetic corpus — never a production path). Scalar
-    // .head() pulls are fine and not counted.
+    // probe's own synthetic corpus — never a production path), plus the
+    // ES stub server's seed (EsStubServer.fromDataFrame — the TEST DOUBLE
+    // impersonating the external cluster that owns the data; the engine
+    // path is the HTTP read through EsScrollSource, fixture-bounded by
+    // construction). Scalar .head() pulls are fine and not counted.
     val sites   = hits("""\.collect\(\)""")
-    val allowed = Set("Cli.scala", "operators/Chunking.scala", "operators/Curation.scala", "Probe.scala")
+    val allowed = Set("Cli.scala", "operators/Chunking.scala", "operators/Curation.scala", "Probe.scala",
+      "sources/es/EsStubServer.scala")
     val strays  = sites.filterNot(s => allowed.exists(s.startsWith))
     assert(strays.isEmpty, s"new driver collect() site — justify and allowlist or redesign:\n${strays.mkString("\n")}")
-    assert(sites.size <= 7, s"collect() sites grew within allowed files: $sites")
+    assert(sites.size <= 8, s"collect() sites grew within allowed files: $sites")
   }
 
   test("no Scala UDFs; the single typed-Aggregator UDAF is the declared surface") {
