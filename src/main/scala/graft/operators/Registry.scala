@@ -2112,6 +2112,37 @@ object Registry {
         GROUP BY day
         ORDER BY day
       """)
+    ),
+    // The reference's discovery aggregation over the wire connector: the
+    // terms/count request pushed down as a paged composite aggregation —
+    // only bucket rows cross the HTTP boundary, never documents.
+    Q(
+      "q164_es_discovery_agg",
+      graft.sources.es.EsQueries.topEventTypes,
+      Some("""
+        SELECT event_type, COUNT(*) AS count
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+      """)
+    ),
+    // The reference's daily-index window pruning over the wire: pattern
+    // discovery via _cat/indices, 20 of 30 day indices pruned at partition
+    // planning from the pushed ts bound, multi-index scroll of the rest.
+    Q(
+      "q165_es_window_pruned_export",
+      graft.sources.es.EsQueries.windowedDailyRollup,
+      Some("""
+        SELECT CAST(ts AS DATE) AS day,
+               event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-21 00:00:00'
+        GROUP BY day, event_type
+        ORDER BY day, event_type
+      """)
     )
   )
 

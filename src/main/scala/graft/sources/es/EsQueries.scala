@@ -49,4 +49,66 @@ object EsQueries {
       pinned.orderBy($"day")
     } finally srv.stop()
   }
+
+  /** q164: the reference's DISCOVERY aggregation served server-side — its
+    * Bootstrap runs a terms/count aggregation against ES to enumerate event
+    * types before exporting. Here `groupBy(event_type).count()` over the
+    * connector is pushed down (SupportsPushDownAggregates) as a paged
+    * `composite` aggregation: zero raw documents cross the wire, only
+    * O(distinct) bucket rows (spec-asserted: hitsServed == 0). The tiny
+    * pageSize forces multi-page `after` resumption at fixture scale. */
+  def topEventTypes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev  = Tables.events(spark, sfDir)
+    val srv = EsStubServer.fromDataFrame(ev, "events")
+    srv.start()
+    try {
+      val counts = spark.read
+        .format("graft.sources.es.EsScrollSource")
+        .schema(ev.schema)
+        .option("url", srv.url)
+        .option("index", "events")
+        .option("pageSize", 2) // < distinct event types: exercises composite paging
+        .load()
+        .groupBy($"event_type")
+        .count()
+      counts.localCheckpoint().orderBy($"event_type")
+    } finally srv.stop()
+  }
+
+  /** q165: the reference's time-partitioned index layout end to end — its
+    * program discovers daily `<name>-yyyy.MM.dd` indices and exports only
+    * those its query window touches (O2, window pruning). The stub cluster
+    * is seeded with one index per UTC day of the events fixture; the read
+    * uses the `events-*` pattern and a pushed `ts >=` filter, so the
+    * connector resolves indices via `_cat/indices` and PRUNES the 20
+    * out-of-window days at partition-planning time (spec-asserted: pruned
+    * indices receive zero requests). The oracle rolls up the parquet under
+    * the same predicate — hash equality proves discovery + pruning +
+    * multi-index scroll lose nothing. */
+  def windowedDailyRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev  = Tables.events(spark, sfDir)
+    val srv = EsStubServer.fromDayPartitionedDataFrame(ev, "events")
+    srv.start()
+    try {
+      val cut = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-21T00:00:00Z"))
+      val rollup = spark.read
+        .format("graft.sources.es.EsScrollSource")
+        .schema(ev.schema)
+        .option("url", srv.url)
+        .option("index", "events-*")
+        .option("slices", 2)
+        .option("pageSize", 5000)
+        .load()
+        .where($"ts" >= lit(cut)) // prunes 20 of 30 daily indices, then filters in-window rows server-side
+        .groupBy(to_date($"ts").as("day"), $"event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct($"user_id").as("n_users"),
+          Det.decSum($"value", 2).as("sum_value")
+        )
+      rollup.localCheckpoint().orderBy($"day", $"event_type")
+    } finally srv.stop()
+  }
 }

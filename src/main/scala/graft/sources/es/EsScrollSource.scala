@@ -7,7 +7,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -87,7 +88,8 @@ class EsScrollSource extends TableProvider {
     * same way (Bootstrap.java:294-303). */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val url    = EsScrollSource.reqOption(options, "url")
-    val index  = EsScrollSource.reqOption(options, "index")
+    val index  = EsScrollSource.resolveIndices(url,
+      EsScrollSource.reqOption(options, "index")).mkString(",")
     val sample = options.getInt("inferSample", 100)
     val body   = s"""{"size":$sample,"query":{"match_all":{}}}"""
     val resp   = EsScrollSource.post(s"$url/$index/_search", body)
@@ -113,7 +115,26 @@ object EsScrollSource {
     v
   }
 
+  /** CaseInsensitiveStringMap has NO two-arg get — a bare
+    * `o.get(k, default)` silently auto-tuples into `get((k, default))` and
+    * returns null. All defaulted string options must come through here. */
+  private[es] def optOrElse(o: CaseInsensitiveStringMap, k: String, default: String): String = {
+    val v = o.get(k)
+    if (v == null) default else v
+  }
+
   private val client = HttpClient.newHttpClient()
+
+  /** Transient-failure policy: ES sheds load with 429 (es_rejected_execution)
+    * and proxies/overload answer 502/503/504; a long export WILL see these and
+    * must retry with backoff rather than fail the Spark task (a task retry
+    * would restart the whole slice's scroll from scratch). 4xx other than 429
+    * is a caller bug — fail fast. Retries are safe because the stub (and real
+    * ES) reject before mutating scroll-context state. */
+  private val MaxRetries  = 4
+  private val RetryBaseMs = 50L
+  private def retryable(status: Int): Boolean =
+    status == 429 || status == 502 || status == 503 || status == 504
 
   private[es] def post(url: String, body: String): String =
     send(HttpRequest.newBuilder(URI.create(url))
@@ -125,10 +146,109 @@ object EsScrollSource {
       .header("Content-Type", "application/json")
       .method("DELETE", HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8)))
 
+  private[es] def get(url: String): String =
+    send(HttpRequest.newBuilder(URI.create(url)).GET())
+
+  /** Resolve an index name or `*` pattern to concrete indices. Patterns list
+    * the cluster's indices (`GET /_cat/indices?format=json` — the discovery
+    * call the reference's Bootstrap makes before exporting) and glob-match
+    * client-side. Sorted for deterministic partition planning. */
+  private[es] def resolveIndices(url: String, pattern: String): Seq[String] =
+    if (!pattern.contains("*")) Seq(pattern)
+    else {
+      val arr = new ObjectMapper().readTree(get(s"$url/_cat/indices?format=json"))
+      val rx  = ("^" + pattern.split("\\*", -1)
+        .map(java.util.regex.Pattern.quote).mkString(".*") + "$").r
+      (0 until arr.size).map(arr.get(_).path("index").asText())
+        .filter(n => rx.matches(n)).sorted
+    }
+
+  /** The UTC day a time-partitioned index covers, from its `-yyyy.MM.dd`
+    * suffix (the reference's daily-index naming); None = not day-suffixed,
+    * never pruned. */
+  private[es] def indexDay(name: String): Option[java.time.LocalDate] = {
+    val i = name.lastIndexOf('-')
+    if (i < 0) None
+    else
+      try Some(java.time.LocalDate.parse(name.substring(i + 1).replace('.', '-')))
+      catch { case _: Exception => None }
+  }
+
+  /** Conjunctive [lo, hi] micros bounds the pushed filters imply for
+    * `tsCol`. Only top-level filters and And-branches contribute (an Or
+    * bound would not be conjunctive); gt-vs-gte slack is irrelevant because
+    * the bounds are used only for WHOLE-DAY pruning, never row filtering. */
+  private[es] def tsBounds(filters: Array[Filter], tsCol: String): (Option[Long], Option[Long]) = {
+    def micros(v: Any): Option[Long] = v match {
+      case t: java.sql.Timestamp => Some(t.getTime * 1000L + (t.getNanos / 1000) % 1000)
+      case i: Instant            => Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      case _                     => None
+    }
+    var lo: Option[Long] = None
+    var hi: Option[Long] = None
+    def tighten(l: Option[Long], h: Option[Long]): Unit = {
+      l.foreach(m => lo = Some(lo.fold(m)(math.max(_, m))))
+      h.foreach(m => hi = Some(hi.fold(m)(math.min(_, m))))
+    }
+    def visit(f: Filter): Unit = f match {
+      case And(l, r)                                => visit(l); visit(r)
+      case GreaterThan(a, v) if a == tsCol          => tighten(micros(v), None)
+      case GreaterThanOrEqual(a, v) if a == tsCol   => tighten(micros(v), None)
+      case LessThan(a, v) if a == tsCol             => tighten(None, micros(v))
+      case LessThanOrEqual(a, v) if a == tsCol      => tighten(None, micros(v))
+      case EqualTo(a, v) if a == tsCol              => tighten(micros(v), micros(v))
+      case _                                        => ()
+    }
+    filters.foreach(visit)
+    (lo, hi)
+  }
+
+  /** Window pruning at the INDEX level — the reference's O2 (it only
+    * exports the daily indices its query window touches), here driven by
+    * the pushed ts-range filters: a day-suffixed index is dropped iff its
+    * whole [day, day+1) micros interval provably misses [lo, hi]. Pruned
+    * indices never receive a request. */
+  private[es] def pruneByWindow(
+      indices: Seq[String],
+      pushed: Array[Filter],
+      tsCol: String
+  ): Seq[String] = {
+    val (lo, hi) = tsBounds(pushed, tsCol)
+    if (lo.isEmpty && hi.isEmpty) indices
+    else
+      indices.filter { idx =>
+        indexDay(idx) match {
+          case Some(d) =>
+            val start = d.toEpochDay * 86400000000L
+            val end   = start + 86400000000L
+            !(hi.exists(_ < start) || lo.exists(_ >= end))
+          case None => true
+        }
+      }
+  }
+
   private def send(b: HttpRequest.Builder): String = {
-    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
-    require(resp.statusCode() / 100 == 2, s"ES request failed: HTTP ${resp.statusCode()} ${resp.body().take(200)}")
-    resp.body()
+    val req = b.build()
+    var attempt = 0
+    while (true) {
+      val resp =
+        try client.send(req, HttpResponse.BodyHandlers.ofString())
+        catch {
+          case e: java.io.IOException if attempt < MaxRetries =>
+            attempt += 1
+            Thread.sleep(RetryBaseMs << (attempt - 1))
+            null // connection-level blip (reset, refused during failover): retry
+        }
+      if (resp != null) {
+        if (resp.statusCode() / 100 == 2) return resp.body()
+        require(retryable(resp.statusCode()) && attempt < MaxRetries,
+          s"ES request failed: HTTP ${resp.statusCode()} ${resp.body().take(200)}" +
+            (if (retryable(resp.statusCode())) s" after $attempt retries" else ""))
+        attempt += 1
+        Thread.sleep(RetryBaseMs << (attempt - 1))
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Compile accepted Spark source filters to an ES query-DSL JSON string.
@@ -250,7 +370,8 @@ private class EsScrollTable(schema0: StructType, props: Map[String, String])
       EsScrollSource.reqOption(options, "index"),
       options.getInt("slices", 4),
       options.getInt("pageSize", 1000),
-      options.get("scroll", "3m") // the reference's TimeValue.timeValueMinutes(3)
+      EsScrollSource.optOrElse(options, "scroll", "3m"), // the reference's TimeValue.timeValueMinutes(3)
+      EsScrollSource.optOrElse(options, "timeField", "ts") // drives index-level window pruning
     )
 }
 
@@ -260,14 +381,17 @@ private class EsScanBuilder(
     index: String,
     slices: Int,
     pageSize: Int,
-    scroll: String
+    scroll: String,
+    timeField: String
 ) extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
   private var required: StructType  = full
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int]    = None
+  private var aggGroups: Array[StructField] = null // null = no aggregate pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
@@ -281,11 +405,150 @@ private class EsScanBuilder(
     f.references.forall(full.fieldNames.contains)
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def pushLimit(l: Int): Boolean =
+    if (aggGroups != null) false else { limit = Some(l); true }
+
+  /** COUNT(*) [GROUP BY cols] served by the ES aggregation endpoint — the
+    * reference's server-side discovery aggregation
+    * (the terms/count request its Bootstrap issues before exporting). The
+    * wire form is a paged `composite` aggregation (the documented ES
+    * mechanism for EXHAUSTIVE bucket enumeration — a plain `terms` agg
+    * truncates at `size` with an error bound, which a declared query can
+    * never ship on); grand-total COUNT(*) uses `track_total_hits`. Partial
+    * pushdown (supportCompletePushDown stays false): the scan emits exact
+    * (group, count) rows and Spark's final aggregate merges — a no-op over
+    * the single result partition, but keeps the plan correct if Spark ever
+    * splits the scan. */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val groupCols = agg.groupByExpressions.flatMap {
+      case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
+      case _                                               => None
+    }
+    val ok = groupCols.length == agg.groupByExpressions.length &&
+      groupCols.forall(full.fieldNames.contains) &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head.isInstanceOf[CountStar] &&
+      limit.isEmpty
+    if (ok) aggGroups = groupCols.map(full(_))
+    ok
+  }
 
   override def build(): Scan =
-    new EsScrollScan(url, index, slices, pageSize, scroll, required,
-      EsScrollSource.toEsQuery(pushed), pushed, limit)
+    if (aggGroups != null)
+      new EsAggScan(url, index, pageSize,
+        EsScrollSource.toEsQuery(pushed), pushed, aggGroups, timeField)
+    else
+      new EsScrollScan(url, index, slices, pageSize, scroll, required,
+        EsScrollSource.toEsQuery(pushed), pushed, limit, timeField)
+}
+
+private case class EsAggPartition(
+    url: String,
+    index: String,
+    queryJson: String,
+    pageSize: Int,
+    groupNames: Array[String],
+    groupTypesJson: String
+) extends InputPartition
+
+/** Scan for a pushed COUNT(*) [GROUP BY cols]: one input partition (the
+  * result is O(distinct groups), already reduced server-side), driving a
+  * paged composite aggregation — raw documents never cross the wire. */
+private class EsAggScan(
+    url: String,
+    index: String,
+    pageSize: Int,
+    queryJson: String,
+    pushed: Array[Filter],
+    groups: Array[StructField],
+    timeField: String
+) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(groups :+ StructField("count(*)", LongType, nullable = false))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"es-scroll index=$index PushedAggregation: [COUNT(*)" +
+      (if (groups.nonEmpty) s" GROUP BY ${groups.map(_.name).mkString(", ")}" else "") +
+      s"], PushedEsQuery: $queryJson, PushedFilters: [${pushed.mkString(", ")}]"
+  /** Surviving indices comma-join into ONE multi-index search (the ES
+    * form) — the server merges buckets across them; window-pruned indices
+    * never appear in the path. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val kept = EsScrollSource.pruneByWindow(
+      EsScrollSource.resolveIndices(url, index), pushed, timeField)
+    if (kept.isEmpty) Array.empty
+    else
+      Array(EsAggPartition(url, kept.mkString(","), queryJson, pageSize,
+        groups.map(_.name), StructType(groups).json))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new EsAggReader(p.asInstanceOf[EsAggPartition])
+    }
+}
+
+private class EsAggReader(p: EsAggPartition) extends PartitionReader[InternalRow] {
+  private val mapper     = new ObjectMapper
+  private val groupTypes = DataType.fromJson(p.groupTypesJson).asInstanceOf[StructType].fields
+  private var buckets: JsonNode      = _ // current composite page
+  private var afterKey: JsonNode     = _
+  private var pos                    = 0
+  private var done                   = false
+  private var totalEmitted           = false // grand-total (no groups) mode
+  private var row: InternalRow       = _
+
+  private def request(): JsonNode = {
+    val root = mapper.createObjectNode()
+    root.put("size", 0)
+    root.set[ObjectNode]("query", mapper.readTree(p.queryJson).asInstanceOf[ObjectNode])
+    if (p.groupNames.isEmpty) root.put("track_total_hits", true)
+    else {
+      val comp = root.putObject("aggs").putObject("g").putObject("composite")
+      comp.put("size", p.pageSize)
+      val srcs = comp.putArray("sources")
+      p.groupNames.foreach { c =>
+        srcs.addObject().putObject(c).putObject("terms").put("field", c)
+      }
+      if (afterKey != null && afterKey.isObject)
+        comp.set[ObjectNode]("after", afterKey.asInstanceOf[ObjectNode])
+    }
+    mapper.readTree(EsScrollSource.post(s"${p.url}/${p.index}/_search", root.toString))
+  }
+
+  override def next(): Boolean = {
+    if (p.groupNames.isEmpty) {
+      if (totalEmitted) return false
+      val n = request().path("hits").path("total").path("value").asLong()
+      row = new GenericInternalRow(Array[Any](n))
+      totalEmitted = true
+      return true
+    }
+    while (!done && (buckets == null || pos >= buckets.size())) {
+      if (buckets != null && buckets.size() < p.pageSize) { done = true; return false }
+      val agg = request().path("aggregations").path("g")
+      buckets = agg.path("buckets")
+      afterKey = agg.path("after_key")
+      pos = 0
+      if (buckets.size() == 0) { done = true; return false }
+    }
+    if (done) return false
+    val b    = buckets.get(pos)
+    val key  = b.path("key")
+    val vals = new Array[Any](groupTypes.length + 1)
+    var i = 0
+    while (i < groupTypes.length) {
+      vals(i) = EsScrollSource.toInternal(key.get(groupTypes(i).name), groupTypes(i).dataType)
+      i += 1
+    }
+    vals(groupTypes.length) = b.path("doc_count").asLong()
+    row = new GenericInternalRow(vals)
+    pos += 1
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = () // no server-side context to clear
 }
 
 private case class EsSlicePartition(
@@ -309,7 +572,8 @@ private class EsScrollScan(
     required: StructType,
     queryJson: String,
     pushed: Array[Filter],
-    limit: Option[Int]
+    limit: Option[Int],
+    timeField: String
 ) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -317,13 +581,19 @@ private class EsScrollScan(
     s"es-scroll index=$index slices=$slices PushedEsQuery: $queryJson, " +
       s"PushedFilters: [${pushed.mkString(", ")}]${limit.fold("")(l => s", PushedLimit: $l")}"
 
+  /** One partition per (surviving index × slice): pattern indices resolve
+    * via `_cat/indices` and day-suffixed ones outside the pushed ts window
+    * are pruned on the DRIVER (partition planning, exactly where Spark
+    * prunes catalog partitions) — executors scroll only surviving indices. */
   override def planInputPartitions(): Array[InputPartition] = {
     val n = math.max(1, slices)
-    (0 until n).map { i =>
-      EsSlicePartition(i, n, url, index, queryJson,
+    val kept = EsScrollSource.pruneByWindow(
+      EsScrollSource.resolveIndices(url, index), pushed, timeField)
+    (for { idx <- kept; i <- 0 until n } yield
+      EsSlicePartition(i, n, url, idx, queryJson,
         limit.fold(pageSize)(l => math.min(pageSize, math.max(1, l))),
         scroll, required.json, limit.getOrElse(-1)): InputPartition
-    }.toArray
+    ).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -44,21 +44,37 @@ class EsStubServer(
     index: String,
     colNames: Array[String],
     rows: IndexedSeq[Array[Any]],
-    malformedEvery: Int = 0
+    malformedEvery: Int = 0,
+    rejectEvery: Int = 0,
+    extraIndices: Map[String, IndexedSeq[Array[Any]]] = Map.empty
 ) {
+  private val allIndices: Map[String, IndexedSeq[Array[Any]]] =
+    extraIndices + (index -> rows)
   private val mapper = new ObjectMapper
   private var server: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
 
   // observability for specs: what the connector actually sent
   @volatile var lastSearchBody: String = ""
+  /** `scroll=` keep-alive of the last initial search (was once silently
+    * "null" via an auto-tupled options.get — keep it asserted). */
+  @volatile var lastScrollKeepAlive: String = ""
   val searchCalls  = new AtomicLong(0)
   val scrollCalls  = new AtomicLong(0)
   val clearedScrolls = new AtomicLong(0)
   /** Total hits serialized over the wire (pushdown tests assert this). */
   val hitsServed = new AtomicLong(0)
+  /** Requests shed with 429 (`rejectEvery` fault injection). */
+  val rejected = new AtomicLong(0)
+  private val reqSeq = new AtomicLong(0)
+  /** Per-index `_search` hit counts — index-pruning tests assert that a
+    * pruned index never receives a request. */
+  private val searchesPerIndex = new ConcurrentHashMap[String, AtomicLong]()
+  def searchCount(idx: String): Long = {
+    val c = searchesPerIndex.get(idx); if (c == null) 0L else c.get()
+  }
 
-  private case class Ctx(ids: Array[Int], cols: Array[String], pageSize: Int, var pos: Int)
+  private case class Ctx(data: IndexedSeq[Array[Any]], ids: Array[Int], cols: Array[String], pageSize: Int, var pos: Int)
   private val contexts = new ConcurrentHashMap[String, Ctx]()
 
   def liveContexts: Int = contexts.size()
@@ -84,12 +100,26 @@ class EsStubServer(
 
   private def handle(ex: HttpExchange): Unit = {
     val path = ex.getRequestURI.getPath
+    val q = ex.getRequestURI.getQuery
+    if (q != null && q.startsWith("scroll=")) lastScrollKeepAlive = q.stripPrefix("scroll=")
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    // Load shedding BEFORE any state mutation — exactly where real ES
+    // rejects (es_rejected_execution), so a client retry is always safe.
+    if (rejectEvery > 0 && reqSeq.incrementAndGet() % rejectEvery == 0) {
+      rejected.incrementAndGet()
+      val err = """{"error":{"type":"es_rejected_execution_exception"}}""".getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(429, err.length)
+      ex.getResponseBody.write(err)
+      ex.close()
+      return
+    }
     try {
       val resp: String = (ex.getRequestMethod, path) match {
         case ("DELETE", "/_search/scroll") => clearScroll(body)
         case ("POST" | "GET", "/_search/scroll") => scrollNext(body)
-        case ("POST" | "GET", p) if p == s"/$index/_search" => initialSearch(body)
+        case ("GET", "/_cat/indices") => catIndices()
+        case ("POST" | "GET", p) if p.endsWith("/_search") && knownIndices(p) =>
+          initialSearch(body, searchTarget(p))
         case _ => throw new IllegalArgumentException(s"unhandled route ${ex.getRequestMethod} $path")
       }
       val bytes = resp.getBytes(StandardCharsets.UTF_8)
@@ -104,11 +134,33 @@ class EsStubServer(
     } finally ex.close()
   }
 
-  private def initialSearch(body: String): String = {
+  private def pathIndices(path: String): Seq[String] =
+    path.stripPrefix("/").stripSuffix("/_search").split(',').toSeq
+
+  private def knownIndices(path: String): Boolean =
+    pathIndices(path).forall(allIndices.contains)
+
+  /** Resolve a `/{idx1,idx2,...}/_search` path to the concatenated rows of
+    * the named indices (the ES multi-index search). Counts each component
+    * ONCE per request for the pruning assertions. */
+  private def searchTarget(path: String): IndexedSeq[Array[Any]] = {
+    val names = pathIndices(path)
+    names.foreach(n => searchesPerIndex.computeIfAbsent(n, _ => new AtomicLong(0)).incrementAndGet())
+    names.flatMap(allIndices(_)).toIndexedSeq
+  }
+
+  private def catIndices(): String = {
+    val arr = mapper.createArrayNode()
+    allIndices.keys.toSeq.sorted.foreach(n => arr.addObject().put("index", n))
+    arr.toString
+  }
+
+  private def initialSearch(body: String, data: IndexedSeq[Array[Any]]): String = {
     searchCalls.incrementAndGet()
     lastSearchBody = body
-    val req   = mapper.readTree(body)
-    val size  = if (req.has("size")) req.get("size").asInt() else 10
+    val req = mapper.readTree(body)
+    if (req.has("aggs") || req.path("size").asInt(10) == 0) return aggSearch(req, data)
+    val size = if (req.has("size")) req.get("size").asInt() else 10
     val slice = req.path("slice")
     val (sliceId, sliceMax) =
       if (slice.isObject) (slice.get("id").asInt(), slice.get("max").asInt()) else (0, 1)
@@ -118,13 +170,71 @@ class EsStubServer(
         (0 until a.size).map(a.get(_).asText()).toArray
       } else colNames
     val q   = req.path("query")
-    val ids = rows.indices.iterator
-      .filter(i => i % sliceMax == sliceId && evalQuery(q, rows(i)))
+    val ids = data.indices.iterator
+      .filter(i => i % sliceMax == sliceId && evalQuery(q, data(i)))
       .toArray
     val id  = s"$index:${UUID.randomUUID().toString}"
-    val ctx = Ctx(ids, cols, size, 0)
+    val ctx = Ctx(data, ids, cols, size, 0)
     contexts.put(id, ctx)
     pageResponse(id, ctx)
+  }
+
+  /** `size:0` search: grand total via `track_total_hits`, and the paged
+    * `composite` aggregation (buckets in ascending key order, resumed with
+    * `after` — the exhaustive-enumeration contract the connector's
+    * aggregate pushdown relies on). No scroll context is created. */
+  private def aggSearch(req: JsonNode, data: IndexedSeq[Array[Any]]): String = {
+    val q        = req.path("query")
+    val matching = data.indices.filter(i => evalQuery(q, data(i)))
+    val root     = mapper.createObjectNode()
+    root.putObject("hits").putObject("total").put("value", matching.length).put("relation", "eq")
+    val aggs = req.path("aggs")
+    if (aggs.isObject) {
+      val aggName = aggs.fieldNames().next()
+      val comp    = aggs.get(aggName).path("composite")
+      require(comp.isObject, s"stub only implements composite aggregations, got: $aggs")
+      val size   = comp.path("size").asInt(10)
+      val srcs   = comp.get("sources")
+      val fields = (0 until srcs.size).map { i =>
+        val o    = srcs.get(i)
+        val name = o.fieldNames().next()
+        (name, o.get(name).path("terms").get("field").asText())
+      }
+      // composite buckets ascend element-wise in key order; `after` resumes
+      // strictly past a key under the SAME total order
+      val keyOrd: Ordering[Seq[Any]] = (a: Seq[Any], b: Seq[Any]) =>
+        a.zip(b).iterator.map { case (x0, y0) =>
+          (comparable(x0), comparable(y0)) match {
+            case (null, null)           => 0
+            case (null, _)              => -1
+            case (_, null)              => 1
+            case (x: Number, y: Number) => java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+            case (x, y)                 => String.valueOf(x).compareTo(String.valueOf(y))
+          }
+        }.find(_ != 0).getOrElse(0)
+      val grouped = matching
+        .groupBy(i => fields.map { case (_, f) => field(data(i), f) }: Seq[Any])
+        .toSeq
+        .sortBy(_._1)(keyOrd)
+      val after = comp.path("after")
+      val page = (if (after.isObject) {
+        val afterVals: Seq[Any] = fields.map { case (name, _) => queryVal(after.get(name)) }
+        grouped.dropWhile { case (k, _) => keyOrd.compare(k, afterVals) <= 0 }
+      } else grouped).take(size)
+      val g   = root.putObject("aggregations").putObject(aggName)
+      val arr = g.putArray("buckets")
+      page.foreach { case (k, is) =>
+        val b   = arr.addObject()
+        val key = b.putObject("key")
+        fields.zip(k).foreach { case ((name, _), v) => putJson(key, name, v) }
+        b.put("doc_count", is.length)
+      }
+      if (page.nonEmpty) {
+        val ak = g.putObject("after_key")
+        fields.zip(page.last._1).foreach { case ((name, _), v) => putJson(ak, name, v) }
+      }
+    }
+    root.toString
   }
 
   private def scrollNext(body: String): String = {
@@ -165,7 +275,7 @@ class EsStubServer(
         val src = hit.putObject("_source")
         ctx.cols.foreach { c =>
           val ci = colNames.indexOf(c)
-          if (ci >= 0) putJson(src, c, rows(rowIdx)(ci))
+          if (ci >= 0) putJson(src, c, ctx.data(rowIdx)(ci))
         }
       }
       hitsServed.incrementAndGet()
@@ -265,9 +375,31 @@ object EsStubServer {
     * owns the data); it is bounded by fixture scale and is never an engine
     * execution path — the engine path is the HTTP read through
     * [[EsScrollSource]]. */
-  def fromDataFrame(df: DataFrame, index: String, malformedEvery: Int = 0): EsStubServer = {
+  def fromDataFrame(df: DataFrame, index: String, malformedEvery: Int = 0,
+      rejectEvery: Int = 0): EsStubServer = {
+    val (cols, data) = seedRows(df)
+    new EsStubServer(index, cols, data, malformedEvery, rejectEvery)
+  }
+
+  /** Seed one index PER DAY of `tsCol` — the reference's time-partitioned
+    * index layout (it discovers and exports `<name>-yyyy.MM.dd` daily
+    * indices). The connector's window pruning is tested against this. */
+  def fromDayPartitionedDataFrame(df: DataFrame, base: String, tsCol: String = "ts"): EsStubServer = {
+    val (cols, data) = seedRows(df)
+    val ti = cols.indexOf(tsCol)
+    require(ti >= 0, s"no $tsCol column to day-partition on")
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy.MM.dd")
+    val byDay = data.groupBy { row =>
+      row(ti).asInstanceOf[java.sql.Timestamp]
+        .toInstant.atOffset(java.time.ZoneOffset.UTC).toLocalDate.format(fmt)
+    }
+    val names = byDay.keys.toSeq.sorted
+    new EsStubServer(s"$base-${names.head}", cols, byDay(names.head),
+      extraIndices = names.tail.map(d => s"$base-$d" -> byDay(d)).toMap)
+  }
+
+  private def seedRows(df: DataFrame): (Array[String], IndexedSeq[Array[Any]]) = {
     val cols = df.columns
-    val data = df.collect().map(r => Array.tabulate[Any](cols.length)(r.get)).toIndexedSeq
-    new EsStubServer(index, cols, data, malformedEvery)
+    (cols, df.collect().map(r => Array.tabulate[Any](cols.length)(r.get)).toIndexedSeq)
   }
 }

@@ -35,9 +35,12 @@ class EsScrollSourceSpec extends SparkSpec {
   test("full scroll read returns every seeded row exactly once, across slices and pages") {
     withServer(events) { (srv, url) =>
       val got = esRead(url, slices = 4, pageSize = 57) // force multi-page scrolls per slice
-      assert(got.count() === events.count())
+      // collect(), not count(): a bare count() is (correctly) served by the
+      // pushed-aggregation path and never scrolls a document
+      assert(got.collect().length === events.count())
       // one action so far → one initial search per slice, then page loops
       assert(srv.searchCalls.get() === 4, "one initial search per slice")
+      assert(srv.lastScrollKeepAlive === "3m", "default scroll keep-alive must reach the server")
       assert(srv.scrollCalls.get() > 0, "pagination must go through _search/scroll")
       // exact multiset equality with the parquet source of truth
       assert(got.exceptAll(events).count() === 0)
@@ -52,7 +55,7 @@ class EsScrollSourceSpec extends SparkSpec {
       val plan      = purchases.queryExecution.executedPlan.toString
       assert(plan.contains("PushedEsQuery") && plan.contains("match_phrase"),
         s"pushed query DSL must be visible in the scan:\n$plan")
-      val n = purchases.count()
+      val n = purchases.collect().length.toLong // scroll path (count() would push the agg)
       assert(n === events.where($"event_type" === "purchase").count())
       assert(srv.hitsServed.get() === n,
         s"server must serialize only matching docs (served ${srv.hitsServed.get()}, matched $n)")
@@ -94,7 +97,7 @@ class EsScrollSourceSpec extends SparkSpec {
 
   test("every scroll context is cleared after the read (DELETE /_search/scroll)") {
     withServer(events) { (srv, url) =>
-      esRead(url, slices = 3, pageSize = 97).count()
+      esRead(url, slices = 3, pageSize = 97).collect() // scroll path
       assert(srv.liveContexts === 0, "readers must clear their scroll contexts on close")
       assert(srv.clearedScrolls.get() === 3)
     }
@@ -103,7 +106,9 @@ class EsScrollSourceSpec extends SparkSpec {
   test("a hit whose _source is not an object is skipped, not fatal (reference per-record catch)") {
     withServer(events.limit(100), malformedEvery = 10) { (_, url) =>
       // every 10th hit malformed → 10 of 100 dropped, rest decode fine
-      assert(esRead(url, slices = 1, pageSize = 1000).count() === 90)
+      // (collect: the malformed-skip lives in the scroll decode; an agg
+      // count would — like real ES — count the docs server-side)
+      assert(esRead(url, slices = 1, pageSize = 1000).collect().length === 90)
     }
   }
 
@@ -115,6 +120,126 @@ class EsScrollSourceSpec extends SparkSpec {
       assert(got.count() === 50)
       assert(got.where($"props".isNull).count() === 50)
       assert(got.where($"event_id".isNotNull).count() === 50)
+    }
+  }
+
+  test("groupBy/count is pushed as a paged composite aggregation; zero documents cross the wire") {
+    import spark.implicits._
+    withServer(events) { (srv, url) =>
+      val counts = esRead(url, pageSize = 2) // < distinct types: forces `after` paging
+        .groupBy($"event_type")
+        .count()
+      val plan = counts.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation") && plan.contains("GROUP BY event_type"),
+        s"aggregate pushdown must be visible in the scan:\n$plan")
+      val got      = counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expected = events.groupBy($"event_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === expected)
+      assert(srv.hitsServed.get() === 0, "a pushed aggregation must serialize zero raw hits")
+      assert(srv.searchCalls.get() > 1, "pageSize=2 must force composite `after` paging")
+      assert(srv.lastSearchBody.contains("\"composite\""))
+    }
+  }
+
+  test("pushed aggregation composes with a pushed filter (count only the matching docs)") {
+    import spark.implicits._
+    withServer(events) { (srv, url) =>
+      val n = esRead(url).where($"event_type" === "purchase").groupBy().count().head.getLong(0)
+      assert(n === events.where($"event_type" === "purchase").count())
+      assert(srv.hitsServed.get() === 0)
+      assert(srv.lastSearchBody.contains("match_phrase"), s"filter must ride the agg request: ${srv.lastSearchBody}")
+    }
+  }
+
+  test("index pattern resolves via _cat/indices; a pushed ts bound prunes whole day indices") {
+    import spark.implicits._
+    val sample = events.limit(600)
+    val srv = EsStubServer.fromDayPartitionedDataFrame(sample, "events")
+    srv.start()
+    try {
+      def patternRead = spark.read
+        .format("graft.sources.es.EsScrollSource")
+        .schema(events.schema)
+        .option("url", srv.url)
+        .option("index", "events-*")
+        .option("slices", 2)
+        .load()
+      // un-filtered pattern read sees every index's rows exactly once
+      assert(patternRead.collect().length === sample.count())
+      val days = sample.select(to_date($"ts")).distinct().as[java.sql.Date]
+        .collect().map(_.toLocalDate).sorted
+      assert(days.length >= 3, "fixture must span several days for the pruning test")
+      val cutDay = days(days.length / 2)
+      val cut    = java.sql.Timestamp.from(cutDay.atStartOfDay(java.time.ZoneOffset.UTC).toInstant)
+      val preCounts = days.map(d => srv.searchCount(f"events-${d.getYear}%04d.${d.getMonthValue}%02d.${d.getDayOfMonth}%02d"))
+      val got = patternRead.where($"ts" >= lit(cut)).collect().length.toLong
+      assert(got === sample.where($"ts" >= lit(cut)).count())
+      days.zip(preCounts).foreach { case (d, pre) =>
+        val name  = f"events-${d.getYear}%04d.${d.getMonthValue}%02d.${d.getDayOfMonth}%02d"
+        val delta = srv.searchCount(name) - pre
+        if (d.isBefore(cutDay)) assert(delta === 0, s"pruned index $name must receive zero requests")
+        else assert(delta > 0, s"surviving index $name must be scrolled")
+      }
+    } finally srv.stop()
+  }
+
+  test("pushed aggregation over a pruned pattern is one multi-index composite search") {
+    import spark.implicits._
+    val sample = events.limit(600)
+    val srv = EsStubServer.fromDayPartitionedDataFrame(sample, "events")
+    srv.start()
+    try {
+      val days   = sample.select(to_date($"ts")).distinct().as[java.sql.Date]
+        .collect().map(_.toLocalDate).sorted
+      val cutDay = days(days.length / 2)
+      val cut    = java.sql.Timestamp.from(cutDay.atStartOfDay(java.time.ZoneOffset.UTC).toInstant)
+      val counts = spark.read
+        .format("graft.sources.es.EsScrollSource")
+        .schema(events.schema)
+        .option("url", srv.url)
+        .option("index", "events-*")
+        .load()
+        .where($"ts" >= lit(cut))
+        .groupBy($"event_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expected = sample.where($"ts" >= lit(cut)).groupBy($"event_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts === expected)
+      assert(srv.hitsServed.get() === 0)
+      days.filter(_.isBefore(cutDay)).foreach { d =>
+        val name = f"events-${d.getYear}%04d.${d.getMonthValue}%02d.${d.getDayOfMonth}%02d"
+        assert(srv.searchCount(name) === 0, s"pruned index $name must stay out of the agg path")
+      }
+    } finally srv.stop()
+  }
+
+  test("transient 429 load shedding is retried with backoff; no rows lost or duplicated") {
+    val srv = EsStubServer.fromDataFrame(events.limit(500), "events", rejectEvery = 3)
+    srv.start()
+    try {
+      // every 3rd request rejected BEFORE state mutation (the real ES
+      // es_rejected_execution point) → the connector must absorb them all
+      val got = esRead(srv.url, slices = 3, pageSize = 41)
+      assert(got.count() === 500)
+      assert(got.exceptAll(events.limit(500)).count() === 0)
+      assert(srv.rejected.get() > 0, "fault injection must actually have fired")
+    } finally srv.stop()
+  }
+
+  test("a non-retryable 4xx fails fast instead of retrying") {
+    withServer(events.limit(10)) { (srv, url) =>
+      val bad = spark.read
+        .format("graft.sources.es.EsScrollSource")
+        .schema(events.schema)
+        .option("url", url)
+        .option("index", "nosuchindex") // stub 400s the unknown route
+        .load()
+      val e = intercept[Exception](bad.count())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("HTTP 400")), s"expected fast HTTP 400 failure, got: $e")
+      assert(srv.rejected.get() === 0)
     }
   }
 
