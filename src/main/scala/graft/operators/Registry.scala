@@ -2143,6 +2143,23 @@ object Registry {
         GROUP BY day, event_type
         ORDER BY day, event_type
       """)
+    ),
+    // q163's plan pair on the modern pagination: the same export driven by
+    // PIT + search_after (the documented scroll replacement) — the shared
+    // oracle proves both wire protocols deliver the identical multiset.
+    Q(
+      "q166_es_pit_export",
+      graft.sources.es.EsQueries.dailyPurchasesPit,
+      Some("""
+        SELECT CAST(ts AS DATE) AS day,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY day
+        ORDER BY day
+      """)
     )
   )
 

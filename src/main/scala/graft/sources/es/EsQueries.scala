@@ -19,7 +19,18 @@ import org.apache.spark.sql.functions._
   */
 object EsQueries {
 
-  def dailyPurchases(spark: SparkSession, sfDir: String): DataFrame = {
+  def dailyPurchases(spark: SparkSession, sfDir: String): DataFrame =
+    dailyPurchasesVia(spark, sfDir, "scroll")
+
+  /** q166: q163's plan pair on the MODERN pagination — the same export and
+    * rollup driven by PIT + `search_after` instead of scroll (ES documents
+    * search_after as scroll's replacement for deep pagination). Shares
+    * q163's oracle: the hash compare proves the two wire protocols deliver
+    * the identical multiset. */
+  def dailyPurchasesPit(spark: SparkSession, sfDir: String): DataFrame =
+    dailyPurchasesVia(spark, sfDir, "search_after")
+
+  private def dailyPurchasesVia(spark: SparkSession, sfDir: String, pagination: String): DataFrame = {
     import spark.implicits._
     val ev  = Tables.events(spark, sfDir)
     val srv = EsStubServer.fromDataFrame(ev, "events")
@@ -32,6 +43,7 @@ object EsQueries {
         .option("index", "events")
         .option("slices", 8)
         .option("pageSize", 5000)
+        .option("pagination", pagination)
         .load()
         .where($"event_type" === "purchase") // pushed as match_phrase; non-matches never cross the wire
         .select($"ts", $"user_id", $"value") // pruned into the request's _source filter

@@ -371,7 +371,8 @@ private class EsScrollTable(schema0: StructType, props: Map[String, String])
       options.getInt("slices", 4),
       options.getInt("pageSize", 1000),
       EsScrollSource.optOrElse(options, "scroll", "3m"), // the reference's TimeValue.timeValueMinutes(3)
-      EsScrollSource.optOrElse(options, "timeField", "ts") // drives index-level window pruning
+      EsScrollSource.optOrElse(options, "timeField", "ts"), // drives index-level window pruning
+      EsScrollSource.optOrElse(options, "pagination", "scroll") // or "search_after" (PIT)
     )
 }
 
@@ -382,7 +383,8 @@ private class EsScanBuilder(
     slices: Int,
     pageSize: Int,
     scroll: String,
-    timeField: String
+    timeField: String,
+    pagination: String
 ) extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -439,7 +441,7 @@ private class EsScanBuilder(
         EsScrollSource.toEsQuery(pushed), pushed, aggGroups, timeField)
     else
       new EsScrollScan(url, index, slices, pageSize, scroll, required,
-        EsScrollSource.toEsQuery(pushed), pushed, limit, timeField)
+        EsScrollSource.toEsQuery(pushed), pushed, limit, timeField, pagination)
 }
 
 private case class EsAggPartition(
@@ -560,7 +562,8 @@ private case class EsSlicePartition(
     pageSize: Int,
     scroll: String,
     schemaJson: String,
-    limit: Int // -1 = unlimited
+    limit: Int, // -1 = unlimited
+    pagination: String // "scroll" (reference parity) | "search_after" (PIT)
 ) extends InputPartition
 
 private class EsScrollScan(
@@ -573,12 +576,13 @@ private class EsScrollScan(
     queryJson: String,
     pushed: Array[Filter],
     limit: Option[Int],
-    timeField: String
+    timeField: String,
+    pagination: String
 ) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"es-scroll index=$index slices=$slices PushedEsQuery: $queryJson, " +
+    s"es-scroll index=$index slices=$slices pagination=$pagination PushedEsQuery: $queryJson, " +
       s"PushedFilters: [${pushed.mkString(", ")}]${limit.fold("")(l => s", PushedLimit: $l")}"
 
   /** One partition per (surviving index × slice): pattern indices resolve
@@ -592,14 +596,16 @@ private class EsScrollScan(
     (for { idx <- kept; i <- 0 until n } yield
       EsSlicePartition(i, n, url, idx, queryJson,
         limit.fold(pageSize)(l => math.min(pageSize, math.max(1, l))),
-        scroll, required.json, limit.getOrElse(-1)): InputPartition
+        scroll, required.json, limit.getOrElse(-1), pagination): InputPartition
     ).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
-      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-        new EsScrollReader(p.asInstanceOf[EsSlicePartition])
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val sp = p.asInstanceOf[EsSlicePartition]
+        if (sp.pagination == "search_after") new EsPitReader(sp) else new EsScrollReader(sp)
+      }
     }
 }
 
@@ -684,5 +690,94 @@ private class EsScrollReader(p: EsSlicePartition) extends PartitionReader[Intern
       try EsScrollSource.delete(s"${p.url}/_search/scroll",
         s"""{"scroll_id":[${mapper.writeValueAsString(scrollId)}]}""")
       catch { case _: Exception => () } // best-effort, contexts also expire by keep-alive
+    }
+}
+
+/** One slice's PIT + `search_after` loop — the pagination ES documents as
+  * the replacement for scroll on deep result sets: open a point-in-time
+  * snapshot, page with `sort:[{_shard_doc:asc}]` chaining each page's last
+  * `sort` value into the next request's `search_after`, close the PIT.
+  * Unlike a scroll context the server keeps no per-page cursor — only the
+  * snapshot — so a retried or resumed page is addressed by VALUE, not by
+  * server state. Selected with option `pagination=search_after`; results
+  * are multiset-identical to the scroll reader (q166 shares q163's
+  * oracle). Termination: a page with fewer than `pageSize` hits is the
+  * last (the documented search_after convention). */
+private class EsPitReader(p: EsSlicePartition) extends PartitionReader[InternalRow] {
+  private val mapper  = new ObjectMapper
+  private val schema  = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
+  private val fields  = schema.fields
+  private var pitId: String    = _
+  private var page: JsonNode   = _ // current hits array
+  private var lastSort: JsonNode = _ // `sort` of the last hit seen
+  private var pos              = 0
+  private var emitted          = 0L
+  private var row: InternalRow = _
+  private var skipped          = 0L
+
+  private def searchBody(): String = {
+    val root = mapper.createObjectNode()
+    if (p.sliceMax > 1) {
+      val s = root.putObject("slice")
+      s.put("id", p.sliceId); s.put("max", p.sliceMax)
+    }
+    root.put("size", p.pageSize)
+    root.set[ObjectNode]("query", mapper.readTree(p.queryJson).asInstanceOf[ObjectNode])
+    val pit = root.putObject("pit")
+    pit.put("id", pitId); pit.put("keep_alive", p.scroll)
+    val src = root.putArray("_source")
+    fields.foreach(f => src.add(f.name))
+    root.putArray("sort").addObject().put("_shard_doc", "asc")
+    if (lastSort != null && lastSort.isArray && lastSort.size() > 0)
+      root.set[JsonNode]("search_after", lastSort)
+    root.toString
+  }
+
+  private def nextPage(): Unit = {
+    if (pitId == null)
+      pitId = mapper.readTree(
+        EsScrollSource.post(s"${p.url}/${p.index}/_pit?keep_alive=${p.scroll}", "{}"))
+        .path("id").asText()
+    val resp = mapper.readTree(EsScrollSource.post(s"${p.url}/_search", searchBody()))
+    page = resp.path("hits").path("hits")
+    pos = 0
+    if (page.size() > 0) lastSort = page.get(page.size() - 1).path("sort")
+  }
+
+  override def next(): Boolean = {
+    if (p.limit >= 0 && emitted >= p.limit) return false
+    while (true) {
+      if (page == null || pos >= page.size()) {
+        // a short page was the last one (search_after termination)
+        if (page != null && page.size() < p.pageSize) return false
+        nextPage()
+        if (page.size() == 0) return false
+      }
+      while (pos < page.size()) {
+        val src = page.get(pos).path("_source")
+        pos += 1
+        if (src.isObject) {
+          val vals = new Array[Any](fields.length)
+          var i = 0
+          while (i < fields.length) {
+            vals(i) = EsScrollSource.toInternal(src.get(fields(i).name), fields(i).dataType)
+            i += 1
+          }
+          row = new GenericInternalRow(vals)
+          emitted += 1
+          return true
+        } else skipped += 1
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = row
+
+  override def close(): Unit =
+    if (pitId != null) {
+      try EsScrollSource.delete(s"${p.url}/_pit",
+        s"""{"id":${mapper.writeValueAsString(pitId)}}""")
+      catch { case _: Exception => () } // best-effort, PITs also expire by keep-alive
     }
 }

@@ -76,8 +76,12 @@ class EsStubServer(
 
   private case class Ctx(data: IndexedSeq[Array[Any]], ids: Array[Int], cols: Array[String], pageSize: Int, var pos: Int)
   private val contexts = new ConcurrentHashMap[String, Ctx]()
+  /** Open point-in-time snapshots (id -> the frozen rows). */
+  private val pits = new ConcurrentHashMap[String, IndexedSeq[Array[Any]]]()
+  val clearedPits = new AtomicLong(0)
 
   def liveContexts: Int = contexts.size()
+  def livePits: Int = pits.size()
 
   def start(): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -118,6 +122,10 @@ class EsStubServer(
         case ("DELETE", "/_search/scroll") => clearScroll(body)
         case ("POST" | "GET", "/_search/scroll") => scrollNext(body)
         case ("GET", "/_cat/indices") => catIndices()
+        case ("DELETE", "/_pit") => clearPit(body)
+        case ("POST", p) if p.endsWith("/_pit") && knownIndices(p.stripSuffix("/_pit") + "/_search") =>
+          openPit(p)
+        case ("POST" | "GET", "/_search") => pitSearch(body)
         case ("POST" | "GET", p) if p.endsWith("/_search") && knownIndices(p) =>
           initialSearch(body, searchTarget(p))
         case _ => throw new IllegalArgumentException(s"unhandled route ${ex.getRequestMethod} $path")
@@ -147,6 +155,74 @@ class EsStubServer(
     val names = pathIndices(path)
     names.foreach(n => searchesPerIndex.computeIfAbsent(n, _ => new AtomicLong(0)).incrementAndGet())
     names.flatMap(allIndices(_)).toIndexedSeq
+  }
+
+  // ---- point-in-time + search_after (the modern pagination the connector's
+  // "search_after" mode drives; scroll stays for reference parity) --------
+
+  private def openPit(path: String): String = {
+    val id = s"pit:${UUID.randomUUID().toString}"
+    pits.put(id, searchTarget(path.stripSuffix("/_pit") + "/_search"))
+    s"""{"id":${mapper.writeValueAsString(id)}}"""
+  }
+
+  private def clearPit(body: String): String = {
+    val id = mapper.readTree(body).path("id").asText()
+    val n  = if (pits.remove(id) != null) 1 else 0
+    clearedPits.addAndGet(n)
+    s"""{"succeeded":true,"num_freed":$n}"""
+  }
+
+  /** `POST /_search` against an open PIT: sort is the row index (the
+    * stub's `_shard_doc` analog), `search_after:[i]` resumes strictly past
+    * it; each hit echoes its `sort` for the client to chain. */
+  private def pitSearch(body: String): String = {
+    searchCalls.incrementAndGet()
+    lastSearchBody = body
+    val req  = mapper.readTree(body)
+    val id   = req.path("pit").path("id").asText()
+    val data = pits.get(id)
+    require(data != null, s"unknown pit id $id") // ES: search_context_missing
+    val size  = req.path("size").asInt(10)
+    val slice = req.path("slice")
+    val (sliceId, sliceMax) =
+      if (slice.isObject) (slice.get("id").asInt(), slice.get("max").asInt()) else (0, 1)
+    val cols: Array[String] =
+      if (req.path("_source").isArray) {
+        val a = req.get("_source").asInstanceOf[ArrayNode]
+        (0 until a.size).map(a.get(_).asText()).toArray
+      } else colNames
+    val q     = req.path("query")
+    val after = req.path("search_after")
+    val from  = if (after.isArray && after.size() > 0) after.get(0).asInt() + 1 else 0
+    val root    = mapper.createObjectNode()
+    root.put("pit_id", id)
+    val hitsObj = root.putObject("hits")
+    val arr     = hitsObj.putArray("hits")
+    var i = from
+    var n = 0
+    while (i < data.length && n < size) {
+      if (i % sliceMax == sliceId && evalQuery(q, data(i))) {
+        val hit = arr.addObject()
+        hit.put("_index", index)
+        hit.put("_id", i.toString)
+        if (malformedEvery > 0 && (i + 1) % malformedEvery == 0)
+          hit.put("_source", 42)
+        else {
+          val src = hit.putObject("_source")
+          cols.foreach { c =>
+            val ci = colNames.indexOf(c)
+            if (ci >= 0) putJson(src, c, data(i)(ci))
+          }
+        }
+        hit.putArray("sort").add(i)
+        hitsServed.incrementAndGet()
+        n += 1
+      }
+      i += 1
+    }
+    hitsObj.putObject("total").put("value", n).put("relation", "gte")
+    root.toString
   }
 
   private def catIndices(): String = {

@@ -214,6 +214,46 @@ class EsScrollSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("search_after/PIT pagination returns the identical multiset to scroll and closes its PITs") {
+    withServer(events) { (srv, url) =>
+      val viaPit = spark.read
+        .format("graft.sources.es.EsScrollSource")
+        .schema(events.schema)
+        .option("url", url)
+        .option("index", "events")
+        .option("slices", 3)
+        .option("pageSize", 61) // multi-page chains per slice
+        .option("pagination", "search_after")
+        .load()
+      assert(viaPit.exceptAll(events).count() === 0)
+      assert(events.exceptAll(viaPit).count() === 0)
+      assert(srv.livePits === 0, "every PIT must be closed after the read")
+      assert(srv.clearedPits.get() >= 3, "one PIT per slice, all cleared")
+      assert(srv.lastSearchBody.contains("search_after") && srv.lastSearchBody.contains("_shard_doc"),
+        s"paging must chain search_after on _shard_doc: ${srv.lastSearchBody}")
+      assert(srv.scrollCalls.get() === 0, "PIT mode must never touch _search/scroll")
+    }
+  }
+
+  test("pushed filter rides the PIT search; only matching docs cross the wire") {
+    import spark.implicits._
+    withServer(events) { (srv, url) =>
+      val purchases = spark.read
+        .format("graft.sources.es.EsScrollSource")
+        .schema(events.schema)
+        .option("url", url)
+        .option("index", "events")
+        .option("slices", 2)
+        .option("pagination", "search_after")
+        .load()
+        .where($"event_type" === "purchase")
+      val n = purchases.collect().length.toLong
+      assert(n === events.where($"event_type" === "purchase").count())
+      assert(srv.hitsServed.get() === n,
+        s"PIT search must serialize only matching docs (served ${srv.hitsServed.get()}, matched $n)")
+    }
+  }
+
   test("transient 429 load shedding is retried with backoff; no rows lost or duplicated") {
     val srv = EsStubServer.fromDataFrame(events.limit(500), "events", rejectEvery = 3)
     srv.start()
