@@ -286,6 +286,79 @@ object Probe {
       if (!ok) sys.exit(1)
       return
     }
+    if (which == "scalees") {
+      // Wire-throughput curve for the ES connector: an in-JVM stub cluster
+      // seeded with deterministic synthetic events is read back over real
+      // HTTP through EsScrollSource at 4x-stepped sizes, in BOTH pagination
+      // modes (scroll = reference parity, search_after/PIT = the modern
+      // protocol). Tripwires: (1) the wire transfer is lossless — the
+      // server-side serialized-hit count equals the corpus size exactly;
+      // (2) growth is near-linear (HTTP+JSON cost is per-document; a 4x
+      // data step must stay <=5x time); (3) a pushed discovery aggregation
+      // ships ZERO raw documents at every size. Exit 1 on violation.
+      import graft.sources.es.EsStubServer
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val types = Array("click", "view", "purchase", "signup", "error")
+      def seed(n: Int): EsStubServer = {
+        val rows = (0 until n).map(i =>
+          Array[Any](i.toLong, types(i % 5), i * 0.01)).toIndexedSeq
+        new EsStubServer("events", schema.fieldNames, rows)
+      }
+      def read(srv: EsStubServer, mode: String) = spark.read
+        .format("graft.sources.es.EsScrollSource")
+        .schema(schema)
+        .option("url", srv.url).option("index", "events")
+        .option("slices", 8).option("pageSize", 5000)
+        .option("pagination", mode)
+        .load()
+      var ok = true
+      def run(mode: String): Seq[(Int, Double)] = {
+        // warm (JIT + codegen) at the smallest size, untimed
+        locally { val s = seed(25000); s.start()
+          try read(s, mode).write.mode("overwrite").format("noop").save() finally s.stop() }
+        Seq(25000, 100000, 400000).map { n =>
+          val srv = seed(n); srv.start()
+          try {
+            val t0 = System.nanoTime()
+            read(srv, mode).write.mode("overwrite").format("noop").save()
+            val sec = (System.nanoTime() - t0) / 1e9
+            val served = srv.hitsServed.get()
+            println(f"[scalees] mode=$mode%-12s docs=$n%7d served=$served%7d time=$sec%6.2f s (${n / sec / 1000}%7.1fk docs/s)")
+            if (served != n) { ok = false; println(s"[scalees] VIOLATION: served $served != $n (lossy wire)") }
+            (n, sec)
+          } finally srv.stop()
+        }
+      }
+      for (mode <- Seq("scroll", "search_after")) {
+        val steps = run(mode)
+        steps.sliding(2).foreach {
+          case Seq((n0, t0), (n1, t1)) =>
+            val r = t1 / t0
+            println(f"[scalees] mode=$mode $n0%d→$n1%d (4x data): $r%.2fx time ${if (r <= 5.0) "OK" else "VIOLATION (super-linear)"}")
+            if (r > 5.0) ok = false
+          case _ => ()
+        }
+      }
+      // pushed discovery aggregation: zero documents cross the wire at any size
+      Seq(25000, 400000).foreach { n =>
+        val srv = seed(n); srv.start()
+        try {
+          val t0 = System.nanoTime()
+          // head(10), not a second count(): stacking count() over the
+          // grouped count rewrites to a distinct and defeats the pushdown
+          val groups = read(srv, "scroll").groupBy("event_type").count().head(10).length
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"[scalees] agg docs=$n%7d groups=$groups hitsServed=${srv.hitsServed.get()} time=$sec%6.2f s")
+          if (srv.hitsServed.get() != 0 || groups != 5) { ok = false; println("[scalees] VIOLATION: agg pushdown shipped documents") }
+        } finally srv.stop()
+      }
+      spark.stop()
+      if (!ok) sys.exit(1)
+      return
+    }
     if (which == "scalecc") {
       // Engine-only scaling curve for the connected-components family
       // (q94/q122 shapes) on synthetic graphs straight from range():
