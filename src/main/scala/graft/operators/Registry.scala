@@ -2160,6 +2160,23 @@ object Registry {
         GROUP BY day
         ORDER BY day
       """)
+    ),
+    // The streaming tail of the stub cluster: the whole fixture drains
+    // through cursor-ranged micro-batch epochs (PIT+search_after per
+    // slice per epoch); the rollup over the drained rows must equal the
+    // parquet's — exactly-once across epochs under the hash.
+    Q(
+      "q167_es_stream_tail",
+      graft.sources.es.EsQueries.tailRollup,
+      Some("""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+      """)
     )
   )
 

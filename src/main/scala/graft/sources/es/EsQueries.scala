@@ -123,4 +123,53 @@ object EsQueries {
       rollup.localCheckpoint().orderBy($"day", $"event_type")
     } finally srv.stop()
   }
+
+  /** q167: the STREAMING tail of the stub cluster — the reference's
+    * scheduled re-export loop subsumed by a Structured Streaming source
+    * over the same wire protocol. The whole fixture drains through
+    * micro-batch epochs (cursor = event_id, admission-capped per epoch,
+    * each epoch a sliced PIT+search_after range read) into a memory sink;
+    * the rollup over the drained rows is hash-compared to the parquet —
+    * a lost epoch, re-read epoch, or mis-resumed cursor changes counts or
+    * sums and mismatches. */
+  def tailRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev  = Tables.events(spark, sfDir)
+    val srv = EsStubServer.fromDataFrame(ev, "events")
+    srv.start()
+    val sinkName = s"es_tail_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = java.nio.file.Files.createTempDirectory("q167_ckpt")
+    try {
+      val q = spark.readStream
+        .format("graft.sources.es.EsScrollSource")
+        .schema(ev.schema)
+        .option("url", srv.url)
+        .option("index", "events")
+        .option("slices", 4)
+        .option("pageSize", 5000)
+        .option("cursorField", "event_id")
+        .option("maxIdsPerBatch", 2500) // 4 epochs at sf0.01, 40 at sf0.1 (ids dense 0..n-1)
+        .load()
+        .select($"event_type", $"user_id", $"value")
+        .writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val rollup = spark.table(sinkName)
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct($"user_id").as("n_users"),
+          Det.decSum($"value", 2).as("sum_value")
+        )
+      rollup.localCheckpoint().orderBy($"event_type")
+    } finally {
+      srv.stop()
+      spark.catalog.dropTempView(sinkName)
+      graft.sources.ParquetSink.deleteRecursively(ckpt.toString)
+    }
+  }
 }

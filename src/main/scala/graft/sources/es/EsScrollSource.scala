@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow, Offset => StreamOffset}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -362,7 +363,7 @@ private class EsScrollTable(schema0: StructType, props: Map[String, String])
   override def name(): String = s"es-scroll(${props.getOrElse("index", "?")})"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EsScanBuilder(
       schema0,
@@ -372,7 +373,9 @@ private class EsScrollTable(schema0: StructType, props: Map[String, String])
       options.getInt("pageSize", 1000),
       EsScrollSource.optOrElse(options, "scroll", "3m"), // the reference's TimeValue.timeValueMinutes(3)
       EsScrollSource.optOrElse(options, "timeField", "ts"), // drives index-level window pruning
-      EsScrollSource.optOrElse(options, "pagination", "scroll") // or "search_after" (PIT)
+      EsScrollSource.optOrElse(options, "pagination", "scroll"), // or "search_after" (PIT)
+      EsScrollSource.optOrElse(options, "cursorField", "event_id"), // streaming tail cursor
+      options.getLong("maxIdsPerBatch", 1000L) // streaming admission: cursor-value step per epoch
     )
 }
 
@@ -384,7 +387,9 @@ private class EsScanBuilder(
     pageSize: Int,
     scroll: String,
     timeField: String,
-    pagination: String
+    pagination: String,
+    cursorField: String = "event_id",
+    maxIdsPerBatch: Long = 1000L
 ) extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -441,7 +446,8 @@ private class EsScanBuilder(
         EsScrollSource.toEsQuery(pushed), pushed, aggGroups, timeField)
     else
       new EsScrollScan(url, index, slices, pageSize, scroll, required,
-        EsScrollSource.toEsQuery(pushed), pushed, limit, timeField, pagination)
+        EsScrollSource.toEsQuery(pushed), pushed, limit, timeField, pagination,
+        cursorField, maxIdsPerBatch)
 }
 
 private case class EsAggPartition(
@@ -577,10 +583,15 @@ private class EsScrollScan(
     pushed: Array[Filter],
     limit: Option[Int],
     timeField: String,
-    pagination: String
+    pagination: String,
+    cursorField: String = "event_id",
+    maxIdsPerBatch: Long = 1000L
 ) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new EsTailStream(url, index, slices, pageSize, scroll, required,
+      queryJson, cursorField, maxIdsPerBatch)
   override def description(): String =
     s"es-scroll index=$index slices=$slices pagination=$pagination PushedEsQuery: $queryJson, " +
       s"PushedFilters: [${pushed.mkString(", ")}]${limit.fold("")(l => s", PushedLimit: $l")}"
@@ -780,4 +791,107 @@ private class EsPitReader(p: EsSlicePartition) extends PartitionReader[InternalR
         s"""{"id":${mapper.writeValueAsString(pitId)}}""")
       catch { case _: Exception => () } // best-effort, PITs also expire by keep-alive
     }
+}
+
+/** Streaming offset for the ES tail: the highest `cursorField` value
+  * delivered so far (exclusive lower bound of the next epoch). Bare-number
+  * JSON so the checkpoint offset log is human-auditable. */
+private[es] case class EsCursor(last: Long) extends StreamOffset {
+  override def json(): String = last.toString
+}
+
+/** Streaming tail of an ES index over the wire protocol — the modern
+  * counterpart to the reference's SCHEDULED batch exports (its Bootstrap
+  * re-runs the scroll export per time window; a Structured Streaming tail
+  * subsumes that loop with exactly-once cursor arithmetic):
+  *
+  *   - The cursor is a monotonic numeric field (`cursorField`, default
+  *     event_id — ingest-time sequence ids / auto-increment keys in
+  *     practice). `latestOffset` asks the server for the field's current
+  *     `max` (one `size:0` aggregation — no documents move) and advances
+  *     at most `maxIdsPerBatch` cursor values per epoch (admission
+  *     control, the scroll-page analog).
+  *   - Epoch (start, end] compiles to a `range` clause ANDed onto the base
+  *     query; each of the N slices drives an independent PIT +
+  *     search_after read of that range — the same executor fan-out as the
+  *     batch path, per epoch.
+  *   - The stream keeps NO state of its own: a fresh instance resumes from
+  *     whatever committed offset Spark replays from the checkpoint — rows
+  *     below the cursor are never re-read (no duplicates), the epoch range
+  *     is half-open so none are skipped. Late writes BELOW the cursor are out
+  *     of scope by design (the tail contract; same as any log tailer).
+  *   - `Trigger.AvailableNow` snapshots the server max once and drains up
+  *     to it in admission-sized epochs, then terminates.
+  */
+private class EsTailStream(
+    url: String,
+    index: String,
+    slices: Int,
+    pageSize: Int,
+    scroll: String,
+    required: StructType,
+    queryJson: String,
+    cursorField: String,
+    maxIdsPerBatch: Long
+) extends MicroBatchStream
+    with SupportsTriggerAvailableNow {
+  private val mapper = new ObjectMapper
+  @volatile private var snapshotMax: Option[Long] = None // set by AvailableNow
+
+  /** Current server-side max of the cursor field (−1 on an empty index):
+    * one aggregation request, zero documents over the wire. */
+  private def serverMax(): Long = {
+    val body = s"""{"size":0,"query":$queryJson,"aggs":{"m":{"max":{"field":"$cursorField"}}}}"""
+    val v = mapper.readTree(EsScrollSource.post(s"$url/$index/_search", body))
+      .path("aggregations").path("m").path("value")
+    if (v.isNumber) v.asLong() else -1L
+  }
+
+  override def prepareForTriggerAvailableNow(): Unit = snapshotMax = Some(serverMax())
+
+  override def initialOffset(): StreamOffset = EsCursor(-1L)
+
+  override def deserializeOffset(json: String): StreamOffset = EsCursor(json.trim.toLong)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxIdsPerBatch)
+
+  override def latestOffset(start: StreamOffset, limit: ReadLimit): StreamOffset = {
+    val s   = start.asInstanceOf[EsCursor].last
+    val cap = snapshotMax.getOrElse(serverMax())
+    val step = limit match {
+      case mr: ReadMaxRows => mr.maxRows()
+      case _               => maxIdsPerBatch
+    }
+    EsCursor(math.max(s, math.min(s + math.max(step, 1L), cap)))
+  }
+
+  override def latestOffset(): StreamOffset =
+    throw new UnsupportedOperationException("latestOffset(start, limit) is the entry point")
+
+  override def reportLatestOffset(): StreamOffset =
+    EsCursor(snapshotMax.getOrElse(serverMax()))
+
+  override def planInputPartitions(start: StreamOffset, end: StreamOffset): Array[InputPartition] = {
+    val s = start.asInstanceOf[EsCursor].last
+    val e = end.asInstanceOf[EsCursor].last
+    if (e <= s) return Array.empty
+    // (s, e] as a range clause ANDed onto the base query
+    val ranged =
+      s"""{"bool":{"must":[$queryJson,{"range":{"$cursorField":{"gt":$s,"lte":$e}}}]}}"""
+    val n = math.max(1, slices)
+    (0 until n).map { i =>
+      EsSlicePartition(i, n, url, index, ranged, pageSize, scroll,
+        required.json, -1, "search_after"): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new EsPitReader(p.asInstanceOf[EsSlicePartition])
+    }
+
+  // the cursor lives in Spark's checkpoint offset log, not here
+  override def commit(end: StreamOffset): Unit = ()
+  override def stop(): Unit = ()
 }

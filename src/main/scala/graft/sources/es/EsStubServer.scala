@@ -267,8 +267,18 @@ class EsStubServer(
     val aggs = req.path("aggs")
     if (aggs.isObject) {
       val aggName = aggs.fieldNames().next()
-      val comp    = aggs.get(aggName).path("composite")
-      require(comp.isObject, s"stub only implements composite aggregations, got: $aggs")
+      val maxAgg  = aggs.get(aggName).path("max")
+      if (maxAgg.isObject) { // metric agg: max of a numeric field (tail cursor probe)
+        val f = maxAgg.get("field").asText()
+        val mx = matching.iterator.map(i => field(data(i), f)).collect {
+          case n: Number => n.doubleValue()
+        }.foldLeft(Option.empty[Double])((acc, v) => Some(acc.fold(v)(math.max(_, v))))
+        val g = root.putObject("aggregations").putObject(aggName)
+        mx.fold { g.putNull("value"); () } { v => g.put("value", v); () }
+        return root.toString
+      }
+      val comp = aggs.get(aggName).path("composite")
+      require(comp.isObject, s"stub only implements composite/max aggregations, got: $aggs")
       val size   = comp.path("size").asInt(10)
       val srcs   = comp.get("sources")
       val fields = (0 until srcs.size).map { i =>

@@ -267,6 +267,85 @@ class EsScrollSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  // ---- streaming tail (MicroBatchStream over the wire protocol) --------
+
+  private def tailSeed(n: Int): EsStubServer = {
+    val types = Array("click", "view", "purchase", "signup", "error")
+    new EsStubServer("events",
+      Array("event_id", "event_type", "value"),
+      (0 until n).map(i => Array[Any](i.toLong, types(i % 5), i * 0.5)).toIndexedSeq)
+  }
+  private val tailSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  private def tailStream(url: String, step: Long) = spark.readStream
+    .format("graft.sources.es.EsScrollSource")
+    .schema(tailSchema)
+    .option("url", url)
+    .option("index", "events")
+    .option("slices", 2)
+    .option("cursorField", "event_id")
+    .option("maxIdsPerBatch", step)
+    .load()
+
+  test("streaming tail drains every row exactly once across cursor-ranged epochs") {
+    val srv = tailSeed(600); srv.start()
+    val ckpt = java.nio.file.Files.createTempDirectory("es_tail_ckpt").toString
+    val name = s"es_tail_spec_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    try {
+      val q = tailStream(srv.url, step = 250)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.table(name)
+      assert(got.count() === 600)
+      assert(got.select("event_id").distinct().count() === 600, "no epoch re-read, no row doubled")
+      // id-sum is exact-once arithmetic: 0+..+599
+      assert(got.agg(sum("event_id")).head.getLong(0) === 599L * 600 / 2)
+    } finally { srv.stop(); spark.catalog.dropTempView(name) }
+  }
+
+  test("tail restart resumes the committed cursor: the grown index delivers only new ids") {
+    import graft.sources.dsv2.AuditSink
+    val ckpt = java.nio.file.Files.createTempDirectory("es_tail_ckpt2").toString
+    val key  = s"es-tail-${java.util.UUID.randomUUID()}"
+    def drain(n: Int): Unit = {
+      val srv = tailSeed(n); srv.start()
+      try {
+        val q = tailStream(srv.url, step = 250)
+          .select(col("event_id"))
+          .writeStream.format("graft.sources.dsv2.AuditSink")
+          .option("key", key).option("checkpointLocation", ckpt).start()
+        try q.processAllAvailable() finally q.stop()
+      } finally srv.stop()
+    }
+    // phase 1: 600 docs; drain and kill
+    drain(600)
+    assert(AuditSink.streamAudit(key) === Some((600L, 179700L)))
+    // phase 2: the index grew to 1000 docs; a NEW stream instance + NEW
+    // server on the SAME checkpoint resumes at the committed cursor (599)
+    drain(1000)
+    assert(AuditSink.streamAudit(key) === Some((1000L, 499500L)),
+      "resume must deliver exactly ids 600..999 on top of phase 1")
+    AuditSink.clearStream(key)
+  }
+
+  test("tail Trigger.AvailableNow snapshots the server max, drains, and self-terminates") {
+    val srv = tailSeed(900); srv.start()
+    val ckpt = java.nio.file.Files.createTempDirectory("es_tail_ckpt3").toString
+    val name = s"es_tail_avnow_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    try {
+      val q = tailStream(srv.url, step = 400)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(60000), "AvailableNow tail did not self-terminate")
+      assert(spark.table(name).count() === 900)
+    } finally { srv.stop(); spark.catalog.dropTempView(name) }
+  }
+
   test("a non-retryable 4xx fails fast instead of retrying") {
     withServer(events.limit(10)) { (srv, url) =>
       val bad = spark.read
