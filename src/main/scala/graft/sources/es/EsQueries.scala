@@ -7,11 +7,11 @@ import org.apache.spark.sql.functions._
 /** Declared queries exercising the wire-protocol ES connector end to end.
   *
   * q163 is the reference's whole program as ONE declared query
-  * (Bootstrap.java: discover → scroll-export with a pushed match_phrase →
+  * (Bootstrap.java: discover → scroll-export with a pushed equality →
   * sink), except the export lands in a DataFrame and aggregates instead of
   * raw parquet files: seed the stub cluster from the fixture events table,
   * scroll it back over HTTP through [[EsScrollSource]] (8 slices, pushed
-  * `match_phrase(event_type)`, `_source`-pruned columns), and compute the
+  * exact `term(event_type)`, `_source`-pruned columns), and compute the
   * daily purchase rollup. The DuckDB oracle computes the same rollup
   * directly over the events parquet — so the hash compare proves the wire
   * round-trip (JSON encode → scroll pages → tolerant decode → timestamp
@@ -45,7 +45,7 @@ object EsQueries {
         .option("pageSize", 5000)
         .option("pagination", pagination)
         .load()
-        .where($"event_type" === "purchase") // pushed as match_phrase; non-matches never cross the wire
+        .where($"event_type" === "purchase") // pushed as an exact term; non-matches never cross the wire
         .select($"ts", $"user_id", $"value") // pruned into the request's _source filter
       val rollup = scrolled
         .groupBy(to_date($"ts").as("day"))

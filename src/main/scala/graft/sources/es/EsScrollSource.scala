@@ -44,11 +44,11 @@ import scala.jdk.CollectionConverters._
   *     model: on a 1000-executor cluster the scan parallelizes without any
   *     driver coordination beyond partition planning.
   *   - **Filter pushdown to the ES query DSL**: accepted Spark source
-  *     filters compile to `bool`/`match_phrase`/`term`/`terms`/`range`/
-  *     `exists` clauses in the search body (the reference pushes its
-  *     `match_phrase(rule_name)` the same way), so non-matching documents
-  *     never leave the server. Pushed state is visible in the scan
-  *     description (`.explain` shows `PushedEsQuery`).
+  *     filters compile to `bool`/`term`/`terms`/`range`/`exists` clauses in
+  *     the search body (the reference pushes its `match_phrase(rule_name)`
+  *     the same way), so non-matching documents never leave the server.
+  *     Pushed state is visible in the scan description (`.explain` shows
+  *     `PushedEsQuery`).
   *   - **Column pruning over the wire**: the pruned read schema becomes the
   *     request's `"_source": [cols...]` filter, so unneeded fields are not
   *     serialized, shipped, or parsed.
@@ -64,16 +64,51 @@ import scala.jdk.CollectionConverters._
   *     (`DELETE /_search/scroll`) on close — long-running exports don't pin
   *     server search contexts.
   *
+  * String-equality semantics (`stringEquality` option): against a real ES
+  * endpoint `match_phrase` performs ANALYZED matching (a doc with
+  * event_type "purchase order" matches `event_type = 'purchase'`, and case
+  * folds), so it can NOT be trusted as exact equality.
+  *   - `term` (default): `EqualTo`/`In` on strings compile to `term`/
+  *     `terms` on `field + keywordSuffix` — exact on keyword-mapped fields.
+  *     Set `keywordSuffix=.keyword` for indices using the default dynamic
+  *     mapping (text with a raw keyword subfield). Trusted exact → fully
+  *     pushed, composes with aggregate pushdown.
+  *   - `phrase`: the reference's own operator (match_phrase, reference
+  *     parity). Pushed for server-side traffic reduction but reported back
+  *     to Spark as post-scan filters, so Spark re-evaluates exact equality
+  *     over whatever the analyzer returned; a string equality under `Not`
+  *     is not pushed at all (an over-matching phrase inside must_not would
+  *     under-return, which no re-filter can repair).
+  *
+  * NULL semantics of pushed `Not`: ES `must_not` MATCHES documents where
+  * the field is missing, while Spark's `NOT(a = v)` evaluates to NULL on a
+  * null `a` and drops the row. A pushed `Not(leaf)` therefore compiles as
+  * `bool{must:[exists(field)], must_not:[leaf]}` — the exists guard
+  * reproduces Spark's null-dropping three-valued logic exactly
+  * (`Not(IsNotNull(a))` alone compiles to a bare must_not/exists, since
+  * IsNotNull never evaluates to NULL). `Not` over And/Or is left for Spark
+  * (sound per-branch null analysis isn't expressible as one guard).
+  *
+  * Auth/TLS (beyond the reference, which connects plain-http —
+  * Bootstrap.java:262): `user`+`password` options attach an HTTP Basic
+  * `Authorization` header, `apiKey` attaches `ApiKey <key>`; both travel in
+  * [[EsConn]] to every executor-side reader, so sliced fan-out stays
+  * authenticated. An `https://` url uses the JDK client's default
+  * truststore; `insecureTls=true` opts into a trust-all context for
+  * self-signed dev clusters.
+  *
   * Usage:
   * {{{
   *   spark.read.format("graft.sources.es.EsScrollSource")
   *     .schema(eventsSchema)                   // or omit → sampled inference
-  *     .option("url", "http://host:9200")
+  *     .option("url", "https://host:9200")
+  *     .option("user", "elastic").option("password", "…")
   *     .option("index", "events")
   *     .option("slices", 8)
   *     .option("pageSize", 2000)
+  *     .option("keywordSuffix", ".keyword")    // default-mapped text fields
   *     .load()
-  *     .where($"event_type" === "purchase")    // pushed as match_phrase
+  *     .where($"event_type" === "purchase")    // pushed as an exact term
   * }}}
   */
 class EsScrollSource extends TableProvider {
@@ -88,12 +123,12 @@ class EsScrollSource extends TableProvider {
     * strings — the reference infers its Avro schema from sampled docs the
     * same way (Bootstrap.java:294-303). */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val url    = EsScrollSource.reqOption(options, "url")
-    val index  = EsScrollSource.resolveIndices(url,
+    val conn   = EsScrollSource.connOf(options)
+    val index  = EsScrollSource.resolveIndices(conn,
       EsScrollSource.reqOption(options, "index")).mkString(",")
     val sample = options.getInt("inferSample", 100)
     val body   = s"""{"size":$sample,"query":{"match_all":{}}}"""
-    val resp   = EsScrollSource.post(s"$url/$index/_search", body)
+    val resp   = EsScrollSource.post(conn, s"/$index/_search", body)
     val m      = new ObjectMapper
     val hits   = m.readTree(resp).path("hits").path("hits")
     val sources = (0 until hits.size).map(i => hits.get(i).path("_source").toString)
@@ -108,6 +143,16 @@ class EsScrollSource extends TableProvider {
       properties: JMap[String, String]
   ): Table = new EsScrollTable(schema, properties.asScala.toMap)
 }
+
+/** Connection descriptor shipped inside every InputPartition: endpoint url,
+  * the `Authorization` header value to attach ("" = none), and whether to
+  * accept self-signed TLS certificates on https endpoints. Serializable
+  * data only — each executor-side reader reconstructs nothing. */
+private[es] case class EsConn(
+    url: String,
+    auth: String = "",
+    insecureTls: Boolean = false
+)
 
 object EsScrollSource {
   private[es] def reqOption(o: CaseInsensitiveStringMap, k: String): String = {
@@ -124,45 +169,90 @@ object EsScrollSource {
     if (v == null) default else v
   }
 
+  /** Build the connection descriptor from reader options: `apiKey` wins
+    * over `user`/`password` (the two ES auth schemes a client sends as an
+    * Authorization header); absent both, the header stays empty (the
+    * reference's plain connection). */
+  private[es] def connOf(o: CaseInsensitiveStringMap): EsConn = {
+    val url    = reqOption(o, "url")
+    val apiKey = o.get("apiKey")
+    val user   = o.get("user")
+    val auth =
+      if (apiKey != null) s"ApiKey $apiKey"
+      else if (user != null) {
+        val pw = optOrElse(o, "password", "")
+        "Basic " + java.util.Base64.getEncoder
+          .encodeToString(s"$user:$pw".getBytes(StandardCharsets.UTF_8))
+      } else ""
+    EsConn(url, auth, o.getBoolean("insecureTls", false))
+  }
+
   private val client = HttpClient.newHttpClient()
+
+  /** Trust-all client for `insecureTls=true` against self-signed https dev
+    * clusters — never the default; plain-http and CA-signed https use the
+    * JDK default client above. */
+  private lazy val insecureClient: HttpClient = {
+    val trustAll = new javax.net.ssl.X509TrustManager {
+      override def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+      override def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+      override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
+    }
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(null, Array[javax.net.ssl.TrustManager](trustAll), new java.security.SecureRandom)
+    HttpClient.newBuilder().sslContext(ctx).build()
+  }
 
   /** Transient-failure policy: ES sheds load with 429 (es_rejected_execution)
     * and proxies/overload answer 502/503/504; a long export WILL see these and
     * must retry with backoff rather than fail the Spark task (a task retry
     * would restart the whole slice's scroll from scratch). 4xx other than 429
-    * is a caller bug — fail fast. Retries are safe because the stub (and real
-    * ES) reject before mutating scroll-context state. */
+    * is a caller bug — fail fast (401/403 in particular: bad credentials must
+    * surface immediately, not after a backoff storm). Retries are safe because
+    * the stub (and real ES) reject before mutating scroll-context state. */
   private val MaxRetries  = 4
   private val RetryBaseMs = 50L
   private def retryable(status: Int): Boolean =
     status == 429 || status == 502 || status == 503 || status == 504
 
-  private[es] def post(url: String, body: String): String =
-    send(HttpRequest.newBuilder(URI.create(url))
+  private[es] def post(conn: EsConn, path: String, body: String): String =
+    send(conn, HttpRequest.newBuilder(URI.create(conn.url + path))
       .header("Content-Type", "application/json")
       .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8)))
 
-  private[es] def delete(url: String, body: String): String =
-    send(HttpRequest.newBuilder(URI.create(url))
+  private[es] def delete(conn: EsConn, path: String, body: String): String =
+    send(conn, HttpRequest.newBuilder(URI.create(conn.url + path))
       .header("Content-Type", "application/json")
       .method("DELETE", HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8)))
 
-  private[es] def get(url: String): String =
-    send(HttpRequest.newBuilder(URI.create(url)).GET())
+  private[es] def get(conn: EsConn, path: String): String =
+    send(conn, HttpRequest.newBuilder(URI.create(conn.url + path)).GET())
 
   /** Resolve an index name or `*` pattern to concrete indices. Patterns list
     * the cluster's indices (`GET /_cat/indices?format=json` — the discovery
     * call the reference's Bootstrap makes before exporting) and glob-match
     * client-side. Sorted for deterministic partition planning. */
-  private[es] def resolveIndices(url: String, pattern: String): Seq[String] =
+  private[es] def resolveIndices(conn: EsConn, pattern: String): Seq[String] =
     if (!pattern.contains("*")) Seq(pattern)
     else {
-      val arr = new ObjectMapper().readTree(get(s"$url/_cat/indices?format=json"))
+      val arr = new ObjectMapper().readTree(get(conn, "/_cat/indices?format=json"))
       val rx  = ("^" + pattern.split("\\*", -1)
         .map(java.util.regex.Pattern.quote).mkString(".*") + "$").r
       (0 until arr.size).map(arr.get(_).path("index").asText())
         .filter(n => rx.matches(n)).sorted
     }
+
+  /** PUBLIC discovery surface for callers composing the reference's whole
+    * program (Cli's `--es` mode): the concrete indices matching `pattern`
+    * (via `_cat/indices`, the reference's Bootstrap discovery call) with
+    * their parsed day suffixes — the CLI derives its export window from
+    * the latest day, exactly as the reference derives it from its daily
+    * index names (Bootstrap.java:259-268). */
+  def discoverDailyIndices(
+      url: String,
+      pattern: String
+  ): Seq[(String, Option[java.time.LocalDate])] =
+    resolveIndices(EsConn(url), pattern).map(n => n -> indexDay(n))
 
   /** The UTC day a time-partitioned index covers, from its `-yyyy.MM.dd`
     * suffix (the reference's daily-index naming); None = not day-suffixed,
@@ -228,12 +318,14 @@ object EsScrollSource {
       }
   }
 
-  private def send(b: HttpRequest.Builder): String = {
+  private def send(conn: EsConn, b0: HttpRequest.Builder): String = {
+    val b   = if (conn.auth.nonEmpty) b0.header("Authorization", conn.auth) else b0
+    val cl  = if (conn.insecureTls && conn.url.startsWith("https")) insecureClient else client
     val req = b.build()
     var attempt = 0
     while (true) {
       val resp =
-        try client.send(req, HttpResponse.BodyHandlers.ofString())
+        try cl.send(req, HttpResponse.BodyHandlers.ofString())
         catch {
           case e: java.io.IOException if attempt < MaxRetries =>
             attempt += 1
@@ -253,25 +345,40 @@ object EsScrollSource {
   }
 
   /** Compile accepted Spark source filters to an ES query-DSL JSON string.
-    * Strings equality-match via `match_phrase` (the reference's operator for
-    * its rule_name predicate); other equalities use `term`; ranges use
-    * `range` with ISO-instant rendering for timestamps. Unsupported shapes
-    * are rejected in [[supported]] and left for Spark to evaluate. */
-  private[es] def toEsQuery(filters: Array[Filter]): String = {
+    * String equalities follow `stringEquality` (see the class doc): exact
+    * `term`/`terms` on `field + keywordSuffix`, or the reference's
+    * `match_phrase` with Spark re-evaluation. `Not(leaf)` carries the
+    * exists() null guard; unsupported shapes are rejected in [[supported]]
+    * and left for Spark to evaluate. */
+  private[es] def toEsQuery(
+      filters: Array[Filter],
+      stringEquality: String = "term",
+      keywordSuffix: String = ""
+  ): String = {
     val m = new ObjectMapper
+    // keyword-suffixed field for exact string matching in term mode; the
+    // base name everywhere else (ranges, exists, non-string equality)
+    def kw(a: String): String =
+      if (stringEquality == "term" && keywordSuffix.nonEmpty) a + keywordSuffix else a
     def clause(f: Filter): ObjectNode = {
       val n = m.createObjectNode()
       f match {
-        case EqualTo(a, v: String) => n.putObject("match_phrase").put(a, v)
+        case EqualTo(a, v: String) =>
+          if (stringEquality == "phrase") n.putObject("match_phrase").put(a, v)
+          else n.putObject("term").put(kw(a), v)
         case EqualTo(a, v)         => putVal(n.putObject("term"), a, v)
         case In(a, vs) =>
-          val arr = n.putObject("terms").putArray(a)
+          val allStrings = vs.nonEmpty && vs.forall(_.isInstanceOf[String])
+          val arr = n.putObject("terms").putArray(if (allStrings) kw(a) else a)
           vs.foreach(v => putArr(arr, v))
         case GreaterThan(a, v)        => putVal(n.putObject("range").putObject(a), "gt", v)
         case GreaterThanOrEqual(a, v) => putVal(n.putObject("range").putObject(a), "gte", v)
         case LessThan(a, v)           => putVal(n.putObject("range").putObject(a), "lt", v)
         case LessThanOrEqual(a, v)    => putVal(n.putObject("range").putObject(a), "lte", v)
         case IsNotNull(a)             => n.putObject("exists").put("field", a)
+        case IsNull(a) =>
+          n.putObject("bool").putArray("must_not")
+            .addObject().putObject("exists").put("field", a)
         case And(l, r) =>
           val must = n.putObject("bool").putArray("must")
           must.add(clause(l)); must.add(clause(r))
@@ -280,8 +387,21 @@ object EsScrollSource {
           val should = b.putArray("should")
           should.add(clause(l)); should.add(clause(r))
           b.put("minimum_should_match", 1)
+        // NOT(a IS NOT NULL) = a IS NULL: IsNotNull never evaluates to
+        // NULL, so the bare negation IS Spark's semantics — no guard.
+        case Not(IsNotNull(a)) =>
+          n.putObject("bool").putArray("must_not")
+            .addObject().putObject("exists").put("field", a)
+        // NOT(a IS NULL) = a IS NOT NULL — same never-NULL leaf, no guard.
+        case Not(IsNull(a)) => n.putObject("exists").put("field", a)
+        // NOT(leaf) over a nullable field: Spark drops null rows (the leaf
+        // evaluates to NULL, NOT(NULL) = NULL), ES must_not would KEEP
+        // them — the exists guard restores Spark's semantics.
         case Not(c) =>
-          n.putObject("bool").putArray("must_not").add(clause(c))
+          val b    = n.putObject("bool")
+          val must = b.putArray("must")
+          c.references.foreach(a => must.addObject().putObject("exists").put("field", a))
+          b.putArray("must_not").add(clause(c))
         case other => throw new IllegalArgumentException(s"unpushable filter $other")
       }
       n
@@ -309,25 +429,66 @@ object EsScrollSource {
     case other                 => n.put(k, String.valueOf(other))
   }
 
+  /** Full type coverage mirroring [[putVal]] — a Float or Timestamp inside
+    * `In(...)` must serialize as a JSON number / ISO instant, not
+    * `String.valueOf`, or the terms array silently matches nothing. */
   private def putArr(a: ArrayNode, v: Any): Unit = v match {
     case s: String             => a.add(s)
     case i: Int                => a.add(i)
     case l: Long               => a.add(l)
     case d: Double             => a.add(d)
+    case f: Float              => a.add(f.toDouble)
     case b: Boolean            => a.add(b)
     case t: java.sql.Timestamp => a.add(t.toInstant.toString)
+    case i: Instant            => a.add(i.toString)
+    case d: java.sql.Date      => a.add(d.toString)
     case other                 => a.add(String.valueOf(other))
   }
 
   private[es] def supported(f: Filter): Boolean = f match {
-    case EqualTo(_, null)                       => false
-    case EqualTo(_, _) | In(_, _) | IsNotNull(_) => true
+    case EqualTo(_, null)                             => false
+    case In(_, vs) if vs == null || vs.contains(null) => false // null ∈ IN is three-valued; not expressible as terms
+    case EqualTo(_, _) | In(_, _) | IsNotNull(_) | IsNull(_) => true
     case GreaterThan(_, _) | GreaterThanOrEqual(_, _) => true
     case LessThan(_, _) | LessThanOrEqual(_, _)       => true
     case And(l, r) => supported(l) && supported(r)
     case Or(l, r)  => supported(l) && supported(r)
-    case Not(c)    => supported(c)
-    case _         => false
+    // Not compiles with an exists() guard reproducing Spark's null-dropping
+    // semantics — sound only for a single-field leaf. A Not over And/Or
+    // would need per-branch null analysis (NOT(a=1 AND b=9) keeps a row
+    // with a null `a` when b≠9), so it stays with Spark.
+    case Not(c) => c match {
+      case EqualTo(_, v)                                => v != null
+      case In(_, vs)                                    => vs != null && !vs.contains(null)
+      case GreaterThan(_, _) | GreaterThanOrEqual(_, _) => true
+      case LessThan(_, _) | LessThanOrEqual(_, _)       => true
+      case IsNotNull(_) | IsNull(_)                     => true
+      case _                                            => false
+    }
+    case _ => false
+  }
+
+  /** Does `f` contain a string equality/membership anywhere? (In `phrase`
+    * mode those compile to analyzed match_phrase and must be re-evaluated
+    * by Spark.) */
+  private[es] def containsStringEq(f: Filter): Boolean = f match {
+    case EqualTo(_, _: String) => true
+    case In(_, vs)             => vs != null && vs.exists(_.isInstanceOf[String])
+    case And(l, r)             => containsStringEq(l) || containsStringEq(r)
+    case Or(l, r)              => containsStringEq(l) || containsStringEq(r)
+    case Not(c)                => containsStringEq(c)
+    case _                     => false
+  }
+
+  /** Is `f` safe to push as a SUPERSET in `phrase` mode? A match_phrase
+    * over-matches, which is harmless under must/should (Spark's re-filter
+    * trims the extras) but destructive under must_not (rows the analyzer
+    * over-matched are excluded server-side and can never come back). */
+  private[es] def phraseSafe(f: Filter): Boolean = f match {
+    case Not(c)    => !containsStringEq(c)
+    case And(l, r) => phraseSafe(l) && phraseSafe(r)
+    case Or(l, r)  => phraseSafe(l) && phraseSafe(r)
+    case _         => true
   }
 
   /** One `_source` JSON field → the Spark internal value for `dt`; null on
@@ -367,7 +528,7 @@ private class EsScrollTable(schema0: StructType, props: Map[String, String])
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EsScanBuilder(
       schema0,
-      EsScrollSource.reqOption(options, "url"),
+      EsScrollSource.connOf(options),
       EsScrollSource.reqOption(options, "index"),
       options.getInt("slices", 4),
       options.getInt("pageSize", 1000),
@@ -375,13 +536,15 @@ private class EsScrollTable(schema0: StructType, props: Map[String, String])
       EsScrollSource.optOrElse(options, "timeField", "ts"), // drives index-level window pruning
       EsScrollSource.optOrElse(options, "pagination", "scroll"), // or "search_after" (PIT)
       EsScrollSource.optOrElse(options, "cursorField", "event_id"), // streaming tail cursor
-      options.getLong("maxIdsPerBatch", 1000L) // streaming admission: cursor-value step per epoch
+      options.getLong("maxIdsPerBatch", 1000L), // streaming admission: cursor-value step per epoch
+      EsScrollSource.optOrElse(options, "stringEquality", "term"), // or "phrase" (reference parity + re-filter)
+      EsScrollSource.optOrElse(options, "keywordSuffix", "") // e.g. ".keyword" for default-mapped text
     )
 }
 
 private class EsScanBuilder(
     full: StructType,
-    url: String,
+    conn: EsConn,
     index: String,
     slices: Int,
     pageSize: Int,
@@ -389,7 +552,9 @@ private class EsScanBuilder(
     timeField: String,
     pagination: String,
     cursorField: String = "event_id",
-    maxIdsPerBatch: Long = 1000L
+    maxIdsPerBatch: Long = 1000L,
+    stringEquality: String = "term",
+    keywordSuffix: String = ""
 ) extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -397,16 +562,27 @@ private class EsScanBuilder(
     with SupportsPushDownAggregates {
   private var required: StructType  = full
   private var pushed: Array[Filter] = Array.empty
+  private var postScan: Array[Filter] = Array.empty
   private var limit: Option[Int]    = None
   private var aggGroups: Array[StructField] = null // null = no aggregate pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
+  /** Pushdown with per-mode exactness: in `term` mode every supported
+    * filter is exact and fully pushed; in `phrase` mode filters containing
+    * a string equality are pushed only when superset-safe (see
+    * [[EsScrollSource.phraseSafe]]) and ALWAYS handed back to Spark for
+    * exact re-evaluation (returning them here is the DSv2 contract for
+    * inexact pushdown). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, rest) = filters.partition(f =>
-      EsScrollSource.supported(f) && refsKnownCols(f))
+      EsScrollSource.supported(f) && refsKnownCols(f) &&
+        (stringEquality != "phrase" || EsScrollSource.phraseSafe(f)))
     pushed = ok
-    rest
+    postScan =
+      if (stringEquality == "phrase") rest ++ ok.filter(EsScrollSource.containsStringEq)
+      else rest
+    postScan
   }
   private def refsKnownCols(f: Filter): Boolean =
     f.references.forall(full.fieldNames.contains)
@@ -421,11 +597,15 @@ private class EsScanBuilder(
     * wire form is a paged `composite` aggregation (the documented ES
     * mechanism for EXHAUSTIVE bucket enumeration — a plain `terms` agg
     * truncates at `size` with an error bound, which a declared query can
-    * never ship on); grand-total COUNT(*) uses `track_total_hits`. Partial
+    * never ship on) with `missing_bucket:true` per source (ES otherwise
+    * SKIPS documents missing the group field, while Spark's groupBy emits
+    * a null group); grand-total COUNT(*) uses `track_total_hits`. Partial
     * pushdown (supportCompletePushDown stays false): the scan emits exact
     * (group, count) rows and Spark's final aggregate merges — a no-op over
     * the single result partition, but keeps the plan correct if Spark ever
-    * splits the scan. */
+    * splits the scan. Refused when a post-scan filter exists (phrase-mode
+    * string equality): the server would count analyzer-matched docs, not
+    * Spark-equal ones. */
   override def pushAggregation(agg: Aggregation): Boolean = {
     val groupCols = agg.groupByExpressions.flatMap {
       case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
@@ -435,41 +615,44 @@ private class EsScanBuilder(
       groupCols.forall(full.fieldNames.contains) &&
       agg.aggregateExpressions.length == 1 &&
       agg.aggregateExpressions.head.isInstanceOf[CountStar] &&
-      limit.isEmpty
+      limit.isEmpty && postScan.isEmpty
     if (ok) aggGroups = groupCols.map(full(_))
     ok
   }
 
   override def build(): Scan =
     if (aggGroups != null)
-      new EsAggScan(url, index, pageSize,
-        EsScrollSource.toEsQuery(pushed), pushed, aggGroups, timeField)
+      new EsAggScan(conn, index, pageSize,
+        EsScrollSource.toEsQuery(pushed, stringEquality, keywordSuffix),
+        pushed, aggGroups, timeField, keywordSuffix)
     else
-      new EsScrollScan(url, index, slices, pageSize, scroll, required,
-        EsScrollSource.toEsQuery(pushed), pushed, limit, timeField, pagination,
-        cursorField, maxIdsPerBatch)
+      new EsScrollScan(conn, index, slices, pageSize, scroll, required,
+        EsScrollSource.toEsQuery(pushed, stringEquality, keywordSuffix),
+        pushed, limit, timeField, pagination, cursorField, maxIdsPerBatch)
 }
 
 private case class EsAggPartition(
-    url: String,
+    conn: EsConn,
     index: String,
     queryJson: String,
     pageSize: Int,
     groupNames: Array[String],
-    groupTypesJson: String
+    groupTypesJson: String,
+    keywordSuffix: String
 ) extends InputPartition
 
 /** Scan for a pushed COUNT(*) [GROUP BY cols]: one input partition (the
   * result is O(distinct groups), already reduced server-side), driving a
   * paged composite aggregation — raw documents never cross the wire. */
 private class EsAggScan(
-    url: String,
+    conn: EsConn,
     index: String,
     pageSize: Int,
     queryJson: String,
     pushed: Array[Filter],
     groups: Array[StructField],
-    timeField: String
+    timeField: String,
+    keywordSuffix: String
 ) extends Scan with Batch {
   override def readSchema(): StructType =
     StructType(groups :+ StructField("count(*)", LongType, nullable = false))
@@ -483,11 +666,11 @@ private class EsAggScan(
     * never appear in the path. */
   override def planInputPartitions(): Array[InputPartition] = {
     val kept = EsScrollSource.pruneByWindow(
-      EsScrollSource.resolveIndices(url, index), pushed, timeField)
+      EsScrollSource.resolveIndices(conn, index), pushed, timeField)
     if (kept.isEmpty) Array.empty
     else
-      Array(EsAggPartition(url, kept.mkString(","), queryJson, pageSize,
-        groups.map(_.name), StructType(groups).json))
+      Array(EsAggPartition(conn, kept.mkString(","), queryJson, pageSize,
+        groups.map(_.name), StructType(groups).json, keywordSuffix))
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
@@ -515,13 +698,23 @@ private class EsAggReader(p: EsAggPartition) extends PartitionReader[InternalRow
       val comp = root.putObject("aggs").putObject("g").putObject("composite")
       comp.put("size", p.pageSize)
       val srcs = comp.putArray("sources")
-      p.groupNames.foreach { c =>
-        srcs.addObject().putObject(c).putObject("terms").put("field", c)
+      groupTypes.foreach { gf =>
+        // keyword subfield for string group keys (composite terms over an
+        // analyzed text field would group by TOKEN on real ES); the SOURCE
+        // NAME stays the column name, so bucket keys decode unchanged
+        val fieldName =
+          if (gf.dataType == StringType && p.keywordSuffix.nonEmpty) gf.name + p.keywordSuffix
+          else gf.name
+        val t = srcs.addObject().putObject(gf.name).putObject("terms")
+        t.put("field", fieldName)
+        // real ES SKIPS docs missing the field unless told otherwise;
+        // Spark's groupBy emits a null group — missing_bucket aligns them
+        t.put("missing_bucket", true)
       }
       if (afterKey != null && afterKey.isObject)
         comp.set[ObjectNode]("after", afterKey.asInstanceOf[ObjectNode])
     }
-    mapper.readTree(EsScrollSource.post(s"${p.url}/${p.index}/_search", root.toString))
+    mapper.readTree(EsScrollSource.post(p.conn, s"/${p.index}/_search", root.toString))
   }
 
   override def next(): Boolean = {
@@ -546,6 +739,8 @@ private class EsAggReader(p: EsAggPartition) extends PartitionReader[InternalRow
     val vals = new Array[Any](groupTypes.length + 1)
     var i = 0
     while (i < groupTypes.length) {
+      // a missing_bucket key arrives as JSON null → toInternal yields the
+      // null group value, matching Spark's groupBy on a null field
       vals(i) = EsScrollSource.toInternal(key.get(groupTypes(i).name), groupTypes(i).dataType)
       i += 1
     }
@@ -562,7 +757,7 @@ private class EsAggReader(p: EsAggPartition) extends PartitionReader[InternalRow
 private case class EsSlicePartition(
     sliceId: Int,
     sliceMax: Int,
-    url: String,
+    conn: EsConn,
     index: String,
     queryJson: String,
     pageSize: Int,
@@ -573,7 +768,7 @@ private case class EsSlicePartition(
 ) extends InputPartition
 
 private class EsScrollScan(
-    url: String,
+    conn: EsConn,
     index: String,
     slices: Int,
     pageSize: Int,
@@ -590,7 +785,7 @@ private class EsScrollScan(
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new EsTailStream(url, index, slices, pageSize, scroll, required,
+    new EsTailStream(conn, index, slices, pageSize, scroll, required,
       queryJson, cursorField, maxIdsPerBatch)
   override def description(): String =
     s"es-scroll index=$index slices=$slices pagination=$pagination PushedEsQuery: $queryJson, " +
@@ -603,9 +798,9 @@ private class EsScrollScan(
   override def planInputPartitions(): Array[InputPartition] = {
     val n = math.max(1, slices)
     val kept = EsScrollSource.pruneByWindow(
-      EsScrollSource.resolveIndices(url, index), pushed, timeField)
+      EsScrollSource.resolveIndices(conn, index), pushed, timeField)
     (for { idx <- kept; i <- 0 until n } yield
-      EsSlicePartition(i, n, url, idx, queryJson,
+      EsSlicePartition(i, n, conn, idx, queryJson,
         limit.fold(pageSize)(l => math.min(pageSize, math.max(1, l))),
         scroll, required.json, limit.getOrElse(-1), pagination): InputPartition
     ).toArray
@@ -652,7 +847,7 @@ private class EsScrollReader(p: EsSlicePartition) extends PartitionReader[Intern
 
   private def firstPage(): Unit = {
     val resp = mapper.readTree(
-      EsScrollSource.post(s"${p.url}/${p.index}/_search?scroll=${p.scroll}", searchBody()))
+      EsScrollSource.post(p.conn, s"/${p.index}/_search?scroll=${p.scroll}", searchBody()))
     scrollId = resp.path("_scroll_id").asText()
     page = resp.path("hits").path("hits")
     pos = 0
@@ -660,7 +855,7 @@ private class EsScrollReader(p: EsSlicePartition) extends PartitionReader[Intern
 
   private def nextPage(): Unit = {
     val body = s"""{"scroll":"${p.scroll}","scroll_id":${mapper.writeValueAsString(scrollId)}}"""
-    val resp = mapper.readTree(EsScrollSource.post(s"${p.url}/_search/scroll", body))
+    val resp = mapper.readTree(EsScrollSource.post(p.conn, "/_search/scroll", body))
     scrollId = resp.path("_scroll_id").asText(scrollId)
     page = resp.path("hits").path("hits")
     pos = 0
@@ -698,7 +893,7 @@ private class EsScrollReader(p: EsSlicePartition) extends PartitionReader[Intern
 
   override def close(): Unit =
     if (scrollId != null) {
-      try EsScrollSource.delete(s"${p.url}/_search/scroll",
+      try EsScrollSource.delete(p.conn, "/_search/scroll",
         s"""{"scroll_id":[${mapper.writeValueAsString(scrollId)}]}""")
       catch { case _: Exception => () } // best-effort, contexts also expire by keep-alive
     }
@@ -747,9 +942,9 @@ private class EsPitReader(p: EsSlicePartition) extends PartitionReader[InternalR
   private def nextPage(): Unit = {
     if (pitId == null)
       pitId = mapper.readTree(
-        EsScrollSource.post(s"${p.url}/${p.index}/_pit?keep_alive=${p.scroll}", "{}"))
+        EsScrollSource.post(p.conn, s"/${p.index}/_pit?keep_alive=${p.scroll}", "{}"))
         .path("id").asText()
-    val resp = mapper.readTree(EsScrollSource.post(s"${p.url}/_search", searchBody()))
+    val resp = mapper.readTree(EsScrollSource.post(p.conn, "/_search", searchBody()))
     page = resp.path("hits").path("hits")
     pos = 0
     if (page.size() > 0) lastSort = page.get(page.size() - 1).path("sort")
@@ -787,7 +982,7 @@ private class EsPitReader(p: EsSlicePartition) extends PartitionReader[InternalR
 
   override def close(): Unit =
     if (pitId != null) {
-      try EsScrollSource.delete(s"${p.url}/_pit",
+      try EsScrollSource.delete(p.conn, "/_pit",
         s"""{"id":${mapper.writeValueAsString(pitId)}}""")
       catch { case _: Exception => () } // best-effort, PITs also expire by keep-alive
     }
@@ -815,6 +1010,11 @@ private[es] case class EsCursor(last: Long) extends StreamOffset {
   *     query; each of the N slices drives an independent PIT +
   *     search_after read of that range — the same executor fan-out as the
   *     batch path, per epoch.
+  *   - Index patterns resolve ONCE at stream construction (the same
+  *     `_cat/indices` discovery as the batch path); the resolved set is
+  *     searched multi-index per epoch. Indices created after the stream
+  *     starts join on the next restart — the cursor lives in the
+  *     checkpoint, so a restart is cheap and loses nothing.
   *   - The stream keeps NO state of its own: a fresh instance resumes from
   *     whatever committed offset Spark replays from the checkpoint — rows
   *     below the cursor are never re-read (no duplicates), the epoch range
@@ -824,7 +1024,7 @@ private[es] case class EsCursor(last: Long) extends StreamOffset {
   *     to it in admission-sized epochs, then terminates.
   */
 private class EsTailStream(
-    url: String,
+    conn: EsConn,
     index: String,
     slices: Int,
     pageSize: Int,
@@ -838,11 +1038,20 @@ private class EsTailStream(
   private val mapper = new ObjectMapper
   @volatile private var snapshotMax: Option[Long] = None // set by AvailableNow
 
+  /** A wildcard pattern resolved to the concrete comma-joined index list —
+    * without this, a literal `events-*` path would 400 (and per-epoch
+    * cursor admission would be meaningless across unknown indices). */
+  private val resolvedIndex: String = {
+    val names = EsScrollSource.resolveIndices(conn, index)
+    require(names.nonEmpty, s"es tail: index pattern '$index' matched no indices")
+    names.mkString(",")
+  }
+
   /** Current server-side max of the cursor field (−1 on an empty index):
     * one aggregation request, zero documents over the wire. */
   private def serverMax(): Long = {
     val body = s"""{"size":0,"query":$queryJson,"aggs":{"m":{"max":{"field":"$cursorField"}}}}"""
-    val v = mapper.readTree(EsScrollSource.post(s"$url/$index/_search", body))
+    val v = mapper.readTree(EsScrollSource.post(conn, s"/$resolvedIndex/_search", body))
       .path("aggregations").path("m").path("value")
     if (v.isNumber) v.asLong() else -1L
   }
@@ -880,7 +1089,7 @@ private class EsTailStream(
       s"""{"bool":{"must":[$queryJson,{"range":{"$cursorField":{"gt":$s,"lte":$e}}}]}}"""
     val n = math.max(1, slices)
     (0 until n).map { i =>
-      EsSlicePartition(i, n, url, index, ranged, pageSize, scroll,
+      EsSlicePartition(i, n, conn, resolvedIndex, ranged, pageSize, scroll,
         required.json, -1, "search_after"): InputPartition
     }.toArray
   }

@@ -46,7 +46,8 @@ class EsStubServer(
     rows: IndexedSeq[Array[Any]],
     malformedEvery: Int = 0,
     rejectEvery: Int = 0,
-    extraIndices: Map[String, IndexedSeq[Array[Any]]] = Map.empty
+    extraIndices: Map[String, IndexedSeq[Array[Any]]] = Map.empty,
+    requireAuth: String = null // expected Authorization header; null = open cluster
 ) {
   private val allIndices: Map[String, IndexedSeq[Array[Any]]] =
     extraIndices + (index -> rows)
@@ -66,6 +67,8 @@ class EsStubServer(
   val hitsServed = new AtomicLong(0)
   /** Requests shed with 429 (`rejectEvery` fault injection). */
   val rejected = new AtomicLong(0)
+  /** `size:0` aggregation searches served (discovery-pushdown assertions). */
+  val aggCalls = new AtomicLong(0)
   private val reqSeq = new AtomicLong(0)
   /** Per-index `_search` hit counts — index-pruning tests assert that a
     * pruned index never receives a request. */
@@ -107,6 +110,17 @@ class EsStubServer(
     val q = ex.getRequestURI.getQuery
     if (q != null && q.startsWith("scroll=")) lastScrollKeepAlive = q.stripPrefix("scroll=")
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    // Authentication FIRST (real ES's security filter runs before the
+    // search layer): a secured stub 401s any request without the exact
+    // expected Authorization header — non-retryable, the client fails fast.
+    if (requireAuth != null && ex.getRequestHeaders.getFirst("Authorization") != requireAuth) {
+      val err = """{"error":{"type":"security_exception","reason":"missing authentication credentials"}}"""
+        .getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(401, err.length)
+      ex.getResponseBody.write(err)
+      ex.close()
+      return
+    }
     // Load shedding BEFORE any state mutation — exactly where real ES
     // rejects (es_rejected_execution), so a client retry is always safe.
     if (rejectEvery > 0 && reqSeq.incrementAndGet() % rejectEvery == 0) {
@@ -260,6 +274,7 @@ class EsStubServer(
     * `after` — the exhaustive-enumeration contract the connector's
     * aggregate pushdown relies on). No scroll context is created. */
   private def aggSearch(req: JsonNode, data: IndexedSeq[Array[Any]]): String = {
+    aggCalls.incrementAndGet()
     val q        = req.path("query")
     val matching = data.indices.filter(i => evalQuery(q, data(i)))
     val root     = mapper.createObjectNode()
@@ -284,8 +299,14 @@ class EsStubServer(
       val fields = (0 until srcs.size).map { i =>
         val o    = srcs.get(i)
         val name = o.fieldNames().next()
-        (name, o.get(name).path("terms").get("field").asText())
+        val t    = o.get(name).path("terms")
+        (name, t.get("field").asText(), t.path("missing_bucket").asBoolean(false))
       }
+      // real-ES composite semantics: a document missing a source's field is
+      // SKIPPED unless that source declares missing_bucket:true (which then
+      // emits it under a null key)
+      val kept = matching.filter(i =>
+        fields.forall { case (_, f, missing) => missing || field(data(i), f) != null })
       // composite buckets ascend element-wise in key order; `after` resumes
       // strictly past a key under the SAME total order
       val keyOrd: Ordering[Seq[Any]] = (a: Seq[Any], b: Seq[Any]) =>
@@ -298,13 +319,16 @@ class EsStubServer(
             case (x, y)                 => String.valueOf(x).compareTo(String.valueOf(y))
           }
         }.find(_ != 0).getOrElse(0)
-      val grouped = matching
-        .groupBy(i => fields.map { case (_, f) => field(data(i), f) }: Seq[Any])
+      val grouped = kept
+        .groupBy(i => fields.map { case (_, f, _) => field(data(i), f) }: Seq[Any])
         .toSeq
         .sortBy(_._1)(keyOrd)
       val after = comp.path("after")
       val page = (if (after.isObject) {
-        val afterVals: Seq[Any] = fields.map { case (name, _) => queryVal(after.get(name)) }
+        val afterVals: Seq[Any] = fields.map { case (name, _, _) =>
+          val n = after.get(name)
+          if (n == null || n.isNull) null else queryVal(n)
+        }
         grouped.dropWhile { case (k, _) => keyOrd.compare(k, afterVals) <= 0 }
       } else grouped).take(size)
       val g   = root.putObject("aggregations").putObject(aggName)
@@ -312,12 +336,12 @@ class EsStubServer(
       page.foreach { case (k, is) =>
         val b   = arr.addObject()
         val key = b.putObject("key")
-        fields.zip(k).foreach { case ((name, _), v) => putJson(key, name, v) }
+        fields.zip(k).foreach { case ((name, _, _), v) => putJson(key, name, v) }
         b.put("doc_count", is.length)
       }
       if (page.nonEmpty) {
         val ak = g.putObject("after_key")
-        fields.zip(page.last._1).foreach { case ((name, _), v) => putJson(ak, name, v) }
+        fields.zip(page.last._1).foreach { case ((name, _, _), v) => putJson(ak, name, v) }
       }
     }
     root.toString
@@ -386,8 +410,12 @@ class EsStubServer(
 
   // ---- query DSL evaluation over a seeded row -------------------------
 
+  /** A `.keyword` suffix addresses the raw keyword subfield of a
+    * default-mapped text field — on this stub (as on real ES for values
+    * under ignore_above) that IS the stored value. */
   private def field(row: Array[Any], name: String): Any = {
-    val i = colNames.indexOf(name)
+    val base = if (name.endsWith(".keyword")) name.stripSuffix(".keyword") else name
+    val i    = colNames.indexOf(base)
     if (i < 0) null else row(i)
   }
 
@@ -462,9 +490,9 @@ object EsStubServer {
     * execution path — the engine path is the HTTP read through
     * [[EsScrollSource]]. */
   def fromDataFrame(df: DataFrame, index: String, malformedEvery: Int = 0,
-      rejectEvery: Int = 0): EsStubServer = {
+      rejectEvery: Int = 0, requireAuth: String = null): EsStubServer = {
     val (cols, data) = seedRows(df)
-    new EsStubServer(index, cols, data, malformedEvery, rejectEvery)
+    new EsStubServer(index, cols, data, malformedEvery, rejectEvery, requireAuth = requireAuth)
   }
 
   /** Seed one index PER DAY of `tsCol` — the reference's time-partitioned

@@ -48,19 +48,198 @@ class EsScrollSourceSpec extends SparkSpec {
     }
   }
 
-  test("equality filter is pushed as match_phrase and non-matching docs never cross the wire") {
+  test("equality filter is pushed as an exact term and non-matching docs never cross the wire") {
     import spark.implicits._
     withServer(events) { (srv, url) =>
       val purchases = esRead(url, slices = 2).where($"event_type" === "purchase")
       val plan      = purchases.queryExecution.executedPlan.toString
-      assert(plan.contains("PushedEsQuery") && plan.contains("match_phrase"),
+      assert(plan.contains("PushedEsQuery") && plan.contains("\"term\""),
         s"pushed query DSL must be visible in the scan:\n$plan")
       val n = purchases.collect().length.toLong // scroll path (count() would push the agg)
       assert(n === events.where($"event_type" === "purchase").count())
       assert(srv.hitsServed.get() === n,
         s"server must serialize only matching docs (served ${srv.hitsServed.get()}, matched $n)")
-      assert(srv.lastSearchBody.contains("match_phrase"))
+      assert(srv.lastSearchBody.contains("\"term\""))
     }
+  }
+
+  test("phrase mode pushes match_phrase for traffic reduction but Spark re-evaluates exactly") {
+    import spark.implicits._
+    withServer(events) { (srv, url) =>
+      val purchases = esRead(url, slices = 2)
+        .where($"event_type" === "purchase")
+      val phrased = spark.read
+        .format("graft.sources.es.EsScrollSource")
+        .schema(events.schema)
+        .option("url", url).option("index", "events")
+        .option("slices", 2)
+        .option("stringEquality", "phrase")
+        .load()
+        .where($"event_type" === "purchase")
+      val plan = phrased.queryExecution.executedPlan.toString
+      assert(plan.contains("match_phrase"), s"phrase mode must push match_phrase:\n$plan")
+      // the DSv2 contract for INEXACT pushdown: the filter also survives
+      // post-scan, so an analyzed over-match can never leak rows through
+      assert(plan.contains("Filter"),
+        s"phrase-mode string equality must be re-evaluated by Spark:\n$plan")
+      val n = phrased.collect().length.toLong
+      assert(n === events.where($"event_type" === "purchase").count())
+      assert(srv.hitsServed.get() === n, "the server still filters server-side")
+    }
+  }
+
+  test("phrase mode never pushes a string equality under Not (must_not over-match would under-return)") {
+    import spark.implicits._
+    withServer(events) { (srv, url) =>
+      val notPurchase = spark.read
+        .format("graft.sources.es.EsScrollSource")
+        .schema(events.schema)
+        .option("url", url).option("index", "events")
+        .option("slices", 2)
+        .option("stringEquality", "phrase")
+        .load()
+        .where(!($"event_type" === "purchase"))
+      val plan = notPurchase.queryExecution.executedPlan.toString
+      assert(!plan.contains("must_not"),
+        s"a phrase-mode Not(string equality) must stay with Spark:\n$plan")
+      assert(notPurchase.collect().length.toLong ===
+        events.where(!($"event_type" === "purchase")).count())
+    }
+  }
+
+  test("pushed Not over a nullable column drops null rows exactly like Spark (exists guard)") {
+    import spark.implicits._
+    // every 5th event's type nulled: Spark's NOT(a = v) drops those rows,
+    // ES must_not alone would KEEP them — the exists guard is the fix
+    val withNulls = events.withColumn("event_type",
+      when($"event_id" % 5 === 0, lit(null: String)).otherwise($"event_type"))
+    withServer(withNulls) { (srv, url) =>
+      val got = esRead(url, slices = 2).where($"event_type" =!= "purchase")
+      val plan = got.queryExecution.executedPlan.toString
+      assert(plan.contains("exists") && plan.contains("must_not"),
+        s"pushed Not must carry the exists null guard:\n$plan")
+      val n = got.collect().length.toLong
+      val expected = withNulls.where($"event_type" =!= "purchase").count()
+      assert(n === expected, "null-typed rows must be dropped, not returned")
+      assert(srv.hitsServed.get() === n,
+        "the guard must exclude null rows SERVER-side, not ship them for Spark to drop")
+    }
+  }
+
+  test("isNull / isNotNull push as bare exists clauses (never-NULL predicates need no guard)") {
+    import spark.implicits._
+    val withNulls = events.withColumn("event_type",
+      when($"event_id" % 5 === 0, lit(null: String)).otherwise($"event_type"))
+    withServer(withNulls) { (srv, url) =>
+      val nulls = esRead(url, slices = 2).where($"event_type".isNull)
+      val n = nulls.collect().length.toLong
+      assert(n === withNulls.where($"event_type".isNull).count())
+      assert(srv.hitsServed.get() === n, "isNull must filter server-side")
+      assert(srv.lastSearchBody.contains("exists"))
+    }
+  }
+
+  test("In over a float column serializes as JSON numbers and matches (putArr type coverage)") {
+    import spark.implicits._
+    val srv = new EsStubServer("metrics",
+      Array("id", "score"),
+      (0 until 200).map(i => Array[Any](i.toLong, (i % 10).toFloat * 0.5f)).toIndexedSeq)
+    srv.start()
+    try {
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("score", FloatType)))
+      val got = spark.read
+        .format("graft.sources.es.EsScrollSource")
+        .schema(schema)
+        .option("url", srv.url).option("index", "metrics")
+        .option("slices", 2)
+        .load()
+        .where($"score".isin(0.5f, 2.0f))
+      val n = got.collect().length.toLong
+      assert(n === 40, s"terms over floats must match 2 of 10 score buckets, got $n")
+      assert(srv.hitsServed.get() === n, "the In must filter server-side, not return zero rows")
+      assert(srv.lastSearchBody.contains("\"terms\""))
+    } finally srv.stop()
+  }
+
+  test("keywordSuffix addresses the raw keyword subfield for exact term equality") {
+    import spark.implicits._
+    withServer(events) { (srv, url) =>
+      val got = spark.read
+        .format("graft.sources.es.EsScrollSource")
+        .schema(events.schema)
+        .option("url", url).option("index", "events")
+        .option("slices", 2)
+        .option("keywordSuffix", ".keyword")
+        .load()
+        .where($"event_type" === "purchase")
+      val n = got.collect().length.toLong
+      assert(n === events.where($"event_type" === "purchase").count())
+      assert(srv.lastSearchBody.contains("event_type.keyword"),
+        s"term must target the keyword subfield: ${srv.lastSearchBody}")
+    }
+  }
+
+  test("composite aggregation declares missing_bucket and surfaces the null group like Spark") {
+    import spark.implicits._
+    val withNulls = events.withColumn("event_type",
+      when($"event_id" % 5 === 0, lit(null: String)).otherwise($"event_type"))
+    withServer(withNulls) { (srv, url) =>
+      val counts = spark.read
+        .format("graft.sources.es.EsScrollSource")
+        .schema(events.schema)
+        .option("url", url).option("index", "events")
+        .option("pageSize", 2) // forces composite `after` paging across the null bucket
+        .load()
+        .groupBy($"event_type").count()
+      val got = counts.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+      val expected = withNulls.groupBy($"event_type").count()
+        .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+      assert(got === expected, "the null group must arrive with Spark's groupBy semantics")
+      assert(got.contains(None) && got(None) > 0, "fixture must actually exercise the null bucket")
+      assert(srv.hitsServed.get() === 0)
+      assert(srv.lastSearchBody.contains("missing_bucket"),
+        s"composite sources must declare missing_bucket: ${srv.lastSearchBody}")
+    }
+  }
+
+  test("auth-gated cluster: no credentials fail fast with 401; basic auth and ApiKey both read") {
+    import java.util.Base64
+    val expectBasic = "Basic " + Base64.getEncoder.encodeToString(
+      "elastic:sekret".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sample = events.limit(300)
+    val srv = EsStubServer.fromDataFrame(sample, "events", requireAuth = expectBasic)
+    srv.start()
+    try {
+      def read(extra: Map[String, String]) = {
+        val r0 = spark.read
+          .format("graft.sources.es.EsScrollSource")
+          .schema(events.schema)
+          .option("url", srv.url).option("index", "events")
+          .option("slices", 2)
+        extra.foldLeft(r0) { case (r, (k, v)) => r.option(k, v) }.load()
+      }
+      val denied = intercept[Exception](read(Map.empty).collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(denied).exists(_.contains("HTTP 401")),
+        s"an unauthenticated read must fail fast with 401, got: $denied")
+      val viaBasic = read(Map("user" -> "elastic", "password" -> "sekret"))
+      assert(viaBasic.collect().length === 300)
+      assert(viaBasic.exceptAll(sample).count() === 0)
+    } finally srv.stop()
+    // ApiKey scheme against its own gate
+    val srv2 = EsStubServer.fromDataFrame(sample, "events", requireAuth = "ApiKey deadbeef==")
+    srv2.start()
+    try {
+      val viaKey = spark.read
+        .format("graft.sources.es.EsScrollSource")
+        .schema(events.schema)
+        .option("url", srv2.url).option("index", "events")
+        .option("apiKey", "deadbeef==")
+        .load()
+      assert(viaKey.collect().length === 300)
+    } finally srv2.stop()
   }
 
   test("range filter on a timestamp column compiles to an ES range query") {
@@ -148,7 +327,7 @@ class EsScrollSourceSpec extends SparkSpec {
       val n = esRead(url).where($"event_type" === "purchase").groupBy().count().head.getLong(0)
       assert(n === events.where($"event_type" === "purchase").count())
       assert(srv.hitsServed.get() === 0)
-      assert(srv.lastSearchBody.contains("match_phrase"), s"filter must ride the agg request: ${srv.lastSearchBody}")
+      assert(srv.lastSearchBody.contains("\"term\""), s"filter must ride the agg request: ${srv.lastSearchBody}")
     }
   }
 
@@ -288,6 +467,35 @@ class EsScrollSourceSpec extends SparkSpec {
     .option("cursorField", "event_id")
     .option("maxIdsPerBatch", step)
     .load()
+
+  test("streaming tail resolves a wildcard index pattern at stream construction") {
+    val types = Array("click", "view", "purchase", "signup", "error")
+    def day(rows: Range) =
+      rows.map(i => Array[Any](i.toLong, types(i % 5), i * 0.5)).toIndexedSeq
+    val srv = new EsStubServer("events-2024.01.01",
+      Array("event_id", "event_type", "value"), day(0 until 300),
+      extraIndices = Map("events-2024.01.02" -> day(300 until 600)))
+    srv.start()
+    val ckpt = java.nio.file.Files.createTempDirectory("es_tail_wild").toString
+    val name = s"es_tail_wild_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    try {
+      val q = spark.readStream
+        .format("graft.sources.es.EsScrollSource")
+        .schema(tailSchema)
+        .option("url", srv.url)
+        .option("index", "events-*") // a literal events-* request path would 400
+        .option("slices", 2)
+        .option("cursorField", "event_id")
+        .option("maxIdsPerBatch", 250)
+        .load()
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.table(name)
+      assert(got.count() === 600, "both daily indices must drain through the resolved pattern")
+      assert(got.select("event_id").distinct().count() === 600)
+    } finally { srv.stop(); spark.catalog.dropTempView(name) }
+  }
 
   test("streaming tail drains every row exactly once across cursor-ranged epochs") {
     val srv = tailSeed(600); srv.start()
