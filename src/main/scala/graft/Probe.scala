@@ -1086,6 +1086,66 @@ object Probe {
           ok = false
         }
       }
+      // ---- pair 1b: q160 full containment index vs q168 contained-side
+      // prefix index, same adversarial corpus (exact copies every 10th doc
+      // are mutual containments; the hot preamble blows up the full index's
+      // candidate stage exactly as in pair 1). The prefix side indexes only
+      // ~10% of the contained side's postings (t=0.9), so the divergence is
+      // steeper than pair 1's.
+      def shDocs(d: org.apache.spark.sql.DataFrame) = d
+        .repartition(32, $"doc_id")
+        .select(
+          $"doc_id",
+          array_distinct(Kernels.shingleHashes(split($"text", " "), 3)).as("sh")
+        )
+      // sizes stop at 40k: the full index's candidate stage is ~2× pair 1's
+      // (ordered pairs, both directions) — the divergence RATE is the
+      // point, not paying the quadratic tail twice
+      val contSteps = Seq(20000L, 40000L).map { n =>
+        val d           = shDocs(xDocs(n)).localCheckpoint()
+        val (cFull, sF) = best2(Dedup.containmentPairsOf(d).count())
+        val (cPfx, sP)  = best2(Dedup.containmentPrefixPairsOf(d).count())
+        println(
+          f"[crossover] cont n=$n%7d full=$sF%8.2f s ($cFull pairs) prefix=$sP%8.2f s ($cPfx pairs) ratio=${sP / sF}%.2fx"
+        )
+        if (cFull != cPfx) {
+          println(s"[crossover] VIOLATION containment pair counts differ: full=$cFull prefix=$cPfx at n=$n")
+          ok = false
+        }
+        (n, sF, sP)
+      }
+      if (contSteps.last._3 > contSteps.last._2) {
+        println(
+          f"[crossover] VIOLATION containment prefix plan (${contSteps.last._3}%.2f s) behind full index (${contSteps.last._2}%.2f s) at top size"
+        )
+        ok = false
+      }
+      // ---- dispatcher: the q170 skew estimate must pick the measured
+      // winner at BOTH ends of pair 1's curve (prefix on the Zipf head,
+      // full index under per-doc-unique uniformity)
+      locally {
+        def uDocs(n: Long) = {
+          val base = when($"id" % 10 === 0 && $"id" > 0, $"id" - 1).otherwise($"id")
+          spark
+            .range(n)
+            .repartition(32)
+            .select(
+              $"id".as("doc_id"),
+              concat_ws(" ",
+                transform(sequence(lit(0L), lit(39L)),
+                  j => substring(md5(concat(base * 40L + j, lit("u"))), 1, 6))
+              ).as("text")
+            )
+        }
+        val zPick = Dedup.chooseJaccardPlan(xDocs(100000L))
+        val zStat = Dedup.jaccardSkewStat(xDocs(100000L))
+        val uPick = Dedup.chooseJaccardPlan(uDocs(100000L))
+        val uStat = Dedup.jaccardSkewStat(uDocs(100000L))
+        println(f"[crossover] dispatch zipf-head n=100000 skew=$zStat%.5f -> $zPick")
+        println(f"[crossover] dispatch uniform   n=100000 skew=$uStat%.5f -> $uPick")
+        if (zPick != "prefix") { println("[crossover] VIOLATION dispatcher must pick prefix on the Zipf head"); ok = false }
+        if (uPick != "full")   { println("[crossover] VIOLATION dispatcher must pick full under uniformity"); ok = false }
+      }
       // ---- pair 2: brute vs prebuilt-index IVF query path ----
       val dim = 64
       val nQ  = 20

@@ -297,21 +297,7 @@ object Dedup {
     * shingle, df-cappable, never all-pairs. */
   def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val base = Tables.documents(spark, sfDir).select($"doc_id", $"text")
-    val aug = base.unionByName(
-      base
-        .filter($"doc_id" % 7 === 0)
-        .select(
-          ($"doc_id" + 2000000L).as("doc_id"),
-          expr("concat_ws(' ', slice(split(text, ' '), 1, (size(split(text, ' ')) + 1) div 2))")
-            .as("text")
-        )
-    )
-    val docs = aug
-      .repartition($"doc_id")
-      .select($"doc_id", array_distinct(graft.functions.Kernels.shingleHashes(tokens($"text"), 3)).as("sh0"))
-      .groupBy($"doc_id")
-      .agg(first($"sh0").as("sh"))
+    val docs = containmentDocs(spark, sfDir)
       .select($"doc_id", size($"sh").as("n_sh"), explode($"sh").as("shingle"))
       .repartition($"shingle")
     val a = docs.select($"doc_id".as("contained_id"), $"n_sh".as("n_a"), $"shingle")
@@ -325,6 +311,169 @@ object Dedup {
       .select($"contained_id", $"container_id", $"containment")
       .orderBy($"contained_id", $"container_id")
   }
+
+  /** The q160/q168 shared corpus: documents plus their planted first-half
+    * excerpts (+2M ids for docs %7), reduced to (doc_id, sh)
+    * distinct-shingle-hash arrays behind the standard repartition +
+    * groupBy/first barrier (one exchange, no pushed-down kernel
+    * recompute). */
+  private def containmentDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val aug = base.unionByName(
+      base
+        .filter($"doc_id" % 7 === 0)
+        .select(
+          ($"doc_id" + 2000000L).as("doc_id"),
+          expr("concat_ws(' ', slice(split(text, ' '), 1, (size(split(text, ' ')) + 1) div 2))")
+            .as("text")
+        )
+    )
+    aug
+      .repartition($"doc_id")
+      .select($"doc_id", array_distinct(graft.functions.Kernels.shingleHashes(tokens($"text"), 3)).as("sh0"))
+      .groupBy($"doc_id")
+      .agg(first($"sh0").as("sh"))
+  }
+
+  /** Declared query (q168): q160's scale-safe PLAN PAIR — the prefix
+    * filter specialized to ASYMMETRIC containment. If
+    * C(A→B) = |A∩B| / n_a ≥ 0.9, then at most n_a − ⌈0.9·n_a⌉ of A's
+    * shingles miss B; so among A's (n_a − ⌈0.9·n_a⌉ + 1) RAREST shingles
+    * (global-df ascending, the q147 ordering) at least one must land in B
+    * (pigeonhole). Only that ~10% prefix of the CONTAINED side enters the
+    * inverted index; the CONTAINER side stays full — containment is
+    * asymmetric, B's size never appears in the bound, so B earns no
+    * prefix. Candidate volume drops by the df mass of the pruned 90%
+    * (and the surviving 10% is the RAREST tail — the smallest join
+    * buckets), while the exact verify (full-array intersect against the
+    * shared containmentDocs arrays) keeps the output hash-identical to
+    * q160 — declared under q160's SHARED oracle, the q166=q163/q147=q67
+    * convention. This was round 12's slowest sf10 row (101 s @ 550k docs
+    * on the full index); the prefix pair is its 100 TB answer.
+    * (Rounding note: as in q147 — n_inter/n_a with n_a ≪ 2·10⁵ cannot
+    * land in [0.9 − 5e−7, 0.9), so the rounded and true thresholds select
+    * identical pairs and the lemma applies verbatim.) */
+  def containmentPrefixPairs(spark: SparkSession, sfDir: String): DataFrame =
+    containmentPrefixPairsOf(containmentDocs(spark, sfDir))
+
+  /** The (doc_id, sh)-parameterized q168 plan — the `crossover` probe
+    * drives it against [[containmentPairs]]' full index over growing
+    * adversarial corpora. */
+  private[graft] def containmentPrefixPairsOf(docsPre: DataFrame): DataFrame = {
+    import docsPre.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = docsPre
+    val ex   = docs.select($"doc_id", size($"sh").as("n_sh"), explode($"sh").as("shingle"))
+    val df   = ex.groupBy($"shingle").agg(count(lit(1)).as("df"))
+    // rarest-first global order; position is a PARALLEL per-doc window.
+    // prefix length n_a − ⌈0.9·n_a⌉ + 1 with ⌈0.9n⌉ = (9n+9) div 10.
+    // df join hinted shuffle_hash — broadcasting the exploded side is the
+    // unbounded-at-scale trap the corpus-wide sweep catches (see q147).
+    val w = Window.partitionBy($"doc_id").orderBy($"df".asc, $"shingle".asc)
+    val pfx = ex
+      .hint("shuffle_hash")
+      .join(df.hint("shuffle_hash"), "shingle")
+      .withColumn("pos", row_number().over(w))
+      .filter($"pos" <= expr("n_sh - (9 * n_sh + 9) div 10 + 1"))
+      .select($"doc_id".as("contained_id"), $"n_sh".as("n_a"), $"shingle")
+      .repartition($"shingle")
+    val full = ex.select($"doc_id".as("container_id"), $"shingle".as("shingle2"))
+    val cand = pfx
+      .hint("shuffle_hash")
+      .join(full.hint("shuffle_hash"), $"shingle" === $"shingle2" && $"contained_id" =!= $"container_id")
+      .select($"contained_id", $"container_id", $"n_a")
+      .distinct()
+    cand
+      .join(docs.select($"doc_id".as("contained_id"), $"sh".as("sh_a")), "contained_id")
+      .join(docs.select($"doc_id".as("container_id"), $"sh".as("sh_b")), "container_id")
+      .withColumn("n_inter", size(array_intersect($"sh_a", $"sh_b")))
+      .withColumn("containment", round($"n_inter" / $"n_a", 6))
+      .filter($"containment" >= 0.9)
+      .select($"contained_id", $"container_id", $"containment")
+      .orderBy($"contained_id", $"container_id")
+  }
+
+  /** The q160-shaped full-index containment plan parameterized on a
+    * prepared (doc_id, sh) frame — the crossover probe's baseline arm. */
+  private[graft] def containmentPairsOf(docsPre: DataFrame): DataFrame = {
+    import docsPre.sparkSession.implicits._
+    val docs = docsPre
+      .select($"doc_id", size($"sh").as("n_sh"), explode($"sh").as("shingle"))
+      .repartition($"shingle")
+    val a = docs.select($"doc_id".as("contained_id"), $"n_sh".as("n_a"), $"shingle")
+    val b = docs.select($"doc_id".as("container_id"), $"shingle".as("shingle2"))
+    a.hint("shuffle_hash")
+      .join(b.hint("shuffle_hash"), $"shingle" === $"shingle2" && $"contained_id" =!= $"container_id")
+      .groupBy($"contained_id", $"container_id", $"n_a")
+      .agg(count(lit(1)).as("n_inter"))
+      .withColumn("containment", round($"n_inter" / $"n_a", 6))
+      .filter($"containment" >= 0.9)
+      .select($"contained_id", $"container_id", $"containment")
+      .orderBy($"contained_id", $"container_id")
+  }
+
+  /** Sampled corpus-skew statistic driving the q67/q147 plan dispatch: the
+    * df-weighted mean inverted-index bucket size, as a FRACTION of the
+    * sampled corpus. A uniform corpus (every shingle rare) scores ~df̄/n → 0;
+    * a Zipf-head corpus (hot shingles shared by a constant fraction of
+    * docs) scores that fraction times the hot occurrence mass — scale-free,
+    * so one cutoff works at any n. Estimated over a deterministic 1/16
+    * doc-id-hash sample: two narrow aggregates over ~6% of the corpus, the
+    * one driver value is a single scalar (bounded driver state). */
+  private[graft] def jaccardSkewStat(docsIn: DataFrame): Double = {
+    import docsIn.sparkSession.implicits._
+    val sample = docsIn
+      .filter(pmod(xxhash64($"doc_id"), lit(16)) === 0)
+      .select($"doc_id", explode(array_distinct(
+        graft.functions.Kernels.shingleHashes(tokens($"text"), 3))).as("shingle"))
+    val r = sample
+      .groupBy($"shingle").agg(count(lit(1)).as("df"))
+      .agg(
+        sum($"df" * $"df").as("df2"),
+        sum($"df").as("df1")
+      )
+      .head()
+    val nDocs = docsIn
+      .filter(pmod(xxhash64($"doc_id"), lit(16)) === 0).count()
+    // minus 1: a singleton bucket (df=1, the uniform floor) contributes
+    // zero candidate pairs and must contribute zero skew, or small corpora
+    // read as skewed just because 1/nSampled hasn't vanished yet
+    if (r.isNullAt(1) || r.getLong(1) == 0L || nDocs == 0L) 0.0
+    else math.max(0.0,
+      r.getLong(0).toDouble / r.getLong(1).toDouble - 1.0) / nDocs.toDouble
+  }
+
+  /** The dispatch cutoff: prefix-filter when the weighted-mean bucket's
+    * EXCESS over a singleton holds more than 0.1% of sampled docs. The
+    * crossover probe's corpora sit well apart: the Zipf-head preamble
+    * corpus scores ~hot-mass × n/50 / n ≈ 3e-3 at any n (full index
+    * candidates grow ~n² there — measured 50× slower at 100k docs), a
+    * uniform/dup-only corpus scores ~0.1/nSampled → 0 (full index
+    * measured 2× FASTER there). */
+  private[graft] val JaccardSkewCutoff = 0.001
+
+  /** Which physical plan the adaptive Jaccard join will take — exposed for
+    * the dispatcher unit test and the crossover probe row. */
+  private[graft] def chooseJaccardPlan(docsIn: DataFrame): String =
+    if (jaccardSkewStat(docsIn) > JaccardSkewCutoff) "prefix" else "full"
+
+  /** Declared query (q170): SKEW-ADAPTIVE plan dispatch over the proven
+    * q67/q147 plan pair. The round-12 crossover probe measured the choice
+    * as skew-dependent — the full inverted index is ~2× faster under
+    * uniform shingle df but degrades ~n² on a Zipf head (0.02× at 100k
+    * docs), so neither plan dominates. The dispatcher estimates the
+    * hot-bucket fraction from a doc-id-hash sample ([[jaccardSkewStat]])
+    * and picks the index; both branches are hash-identical by
+    * construction (q147 = q67's shared oracle), so the CHOICE can never
+    * change the answer — only the runtime. Declared under the same shared
+    * oracle. */
+  def adaptiveJaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
+    adaptiveJaccardPairsOf(docsWithDups(spark, sfDir))
+
+  private[graft] def adaptiveJaccardPairsOf(docsIn: DataFrame): DataFrame =
+    if (chooseJaccardPlan(docsIn) == "prefix") prefixJaccardPairsOf(docsIn)
+    else ngramJaccardPairsOf(docsIn)
 
   /** The dup-injected embedding set with norms, behind the same
     * repartition + groupBy/first barrier as the text dedup pipelines (one

@@ -792,11 +792,44 @@ object Registry {
           FROM sg, (SELECT unnest([0,1,2,3]) AS b)
         )"""
 
-  /** The q67/q147 shared oracle: distinct 3-gram shingle Jaccard pairs at
-    * threshold 0.6 over the dup-injected corpus. Two declared queries run
-    * two physical plans (full inverted index vs prefix-filtered index)
-    * against this one semantics — the prefix lemma guarantees identical
+  /** The q160/q168 shared oracle: asymmetric containment pairs at
+    * threshold 0.9 over the excerpt-augmented corpus (first ⌈n/2⌉ tokens
+    * under +2M ids for docs %7); the divisor is the CONTAINED side's
+    * distinct-shingle count only. Two declared queries run two physical
+    * plans (full inverted index vs contained-side prefix index) against
+    * this one semantics — the asymmetric prefix lemma guarantees identical
     * results. */
+  private val containmentSql: String = """
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 2000000,
+                 array_to_string((string_split(text, ' '))[1:(len(string_split(text, ' ')) + 1) // 2], ' ')
+          FROM documents WHERE doc_id % 7 = 0
+        ), tk AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+        ), sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS dsh FROM tk
+        ), ex AS (
+          SELECT doc_id, unnest(dsh) AS shingle FROM sh
+        ), p AS (
+          SELECT a.doc_id AS contained_id, b.doc_id AS container_id, COUNT(*) AS n_inter
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT p.contained_id, p.container_id,
+               round(CAST(p.n_inter AS DOUBLE) / len(s.dsh), 6) AS containment
+        FROM p JOIN sh s ON p.contained_id = s.doc_id
+        WHERE round(CAST(p.n_inter AS DOUBLE) / len(s.dsh), 6) >= 0.9
+        ORDER BY contained_id, container_id
+      """
+
+  /** The q67/q147/q170 shared oracle: distinct 3-gram shingle Jaccard
+    * pairs at threshold 0.6 over the dup-injected corpus. Three declared
+    * queries run against this one semantics — full inverted index,
+    * prefix-filtered index (the prefix lemma guarantees identical
+    * results), and the skew-adaptive dispatcher over the two. */
   private val ngramJaccardSql: String = s"""
     WITH $dupCorpus, tk AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
@@ -1836,32 +1869,21 @@ object Registry {
     Q(
       "q160_containment_pairs",
       Dedup.containmentPairs,
-      Some("""
-        WITH corpus AS (
-          SELECT doc_id, text FROM documents
-          UNION ALL
-          SELECT doc_id + 2000000,
-                 array_to_string((string_split(text, ' '))[1:(len(string_split(text, ' ')) + 1) // 2], ' ')
-          FROM documents WHERE doc_id % 7 = 0
-        ), tk AS (
-          SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
-        ), sh AS (
-          SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
-            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS dsh FROM tk
-        ), ex AS (
-          SELECT doc_id, unnest(dsh) AS shingle FROM sh
-        ), p AS (
-          SELECT a.doc_id AS contained_id, b.doc_id AS container_id, COUNT(*) AS n_inter
-          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
-          GROUP BY 1, 2
-        )
-        SELECT p.contained_id, p.container_id,
-               round(CAST(p.n_inter AS DOUBLE) / len(s.dsh), 6) AS containment
-        FROM p JOIN sh s ON p.contained_id = s.doc_id
-        WHERE round(CAST(p.n_inter AS DOUBLE) / len(s.dsh), 6) >= 0.9
-        ORDER BY contained_id, container_id
-      """)
+      Some(containmentSql)
     ),
+    // q160's scale-safe plan pair: index only the ⌈n_a·0.1⌉+1 rarest
+    // shingles of the CONTAINED side (the asymmetric prefix lemma —
+    // container side stays full), exact-verify the candidates. SHARED
+    // oracle with q160: hash equality proves the prefix filter lossless.
+    Q(
+      "q168_containment_prefix_pairs",
+      Dedup.containmentPrefixPairs,
+      Some(containmentSql)
+    ),
+    // Skew-adaptive dispatch over the q67/q147 plan pair (the crossover
+    // probe measured the choice as skew-dependent); both branches are
+    // hash-identical, so the shared q67 oracle also covers the dispatcher.
+    Q("q170_adaptive_jaccard_pairs", Dedup.adaptiveJaccardPairs, Some(ngramJaccardSql)),
     // Same SEMANTICS and oracle as q67 — the declared point is the other
     // PHYSICAL PLAN: a prefix-filtered (AllPairs/PPJoin) candidate
     // generator indexing only each doc's rarest-shingle prefix, losslessly

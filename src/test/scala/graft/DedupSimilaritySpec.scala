@@ -252,6 +252,90 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("prefix-filtered containment equals the full inverted-index containment exactly") {
+    val full = graft.operators.Dedup.containmentPairs(spark, sf)
+    val pfx  = graft.operators.Dedup.containmentPrefixPairs(spark, sf)
+    assert(
+      pfx.exceptAll(full).isEmpty && full.exceptAll(pfx).isEmpty,
+      "the asymmetric prefix lemma makes contained-side candidate generation lossless at t=0.9"
+    )
+    assert(full.count() > 0, "fixture degenerate: no containment pairs")
+  }
+
+  test("containment prefix index holds ~10% of the contained side (t=0.9 lemma bound)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables
+      .documents(spark, sf)
+      .select(
+        $"doc_id",
+        size(array_distinct(
+          graft.functions.Kernels.shingleHashes(split($"text", " "), 3)
+        )).as("n_sh")
+      )
+    val stats = docs
+      .agg(
+        sum($"n_sh").as("full_index"),
+        sum(expr("n_sh - (9 * n_sh + 9) div 10 + 1")).as("prefix_index")
+      )
+      .head()
+    val (fullIdx, pfxIdx) = (stats.getLong(0), stats.getLong(1))
+    // p(n) = n - ceil(0.9n) + 1  =>  ~10% of the contained side's postings
+    assert(pfxIdx < fullIdx / 5, s"containment prefix index $pfxIdx not < 20% of $fullIdx")
+  }
+
+  test("skew dispatcher picks the prefix plan on a Zipf-head corpus, the full index under uniformity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Zipf head: an 8-token preamble shared by each doc_id%50 group (the
+    // crossover probe's adversarial shape) + 32 unique tokens
+    def zipfDocs(n: Long) = spark
+      .range(n)
+      .select(
+        $"id".as("doc_id"),
+        concat_ws(
+          " ",
+          concat(
+            transform(sequence(lit(0L), lit(7L)),
+              j => substring(md5(concat_ws("_", lit("hot"), $"id" % 50L, j)), 1, 6)),
+            transform(sequence(lit(8L), lit(39L)),
+              j => substring(md5(($"id" * 40L + j).cast("string")), 1, 6))
+          )
+        ).as("text")
+      )
+    // uniform: all 40 tokens unique per doc, every 10th an exact copy
+    // (the dup-injected low-skew regime where the full index measured 2× faster)
+    def uniformDocs(n: Long) = {
+      val base = when($"id" % 10 === 0 && $"id" > 0, $"id" - 1).otherwise($"id")
+      spark
+        .range(n)
+        .select(
+          $"id".as("doc_id"),
+          concat_ws(" ",
+            transform(sequence(lit(0L), lit(39L)),
+              j => substring(md5(concat(base * 40L + j, lit("u"))), 1, 6))
+          ).as("text")
+        )
+    }
+    val zs = graft.operators.Dedup.jaccardSkewStat(zipfDocs(20000L))
+    val us = graft.operators.Dedup.jaccardSkewStat(uniformDocs(20000L))
+    assert(zs > graft.operators.Dedup.JaccardSkewCutoff,
+      s"Zipf-head skew $zs must clear the cutoff ${graft.operators.Dedup.JaccardSkewCutoff}")
+    assert(us < graft.operators.Dedup.JaccardSkewCutoff,
+      s"uniform skew $us must stay under the cutoff ${graft.operators.Dedup.JaccardSkewCutoff}")
+    assert(graft.operators.Dedup.chooseJaccardPlan(zipfDocs(20000L)) === "prefix")
+    assert(graft.operators.Dedup.chooseJaccardPlan(uniformDocs(20000L)) === "full")
+  }
+
+  test("adaptive jaccard returns the identical pair set regardless of the branch taken") {
+    val full     = graft.operators.Dedup.ngramJaccardPairs(spark, sf)
+    val adaptive = graft.operators.Dedup.adaptiveJaccardPairs(spark, sf)
+    assert(
+      adaptive.exceptAll(full).isEmpty && full.exceptAll(adaptive).isEmpty,
+      "dispatch must be invisible in the output (both branches share the q67 oracle)"
+    )
+  }
+
   test("containment: every derived excerpt is contained at exactly 1.0; never the reverse") {
     import spark.implicits._
     val out = graft.operators.Dedup.containmentPairs(spark, sf).cache()
