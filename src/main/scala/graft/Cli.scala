@@ -10,6 +10,17 @@ import org.apache.spark.sql.functions._
   *   runMain graft.Cli --sf-dir /root/testdata/sf0.001 --out /tmp/graft_cli \
   *     [--event-type purchase] [--window-days 7] [--top 10] [--interactive true]
   *
+  * WIRE mode — the reference's program against a live cluster
+  * (Bootstrap.java:237-334: connect → `_cat/indices` discovery → terms
+  * aggregation menu → scroll export → schema persistence), driven through
+  * the real HTTP connector:
+  *   runMain graft.Cli --es http://host:9200 --index 'events-*' \
+  *     --out /tmp/graft_cli [--event-type purchase] [--window-days 7]
+  * Discovery runs as a pushed composite aggregation (zero documents over
+  * the wire), the window derives from the daily index names (the
+  * reference's window discovery), and the export is the sliced-scroll
+  * pipeline with whole-day index pruning at partition planning.
+  *
   * Two selection modes, both reference-faithful:
   *   - flag-driven (default): `--event-type`, else the biggest bucket
   *     (the reference's default-to-first on empty input, Bootstrap.java:285)
@@ -47,6 +58,98 @@ object Cli {
     }
   }
 
+  /** Infer the index's schema over the wire (the O6 sampled-inference
+    * path), forcing `ts` to TimestampType: ES serves dates as ISO strings,
+    * and the window filter must push as a timestamp range for whole-day
+    * index pruning to engage. */
+  private def esSchema(spark: org.apache.spark.sql.SparkSession, url: String,
+      index: String): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val inferred = spark.read
+      .format("graft.sources.es.EsScrollSource")
+      .option("url", url).option("index", index)
+      .load()
+      .schema
+    StructType(inferred.map(f =>
+      if (f.name == "ts") f.copy(dataType = TimestampType) else f))
+  }
+
+  /** Discovery: the reference's terms aggregation menu (Bootstrap.java:
+    * 196-219) over the wire — `groupBy(event_type).count()` pushes down as
+    * a paged composite aggregation, so ZERO raw documents cross the HTTP
+    * boundary for the menu (spec-asserted via the stub's counters). */
+  private[graft] def esDiscoverMenu(
+      spark: org.apache.spark.sql.SparkSession,
+      url: String,
+      index: String,
+      schema: org.apache.spark.sql.types.StructType,
+      topK: Int
+  ): Seq[(String, Long)] = {
+    import spark.implicits._
+    spark.read
+      .format("graft.sources.es.EsScrollSource")
+      .schema(schema)
+      .option("url", url).option("index", index)
+      .load()
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy($"doc_count".desc, $"event_type")
+      .limit(topK)
+      .collect()
+      .toSeq
+      .map(r => r.getString(0) -> r.getLong(1))
+  }
+
+  /** The reference's whole program over HTTP (Bootstrap.java:237-334):
+    * `_cat/indices` discovery → window from the daily index names →
+    * composite-agg menu → selection → sliced-scroll export with whole-day
+    * pruning → day-partitioned parquet + schema.json/.asvc → audit.
+    * Returns the per-day audit frame (printed by main, asserted by
+    * CliEsSpec). */
+  private[graft] def runEs(
+      spark: org.apache.spark.sql.SparkSession,
+      url: String,
+      indexPattern: String,
+      out: String,
+      windowDays: Int,
+      topK: Int,
+      interactive: Boolean,
+      eventTypeOpt: Option[String],
+      readLine: () => String
+  ): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    // Window discovery from the daily index names — the reference never
+    // asks the data for its time range, it reads it off `_cat/indices`.
+    val daily = graft.sources.es.EsScrollSource.discoverDailyIndices(url, indexPattern)
+    require(daily.nonEmpty, s"--es: index pattern '$indexPattern' matched no indices at $url")
+    val lo: Option[java.sql.Timestamp] = daily.flatMap(_._2).maxOption.map { latest =>
+      java.sql.Timestamp.from(
+        latest.plusDays(1).atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+          .minus(java.time.Duration.ofDays(windowDays)))
+    }
+    println(s"[cli] discovered ${daily.size} indices for '$indexPattern'" +
+      lo.fold("")(l => s", window >= $l"))
+
+    val schema  = esSchema(spark, url, indexPattern)
+    val buckets = esDiscoverMenu(spark, url, indexPattern, schema, topK)
+    println(s"[cli] event types at $url (top $topK, server-side aggregation):")
+    buckets.zipWithIndex.foreach { case ((t, n), i) =>
+      println(s"[cli]   ${i + 1}. $t  ($n docs)")
+    }
+    val chosen =
+      if (interactive) select(buckets, readLine).getOrElse(sys.error("invalid selection"))
+      else eventTypeOpt.getOrElse(buckets.head._1)
+    println(s"[cli] exporting event_type='$chosen', last $windowDays days -> $out")
+
+    val events = spark.read
+      .format("graft.sources.es.EsScrollSource")
+      .schema(schema)
+      .option("url", url).option("index", indexPattern)
+      .option("slices", 4).option("pageSize", 5000)
+      .load()
+    Pipeline.exportEvents(events, out, chosen, lo)
+  }
+
   def main(args: Array[String]): Unit = {
     val opts = args
       .sliding(2, 2)
@@ -60,6 +163,20 @@ object Cli {
       if (interactive) promptInt(stdinLine, "Days of events to export (empty = 7):", 7)
       else opts.getOrElse("window-days", "7").toInt
     val topK = opts.getOrElse("top", "10").toInt
+
+    opts.get("es").foreach { url =>
+      val spark = Session.build(appName = "graft-cli-es")
+      try {
+        val audit = runEs(spark, url, opts.getOrElse("index", "events-*"), out,
+          windowDays, topK, interactive, opts.get("event-type"), stdinLine).collect()
+        val total = audit.map(_.getAs[Long]("n_rows")).sum
+        val dead  = audit.map(_.getAs[Long]("n_dead")).sum
+        audit.foreach(r =>
+          println(s"[cli]   ${r.getAs[java.sql.Date]("day")}: ${r.getAs[Long]("n_rows")} rows"))
+        println(s"[cli] done: $total rows exported, $dead dead-lettered, schema at $out/schema.json")
+      } finally spark.stop()
+      return
+    }
 
     val spark = Session.build(appName = "graft-cli")
     try {

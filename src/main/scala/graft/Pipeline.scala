@@ -39,8 +39,26 @@ object Pipeline {
     // audit).
     val mx = ev.agg(max($"ts")).head().getTimestamp(0)
     val lo = java.sql.Timestamp.from(mx.toInstant.minus(java.time.Duration.ofDays(windowDays)))
-    val windowed = ev
-      .filter($"ts" >= lit(lo))
+    exportEvents(ev, outDir, eventType, Some(lo))
+  }
+
+  /** The export body parameterized on the events SOURCE — the parquet path
+    * above and the CLI's wire-protocol ES path (`--es`, Cli.runEs) share
+    * it verbatim: only where the rows come from differs, never the
+    * pipeline. `windowLo` is pushed as a source filter (over ES it prunes
+    * whole day-indices at partition planning, the O2 path); None = no
+    * window bound (a non-day-partitioned index has no discoverable
+    * window). */
+  def exportEvents(
+      ev: DataFrame,
+      outDir: String,
+      eventType: String,
+      windowLo: Option[java.sql.Timestamp]
+  ): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val windowed = windowLo
+      .fold(ev)(lo => ev.filter($"ts" >= lit(lo)))
       .filter($"event_type" === eventType)
 
     // O5-O8: infer the props schema from a deterministic sample, nullable.

@@ -50,9 +50,12 @@ class DisciplineSpec extends AnyFunSuite {
     assert(fixed.isEmpty, s"fixed-name temp views (use the UUID sfx pattern):\n${fixed.mkString("\n")}")
   }
 
-  test("driver-side collect() stays confined to the eight audited sites") {
+  test("driver-side collect() stays confined to the ten audited sites") {
     // .collect() of row DATA on the driver is the anti-distributed smell;
-    // the audited sites are CLI display (x2, bounded output), the
+    // the audited sites are CLI display (x4: the parquet-mode menu+audit
+    // pair and the --es wire-mode menu+audit pair — the wire menu is a
+    // PUSHED composite aggregation, so the collect is O(topK) bucket rows,
+    // and the audit is O(days); both are the reference's own UX), the
     // per-BUCKET scalar fold in the two-pass prefix sum (bounded by
     // shuffle-partition count, Chunking.scala:96 doc), the BPE
     // learner's capped word-frequency table (bounded by BpeVocabCap —
@@ -71,7 +74,7 @@ class DisciplineSpec extends AnyFunSuite {
       "sources/es/EsStubServer.scala")
     val strays  = sites.filterNot(s => allowed.exists(s.startsWith))
     assert(strays.isEmpty, s"new driver collect() site — justify and allowlist or redesign:\n${strays.mkString("\n")}")
-    assert(sites.size <= 8, s"collect() sites grew within allowed files: $sites")
+    assert(sites.size <= 10, s"collect() sites grew within allowed files: $sites")
   }
 
   test("no Scala UDFs; the single typed-Aggregator UDAF is the declared surface") {
