@@ -2768,6 +2768,26 @@ object Registry {
         ORDER BY doc_id
       """)
     ),
+    // The composed flagship: q167's wire tail feeding q150's at-arrival
+    // gate. Cursor-ranged epochs make the global arrival order exactly
+    // ascending doc_id (epoch = id div 131072; within-batch order is
+    // (ts, doc_id) with ts pinned to the epoch minute), so the at-arrival
+    // verdicts are deterministic AND coincide with the registry-final
+    // semantics — the q136 oracle body, with the at-arrival column name.
+    Q(
+      "q169_es_tail_dedup_gate",
+      graft.sources.es.EsQueries.tailDedupGate,
+      Some(s"""
+        WITH $dupCorpus, $bandCtes, fm AS (
+          SELECT b.doc_id, MIN(a.doc_id) AS first_match
+          FROM bands b JOIN bands a ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+          GROUP BY b.doc_id
+        )
+        SELECT c.doc_id, fm.first_match, fm.first_match IS NOT NULL AS is_dup_at_arrival
+        FROM (SELECT doc_id FROM corpus) c LEFT JOIN fm USING (doc_id)
+        ORDER BY doc_id
+      """)
+    ),
     Q(
       "q73_session_window",
       Streaming.sessionizeBatch,

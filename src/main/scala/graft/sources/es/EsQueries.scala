@@ -124,6 +124,74 @@ object EsQueries {
     } finally srv.stop()
   }
 
+  /** q169: the flagship streaming-curation composition — the wire-protocol
+    * ES tail (q167's MicroBatchStream) feeding the AT-ARRIVAL near-dup
+    * ingest gate (q150's flatMapGroupsWithState band registry) in ONE
+    * declared pipeline: the reference's scheduled re-export loop upgraded
+    * into "tail the cluster, judge every arriving document against the
+    * registry as of its arrival". Epoch batching is pinned by the CURSOR
+    * itself: the tail admits `EpochIds` cursor values per micro-batch, so
+    * epoch(doc) = doc_id div EpochIds, ts is set to the epoch minute, and
+    * within-batch arrival order is (ts, doc_id) = doc_id — GLOBAL arrival
+    * order is therefore exactly ascending doc_id, which makes the
+    * at-arrival verdicts batching-deterministic AND equal to the
+    * registry-final semantics (every pair's smaller id arrives first; the
+    * q136 oracle applies with the at-arrival column name). The injected
+    * copies (+1M ids) arrive epochs after their originals, cross-epoch
+    * through the HTTP boundary and the state store. */
+  def tailDedupGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val EpochIds = 131072L
+    val docs = graft.operators.Dedup
+      .docsWithDups(spark, sfDir)
+      .select(
+        $"doc_id",
+        timestamp_seconds(lit(1704067200L) + ($"doc_id" / EpochIds).cast("long") * 60).as("ts"),
+        $"text"
+      )
+    val out = graft.sources.ParquetSink.memoFixture(spark, "es_tail_gate_out", sfDir) { outDir =>
+      val srv = EsStubServer.fromDataFrame(docs, "docs")
+      srv.start()
+      val root = java.nio.file.Files.createTempDirectory("graft_q169").toString
+      try {
+        import scala.concurrent.duration._
+        val stream = spark.readStream
+          .format("graft.sources.es.EsScrollSource")
+          .schema(docs.schema)
+          .option("url", srv.url)
+          .option("index", "docs")
+          .option("slices", 4)
+          .option("pageSize", 5000)
+          .option("cursorField", "doc_id")
+          .option("maxIdsPerBatch", EpochIds)
+          .load()
+        val q = graft.streaming.Streaming
+          .nearDupAtArrivalFlags(stream, horizon = 3650.days)
+          .toDF()
+          .writeStream
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+            graft.streaming.Streaming
+              .atArrivalVerdicts(batch)
+              .write.mode("overwrite").parquet(s"$root/verdicts/epoch=$epoch")
+            ()
+          }
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+        val v = spark.read.parquet(s"$root/verdicts")
+        val nEpochs = v.agg(count_distinct($"epoch")).as[Long].head()
+        require(nEpochs >= 2, s"q169 ran $nEpochs non-empty epochs — the copies must arrive after their originals")
+        v.select($"doc_id", $"first_match", $"is_dup_at_arrival")
+          .write.mode("overwrite").parquet(outDir)
+      } finally {
+        srv.stop()
+        graft.sources.ParquetSink.deleteRecursively(root)
+      }
+    }
+    spark.read.parquet(out).orderBy($"doc_id")
+  }
+
   /** q167: the STREAMING tail of the stub cluster — the reference's
     * scheduled re-export loop subsumed by a Structured Streaming source
     * over the same wire protocol. The whole fixture drains through

@@ -554,6 +554,70 @@ class EsScrollSourceSpec extends SparkSpec {
     } finally { srv.stop(); spark.catalog.dropTempView(name) }
   }
 
+  test("composed tail+dedup-gate survives kill/restart: phase-2 copies flag against phase-1 state") {
+    import graft.streaming.Streaming
+    import scala.concurrent.duration._
+    // deterministic 30-token docs; phase 2 appends exact copies of ids%10==0
+    // at +1000 — the copies must be flagged against REGISTRY STATE built in
+    // phase 1, across a kill/restart of the whole composed checkpoint
+    def text(base: Long): String =
+      (0 until 30).map(j => java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${base}_$j".getBytes).map("%02x".format(_)).mkString.take(6)).mkString(" ")
+    def rows(withCopies: Boolean): IndexedSeq[Array[Any]] = {
+      val base = (0 until 600).map(i =>
+        Array[Any](i.toLong, new java.sql.Timestamp(1704067200000L + i / 250 * 60000L), text(i)))
+      if (!withCopies) base
+      else base ++ (0 until 600 by 10).map(i =>
+        Array[Any](1000L + i, new java.sql.Timestamp(1704067200000L + (1000 + i) / 250 * 60000L), text(i)))
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("es_gate_ckpt").toString
+    val root = java.nio.file.Files.createTempDirectory("es_gate_out").toString
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("ts", TimestampType), StructField("text", StringType)))
+    def drain(withCopies: Boolean): Unit = {
+      val srv = new EsStubServer("docs", Array("doc_id", "ts", "text"), rows(withCopies))
+      srv.start()
+      try {
+        val stream = spark.readStream
+          .format("graft.sources.es.EsScrollSource")
+          .schema(schema)
+          .option("url", srv.url).option("index", "docs")
+          .option("slices", 2).option("pageSize", 5000)
+          .option("cursorField", "doc_id").option("maxIdsPerBatch", 250)
+          .load()
+        val q = Streaming.nearDupAtArrivalFlags(stream, horizon = 3650.days)
+          .toDF()
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+            Streaming.atArrivalVerdicts(batch)
+              .write.mode("overwrite").parquet(s"$root/epoch=$epoch")
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally srv.stop()
+    }
+    try {
+      drain(withCopies = false) // phase 1: originals only, then KILL
+      drain(withCopies = true)  // phase 2: new stream instance, same checkpoint, grown index
+      val v = spark.read.parquet(root)
+      assert(v.count() === 660, "600 originals + 60 copies, each judged exactly once")
+      val copies = v.filter(col("doc_id") >= 1000L)
+      assert(copies.count() === 60)
+      assert(copies.filter(col("is_dup_at_arrival")).count() === 60,
+        "every phase-2 copy must be flagged against the phase-1 registry state")
+      assert(copies.filter(col("first_match") === col("doc_id") - 1000L).count() === 60,
+        "first_match must be the phase-1 original")
+      val originals = v.filter(col("doc_id") < 1000L)
+      assert(originals.filter(col("is_dup_at_arrival")).count() === 0,
+        "originals are never retroactively flagged")
+    } finally {
+      graft.sources.ParquetSink.deleteRecursively(ckpt)
+      graft.sources.ParquetSink.deleteRecursively(root)
+    }
+  }
+
   test("a non-retryable 4xx fails fast instead of retrying") {
     withServer(events.limit(10)) { (srv, url) =>
       val bad = spark.read

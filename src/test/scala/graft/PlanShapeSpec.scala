@@ -27,6 +27,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!readSchema.contains("l_comment") && readSchema.contains("l_quantity"), readSchema)
   }
 
+  test("q10 star join broadcasts the filtered customer side; top-20 avoids a full sort") {
+    // BENCH_r12 read q10 at 1.64x its r11 time (host-phase suspected); this
+    // pins the plan so a regression would be CODE, not phase: the filtered
+    // customer dimension broadcasts (from stats, per the hint policy), the
+    // fact join never sort-merges at this size, and the limit-20 plans as
+    // TakeOrderedAndProject rather than a global sort.
+    val p = planOf("q10_join_revenue_by_order")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), "no sort-merge in the fixture-size star join")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("q11 dimension joins broadcast (no shuffle join)") {
     val p = planOf("q11_join_revenue_by_nation")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
