@@ -1894,27 +1894,44 @@ object Probe {
           .drop("rep")
       def freshDir(p: String): Boolean = !Files.exists(Paths.get(p))
 
-      val ddDir = "/tmp/graft_sf100dd"
-      val ddOut = "/tmp/graft_sf100dd_out"
+      // One query per JVM in practice (GRAFT_SF100LLM_ONLY substring
+      // filter): a 5M-doc pair-join query materializes several hundred-GB
+      // of shuffle exchanges that Spark only releases on context GC, so
+      // two such queries in one JVM exhaust this host's disk. The prefix
+      // PLANS (q147/q168) run at a 2M-doc slice (GRAFT_SF100DD_REPS=400
+      // — disk-bound, not engine-bound; still 4× the sf10 rung) while the
+      // band-bucket q65 runs at the full 5M.
+      val only: String => Boolean = sys.env.get("GRAFT_SF100LLM_ONLY") match {
+        case Some(pats) => { val ps = pats.split(','); (n: String) => ps.exists(n.contains) }
+        case None       => _ => true
+      }
+      val ddReps = sys.env.getOrElse("GRAFT_SF100DD_REPS", "1000").toInt
+      val ddDir  = if (ddReps == 1000) "/tmp/graft_sf100dd" else s"/tmp/graft_sf100dd_$ddReps"
+      val ddOut  = s"${ddDir}_out"
       val ddSet = Seq(
         "q65_minhash_lsh_pairs",
         "q147_prefix_jaccard_pairs",
         "q168_containment_prefix_pairs"
-      )
-      Files.createDirectories(Paths.get(ddDir))
-      if (freshDir(s"$ddDir/documents.parquet"))
-        rep1000(Tables.documents(spark, sfDir), "doc_id")
-          .withColumn("rep2", (col("doc_id") / off).cast("long"))
-          .withColumn(
-            "text",
-            regexp_replace($"text", lit("(\\S+)"), concat(lit("r"), $"rep2", lit("_$1")))
-          )
-          .drop("rep2")
-          .repartition(64).write.mode("overwrite").parquet(s"$ddDir/documents.parquet")
-      println(s"[sf100llm] dedup slice at $ddDir: documents=${spark.read.parquet(s"$ddDir/documents.parquet").count()} rows")
+      ).filter(only)
       sys.env.get("GRAFT_SF100_SHUFFLE").foreach { p =>
         spark.conf.set("spark.sql.shuffle.partitions", p)
         println(s"[sf100llm] shuffle.partitions=$p")
+      }
+      if (ddSet.nonEmpty) {
+        Files.createDirectories(Paths.get(ddDir))
+        if (freshDir(s"$ddDir/documents.parquet"))
+          Tables.documents(spark, sfDir)
+            .withColumn("rep", explode(sequence(lit(0L), lit(ddReps - 1L))))
+            .withColumn("doc_id", col("doc_id") + col("rep") * off)
+            .drop("rep")
+            .withColumn("rep2", (col("doc_id") / off).cast("long"))
+            .withColumn(
+              "text",
+              regexp_replace($"text", lit("(\\S+)"), concat(lit("r"), $"rep2", lit("_$1")))
+            )
+            .drop("rep2")
+            .repartition(64).write.mode("overwrite").parquet(s"$ddDir/documents.parquet")
+        println(s"[sf100llm] dedup slice at $ddDir: documents=${spark.read.parquet(s"$ddDir/documents.parquet").count()} rows")
       }
       ddSet.foreach { n =>
         val t0 = System.nanoTime()
@@ -1930,8 +1947,10 @@ object Probe {
 
       val curDir = "/tmp/graft_sf100cur"
       val curOut = "/tmp/graft_sf100cur_out"
+      val curSet = Seq("q139_bm25_topk", "q69_cosine_topk", "q153_ivf_full_probe").filter(only)
+      if (curSet.isEmpty) { spark.stop(); return }
       Files.createDirectories(Paths.get(curDir))
-      if (freshDir(s"$curDir/documents.parquet"))
+      if (freshDir(s"$curDir/documents.parquet") && curSet.contains("q139_bm25_topk"))
         rep1000(Tables.documents(spark, sfDir), "doc_id")
           .repartition(64).write.mode("overwrite").parquet(s"$curDir/documents.parquet")
       val edim = Tables.EmbeddingDim
@@ -1954,10 +1973,9 @@ object Probe {
           .drop("rep2")
           .repartition(32).write.mode("overwrite").parquet(s"$curDir/embeddings.parquet")
       println(
-        s"[sf100llm] curation slice at $curDir: documents=${spark.read.parquet(s"$curDir/documents.parquet").count()}" +
+        s"[sf100llm] curation slice at $curDir:" +
           s" embeddings=${spark.read.parquet(s"$curDir/embeddings.parquet").count()} rows"
       )
-      val curSet = Seq("q139_bm25_topk", "q69_cosine_topk", "q153_ivf_full_probe")
       curSet.foreach { n =>
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, curDir).coalesce(1).write.mode("overwrite")
