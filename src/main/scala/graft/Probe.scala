@@ -1781,7 +1781,8 @@ object Probe {
         "q65_minhash_lsh_pairs",
         "q120_dedup_endgame",
         "q147_prefix_jaccard_pairs",
-        "q160_containment_pairs"
+        "q160_containment_pairs",
+        "q168_containment_prefix_pairs" // q160's plan pair — shared oracle, 2.3× faster on this slice
       )
       Files.createDirectories(Paths.get(ddDir))
       if (freshDir(s"$ddDir/documents.parquet"))

@@ -47,7 +47,8 @@ class EsStubServer(
     malformedEvery: Int = 0,
     rejectEvery: Int = 0,
     extraIndices: Map[String, IndexedSeq[Array[Any]]] = Map.empty,
-    requireAuth: String = null // expected Authorization header; null = open cluster
+    requireAuth: String = null, // expected Authorization header; null = open cluster
+    analyzedPhrase: Boolean = false // real-ES text semantics: match_phrase = consecutive-token containment
 ) {
   private val allIndices: Map[String, IndexedSeq[Array[Any]]] =
     extraIndices + (index -> rows)
@@ -451,6 +452,23 @@ class EsStubServer(
     val bodyN = q.get(kind)
     kind match {
       case "match_all" => true
+      // `analyzedPhrase` models what REAL ES does to a match_phrase on an
+      // analyzed text field: the query's token sequence matches anywhere
+      // inside the document's token stream — "purchase" matches a doc whose
+      // field is "purchase order". Off by default (exact), on for the spec
+      // that proves the connector's phrase-mode re-filter repairs the
+      // over-match; `term` is ALWAYS exact (the keyword semantics).
+      case "match_phrase" if analyzedPhrase =>
+        val f = bodyN.fieldNames().next()
+        val vNode = bodyN.get(f)
+        val v = queryVal(if (vNode.isObject) vNode.get("value") else vNode)
+        (field(row, f), v) match {
+          case (fv: String, qv: String) =>
+            val ft = fv.split("\\s+").toSeq
+            val qt = qv.split("\\s+").toSeq
+            qt.nonEmpty && ft.sliding(qt.length).contains(qt)
+          case (fv, qv) => cmp(fv, qv).contains(0)
+        }
       case "match_phrase" | "term" =>
         val f = bodyN.fieldNames().next()
         val vNode = bodyN.get(f)

@@ -88,6 +88,42 @@ class EsScrollSourceSpec extends SparkSpec {
     }
   }
 
+  test("phrase mode survives a genuinely ANALYZED endpoint: server over-matches, Spark repairs") {
+    import spark.implicits._
+    // half the docs carry the exact value, half a SUPERSTRING the analyzer
+    // phrase-matches ("purchase" ⊂ "purchase order") — the divergence the
+    // class doc warns about, now modeled by the stub's analyzedPhrase mode
+    val mixed = events.limit(400).withColumn("event_type",
+      when($"event_id" % 2 === 0, lit("purchase")).otherwise(lit("purchase order")))
+    val (cols, data) = (mixed.columns,
+      mixed.collect().map(r => Array.tabulate[Any](mixed.columns.length)(r.get)).toIndexedSeq)
+    val srv = new EsStubServer("events", cols, data, analyzedPhrase = true)
+    srv.start()
+    try {
+      def read(mode: String) = spark.read
+        .format("graft.sources.es.EsScrollSource")
+        .schema(events.schema)
+        .option("url", srv.url).option("index", "events")
+        .option("slices", 2)
+        .option("stringEquality", mode)
+        .load()
+        .where($"event_type" === "purchase")
+      // phrase mode: the server ships its analyzed over-matches, Spark's
+      // post-scan re-filter (the inexact-pushdown contract) trims them
+      val before = srv.hitsServed.get()
+      val viaPhrase = read("phrase").collect()
+      assert(viaPhrase.length === 200, "only EXACT equality survives the re-filter")
+      assert(srv.hitsServed.get() - before === 400,
+        "the analyzed endpoint must actually have over-returned (both halves phrase-match)")
+      // term mode: exact on the keyword value — the server itself filters right
+      val before2 = srv.hitsServed.get()
+      val viaTerm = read("term").collect()
+      assert(viaTerm.length === 200)
+      assert(srv.hitsServed.get() - before2 === 200,
+        "term must stay exact server-side even against the analyzed stub")
+    } finally srv.stop()
+  }
+
   test("phrase mode never pushes a string equality under Not (must_not over-match would under-return)") {
     import spark.implicits._
     withServer(events) { (srv, url) =>
