@@ -1662,7 +1662,8 @@ object Probe {
         "q156_ivf_pq_topk",
         "q157_quality_classifier",
         "q160_containment_pairs",
-        "q161_ivf_pq_trained_topk"
+        "q161_ivf_pq_trained_topk",
+        "q168_containment_prefix_pairs" // q160's plan pair rides the same slice under the shared oracle
       )
       Files.createDirectories(Paths.get(curDir))
       replicate(Tables.documents(spark, sfDir), "doc_id")
