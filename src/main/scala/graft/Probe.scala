@@ -1145,6 +1145,14 @@ object Probe {
         println(f"[crossover] dispatch uniform   n=100000 skew=$uStat%.5f -> $uPick")
         if (zPick != "prefix") { println("[crossover] VIOLATION dispatcher must pick prefix on the Zipf head"); ok = false }
         if (uPick != "full")   { println("[crossover] VIOLATION dispatcher must pick full under uniformity"); ok = false }
+        // q171: the containment dispatcher must make the same calls over
+        // the prepared (doc_id, sh) corpora — pair 1b measured the same
+        // skew dependence for the containment index
+        val zcPick = Dedup.chooseContainmentPlan(shDocs(xDocs(100000L)))
+        val ucPick = Dedup.chooseContainmentPlan(shDocs(uDocs(100000L)))
+        println(s"[crossover] dispatch containment zipf-head n=100000 -> $zcPick, uniform -> $ucPick")
+        if (zcPick != "prefix") { println("[crossover] VIOLATION containment dispatcher must pick prefix on the Zipf head"); ok = false }
+        if (ucPick != "full")   { println("[crossover] VIOLATION containment dispatcher must pick full under uniformity"); ok = false }
       }
       // ---- pair 2: brute vs prebuilt-index IVF query path ----
       val dim = 64
@@ -1827,8 +1835,11 @@ object Probe {
       val edim = Tables.EmbeddingDim
       if (freshDir(s"$curDir/embeddings.parquet"))
         rep100(Tables.embeddings(spark, sfDir), "vec_id")
-          .withColumn("rep2", ((col("vec_id") / off) % edim).cast("int"))
-          .withColumn("label", $"label" + ((col("vec_id") / off) * 100).cast("int"))
+          // integer replica index first — same double-division hazard as the
+          // sf100 slice (values unchanged while base ids < off/100)
+          .withColumn("repIx", (col("vec_id") / off).cast("long"))
+          .withColumn("rep2", ($"repIx" % edim).cast("int"))
+          .withColumn("label", $"label" + ($"repIx" * 100).cast("int"))
           .withColumn(
             "embedding",
             concat(
@@ -1836,7 +1847,7 @@ object Probe {
               slice($"embedding", lit(1), $"rep2")
             )
           )
-          .drop("rep2")
+          .drop("rep2", "repIx")
           .repartition(16).write.mode("overwrite").parquet(s"$curDir/embeddings.parquet")
       println(
         s"[sf10] curation slice at $curDir: documents=${spark.read.parquet(s"$curDir/documents.parquet").count()}" +
@@ -1915,10 +1926,6 @@ object Probe {
         "q147_prefix_jaccard_pairs",
         "q168_containment_prefix_pairs"
       ).filter(only)
-      sys.env.get("GRAFT_SF100_SHUFFLE").foreach { p =>
-        spark.conf.set("spark.sql.shuffle.partitions", p)
-        println(s"[sf100llm] shuffle.partitions=$p")
-      }
       if (ddSet.nonEmpty) {
         Files.createDirectories(Paths.get(ddDir))
         if (freshDir(s"$ddDir/documents.parquet"))
@@ -1934,6 +1941,9 @@ object Probe {
             .drop("rep2")
             .repartition(64).write.mode("overwrite").parquet(s"$ddDir/documents.parquet")
         println(s"[sf100llm] dedup slice at $ddDir: documents=${spark.read.parquet(s"$ddDir/documents.parquet").count()} rows")
+        graft.Session.sizeShufflesForInput(spark, ddDir)
+        println(s"[sf100llm] AQE initialPartitionNum=" +
+          spark.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum"))
       }
       ddSet.foreach { n =>
         val t0 = System.nanoTime()
@@ -1949,7 +1959,14 @@ object Probe {
 
       val curDir = "/tmp/graft_sf100cur"
       val curOut = "/tmp/graft_sf100cur_out"
-      val curSet = Seq("q139_bm25_topk", "q69_cosine_topk", "q153_ivf_full_probe").filter(only)
+      // q154 joins the rung (r13 verdict task 4): the PRODUCTION path —
+      // trained IVF at nprobe=16 — graded at the same 2.2M-vector corner
+      // as its q153 full-probe pair; its oracle (grid-exact Lloyd
+      // centroids + the shared query tail) replays linearly.
+      val curSet = Seq(
+        "q139_bm25_topk", "q69_cosine_topk", "q153_ivf_full_probe",
+        "q154_ivf_trained_topk"
+      ).filter(only)
       if (curSet.isEmpty) { spark.stop(); return }
       Files.createDirectories(Paths.get(curDir))
       if (freshDir(s"$curDir/documents.parquet") && curSet.contains("q139_bm25_topk"))
@@ -1963,8 +1980,12 @@ object Probe {
       // still decorrelates replicas' vectors from each other's lists.
       if (freshDir(s"$curDir/embeddings.parquet"))
         rep1000(Tables.embeddings(spark, sfDir), "vec_id")
-          .withColumn("rep2", ((col("vec_id") / off) % edim).cast("int"))
-          .withColumn("label", $"label" + (((col("vec_id") / off) % 100) * 100).cast("int"))
+          // integer replica index FIRST (`/` on longs is double division —
+          // casting after the multiply only truncates while base ids stay
+          // under off/100; see r13 ADVICE), then the salts
+          .withColumn("repIx", (col("vec_id") / off).cast("long"))
+          .withColumn("rep2", ($"repIx" % edim).cast("int"))
+          .withColumn("label", $"label" + (($"repIx" % 100) * 100).cast("int"))
           .withColumn(
             "embedding",
             concat(
@@ -1972,12 +1993,15 @@ object Probe {
               slice($"embedding", lit(1), $"rep2")
             )
           )
-          .drop("rep2")
+          .drop("rep2", "repIx")
           .repartition(32).write.mode("overwrite").parquet(s"$curDir/embeddings.parquet")
       println(
         s"[sf100llm] curation slice at $curDir:" +
           s" embeddings=${spark.read.parquet(s"$curDir/embeddings.parquet").count()} rows"
       )
+      graft.Session.sizeShufflesForInput(spark, curDir)
+      println(s"[sf100llm] AQE initialPartitionNum=" +
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum"))
       curSet.foreach { n =>
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, curDir).coalesce(1).write.mode("overwrite")
@@ -2043,16 +2067,15 @@ object Probe {
       val nLi = spark.read.parquet(s"$dir/lineitem.parquet").count()
       val nEv = spark.read.parquet(s"$dir/events.parquet").count()
       println(s"[sf100] synthetic slice at $dir: lineitem=$nLi events=$nEv rows")
-      // Size the shuffle to the data — the deploy knob BASELINE.md documents
-      // ("set shuffle partitions ~2-3x total cores at scale and let AQE
-      // coalesce"). At 600M rows the session default of 32 puts ~19M rows in
-      // every sort/agg partition (spill territory — measured: q29 268s, q03
-      // 47s); 256 restores ~2.3M rows/partition, the fixture shape. AQE
-      // coalesces small stages back down, so small queries don't pay for it.
-      sys.env.get("GRAFT_SF100_SHUFFLE").foreach { p =>
-        spark.conf.set("spark.sql.shuffle.partitions", p)
-        println(s"[sf100] shuffle.partitions=$p")
-      }
+      // Size the shuffle to the data — input-sized AQE fan-out instead of
+      // the retired GRAFT_SF100_SHUFFLE hand knob. At 600M rows the session
+      // default of 32 puts ~19M rows in every sort/agg partition (spill
+      // territory — measured: q29 268s, q03 47s); starting wide restores
+      // the fixture shape and AQE coalesces small stages back down, so
+      // small queries don't pay for it.
+      graft.Session.sizeShufflesForInput(spark, dir)
+      println(s"[sf100] AQE initialPartitionNum=" +
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum"))
       set.foreach { n =>
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, dir).coalesce(1).write.mode("overwrite")

@@ -226,7 +226,10 @@ object Dedup {
     * candidate generation is LOSSLESS at the threshold while the inverted
     * index shrinks by ~t and carries the RAREST shingles (the ones with
     * the smallest join buckets — the performance point of the
-    * df-ascending order). Candidates are then verified EXACTLY against
+    * df-ascending order). The lemma holds for ANY shared total order, so
+    * the order is the SAMPLED broadcast estimate of [[rarestPrefix]] —
+    * exact df's two extra full exploded exchanges bought nothing but the
+    * heuristic. Candidates are then verified EXACTLY against
     * the full shingle sets. Declared with the IDENTICAL oracle as q67:
     * same semantics, hash-identical results, cheaper candidate plan.
     * (Rounding note: the declared filter is on the 6-decimal rounded
@@ -236,29 +239,71 @@ object Dedup {
   def prefixJaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
     prefixJaccardPairsOf(docsWithDups(spark, sfDir))
 
+  /** Sampled, CAPPED global rarity estimate — the prefix order's
+    * performance half, made broadcast-small. The prefix lemma (see
+    * [[prefixJaccardPairs]]) holds for ANY global total order; exact df is
+    * only the heuristic that keeps HOT shingles out of prefixes. Exact df
+    * costs two full exploded-shingle exchanges (the groupBy and the join
+    * back), which was the measured disk wall at the sf100 rung
+    * (~50 GB/1M docs live). This estimates df over the deterministic 1/16
+    * doc-id-hash sample (the q170 dispatcher's sample) and keeps only the
+    * top [[HotShingleCap]] shingles with sampled df ≥ 2 — every shingle
+    * outside the map ranks as df 1 (rare-class, tie-broken by the 60-bit
+    * hash). The map is ≤ 2^20 rows by construction → broadcastable on any
+    * corpus, so attaching the order to the exploded rows is a NARROW
+    * broadcast join: the per-doc ranking window then runs on the barrier's
+    * existing doc_id partitioning with ZERO exchanges. Hot shingles (the
+    * n² trap) have large true df, survive sampling with probability → 1,
+    * and land in the map exactly when they matter; a shingle the sample
+    * misses joins at worst a true-df-sized bucket, never a hot one.
+    * Candidate SETS may differ from the exact-df order; the exact verify
+    * makes the declared OUTPUT order-invariant (hash-identical). */
+  private[graft] val HotShingleCap = 1 << 20
+
+  /** (shingle, df_est) for the sampled hot shingles of a (doc_id, sh)
+    * corpus — df_est ≥ 2, df_est-descending capped at [[HotShingleCap]].
+    * Deterministic: hash sample + (df_est desc, shingle asc) tie-break. */
+  private def hotShingleDf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .filter(pmod(xxhash64($"doc_id"), lit(16)) === 0)
+      .select(explode($"sh").as("shingle"))
+      .groupBy($"shingle")
+      .agg(count(lit(1)).as("df_est"))
+      .filter($"df_est" >= 2)
+      .orderBy($"df_est".desc, $"shingle".asc)
+      .limit(HotShingleCap)
+  }
+
+  /** Rank each doc's shingles under the sampled global order and keep the
+    * first `prefixLenSql` of them — NO exchange: the broadcast join
+    * preserves the incoming doc_id partitioning, so the window sorts
+    * doc-locally. Emits (doc_id, n_sh, shingle). */
+  private def rarestPrefix(docs: DataFrame, prefixLenSql: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"doc_id").orderBy($"dfk".asc, $"shingle".asc)
+    docs
+      .select($"doc_id", size($"sh").as("n_sh"), explode($"sh").as("shingle"))
+      .join(broadcast(hotShingleDf(docs)), Seq("shingle"), "left")
+      .withColumn("dfk", coalesce($"df_est", lit(1L)))
+      .withColumn("pos", row_number().over(w))
+      .filter($"pos" <= expr(prefixLenSql))
+      .select($"doc_id", $"n_sh", $"shingle")
+  }
+
   /** The (doc_id, text)-parameterized q147 plan — see
-    * [[ngramJaccardPairsOf]]. */
+    * [[ngramJaccardPairsOf]]. One full-corpus exchange TOTAL (the doc_id
+    * barrier); the only shingle-keyed exchange carries the ~40% prefix.
+    * prefix length n − ⌈0.6n⌉ + 1 with ⌈0.6n⌉ = (3n+4) div 5. */
   private[graft] def prefixJaccardPairsOf(docsIn: DataFrame): DataFrame = {
     import docsIn.sparkSession.implicits._
-    import org.apache.spark.sql.expressions.Window
     val docs = docsIn
       .repartition($"doc_id")
       .select($"doc_id", array_distinct(graft.functions.Kernels.shingleHashes(tokens($"text"), 3)).as("sh0"))
       .groupBy($"doc_id")
       .agg(first($"sh0").as("sh"))
-    val ex = docs.select($"doc_id", size($"sh").as("n_sh"), explode($"sh").as("shingle"))
-    val df = ex.groupBy($"shingle").agg(count(lit(1)).as("df"))
-    // rarest-first global order; position within each doc is a PARALLEL
-    // per-doc window. prefix length n − ⌈0.6n⌉ + 1 with ⌈0.6n⌉ = (3n+4) div 5
-    val w = Window.partitionBy($"doc_id").orderBy($"df".asc, $"shingle".asc)
-    // the df join must SHUFFLE on shingle: at fixture stats the planner
-    // would broadcast the EXPLODED side — unbounded at scale (the sweep
-    // catches exactly this); hinted, both sides hash-partition on the key
-    val pfx = ex
-      .hint("shuffle_hash")
-      .join(df.hint("shuffle_hash"), "shingle")
-      .withColumn("pos", row_number().over(w))
-      .filter($"pos" <= expr("n_sh - (3 * n_sh + 4) div 5 + 1"))
+    val pfx = rarestPrefix(docs, "n_sh - (3 * n_sh + 4) div 5 + 1")
       .select($"doc_id", $"shingle")
       .repartition($"shingle")
     val a = pfx.select($"doc_id".as("id1"), $"shingle")
@@ -340,7 +385,7 @@ object Dedup {
     * filter specialized to ASYMMETRIC containment. If
     * C(A→B) = |A∩B| / n_a ≥ 0.9, then at most n_a − ⌈0.9·n_a⌉ of A's
     * shingles miss B; so among A's (n_a − ⌈0.9·n_a⌉ + 1) RAREST shingles
-    * (global-df ascending, the q147 ordering) at least one must land in B
+    * (the q147 sampled-broadcast ordering) at least one must land in B
     * (pigeonhole). Only that ~10% prefix of the CONTAINED side enters the
     * inverted index; the CONTAINER side stays full — containment is
     * asymmetric, B's size never appears in the bound, so B earns no
@@ -362,23 +407,15 @@ object Dedup {
     * adversarial corpora. */
   private[graft] def containmentPrefixPairsOf(docsPre: DataFrame): DataFrame = {
     import docsPre.sparkSession.implicits._
-    import org.apache.spark.sql.expressions.Window
     val docs = docsPre
-    val ex   = docs.select($"doc_id", size($"sh").as("n_sh"), explode($"sh").as("shingle"))
-    val df   = ex.groupBy($"shingle").agg(count(lit(1)).as("df"))
-    // rarest-first global order; position is a PARALLEL per-doc window.
-    // prefix length n_a − ⌈0.9·n_a⌉ + 1 with ⌈0.9n⌉ = (9n+9) div 10.
-    // df join hinted shuffle_hash — broadcasting the exploded side is the
-    // unbounded-at-scale trap the corpus-wide sweep catches (see q147).
-    val w = Window.partitionBy($"doc_id").orderBy($"df".asc, $"shingle".asc)
-    val pfx = ex
-      .hint("shuffle_hash")
-      .join(df.hint("shuffle_hash"), "shingle")
-      .withColumn("pos", row_number().over(w))
-      .filter($"pos" <= expr("n_sh - (9 * n_sh + 9) div 10 + 1"))
+    // prefix length n_a − ⌈0.9·n_a⌉ + 1 with ⌈0.9n⌉ = (9n+9) div 10; the
+    // sampled broadcast order (see [[rarestPrefix]]) keeps the per-doc
+    // ranking exchange-free, so the container side's shingle exchange is
+    // the ONE full exploded exchange in the plan.
+    val pfx = rarestPrefix(docs, "n_sh - (9 * n_sh + 9) div 10 + 1")
       .select($"doc_id".as("contained_id"), $"n_sh".as("n_a"), $"shingle")
       .repartition($"shingle")
-    val full = ex.select($"doc_id".as("container_id"), $"shingle".as("shingle2"))
+    val full = docs.select($"doc_id".as("container_id"), explode($"sh").as("shingle2"))
     val cand = pfx
       .hint("shuffle_hash")
       .join(full.hint("shuffle_hash"), $"shingle" === $"shingle2" && $"contained_id" =!= $"container_id")
@@ -423,25 +460,47 @@ object Dedup {
     * one driver value is a single scalar (bounded driver state). */
   private[graft] def jaccardSkewStat(docsIn: DataFrame): Double = {
     import docsIn.sparkSession.implicits._
-    val sample = docsIn
+    skewStatOfPerDoc(docsIn
       .filter(pmod(xxhash64($"doc_id"), lit(16)) === 0)
-      .select($"doc_id", explode(array_distinct(
-        graft.functions.Kernels.shingleHashes(tokens($"text"), 3))).as("shingle"))
-    val r = sample
-      .groupBy($"shingle").agg(count(lit(1)).as("df"))
+      .select(array_distinct(
+        graft.functions.Kernels.shingleHashes(tokens($"text"), 3)).as("shs")))
+  }
+
+  /** [[jaccardSkewStat]] over a PREPARED (doc_id, sh) corpus — the
+    * containment dispatcher's form (q171): same sample, same statistic,
+    * same cutoff; the shingle arrays are already materialized. */
+  private[graft] def containmentSkewStat(docsPre: DataFrame): Double = {
+    import docsPre.sparkSession.implicits._
+    skewStatOfPerDoc(docsPre
+      .filter(pmod(xxhash64($"doc_id"), lit(16)) === 0)
+      .select($"sh".as("shs")))
+  }
+
+  /** ONE aggregation job over the sampled per-doc shingle arrays returning
+    * (Σdf², Σdf, n_docs) together — `posexplode_outer` tags each doc's
+    * first shingle (and each empty doc) so n_docs folds into the same
+    * grouped pass instead of a second sample scan. */
+  private def skewStatOfPerDoc(perDoc: DataFrame): Double = {
+    import perDoc.sparkSession.implicits._
+    val r = perDoc
+      .select(posexplode_outer($"shs").as(Seq("pos", "shingle")))
+      .groupBy($"shingle")
+      .agg(
+        count(when($"pos".isNotNull, 1)).as("df"),
+        count(when($"pos" === 0 || $"pos".isNull, 1)).as("firsts"))
       .agg(
         sum($"df" * $"df").as("df2"),
-        sum($"df").as("df1")
-      )
+        sum($"df").as("df1"),
+        sum($"firsts").as("nDocs"))
       .head()
-    val nDocs = docsIn
-      .filter(pmod(xxhash64($"doc_id"), lit(16)) === 0).count()
+    val df2   = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val df1   = if (r.isNullAt(1)) 0L else r.getLong(1)
+    val nDocs = if (r.isNullAt(2)) 0L else r.getLong(2)
     // minus 1: a singleton bucket (df=1, the uniform floor) contributes
     // zero candidate pairs and must contribute zero skew, or small corpora
     // read as skewed just because 1/nSampled hasn't vanished yet
-    if (r.isNullAt(1) || r.getLong(1) == 0L || nDocs == 0L) 0.0
-    else math.max(0.0,
-      r.getLong(0).toDouble / r.getLong(1).toDouble - 1.0) / nDocs.toDouble
+    if (df1 == 0L || nDocs == 0L) 0.0
+    else math.max(0.0, df2.toDouble / df1.toDouble - 1.0) / nDocs.toDouble
   }
 
   /** The dispatch cutoff: prefix-filter when the weighted-mean bucket's
@@ -474,6 +533,25 @@ object Dedup {
   private[graft] def adaptiveJaccardPairsOf(docsIn: DataFrame): DataFrame =
     if (chooseJaccardPlan(docsIn) == "prefix") prefixJaccardPairsOf(docsIn)
     else ngramJaccardPairsOf(docsIn)
+
+  /** Which physical plan the adaptive CONTAINMENT join will take — the
+    * q160/q168 pair has the same skew dependence the crossover probe
+    * measured for q67/q147 (full index ~2–3× faster under uniform df,
+    * ~n² on a Zipf head), judged by the same scale-free statistic over
+    * the containment corpus's prepared shingle arrays. */
+  private[graft] def chooseContainmentPlan(docsPre: DataFrame): String =
+    if (containmentSkewStat(docsPre) > JaccardSkewCutoff) "prefix" else "full"
+
+  /** Declared query (q171): SKEW-ADAPTIVE plan dispatch over the q160/q168
+    * containment plan pair — the containment twin of q170. Both branches
+    * are hash-identical by construction (q168 shares q160's oracle), so
+    * the dispatcher's choice can never change the answer, only the
+    * runtime; declared under the same shared oracle. */
+  def adaptiveContainmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = containmentDocs(spark, sfDir)
+    if (chooseContainmentPlan(docs) == "prefix") containmentPrefixPairsOf(docs)
+    else containmentPairsOf(docs)
+  }
 
   /** The dup-injected embedding set with norms, behind the same
     * repartition + groupBy/first barrier as the text dedup pipelines (one

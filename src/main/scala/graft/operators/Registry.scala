@@ -1880,6 +1880,15 @@ object Registry {
       Dedup.containmentPrefixPairs,
       Some(containmentSql)
     ),
+    // Skew-adaptive dispatch over the q160/q168 containment plan pair —
+    // the containment twin of q170 (same sampled statistic, same cutoff);
+    // both branches share q160's oracle, so the choice is
+    // correctness-invisible and the hash proves it.
+    Q(
+      "q171_adaptive_containment_pairs",
+      Dedup.adaptiveContainmentPairs,
+      Some(containmentSql)
+    ),
     // Skew-adaptive dispatch over the q67/q147 plan pair (the crossover
     // probe measured the choice as skew-dependent); both branches are
     // hash-identical, so the shared q67 oracle also covers the dispatcher.

@@ -208,6 +208,12 @@ object EsQueries {
     val sinkName = s"es_tail_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val ckpt = java.nio.file.Files.createTempDirectory("q167_ckpt")
     try {
+      // Input-sized admission (r13 verdict task 7): a FIXED per-epoch cap
+      // meant ~40 micro-batches at sf0.1 — 8 s of pure scheduling tax in
+      // every corpus walk. Splitting the dense id range in three keeps the
+      // multi-epoch resume property (≥2 epochs asserted below) at every SF
+      // while the declared query pays for ~3 scheduler round-trips, not 40.
+      val maxId = ev.agg(max($"event_id")).head().getLong(0)
       val q = spark.readStream
         .format("graft.sources.es.EsScrollSource")
         .schema(ev.schema)
@@ -216,7 +222,7 @@ object EsQueries {
         .option("slices", 4)
         .option("pageSize", 5000)
         .option("cursorField", "event_id")
-        .option("maxIdsPerBatch", 2500) // 4 epochs at sf0.01, 40 at sf0.1 (ids dense 0..n-1)
+        .option("maxIdsPerBatch", maxId / 3 + 1) // 3 epochs (ids dense 0..n-1)
         .load()
         .select($"event_type", $"user_id", $"value")
         .writeStream
@@ -224,8 +230,12 @@ object EsQueries {
         .queryName(sinkName)
         .option("checkpointLocation", ckpt.toString)
         .start()
-      try q.processAllAvailable()
-      finally q.stop()
+      try {
+        q.processAllAvailable()
+        val nEpochs = q.recentProgress.count(_.numInputRows > 0)
+        require(nEpochs >= 2,
+          s"q167 drained in $nEpochs non-empty epochs — the tail must resume across micro-batches")
+      } finally q.stop()
       val rollup = spark.table(sinkName)
         .groupBy($"event_type")
         .agg(

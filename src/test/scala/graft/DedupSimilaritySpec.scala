@@ -327,6 +327,49 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(graft.operators.Dedup.chooseJaccardPlan(uniformDocs(20000L)) === "full")
   }
 
+  test("containment dispatcher picks prefix on a Zipf head, full under uniformity; q171 output is branch-invisible") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.Kernels
+    def shOf(d: org.apache.spark.sql.DataFrame) = d
+      .repartition($"doc_id")
+      .select($"doc_id", array_distinct(Kernels.shingleHashes(split($"text", " "), 3)).as("sh"))
+    def zipfDocs(n: Long) = spark
+      .range(n)
+      .select(
+        $"id".as("doc_id"),
+        concat_ws(
+          " ",
+          concat(
+            transform(sequence(lit(0L), lit(7L)),
+              j => substring(md5(concat_ws("_", lit("hot"), $"id" % 50L, j)), 1, 6)),
+            transform(sequence(lit(8L), lit(39L)),
+              j => substring(md5(($"id" * 40L + j).cast("string")), 1, 6))
+          )
+        ).as("text")
+      )
+    def uniformDocs(n: Long) = {
+      val base = when($"id" % 10 === 0 && $"id" > 0, $"id" - 1).otherwise($"id")
+      spark
+        .range(n)
+        .select(
+          $"id".as("doc_id"),
+          concat_ws(" ",
+            transform(sequence(lit(0L), lit(39L)),
+              j => substring(md5(concat(base * 40L + j, lit("u"))), 1, 6))
+          ).as("text")
+        )
+    }
+    assert(graft.operators.Dedup.chooseContainmentPlan(shOf(zipfDocs(20000L))) === "prefix")
+    assert(graft.operators.Dedup.chooseContainmentPlan(shOf(uniformDocs(20000L))) === "full")
+    val full     = graft.operators.Dedup.containmentPairs(spark, sf)
+    val adaptive = graft.operators.Dedup.adaptiveContainmentPairs(spark, sf)
+    assert(
+      adaptive.exceptAll(full).isEmpty && full.exceptAll(adaptive).isEmpty,
+      "containment dispatch must be invisible in the output (both branches share the q160 oracle)"
+    )
+  }
+
   test("adaptive jaccard returns the identical pair set regardless of the branch taken") {
     val full     = graft.operators.Dedup.ngramJaccardPairs(spark, sf)
     val adaptive = graft.operators.Dedup.adaptiveJaccardPairs(spark, sf)
