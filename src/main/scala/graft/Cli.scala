@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   * (Bootstrap.java:237-334: connect → `_cat/indices` discovery → terms
   * aggregation menu → scroll export → schema persistence), driven through
   * the real HTTP connector:
-  *   runMain graft.Cli --es http://host:9200 --index 'events-*' \
-  *     --out /tmp/graft_cli [--event-type purchase] [--window-days 7]
+  *   runMain graft.Cli --es https://host:9200 --index 'events-*' \
+  *     --out /tmp/graft_cli [--event-type purchase] [--window-days 7] \
+  *     [--user elastic --password … | --api-key …] [--insecure-tls true]
   * Discovery runs as a pushed composite aggregation (zero documents over
   * the wire), the window derives from the daily index names (the
   * reference's window discovery), and the export is the sliced-scroll
@@ -63,10 +64,11 @@ object Cli {
     * and the window filter must push as a timestamp range for whole-day
     * index pruning to engage. */
   private def esSchema(spark: org.apache.spark.sql.SparkSession, url: String,
-      index: String): org.apache.spark.sql.types.StructType = {
+      index: String, auth: Map[String, String]): org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     val inferred = spark.read
       .format("graft.sources.es.EsScrollSource")
+      .options(auth)
       .option("url", url).option("index", index)
       .load()
       .schema
@@ -83,12 +85,14 @@ object Cli {
       url: String,
       index: String,
       schema: org.apache.spark.sql.types.StructType,
-      topK: Int
+      topK: Int,
+      auth: Map[String, String] = Map.empty
   ): Seq[(String, Long)] = {
     import spark.implicits._
     spark.read
       .format("graft.sources.es.EsScrollSource")
       .schema(schema)
+      .options(auth)
       .option("url", url).option("index", index)
       .load()
       .groupBy($"event_type")
@@ -115,12 +119,20 @@ object Cli {
       topK: Int,
       interactive: Boolean,
       eventTypeOpt: Option[String],
-      readLine: () => String
+      readLine: () => String,
+      auth: Map[String, String] = Map.empty
   ): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     // Window discovery from the daily index names — the reference never
     // asks the data for its time range, it reads it off `_cat/indices`.
-    val daily = graft.sources.es.EsScrollSource.discoverDailyIndices(url, indexPattern)
+    // Auth travels into discovery too: a secured cluster 401s the
+    // `_cat/indices` call before anything else (r13 ADVICE).
+    val daily = graft.sources.es.EsScrollSource.discoverDailyIndices(
+      url, indexPattern,
+      user = auth.getOrElse("user", ""),
+      password = auth.getOrElse("password", ""),
+      apiKey = auth.getOrElse("apiKey", ""),
+      insecureTls = auth.get("insecureTls").exists(_.toBoolean))
     require(daily.nonEmpty, s"--es: index pattern '$indexPattern' matched no indices at $url")
     val lo: Option[java.sql.Timestamp] = daily.flatMap(_._2).maxOption.map { latest =>
       java.sql.Timestamp.from(
@@ -130,8 +142,8 @@ object Cli {
     println(s"[cli] discovered ${daily.size} indices for '$indexPattern'" +
       lo.fold("")(l => s", window >= $l"))
 
-    val schema  = esSchema(spark, url, indexPattern)
-    val buckets = esDiscoverMenu(spark, url, indexPattern, schema, topK)
+    val schema  = esSchema(spark, url, indexPattern, auth)
+    val buckets = esDiscoverMenu(spark, url, indexPattern, schema, topK, auth)
     println(s"[cli] event types at $url (top $topK, server-side aggregation):")
     buckets.zipWithIndex.foreach { case ((t, n), i) =>
       println(s"[cli]   ${i + 1}. $t  ($n docs)")
@@ -144,6 +156,7 @@ object Cli {
     val events = spark.read
       .format("graft.sources.es.EsScrollSource")
       .schema(schema)
+      .options(auth)
       .option("url", url).option("index", indexPattern)
       .option("slices", 4).option("pageSize", 5000)
       .load()
@@ -165,10 +178,19 @@ object Cli {
     val topK = opts.getOrElse("top", "10").toInt
 
     opts.get("es").foreach { url =>
+      // auth flags for secured clusters: --user/--password, --api-key (wins),
+      // --insecure-tls true for self-signed https dev endpoints — threaded
+      // into discovery AND every reader (r13 ADVICE)
+      val auth = Seq(
+        "user"        -> opts.get("user"),
+        "password"    -> opts.get("password"),
+        "apiKey"      -> opts.get("api-key"),
+        "insecureTls" -> opts.get("insecure-tls")
+      ).collect { case (k, Some(v)) => k -> v }.toMap
       val spark = Session.build(appName = "graft-cli-es")
       try {
         val audit = runEs(spark, url, opts.getOrElse("index", "events-*"), out,
-          windowDays, topK, interactive, opts.get("event-type"), stdinLine).collect()
+          windowDays, topK, interactive, opts.get("event-type"), stdinLine, auth).collect()
         val total = audit.map(_.getAs[Long]("n_rows")).sum
         val dead  = audit.map(_.getAs[Long]("n_dead")).sum
         audit.foreach(r =>

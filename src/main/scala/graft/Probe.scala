@@ -105,6 +105,39 @@ object Probe {
       SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
+    if (which == "shufflebytes") {
+      // Evidence phase (r13 verdict task 1): total shuffle WRITE bytes and
+      // disk spill per declared query, summed from task metrics — the
+      // before/after record for the exploded-shingle payload shrink. Usage:
+      //   runMain graft.Probe <dir> shufflebytes <query> [<query> ...]
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+      import java.util.concurrent.atomic.AtomicLong
+      val names = args.drop(2)
+      // deployment defaults: the same input-sized AQE fan-out the sf100
+      // rungs run with, so the recorded bytes reflect the shipped config
+      graft.Session.sizeShufflesForInput(spark, sfDir)
+      println(s"[shufflebytes] AQE initialPartitionNum=" +
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum"))
+      val sw    = new AtomicLong(0)
+      val spill = new AtomicLong(0)
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null) {
+            sw.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten)
+            spill.addAndGet(e.taskMetrics.diskBytesSpilled)
+          }
+      })
+      names.foreach { n =>
+        sw.set(0); spill.set(0)
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(2000) // listener bus drain
+        println(f"[shufflebytes] $n%-32s ${sec}%8.3f s  shuffleWrite=${sw.get / 1048576.0}%10.1f MB  diskSpill=${spill.get / 1048576.0}%10.1f MB")
+      }
+      spark.stop()
+      return
+    }
     if (which == "q29ab") {
       // Same-JVM interleaved A/B of the q29 median forms over the sf100
       // slice (phase and page-cache effects cancel across the interleave):
@@ -1424,6 +1457,37 @@ object Probe {
       }
       spark.stop()
       if (!ok) sys.exit(1)
+      return
+    }
+    if (which == "dddiag") {
+      // Candidate-stage anatomy of the prefix-Jaccard plan on a dd slice:
+      // df histogram, prefix posting count, and the ordered candidate-pair
+      // mass Σ b·(b−1) over prefix buckets — pinpoints whether disk/spill
+      // pressure is the ranking stages or a candidate explosion.
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.Kernels
+      import graft.functions.TextFns
+      val docs = graft.operators.Dedup.docsWithDups(spark, sfDir)
+        .repartition($"doc_id")
+        .select($"doc_id", array_distinct(Kernels.shingleHashes(TextFns.tokens($"text"), 3)).as("sh0"))
+        .groupBy($"doc_id").agg(first($"sh0").as("sh"))
+        .localCheckpoint()
+      val ex = docs.select($"doc_id", explode($"sh").as("shingle"))
+      val df = ex.groupBy($"shingle").agg(count(lit(1)).as("df"))
+      println(s"[dddiag] docs=${docs.count()} exploded=${ex.count()}")
+      df.groupBy($"df").agg(count(lit(1)).as("nShingles")).orderBy($"df").show(30, false)
+      val w   = Window.partitionBy($"doc_id").orderBy($"df".asc, $"shingle".asc)
+      val nsh = docs.select($"doc_id", size($"sh").as("n_sh"))
+      val pfx = ex.join(df, "shingle").withColumn("pos", row_number().over(w))
+        .join(nsh, "doc_id")
+        .filter($"pos" <= expr("n_sh - (3 * n_sh + 4) div 5 + 1"))
+        .select($"doc_id", $"shingle").localCheckpoint()
+      println(s"[dddiag] prefix postings=${pfx.count()}")
+      pfx.groupBy($"shingle").agg(count(lit(1)).as("b"))
+        .agg(sum($"b" * ($"b" - lit(1))).as("orderedCandPairs"), max($"b").as("maxBucket"))
+        .show(false)
+      spark.stop()
       return
     }
     if (which == "adhoc") {

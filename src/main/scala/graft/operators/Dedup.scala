@@ -226,10 +226,9 @@ object Dedup {
     * candidate generation is LOSSLESS at the threshold while the inverted
     * index shrinks by ~t and carries the RAREST shingles (the ones with
     * the smallest join buckets — the performance point of the
-    * df-ascending order). The lemma holds for ANY shared total order, so
-    * the order is the SAMPLED broadcast estimate of [[rarestPrefix]] —
-    * exact df's two extra full exploded exchanges bought nothing but the
-    * heuristic. Candidates are then verified EXACTLY against
+    * df-ascending order — exact df, the candidate-minimizing choice; see
+    * [[explodedByShingle]] for the measured rejection of a sampled
+    * stand-in). Candidates are then verified EXACTLY against
     * the full shingle sets. Declared with the IDENTICAL oracle as q67:
     * same semantics, hash-identical results, cheaper candidate plan.
     * (Rounding note: the declared filter is on the 6-decimal rounded
@@ -239,57 +238,43 @@ object Dedup {
   def prefixJaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
     prefixJaccardPairsOf(docsWithDups(spark, sfDir))
 
-  /** Sampled, CAPPED global rarity estimate — the prefix order's
-    * performance half, made broadcast-small. The prefix lemma (see
-    * [[prefixJaccardPairs]]) holds for ANY global total order; exact df is
-    * only the heuristic that keeps HOT shingles out of prefixes. Exact df
-    * costs two full exploded-shingle exchanges (the groupBy and the join
-    * back), which was the measured disk wall at the sf100 rung
-    * (~50 GB/1M docs live). This estimates df over the deterministic 1/16
-    * doc-id-hash sample (the q170 dispatcher's sample) and keeps only the
-    * top [[HotShingleCap]] shingles with sampled df ≥ 2 — every shingle
-    * outside the map ranks as df 1 (rare-class, tie-broken by the 60-bit
-    * hash). The map is ≤ 2^20 rows by construction → broadcastable on any
-    * corpus, so attaching the order to the exploded rows is a NARROW
-    * broadcast join: the per-doc ranking window then runs on the barrier's
-    * existing doc_id partitioning with ZERO exchanges. Hot shingles (the
-    * n² trap) have large true df, survive sampling with probability → 1,
-    * and land in the map exactly when they matter; a shingle the sample
-    * misses joins at worst a true-df-sized bucket, never a hot one.
-    * Candidate SETS may differ from the exact-df order; the exact verify
-    * makes the declared OUTPUT order-invariant (hash-identical). */
-  private[graft] val HotShingleCap = 1 << 20
-
-  /** (shingle, df_est) for the sampled hot shingles of a (doc_id, sh)
-    * corpus — df_est ≥ 2, df_est-descending capped at [[HotShingleCap]].
-    * Deterministic: hash sample + (df_est desc, shingle asc) tie-break. */
-  private def hotShingleDf(docs: DataFrame): DataFrame = {
+  /** The SHARED exploded-shingle exchange of the prefix plans: one
+    * hash-repartition of (doc_id, shingle) on the 60-bit shingle hash that
+    * the df groupBy, the df join-back, and (for containment) the container
+    * side of the candidate join all consume as a ReusedExchange. Before
+    * this refactor each of those shuffled the explode independently — the
+    * measured disk wall at the sf100 rung (~50 GB exchange+spill per 1M
+    * docs, r13 verdict task 1). The rows are deliberately SLIM: n_sh is
+    * re-joined by doc_id later, exchange-free, from the doc_id-partitioned
+    * barrier. (A sampled broadcastable df order was tried first and
+    * REJECTED by measurement: the prefix lemma tolerates any total order,
+    * but mid-frequency shingles the 1/16 sample misses tie at the rare end
+    * and flood the prefixes — candidate spill tripled the runtime. Exact
+    * df is the candidate-minimizing order and is worth its one exchange.) */
+  private def explodedByShingle(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs
-      .filter(pmod(xxhash64($"doc_id"), lit(16)) === 0)
-      .select(explode($"sh").as("shingle"))
-      .groupBy($"shingle")
-      .agg(count(lit(1)).as("df_est"))
-      .filter($"df_est" >= 2)
-      .orderBy($"df_est".desc, $"shingle".asc)
-      .limit(HotShingleCap)
-  }
-
-  /** Rank each doc's shingles under the sampled global order and keep the
-    * first `prefixLenSql` of them — NO exchange: the broadcast join
-    * preserves the incoming doc_id partitioning, so the window sorts
-    * doc-locally. Emits (doc_id, n_sh, shingle). */
-  private def rarestPrefix(docs: DataFrame, prefixLenSql: String): DataFrame = {
-    import docs.sparkSession.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"doc_id").orderBy($"dfk".asc, $"shingle".asc)
     docs
       .select($"doc_id", size($"sh").as("n_sh"), explode($"sh").as("shingle"))
-      .join(broadcast(hotShingleDf(docs)), Seq("shingle"), "left")
-      .withColumn("dfk", coalesce($"df_est", lit(1L)))
+      .repartition($"shingle")
+  }
+
+  /** Rank each doc's shingles rarest-first (global df asc, shingle asc)
+    * and keep the first `prefixLenSql` of them. Exchange ledger: the df
+    * aggregate and the df join both ride the [[explodedByShingle]]
+    * exchange (same partitioning, zero new shuffles); the per-doc ranking
+    * window inserts the plan's one other full exchange, of slim
+    * (doc_id, n_sh, shingle, df) rows. Emits (doc_id, n_sh, pos, shingle)
+    * — pos (the prefix rank) feeds the PPJoin positional filter. */
+  private def rarestPrefix(ex: DataFrame, prefixLenSql: String): DataFrame = {
+    import ex.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = ex.groupBy($"shingle").agg(count(lit(1)).as("df"))
+    val w  = Window.partitionBy($"doc_id").orderBy($"df".asc, $"shingle".asc)
+    ex
+      .join(df.hint("shuffle_hash"), "shingle")
       .withColumn("pos", row_number().over(w))
       .filter($"pos" <= expr(prefixLenSql))
-      .select($"doc_id", $"n_sh", $"shingle")
+      .select($"doc_id", $"n_sh", $"pos", $"shingle")
   }
 
   /** The (doc_id, text)-parameterized q147 plan — see
@@ -303,14 +288,30 @@ object Dedup {
       .select($"doc_id", array_distinct(graft.functions.Kernels.shingleHashes(tokens($"text"), 3)).as("sh0"))
       .groupBy($"doc_id")
       .agg(first($"sh0").as("sh"))
-    val pfx = rarestPrefix(docs, "n_sh - (3 * n_sh + 4) div 5 + 1")
-      .select($"doc_id", $"shingle")
+    val pfx = rarestPrefix(explodedByShingle(docs), "n_sh - (3 * n_sh + 4) div 5 + 1")
       .repartition($"shingle")
-    val a = pfx.select($"doc_id".as("id1"), $"shingle")
-    val b = pfx.select($"doc_id".as("id2"), $"shingle".as("shingle2"))
+    val a = pfx.select($"doc_id".as("id1"), $"n_sh".as("na1"), $"pos".as("pos1"), $"shingle")
+    val b = pfx.select($"doc_id".as("id2"), $"n_sh".as("na2"), $"pos".as("pos2"), $"shingle".as("shingle2"))
+    // The PPJoin candidate cuts (both LOSSLESS at t = 0.6 = 3/5, both exact
+    // integer arithmetic — the dddiag probe measured the unfiltered
+    // candidate mass at 450× the true pairs on the fixture's df≈10 trigram
+    // distribution, and the verify of that junk was the real sf100 cost):
+    //   - length filter: J ≥ 3/5 forces 3·n1 ≤ 5·n2 and 3·n2 ≤ 5·n1;
+    //   - positional filter: the overlap needed is α = ⌈3(n1+n2)/8⌉
+    //     (t/(1+t) = 3/8), and for the FIRST common shingle in the global
+    //     order — which the prefix lemma puts in both prefixes — every
+    //     other common shingle sits after it on both sides, so
+    //     |A∩B| ≤ 1 + min(n1−pos1, n2−pos2); a true pair therefore always
+    //     has a match passing the test, and candidates whose every match
+    //     fails it are provably below threshold.
     val cand = a
       .hint("shuffle_hash")
-      .join(b.hint("shuffle_hash"), $"shingle" === $"shingle2" && $"id1" < $"id2")
+      .join(
+        b.hint("shuffle_hash"),
+        $"shingle" === $"shingle2" && $"id1" < $"id2" &&
+          $"na2" * 3 <= $"na1" * 5 && $"na1" * 3 <= $"na2" * 5 &&
+          expr("1 + least(na1 - pos1, na2 - pos2) >= (3 * (na1 + na2) + 7) div 8")
+      )
       .select($"id1", $"id2")
       .distinct()
     cand
@@ -385,7 +386,7 @@ object Dedup {
     * filter specialized to ASYMMETRIC containment. If
     * C(A→B) = |A∩B| / n_a ≥ 0.9, then at most n_a − ⌈0.9·n_a⌉ of A's
     * shingles miss B; so among A's (n_a − ⌈0.9·n_a⌉ + 1) RAREST shingles
-    * (the q147 sampled-broadcast ordering) at least one must land in B
+    * (global-df ascending, the q147 ordering) at least one must land in B
     * (pigeonhole). Only that ~10% prefix of the CONTAINED side enters the
     * inverted index; the CONTAINER side stays full — containment is
     * asymmetric, B's size never appears in the bound, so B earns no
@@ -408,17 +409,25 @@ object Dedup {
   private[graft] def containmentPrefixPairsOf(docsPre: DataFrame): DataFrame = {
     import docsPre.sparkSession.implicits._
     val docs = docsPre
-    // prefix length n_a − ⌈0.9·n_a⌉ + 1 with ⌈0.9n⌉ = (9n+9) div 10; the
-    // sampled broadcast order (see [[rarestPrefix]]) keeps the per-doc
-    // ranking exchange-free, so the container side's shingle exchange is
-    // the ONE full exploded exchange in the plan.
-    val pfx = rarestPrefix(docs, "n_sh - (9 * n_sh + 9) div 10 + 1")
+    // prefix length n_a − ⌈0.9·n_a⌉ + 1 with ⌈0.9n⌉ = (9n+9) div 10. The
+    // container side of the candidate join reads the SAME exploded
+    // exchange the prefix ranking consumes ([[explodedByShingle]]) — the
+    // full exploded relation shuffles exactly once in the whole plan.
+    val ex = explodedByShingle(docs)
+    val pfx = rarestPrefix(ex, "n_sh - (9 * n_sh + 9) div 10 + 1")
       .select($"doc_id".as("contained_id"), $"n_sh".as("n_a"), $"shingle")
       .repartition($"shingle")
-    val full = docs.select($"doc_id".as("container_id"), explode($"sh").as("shingle2"))
+    val full = ex.select($"doc_id".as("container_id"), $"n_sh".as("n_b"), $"shingle".as("shingle2"))
+    // container-length filter (LOSSLESS): C ≥ 0.9 needs |A∩B| ≥ ⌈0.9·n_a⌉
+    // and |A∩B| ≤ n_b, so 10·n_b ≥ 9·n_a — kills the entire
+    // long-contained-in-short direction of the ordered candidate mass
     val cand = pfx
       .hint("shuffle_hash")
-      .join(full.hint("shuffle_hash"), $"shingle" === $"shingle2" && $"contained_id" =!= $"container_id")
+      .join(
+        full.hint("shuffle_hash"),
+        $"shingle" === $"shingle2" && $"contained_id" =!= $"container_id" &&
+          $"n_b" * 10 >= $"n_a" * 9
+      )
       .select($"contained_id", $"container_id", $"n_a")
       .distinct()
     cand

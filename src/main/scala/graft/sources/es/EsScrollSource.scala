@@ -169,23 +169,23 @@ object EsScrollSource {
     if (v == null) default else v
   }
 
-  /** Build the connection descriptor from reader options: `apiKey` wins
-    * over `user`/`password` (the two ES auth schemes a client sends as an
-    * Authorization header); absent both, the header stays empty (the
+  /** The `Authorization` header value for the two ES client auth schemes:
+    * `apiKey` wins over `user`/`password`; absent both, empty (the
     * reference's plain connection). */
-  private[es] def connOf(o: CaseInsensitiveStringMap): EsConn = {
-    val url    = reqOption(o, "url")
-    val apiKey = o.get("apiKey")
-    val user   = o.get("user")
-    val auth =
-      if (apiKey != null) s"ApiKey $apiKey"
-      else if (user != null) {
-        val pw = optOrElse(o, "password", "")
-        "Basic " + java.util.Base64.getEncoder
-          .encodeToString(s"$user:$pw".getBytes(StandardCharsets.UTF_8))
-      } else ""
-    EsConn(url, auth, o.getBoolean("insecureTls", false))
-  }
+  private[es] def authHeader(apiKey: String, user: String, password: String): String =
+    if (apiKey != null && apiKey.nonEmpty) s"ApiKey $apiKey"
+    else if (user != null && user.nonEmpty)
+      "Basic " + java.util.Base64.getEncoder
+        .encodeToString(s"$user:${Option(password).getOrElse("")}".getBytes(StandardCharsets.UTF_8))
+    else ""
+
+  /** Build the connection descriptor from reader options. */
+  private[es] def connOf(o: CaseInsensitiveStringMap): EsConn =
+    EsConn(
+      reqOption(o, "url"),
+      authHeader(o.get("apiKey"), o.get("user"), optOrElse(o, "password", "")),
+      o.getBoolean("insecureTls", false)
+    )
 
   private val client = HttpClient.newHttpClient()
 
@@ -250,9 +250,16 @@ object EsScrollSource {
     * index names (Bootstrap.java:259-268). */
   def discoverDailyIndices(
       url: String,
-      pattern: String
+      pattern: String,
+      user: String = "",
+      password: String = "",
+      apiKey: String = "",
+      insecureTls: Boolean = false
   ): Seq[(String, Option[java.time.LocalDate])] =
-    resolveIndices(EsConn(url), pattern).map(n => n -> indexDay(n))
+    resolveIndices(
+      EsConn(url, authHeader(apiKey, user, password), insecureTls),
+      pattern
+    ).map(n => n -> indexDay(n))
 
   /** The UTC day a time-partitioned index covers, from its `-yyyy.MM.dd`
     * suffix (the reference's daily-index naming); None = not day-suffixed,
@@ -468,6 +475,65 @@ object EsScrollSource {
     case _ => false
   }
 
+  /** Fields carrying a pushed string equality/membership — the ones whose
+    * `term`/`terms` compilation silently under-matches when the live
+    * mapping analyzes them (see [[validateTermFields]]). */
+  private[es] def stringEqFields(f: Filter): Seq[String] = f match {
+    case EqualTo(a, _: String)                                       => Seq(a)
+    case In(a, vs) if vs != null && vs.exists(_.isInstanceOf[String]) => Seq(a)
+    case And(l, r)                                                   => stringEqFields(l) ++ stringEqFields(r)
+    case Or(l, r)                                                    => stringEqFields(l) ++ stringEqFields(r)
+    case Not(c)                                                      => stringEqFields(c)
+    case _                                                           => Nil
+  }
+
+  /** Term-mode mapping validation (r13 ADVICE): against a default-mapped
+    * cluster (analyzed `text` with a `.keyword` raw subfield) a `term` on
+    * the BASE field matches single analyzed tokens, so multi-token or
+    * case-differing equality silently returns wrong (usually empty)
+    * results unless `keywordSuffix=.keyword` is set. One
+    * `GET /<index>/_mapping` at scan construction fails that
+    * misconfiguration FAST:
+    *   - empty suffix → every string-equality field must NOT be mapped
+    *     `text` (plain `keyword` is the exact-match mapping);
+    *   - configured suffix → the subfield must exist and be `keyword`
+    *     (a suffix pointing at nothing is an always-empty term).
+    * A cluster (or stub) without the endpoint — or without the field —
+    * skips validation: absence of evidence is not a misconfiguration. */
+  private[es] def validateTermFields(
+      conn: EsConn,
+      index: String,
+      fields: Seq[String],
+      keywordSuffix: String
+  ): Unit = {
+    if (fields.isEmpty) return
+    val root =
+      try new ObjectMapper().readTree(get(conn, s"/$index/_mapping"))
+      catch { case _: Exception => return }
+    val it = root.fields()
+    while (it.hasNext) {
+      val e     = it.next()
+      val props = e.getValue.path("mappings").path("properties")
+      fields.foreach { f =>
+        val fm = props.path(f)
+        if (!fm.isMissingNode) {
+          val t = fm.path("type").asText("")
+          if (keywordSuffix.nonEmpty) {
+            val subT = fm.path("fields").path(keywordSuffix.stripPrefix(".")).path("type").asText("")
+            require(subT == "keyword",
+              s"es-scroll: exact string equality pushed as term on '$f$keywordSuffix', but index " +
+                s"'${e.getKey}' maps '$f' (type '$t') without a keyword '$keywordSuffix' subfield — " +
+                "fix keywordSuffix, or set stringEquality=phrase for analyzed matching with Spark re-filter")
+          } else
+            require(t != "text",
+              s"es-scroll: exact string equality pushed as term on analyzed text field '$f' " +
+                s"(index '${e.getKey}') — this matches single analyzed tokens, not exact values; " +
+                "set keywordSuffix=.keyword for default-mapped indices, or stringEquality=phrase")
+        }
+      }
+    }
+  }
+
   /** Does `f` contain a string equality/membership anywhere? (In `phrase`
     * mode those compile to analyzed match_phrase and must be re-evaluated
     * by Spark.) */
@@ -620,7 +686,12 @@ private class EsScanBuilder(
     ok
   }
 
-  override def build(): Scan =
+  override def build(): Scan = {
+    if (stringEquality == "term")
+      EsScrollSource.validateTermFields(
+        conn, index,
+        pushed.flatMap(EsScrollSource.stringEqFields).distinct.toSeq,
+        keywordSuffix)
     if (aggGroups != null)
       new EsAggScan(conn, index, pageSize,
         EsScrollSource.toEsQuery(pushed, stringEquality, keywordSuffix),
@@ -629,6 +700,7 @@ private class EsScanBuilder(
       new EsScrollScan(conn, index, slices, pageSize, scroll, required,
         EsScrollSource.toEsQuery(pushed, stringEquality, keywordSuffix),
         pushed, limit, timeField, pagination, cursorField, maxIdsPerBatch)
+  }
 }
 
 private case class EsAggPartition(

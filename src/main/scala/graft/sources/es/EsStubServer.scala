@@ -137,6 +137,8 @@ class EsStubServer(
         case ("DELETE", "/_search/scroll") => clearScroll(body)
         case ("POST" | "GET", "/_search/scroll") => scrollNext(body)
         case ("GET", "/_cat/indices") => catIndices()
+        case ("GET", p) if p.endsWith("/_mapping") =>
+          mappingOf(p.stripPrefix("/").stripSuffix("/_mapping"))
         case ("DELETE", "/_pit") => clearPit(body)
         case ("POST", p) if p.endsWith("/_pit") && knownIndices(p.stripSuffix("/_pit") + "/_search") =>
           openPit(p)
@@ -244,6 +246,47 @@ class EsStubServer(
     val arr = mapper.createArrayNode()
     allIndices.keys.toSeq.sorted.foreach(n => arr.addObject().put("index", n))
     arr.toString
+  }
+
+  /** `GET /<index-or-pattern>/_mapping` — field mappings inferred from the
+    * seeded rows, in the real response shape
+    * `{index: {mappings: {properties: {f: {type: …}}}}}`. String fields
+    * model the cluster's mapping mode: exact `keyword` on the default stub,
+    * analyzed `text` WITH the dynamic-mapping `.keyword` raw subfield when
+    * `analyzedPhrase=true` — so the connector's term-mode validation sees
+    * exactly what a default-mapped cluster would serve. */
+  private def mappingOf(pattern: String): String = {
+    val names =
+      if (!pattern.contains("*")) {
+        require(allIndices.contains(pattern), s"no such index [$pattern]")
+        Seq(pattern)
+      } else {
+        val rx = ("^" + pattern.split("\\*", -1)
+          .map(java.util.regex.Pattern.quote).mkString(".*") + "$").r
+        allIndices.keys.toSeq.filter(rx.matches(_)).sorted
+      }
+    val root = mapper.createObjectNode()
+    names.foreach { n =>
+      val props = root.putObject(n).putObject("mappings").putObject("properties")
+      val data  = allIndices(n)
+      colNames.zipWithIndex.foreach { case (c, i) =>
+        val v = data.iterator.map(_(i)).find(_ != null).orNull
+        val t = v match {
+          case _: String                           => if (analyzedPhrase) "text" else "keyword"
+          case _: java.lang.Long | _: java.lang.Integer => "long"
+          case _: java.lang.Double | _: java.lang.Float => "double"
+          case _: java.lang.Boolean                => "boolean"
+          case _: java.sql.Timestamp | _: Instant  => "date"
+          case _                                   => "keyword"
+        }
+        val fm = props.putObject(c)
+        fm.put("type", t)
+        if (t == "text")
+          fm.putObject("fields").putObject("keyword")
+            .put("type", "keyword").put("ignore_above", 256)
+      }
+    }
+    root.toString
   }
 
   private def initialSearch(body: String, data: IndexedSeq[Array[Any]]): String = {
@@ -516,7 +559,8 @@ object EsStubServer {
   /** Seed one index PER DAY of `tsCol` — the reference's time-partitioned
     * index layout (it discovers and exports `<name>-yyyy.MM.dd` daily
     * indices). The connector's window pruning is tested against this. */
-  def fromDayPartitionedDataFrame(df: DataFrame, base: String, tsCol: String = "ts"): EsStubServer = {
+  def fromDayPartitionedDataFrame(df: DataFrame, base: String, tsCol: String = "ts",
+      requireAuth: String = null): EsStubServer = {
     val (cols, data) = seedRows(df)
     val ti = cols.indexOf(tsCol)
     require(ti >= 0, s"no $tsCol column to day-partition on")
@@ -527,7 +571,8 @@ object EsStubServer {
     }
     val names = byDay.keys.toSeq.sorted
     new EsStubServer(s"$base-${names.head}", cols, byDay(names.head),
-      extraIndices = names.tail.map(d => s"$base-$d" -> byDay(d)).toMap)
+      extraIndices = names.tail.map(d => s"$base-$d" -> byDay(d)).toMap,
+      requireAuth = requireAuth)
   }
 
   private def seedRows(df: DataFrame): (Array[String], IndexedSeq[Array[Any]]) = {

@@ -42,6 +42,28 @@ class CliEsSpec extends SparkSpec {
     }
   }
 
+  test("--es mode runs end-to-end against a SECURED cluster: auth reaches discovery and every reader") {
+    // r13 ADVICE: discovery hardcoded an unauthenticated EsConn and the CLI
+    // exposed no auth flags — a secured cluster 401'd at `_cat/indices`
+    // with no workaround. Basic creds must now thread through discovery,
+    // schema inference, the composite-agg menu, and the sliced export.
+    val creds = "Basic " + java.util.Base64.getEncoder
+      .encodeToString("elastic:s3cr3t".getBytes("UTF-8"))
+    val srv = EsStubServer.fromDayPartitionedDataFrame(events, "events", requireAuth = creds)
+    srv.start()
+    try {
+      val auth = Map("user" -> "elastic", "password" -> "s3cr3t")
+      // unauthenticated discovery must fail fast (the r13 symptom)…
+      val e = intercept[Exception] { EsScrollSource.discoverDailyIndices(srv.url, "events-*") }
+      assert(e.getMessage.contains("401"), s"open discovery against a secured cluster must 401: ${e.getMessage}")
+      // …and the authenticated whole-program run must succeed
+      val out = graft.sources.ParquetSink.scratchDir(spark, "cli_es_auth_export")
+      val audit = Cli.runEs(spark, srv.url, "events-*", out, windowDays = 5, topK = 10,
+        interactive = false, eventTypeOpt = None, readLine = () => "", auth = auth).collect()
+      assert(audit.map(_.getAs[Long]("n_rows")).sum > 0, "the authenticated export must land rows")
+    } finally srv.stop()
+  }
+
   test("scripted --es session: reference menu layout, windowed export, audit equals the parquet truth") {
     withDayServer { (srv, url) =>
       val out = graft.sources.ParquetSink.scratchDir(spark, "cli_es_export")

@@ -100,12 +100,13 @@ class EsScrollSourceSpec extends SparkSpec {
     val srv = new EsStubServer("events", cols, data, analyzedPhrase = true)
     srv.start()
     try {
-      def read(mode: String) = spark.read
+      def read(mode: String, suffix: String = "") = spark.read
         .format("graft.sources.es.EsScrollSource")
         .schema(events.schema)
         .option("url", srv.url).option("index", "events")
         .option("slices", 2)
         .option("stringEquality", mode)
+        .option("keywordSuffix", suffix)
         .load()
         .where($"event_type" === "purchase")
       // phrase mode: the server ships its analyzed over-matches, Spark's
@@ -115,12 +116,19 @@ class EsScrollSourceSpec extends SparkSpec {
       assert(viaPhrase.length === 200, "only EXACT equality survives the re-filter")
       assert(srv.hitsServed.get() - before === 400,
         "the analyzed endpoint must actually have over-returned (both halves phrase-match)")
-      // term mode: exact on the keyword value — the server itself filters right
+      // term mode against the analyzed mapping REQUIRES the raw subfield —
+      // exact on event_type.keyword, the server itself filters right
       val before2 = srv.hitsServed.get()
-      val viaTerm = read("term").collect()
+      val viaTerm = read("term", ".keyword").collect()
       assert(viaTerm.length === 200)
       assert(srv.hitsServed.get() - before2 === 200,
-        "term must stay exact server-side even against the analyzed stub")
+        "term on the keyword subfield must stay exact server-side")
+      // and WITHOUT the subfield the scan must fail FAST at construction
+      // (r13 ADVICE: the silent single-token under-match), via the
+      // _mapping validation — not silently return wrong results
+      val e = intercept[Exception] { read("term").collect() }
+      assert(e.getMessage.contains("keywordSuffix"),
+        s"term-on-analyzed-text must name the fix, got: ${e.getMessage}")
     } finally srv.stop()
   }
 
@@ -200,11 +208,19 @@ class EsScrollSourceSpec extends SparkSpec {
 
   test("keywordSuffix addresses the raw keyword subfield for exact term equality") {
     import spark.implicits._
-    withServer(events) { (srv, url) =>
+    // a DEFAULT-MAPPED cluster (analyzed text + raw .keyword subfield) is
+    // the mapping keywordSuffix exists for — and the only one the scan's
+    // `_mapping` validation accepts the suffix against (a suffix on a
+    // plain-keyword field would be an always-empty term on real ES)
+    val (cols, data) = (events.columns,
+      events.collect().map(r => Array.tabulate[Any](events.columns.length)(r.get)).toIndexedSeq)
+    val srv = new EsStubServer("events", cols, data, analyzedPhrase = true)
+    srv.start()
+    try {
       val got = spark.read
         .format("graft.sources.es.EsScrollSource")
         .schema(events.schema)
-        .option("url", url).option("index", "events")
+        .option("url", srv.url).option("index", "events")
         .option("slices", 2)
         .option("keywordSuffix", ".keyword")
         .load()
@@ -213,7 +229,7 @@ class EsScrollSourceSpec extends SparkSpec {
       assert(n === events.where($"event_type" === "purchase").count())
       assert(srv.lastSearchBody.contains("event_type.keyword"),
         s"term must target the keyword subfield: ${srv.lastSearchBody}")
-    }
+    } finally srv.stop()
   }
 
   test("composite aggregation declares missing_bucket and surfaces the null group like Spark") {
