@@ -1382,7 +1382,13 @@ object Probe {
       val nprobeDecl = graft.operators.Similarity.IvfNprobe
       val nprobeProd = graft.operators.Similarity.IvfNprobeProd
       val cs = Seq(0.95, 0.90, 0.80)
-      Seq(25000L, 100000L).foreach { n =>
+      // GRAFT_RECALL_BIG extends the graded corners to the sf100 ANN scale
+      // (2.2M vectors — r13 verdict task 4's tripwire re-run); brute-force
+      // ground truth is 44M dots per c, so the big corner is opt-in rather
+      // than part of the routine probe sweep.
+      val sizes = Seq(25000L, 100000L) ++
+        (if (sys.env.contains("GRAFT_RECALL_BIG")) Seq(2200000L) else Nil)
+      sizes.foreach { n =>
         cs.foreach { c =>
           val e     = corpus(n, c)
           val truth = bruteTopk(e).localCheckpoint()
@@ -1988,7 +1994,8 @@ object Probe {
       val ddSet = Seq(
         "q65_minhash_lsh_pairs",
         "q147_prefix_jaccard_pairs",
-        "q168_containment_prefix_pairs"
+        "q168_containment_prefix_pairs",
+        "q171_adaptive_containment_pairs" // r14: the dispatcher judged at rung scale
       ).filter(only)
       if (ddSet.nonEmpty) {
         Files.createDirectories(Paths.get(ddDir))

@@ -35,11 +35,11 @@ object Session {
   /** Input-sized AQE shuffle fan-out — replaces the `GRAFT_SF100_SHUFFLE`
     * hand knob (r13 verdict task 5: the knob measured q29 267.8 → 67.0 s
     * at 32 → 256 partitions, but a deployment shouldn't need a flag).
-    * Heuristic: start every shuffle at one partition per 8 MB of on-disk
+    * Heuristic: start every shuffle at one partition per 4 MB of on-disk
     * input (clamped to [current shuffle.partitions, 2048]) via
     * `spark.sql.adaptive.coalescePartitions.initialPartitionNum`, and let
     * AQE's coalescer shrink each stage back to its 64 MB advisory size.
-    * The divisor is deliberately ~8× under the advisory: columnar zstd
+    * The divisor is deliberately ~16× under the advisory: columnar zstd
     * parquet decompresses ~4-8× in flight and the dedup/ANN pipelines
     * EXPLODE rows beyond that, so sizing at 1/advisory would leave
     * multi-GB spill-bound partitions (the measured q147 regression at 32).
@@ -59,7 +59,7 @@ object Session {
       }
     }.sum
     val floor  = spark.conf.get("spark.sql.shuffle.partitions").toLong
-    val target = math.min(2048L, math.max(floor, bytes / (8L << 20)))
+    val target = math.min(2048L, math.max(floor, bytes / (4L << 20)))
     spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", target.toString)
   }
 

@@ -467,20 +467,26 @@ object Dedup {
     * so one cutoff works at any n. Estimated over a deterministic 1/16
     * doc-id-hash sample: two narrow aggregates over ~6% of the corpus, the
     * one driver value is a single scalar (bounded driver state). */
-  private[graft] def jaccardSkewStat(docsIn: DataFrame): Double = {
+  private[graft] def jaccardSkewStat(docsIn: DataFrame): Double =
+    skewOf(jaccardSampleAgg(docsIn))
+
+  /** [[jaccardSkewStat]] over a PREPARED (doc_id, sh) corpus — the
+    * containment dispatcher's form (q171): same sample, same statistic,
+    * same cutoff; the shingle arrays are already materialized. */
+  private[graft] def containmentSkewStat(docsPre: DataFrame): Double =
+    skewOf(containmentSampleAgg(docsPre))
+
+  private def jaccardSampleAgg(docsIn: DataFrame): (Long, Long, Long) = {
     import docsIn.sparkSession.implicits._
-    skewStatOfPerDoc(docsIn
+    sampleAggOfPerDoc(docsIn
       .filter(pmod(xxhash64($"doc_id"), lit(16)) === 0)
       .select(array_distinct(
         graft.functions.Kernels.shingleHashes(tokens($"text"), 3)).as("shs")))
   }
 
-  /** [[jaccardSkewStat]] over a PREPARED (doc_id, sh) corpus — the
-    * containment dispatcher's form (q171): same sample, same statistic,
-    * same cutoff; the shingle arrays are already materialized. */
-  private[graft] def containmentSkewStat(docsPre: DataFrame): Double = {
+  private def containmentSampleAgg(docsPre: DataFrame): (Long, Long, Long) = {
     import docsPre.sparkSession.implicits._
-    skewStatOfPerDoc(docsPre
+    sampleAggOfPerDoc(docsPre
       .filter(pmod(xxhash64($"doc_id"), lit(16)) === 0)
       .select($"sh".as("shs")))
   }
@@ -489,7 +495,7 @@ object Dedup {
     * (Σdf², Σdf, n_docs) together — `posexplode_outer` tags each doc's
     * first shingle (and each empty doc) so n_docs folds into the same
     * grouped pass instead of a second sample scan. */
-  private def skewStatOfPerDoc(perDoc: DataFrame): Double = {
+  private def sampleAggOfPerDoc(perDoc: DataFrame): (Long, Long, Long) = {
     import perDoc.sparkSession.implicits._
     val r = perDoc
       .select(posexplode_outer($"shs").as(Seq("pos", "shingle")))
@@ -502,14 +508,28 @@ object Dedup {
         sum($"df").as("df1"),
         sum($"firsts").as("nDocs"))
       .head()
-    val df2   = if (r.isNullAt(0)) 0L else r.getLong(0)
-    val df1   = if (r.isNullAt(1)) 0L else r.getLong(1)
-    val nDocs = if (r.isNullAt(2)) 0L else r.getLong(2)
+    (if (r.isNullAt(0)) 0L else r.getLong(0),
+     if (r.isNullAt(1)) 0L else r.getLong(1),
+     if (r.isNullAt(2)) 0L else r.getLong(2))
+  }
+
+  private def skewOf(agg: (Long, Long, Long)): Double = {
+    val (df2, df1, nDocs) = agg
     // minus 1: a singleton bucket (df=1, the uniform floor) contributes
     // zero candidate pairs and must contribute zero skew, or small corpora
     // read as skewed just because 1/nSampled hasn't vanished yet
     if (df1 == 0L || nDocs == 0L) 0.0
     else math.max(0.0, df2.toDouble / df1.toDouble - 1.0) / nDocs.toDouble
+  }
+
+  /** Unbiased estimate of the FULL inverted index's ordered candidate mass
+    * Σ df·(df−1) from the 1/16-doc sample: with p = 1/16,
+    * E[df_s²] = p²·df² + p(1−p)·df, so
+    * Σdf² ≈ (Σdf_s² − (1−p)·Σdf_s)/p² and Σdf ≈ Σdf_s/p. An all-singleton
+    * corpus estimates ~0; the sf100 salted corpus estimates ~3·10⁹. */
+  private def estFullIndexPairs(agg: (Long, Long, Long)): Double = {
+    val (df2, df1, _) = agg
+    256.0 * (df2.toDouble - 0.9375 * df1.toDouble) - 16.0 * df1.toDouble
   }
 
   /** The dispatch cutoff: prefix-filter when the weighted-mean bucket's
@@ -521,10 +541,25 @@ object Dedup {
     * measured 2× FASTER there). */
   private[graft] val JaccardSkewCutoff = 0.001
 
+  /** The SECOND dispatch term (r14, measured): past this many estimated
+    * full-index candidate rows the prefix plan wins REGARDLESS of
+    * uniformity — the full index's only edge is small-corpus constant
+    * factors, and its shuffled-hash build is memory-bound in the
+    * occurrence count (measured: the full containment index fails its
+    * hash build at 5M salted docs / ~3·10⁹ candidates, while the prefix
+    * plan runs the same corpus in ~370 s). A skew-uniform corpus BELOW
+    * the budget still takes the measured-faster full index. */
+  private[graft] val JaccardCandidateBudget = 5.0e8
+
   /** Which physical plan the adaptive Jaccard join will take — exposed for
     * the dispatcher unit test and the crossover probe row. */
   private[graft] def chooseJaccardPlan(docsIn: DataFrame): String =
-    if (jaccardSkewStat(docsIn) > JaccardSkewCutoff) "prefix" else "full"
+    chooseOf(jaccardSampleAgg(docsIn))
+
+  private[graft] def chooseOf(agg: (Long, Long, Long)): String =
+    if (skewOf(agg) > JaccardSkewCutoff || estFullIndexPairs(agg) > JaccardCandidateBudget)
+      "prefix"
+    else "full"
 
   /** Declared query (q170): SKEW-ADAPTIVE plan dispatch over the proven
     * q67/q147 plan pair. The round-12 crossover probe measured the choice
@@ -546,10 +581,11 @@ object Dedup {
   /** Which physical plan the adaptive CONTAINMENT join will take — the
     * q160/q168 pair has the same skew dependence the crossover probe
     * measured for q67/q147 (full index ~2–3× faster under uniform df,
-    * ~n² on a Zipf head), judged by the same scale-free statistic over
-    * the containment corpus's prepared shingle arrays. */
+    * ~n² on a Zipf head), judged by the same sampled statistics over the
+    * containment corpus's prepared shingle arrays: the skew cutoff AND
+    * the candidate budget (see [[JaccardCandidateBudget]]). */
   private[graft] def chooseContainmentPlan(docsPre: DataFrame): String =
-    if (containmentSkewStat(docsPre) > JaccardSkewCutoff) "prefix" else "full"
+    chooseOf(containmentSampleAgg(docsPre))
 
   /** Declared query (q171): SKEW-ADAPTIVE plan dispatch over the q160/q168
     * containment plan pair — the containment twin of q170. Both branches

@@ -362,6 +362,15 @@ class DedupSimilaritySpec extends SparkSpec {
     }
     assert(graft.operators.Dedup.chooseContainmentPlan(shOf(zipfDocs(20000L))) === "prefix")
     assert(graft.operators.Dedup.chooseContainmentPlan(shOf(uniformDocs(20000L))) === "full")
+    // the SECOND dispatch term: a skew-uniform corpus whose estimated
+    // full-index candidate mass exceeds the budget must still go prefix —
+    // the sf100 regime where the full index's hash build is memory-bound.
+    // agg = (Σdf_s², Σdf_s, nDocs) with mean sampled bucket ~1.56 (df≈10
+    // at 1/16 doc sampling over ~5M docs): skew ≈ 0.56/312500 ≈ 1.8e-6
+    // (under the cutoff) but est pairs ≈ 2.9e9 (over the budget)
+    val bigUniform = (29000000L, 18600000L, 312500L)
+    assert(graft.operators.Dedup.chooseOf(bigUniform) === "prefix",
+      "past the candidate budget the dispatcher must pick prefix regardless of skew")
     val full     = graft.operators.Dedup.containmentPairs(spark, sf)
     val adaptive = graft.operators.Dedup.adaptiveContainmentPairs(spark, sf)
     assert(
