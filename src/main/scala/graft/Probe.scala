@@ -1741,7 +1741,8 @@ object Probe {
         "q157_quality_classifier",
         "q160_containment_pairs",
         "q161_ivf_pq_trained_topk",
-        "q168_containment_prefix_pairs" // q160's plan pair rides the same slice under the shared oracle
+        "q168_containment_prefix_pairs", // q160's plan pair rides the same slice under the shared oracle
+        "q171_adaptive_containment_pairs" // r14: the dispatcher, same shared oracle
       )
       Files.createDirectories(Paths.get(curDir))
       replicate(Tables.documents(spark, sfDir), "doc_id")
@@ -1861,7 +1862,8 @@ object Probe {
         "q120_dedup_endgame",
         "q147_prefix_jaccard_pairs",
         "q160_containment_pairs",
-        "q168_containment_prefix_pairs" // q160's plan pair — shared oracle, 2.3× faster on this slice
+        "q168_containment_prefix_pairs", // q160's plan pair — shared oracle, 2.3× faster on this slice
+        "q171_adaptive_containment_pairs" // the dispatcher judged at rung scale (est-pairs term → prefix)
       )
       Files.createDirectories(Paths.get(ddDir))
       if (freshDir(s"$ddDir/documents.parquet"))

@@ -547,9 +547,12 @@ object Dedup {
     * factors, and its shuffled-hash build is memory-bound in the
     * occurrence count (measured: the full containment index fails its
     * hash build at 5M salted docs / ~3·10⁹ candidates, while the prefix
-    * plan runs the same corpus in ~370 s). A skew-uniform corpus BELOW
-    * the budget still takes the measured-faster full index. */
-  private[graft] val JaccardCandidateBudget = 5.0e8
+    * plan runs the same corpus in ~370 s; on the real 550k-doc sf10
+    * slice — est ≈ 3·10⁸ — the crossover probe times the PPJoin-filtered
+    * prefix at 0.72× the full index, so the boundary sits below it). A
+    * skew-uniform corpus BELOW the budget still takes the measured-faster
+    * full index (the crossover uniform corpus estimates ~4·10⁶). */
+  private[graft] val JaccardCandidateBudget = 2.0e8
 
   /** Which physical plan the adaptive Jaccard join will take — exposed for
     * the dispatcher unit test and the crossover probe row. */

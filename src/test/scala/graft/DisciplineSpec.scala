@@ -118,7 +118,10 @@ class DisciplineSpec extends AnyFunSuite {
     // A future fix — e.g. symlink handling — must have one place to land.
     val sites = hits(
       """Files\.walk""",
-      except = Set("sources/ParquetSink.scala")
+      // Session.sizeShufflesForInput's walk is a deliberate READ-ONLY
+      // directory-size traversal (the input-sized AQE fan-out), not a
+      // delete — the one allowlisted non-helper walk
+      except = Set("sources/ParquetSink.scala", "Session.scala")
     )
     assert(sites.isEmpty, s"inline Files.walk — use ParquetSink.deleteRecursively (or allowlist a read-only walk):\n${sites.mkString("\n")}")
   }
