@@ -181,6 +181,14 @@ object Cli {
       // auth flags for secured clusters: --user/--password, --api-key (wins),
       // --insecure-tls true for self-signed https dev endpoints — threaded
       // into discovery AND every reader (r13 ADVICE)
+      // Validate the boolean flag at parse time (r14 ADVICE): `.toBoolean`
+      // deep inside runEs turns `--insecure-tls 1` into a bare
+      // IllegalArgumentException; fail here with the usage line instead.
+      opts.get("insecure-tls").filterNot(v => v == "true" || v == "false").foreach { v =>
+        System.err.println(s"[cli] --insecure-tls expects true or false, got '$v'")
+        System.err.println("[cli] usage: --es <url> [--user U --password P | --api-key K] [--insecure-tls true|false]")
+        sys.exit(2)
+      }
       val auth = Seq(
         "user"        -> opts.get("user"),
         "password"    -> opts.get("password"),

@@ -9,6 +9,27 @@ import org.apache.spark.sql.functions._
   * the build guide asks for. */
 object Probe {
 
+  /** Drain the Spark listener bus so TaskEnd metrics land before the
+    * counters are read (r14 ADVICE: a fixed sleep races late events on a
+    * loaded host and silently under-counts shuffle/spill bytes).
+    * `LiveListenerBus.waitUntilEmpty` is `private[spark]` — which compiles
+    * to a public method in bytecode — so reflection reaches it without a
+    * spark-internal compile dependency; if the internals ever move, fall
+    * back to the old best-effort sleep rather than fail the probe. */
+  private def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    try {
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      val waits = bus.getClass.getMethods.filter(_.getName == "waitUntilEmpty")
+      waits.find(_.getParameterCount == 0) match {
+        case Some(w) => w.invoke(bus)
+        case None =>
+          waits.find(_.getParameterCount == 1) match {
+            case Some(w) => w.invoke(bus, java.lang.Long.valueOf(10000L))
+            case None    => Thread.sleep(2000)
+          }
+      }
+    } catch { case scala.util.control.NonFatal(_) => Thread.sleep(2000) }
+
   /** The `scalecur` synthetic growing-vocabulary corpus: ~40 distinct
     * all-alpha md5-derived tokens per doc (digits translated to letters so
     * every token passes the BPE learner's [a-z]+ gate). `tokLen` defaults
@@ -132,7 +153,7 @@ object Probe {
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
         val sec = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(2000) // listener bus drain
+        drainListenerBus(spark.sparkContext) // deterministic listener drain (r14 ADVICE)
         println(f"[shufflebytes] $n%-32s ${sec}%8.3f s  shuffleWrite=${sw.get / 1048576.0}%10.1f MB  diskSpill=${spill.get / 1048576.0}%10.1f MB")
       }
       spark.stop()
@@ -1012,6 +1033,49 @@ object Probe {
       if (!ok) sys.exit(1)
       return
     }
+    if (which == "dispatchcorners") {
+      // r14 verdict task 5: print the dispatcher's full cost record
+      // (skew, estPairs, pick — the [dedup-dispatch] lines) at the four
+      // standing corpus corners (jaccard/containment × Zipf-head/uniform,
+      // the crossover probe's 100k corpora) plus the two fixture corners
+      // (q170/q171 over sfDir). Sampling aggregates only — no joins run —
+      // so the whole probe is seconds; the values land in BASELINE.md and
+      // make future threshold moves diffable.
+      import spark.implicits._
+      import graft.functions.Kernels
+      import graft.operators.Dedup
+      def zipfDocs(n: Long) = {
+        val base = when($"id" % 10 === 0 && $"id" > 0, $"id" - 1).otherwise($"id")
+        spark.range(n).repartition(32).select(
+          $"id".as("doc_id"),
+          concat_ws(" ", concat(
+            transform(sequence(lit(0L), lit(7L)),
+              j => substring(md5(concat_ws("_", lit("hot"), base % 50L, j)), 1, 6)),
+            transform(sequence(lit(8L), lit(39L)),
+              j => substring(md5((base * 40L + j).cast("string")), 1, 6))
+          )).as("text"))
+      }
+      def uniDocs(n: Long) = {
+        val base = when($"id" % 10 === 0 && $"id" > 0, $"id" - 1).otherwise($"id")
+        spark.range(n).repartition(32).select(
+          $"id".as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(0L), lit(39L)),
+            j => substring(md5(concat(base * 40L + j, lit("u"))), 1, 6))).as("text"))
+      }
+      def shDocs(d: org.apache.spark.sql.DataFrame) = d
+        .repartition(32, $"doc_id")
+        .select($"doc_id", array_distinct(Kernels.shingleHashes(split($"text", " "), 3)).as("sh"))
+      println("[dispatchcorners] crossover corpora, n=100000:")
+      Dedup.chooseJaccardPlan(zipfDocs(100000L))
+      Dedup.chooseJaccardPlan(uniDocs(100000L))
+      Dedup.chooseContainmentPlan(shDocs(zipfDocs(100000L)))
+      Dedup.chooseContainmentPlan(shDocs(uniDocs(100000L)))
+      println(s"[dispatchcorners] fixture corpora at $sfDir:")
+      Dedup.chooseJaccardPlan(Dedup.docsWithDups(spark, sfDir))
+      graft.SparkEntry.queries("q171_adaptive_containment_pairs")(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      spark.stop(); return
+    }
     if (which == "crossover") {
       // Plan-pair crossover measurement (round-11 verdict task 4): each
       // declared plan pair ships one fixture-fast plan and one scale-safe
@@ -1890,15 +1954,19 @@ object Probe {
 
       val curDir = "/tmp/graft_sf10cur"
       val curOut = "/tmp/graft_sf10cur_out"
-      // q156/q161 are NOT in the sf10 set: their coarse-assign oracle is
-      // the same 220M-row cross-join shape whose one-shot DuckDB plan
-      // out-spills this host's disk on q141 (the engine side is fine) —
-      // they are sf1-graded at 20k vectors instead
+      // q156/q161 joined the sf10 set in r15: their coarse-assign oracle is
+      // the same 200M-row cross-join shape whose one-shot DuckDB plan
+      // out-spills this host's disk on q141, so they hash-verify through
+      // tools/check_sf10_pq.py (blocked replay — per-vector argmax chunks
+      // + one-shot training aggregates, self-certified against the
+      // one-shot-verified sf1cur artifacts) instead of check.py
       val curSet = Seq(
         "q139_bm25_topk",
         "q141_semantic_dedup",
         "q153_ivf_full_probe",
-        "q157_quality_classifier"
+        "q156_ivf_pq_topk",
+        "q157_quality_classifier",
+        "q161_ivf_pq_trained_topk"
       )
       Files.createDirectories(Paths.get(curDir))
       if (freshDir(s"$curDir/documents.parquet"))

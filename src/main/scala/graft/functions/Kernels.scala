@@ -175,6 +175,74 @@ object HashKernels {
     while (i < n) { s += a.getFloat(i).toDouble * w.getDouble(i); i += 1 }
     s
   }
+
+  /** Nearest-centroid argmax: the cent_id maximizing
+    * `dotFF(e, cvec) / (nrm * cnrm)`, ties broken by SMALLEST cent_id —
+    * byte-for-byte the `row_number() over (order by ccos DESC, cent_id
+    * ASC) = 1` row of the crossJoin+window formulation it replaces, but
+    * with NO n×k intermediate rows: the whole centroid table arrives as
+    * one broadcast row (ids, row-major flattened vectors, norms) and the
+    * k×dim flops run inside a single static call per vector. Comparison
+    * uses java.lang.Double.compare — the same NaN-greatest / -0.0<0.0
+    * total order Spark's sort uses — so the pick is identical even at the
+    * IEEE edges. Null on a dim mismatch or an empty centroid table,
+    * matching the kernels' null-on-malformed contract. */
+  def bestCentId(
+      e: ArrayData,
+      nrm: Double,
+      centIds: ArrayData,
+      centFlat: ArrayData,
+      centNrms: ArrayData
+  ): java.lang.Integer = {
+    val k = centIds.numElements()
+    val n = e.numElements()
+    if (k == 0 || centFlat.numElements() != k * n) return null
+    var bestId  = 0
+    var bestCos = 0.0
+    var first   = true
+    var c       = 0
+    while (c < k) {
+      var s   = 0.0
+      var i   = 0
+      val off = c * n
+      while (i < n) { s += e.getFloat(i).toDouble * centFlat.getFloat(off + i).toDouble; i += 1 }
+      val cos = s / (nrm * centNrms.getDouble(c))
+      val id  = centIds.getInt(c)
+      val cmp = java.lang.Double.compare(cos, bestCos)
+      if (first || cmp > 0 || (cmp == 0 && id < bestId)) {
+        bestCos = cos; bestId = id; first = false
+      }
+      c += 1
+    }
+    bestId
+  }
+
+  /** Nearest-PQ-code argmin: the code id minimizing the exact integer
+    * squared distance Σ(g_i − c_i)² between a grid sub-vector and each
+    * codebook entry, ties broken by SMALLEST code id — byte-for-byte the
+    * `row_number() over (order by bd2 ASC, c ASC) = 1` row of the
+    * join+window formulation it replaces (long arithmetic throughout, no
+    * IEEE edge cases). The per-block codebook arrives as one broadcast row
+    * (ids + row-major flattened entries). Null on a malformed codebook. */
+  def bestCodeId(g: ArrayData, codeIds: ArrayData, codeFlat: ArrayData): java.lang.Integer = {
+    val k = codeIds.numElements()
+    val n = g.numElements()
+    if (k == 0 || codeFlat.numElements() != k * n) return null
+    var bestId = 0
+    var best   = 0L
+    var first  = true
+    var c      = 0
+    while (c < k) {
+      var s   = 0L
+      var i   = 0
+      val off = c * n
+      while (i < n) { val d = g.getLong(i) - codeFlat.getLong(off + i); s += d * d; i += 1 }
+      val id = codeIds.getInt(c)
+      if (first || s < best || (s == best && id < bestId)) { best = s; bestId = id; first = false }
+      c += 1
+    }
+    bestId
+  }
 }
 
 object Kernels {
@@ -246,6 +314,41 @@ object Kernels {
         DoubleType,
         "dotFD",
         Seq(GraftBridge.expression(a), GraftBridge.expression(w)),
+        inputTypes = Nil,
+        propagateNull = true,
+        returnNullable = true
+      )
+    )
+
+  /** Column form of [[HashKernels.bestCentId]]: (array<float>, double,
+    * array<int>, array<float>, array<double>) → int — the IVF coarse
+    * assignment argmax over a broadcast centroid row. */
+  def bestCent(e: Column, nrm: Column, centIds: Column, centFlat: Column, centNrms: Column): Column =
+    GraftBridge.column(
+      StaticInvoke(
+        kernelClass,
+        IntegerType,
+        "bestCentId",
+        Seq(GraftBridge.expression(e), GraftBridge.expression(nrm),
+          GraftBridge.expression(centIds), GraftBridge.expression(centFlat),
+          GraftBridge.expression(centNrms)),
+        inputTypes = Nil,
+        propagateNull = true,
+        returnNullable = true
+      )
+    )
+
+  /** Column form of [[HashKernels.bestCodeId]]: (array<long>, array<int>,
+    * array<long>) → int — the PQ code-assignment argmin over a broadcast
+    * per-block codebook row. */
+  def bestCode(g: Column, codeIds: Column, codeFlat: Column): Column =
+    GraftBridge.column(
+      StaticInvoke(
+        kernelClass,
+        IntegerType,
+        "bestCodeId",
+        Seq(GraftBridge.expression(g), GraftBridge.expression(codeIds),
+          GraftBridge.expression(codeFlat)),
         inputTypes = Nil,
         propagateNull = true,
         returnNullable = true

@@ -49,12 +49,13 @@ object Clustering {
     * winning cosine for the audit output. */
   private def assign(e: DataFrame, cents: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
-    e.crossJoin(broadcast(cents))
+    // kernel argmax over the broadcast centroid row (identical pick to the
+    // old crossJoin+window — see Similarity.assignCents), then one k-row
+    // broadcast join back to the winning centroid to recompute the audit
+    // ccos with the SAME sequential-IEEE dot.
+    Similarity.assignCents(e, cents)
+      .join(broadcast(cents), Seq("cent_id"))
       .withColumn("ccos", Similarity.cosine($"embedding", $"nrm", $"cvec", $"cnrm"))
-      .withColumn("crk", row_number().over(w))
-      .filter($"crk" === 1)
       .select($"vec_id", $"embedding", $"nrm", $"cent_id".as("cluster"), $"ccos")
   }
 

@@ -887,12 +887,13 @@ object Curation {
       )
       .withColumn("cnrm", Similarity.norm($"cvec"))
 
-    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
-    val assigned = e
-      .crossJoin(broadcast(cents))
+    // kernel argmax over the broadcast centroid row (identical pick to the
+    // old crossJoin+window — see Similarity.assignCents; at the sf100
+    // slice the window shape materialized n×k = 2.2B rows), then a k-row
+    // broadcast join back to the winner for the audit ccos.
+    val assigned = Similarity.assignCents(e, cents)
+      .join(broadcast(cents), Seq("cent_id"))
       .withColumn("ccos", Similarity.cosine($"embedding", $"nrm", $"cvec", $"cnrm"))
-      .withColumn("crk", row_number().over(wAssign))
-      .filter($"crk" === 1)
       .select($"vec_id", $"embedding", $"nrm", $"cent_id", $"ccos")
       .repartition($"cent_id")
 

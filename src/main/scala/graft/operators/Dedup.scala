@@ -554,15 +554,34 @@ object Dedup {
     * full index (the crossover uniform corpus estimates ~4·10⁶). */
   private[graft] val JaccardCandidateBudget = 2.0e8
 
+  /** The dispatcher's full cost record (r14 verdict task 5): both decision
+    * terms and the pick, so threshold moves are diffable against logged
+    * corpus corners instead of re-derived. Emitted as one `[dedup-dispatch]`
+    * line every time a dispatching query (q170/q171) or probe row decides;
+    * the four standing corpus-corner values live in BASELINE.md. */
+  private[graft] final case class DispatchDecision(
+      kind: String, skew: Double, estPairs: Double, nSampledDocs: Long) {
+    def pick: String =
+      if (skew > JaccardSkewCutoff || estPairs > JaccardCandidateBudget) "prefix" else "full"
+    override def toString: String =
+      f"[dedup-dispatch] kind=$kind skew=$skew%.3e (cutoff $JaccardSkewCutoff) " +
+        f"estPairs=$estPairs%.3e (budget $JaccardCandidateBudget%.1e) " +
+        f"nSampledDocs=$nSampledDocs pick=$pick"
+  }
+
+  private def decideOf(kind: String, agg: (Long, Long, Long)): DispatchDecision = {
+    val d = DispatchDecision(kind, skewOf(agg), estFullIndexPairs(agg), agg._3)
+    println(d)
+    d
+  }
+
   /** Which physical plan the adaptive Jaccard join will take — exposed for
     * the dispatcher unit test and the crossover probe row. */
   private[graft] def chooseJaccardPlan(docsIn: DataFrame): String =
-    chooseOf(jaccardSampleAgg(docsIn))
+    decideOf("jaccard", jaccardSampleAgg(docsIn)).pick
 
   private[graft] def chooseOf(agg: (Long, Long, Long)): String =
-    if (skewOf(agg) > JaccardSkewCutoff || estFullIndexPairs(agg) > JaccardCandidateBudget)
-      "prefix"
-    else "full"
+    decideOf("unit", agg).pick
 
   /** Declared query (q170): SKEW-ADAPTIVE plan dispatch over the proven
     * q67/q147 plan pair. The round-12 crossover probe measured the choice
@@ -588,7 +607,7 @@ object Dedup {
     * containment corpus's prepared shingle arrays: the skew cutoff AND
     * the candidate budget (see [[JaccardCandidateBudget]]). */
   private[graft] def chooseContainmentPlan(docsPre: DataFrame): String =
-    chooseOf(containmentSampleAgg(docsPre))
+    decideOf("containment", containmentSampleAgg(docsPre)).pick
 
   /** Declared query (q171): SKEW-ADAPTIVE plan dispatch over the q160/q168
     * containment plan pair — the containment twin of q170. Both branches

@@ -161,21 +161,47 @@ object Similarity {
       .withColumn("cnrm", norm($"cvec"))
   }
 
+  /** Coarse nearest-centroid assignment WITHOUT the n×k row blowup: the
+    * whole (small, ≤ nlist-row) centroid table collapses to ONE broadcast
+    * row (ids, row-major flattened vectors, norms) and
+    * [[graft.functions.Kernels.bestCent]] computes the argmax inside a
+    * single codegen'd call per vector — identical pick to the
+    * crossJoin + `row_number() over (ccos DESC, cent_id ASC)` formulation
+    * it replaced (same sequential-IEEE dots, java.lang.Double.compare =
+    * Spark's sort order at the NaN/−0.0 edges), but with NO n×k
+    * intermediate rows. The old shape materialized 2B rows × ~300 B
+    * through a window sort at the sf100 rung (2M vectors × 1000 lists) —
+    * an ~600 GB spill that OOM'd the default 8 GB heap and forced
+    * `SPARK_DRIVER_MEM=32g` (r14 memory note); this shape is O(n) rows and
+    * n·k·dim flops, constant memory — the 100 TB answer. Output: `e`'s
+    * columns plus `cent_id`. */
+  private[operators] def assignCents(e: DataFrame, cents: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    val centsRow = cents
+      .agg(array_sort(collect_list(struct($"cent_id", $"cvec", $"cnrm"))).as("cl"))
+      .select(
+        transform($"cl", s => s.getField("cent_id")).as("cent_ids"),
+        flatten(transform($"cl", s => s.getField("cvec"))).as("cent_flat"),
+        transform($"cl", s => s.getField("cnrm")).as("cent_nrms")
+      )
+    e.crossJoin(broadcast(centsRow))
+      .withColumn(
+        "cent_id",
+        graft.functions.Kernels.bestCent($"embedding", $"nrm", $"cent_ids", $"cent_flat", $"cent_nrms")
+      )
+      .drop("cent_ids", "cent_flat", "cent_nrms")
+  }
+
   /** The IVF QUERY tail shared by q76/q153 (label-mean quantizer) and q154
     * (trained quantizer): assign every vector to its nearest centroid
-    * (broadcast the tiny centroid table), probe the queries' `nprobe`
-    * nearest lists, score only candidates in probed lists via the
-    * equi-join on centroid id, rank top 10. `cents` must carry
-    * (cent_id, cvec, cnrm). */
+    * ([[assignCents]] — kernel argmax over the broadcast centroid row),
+    * probe the queries' `nprobe` nearest lists, score only candidates in
+    * probed lists via the equi-join on centroid id, rank top 10. `cents`
+    * must carry (cent_id, cvec, cnrm). */
   private[graft] def ivfQuery(e: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
     import e.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
-    val assigned = e
-      .crossJoin(broadcast(cents))
-      .withColumn("ccos", cosine($"embedding", $"nrm", $"cvec", $"cnrm"))
-      .withColumn("crk", row_number().over(wAssign))
-      .filter($"crk" === 1)
+    val assigned = assignCents(e, cents)
       .select($"vec_id", $"embedding", $"nrm", $"cent_id")
 
     val wProbe = Window.partitionBy($"query_id").orderBy($"ccos".desc, $"probe_cent")
@@ -289,16 +315,27 @@ object Similarity {
   }
 
   /** Nearest-code assignment of every (vec, block) against codebook `cb`
-    * (b, c, cvec) — integer d2, deterministic code tiebreak. */
+    * (b, c, cvec) — integer d2, deterministic code tiebreak. Same shape
+    * shift as [[assignCents]]: the per-block codebook (≤ nCodes rows)
+    * collapses to one broadcast row per b and
+    * [[graft.functions.Kernels.bestCode]] computes the argmin per (vec,
+    * block) in one codegen'd call — identical pick to the old
+    * join + `row_number() over (bd2 ASC, c ASC)` window (exact long
+    * arithmetic both ways), without materializing blocks×codes rows
+    * (256M at the sf100 rung) through a window sort. */
   private def pqAssign(blocks: DataFrame, cb: DataFrame): DataFrame = {
     import blocks.sparkSession.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"vec_id", $"b").orderBy($"bd2".asc, $"c".asc)
+    val cbRow = cb
+      .groupBy($"b")
+      .agg(array_sort(collect_list(struct($"c", $"cvec"))).as("cl"))
+      .select(
+        $"b",
+        transform($"cl", s => s.getField("c")).as("code_ids"),
+        flatten(transform($"cl", s => s.getField("cvec"))).as("code_flat")
+      )
     blocks
-      .join(broadcast(cb), "b")
-      .withColumn("bd2", d2($"gvec", $"cvec"))
-      .withColumn("crk", row_number().over(w))
-      .filter($"crk" === 1)
+      .join(broadcast(cbRow), "b")
+      .withColumn("c", graft.functions.Kernels.bestCode($"gvec", $"code_ids", $"code_flat"))
       .select($"vec_id", $"b", $"gvec", $"c")
   }
 
@@ -382,13 +419,9 @@ object Similarity {
     // encode: nearest cb1 code per (vec, block)
     val codes = pqAssign(blocks, cb1).select($"vec_id", $"b", $"c".as("code"))
 
-    // coarse IVF: assign all vectors to lists, probe the queries' nprobe lists
-    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
-    val assigned = e
-      .crossJoin(broadcast(cents))
-      .withColumn("ccos", cosine($"embedding", $"nrm", $"cvec", $"cnrm"))
-      .withColumn("crk", row_number().over(wAssign))
-      .filter($"crk" === 1)
+    // coarse IVF: assign all vectors to lists (kernel argmax — see
+    // assignCents), probe the queries' nprobe lists
+    val assigned = assignCents(e, cents)
       .select($"vec_id", $"cent_id")
     val wProbe = Window.partitionBy($"query_id").orderBy($"ccos".desc, $"probe_cent")
     val probes = e

@@ -44,6 +44,9 @@ def main():
     n_reps = con.sql(
         f"SELECT CAST(max(doc_id) // {rep_off} AS INT) + 1 FROM read_parquet('{doc_glob}')"
     ).fetchone()[0]
+    if n_reps is None:  # r14 ADVICE: empty slice → clean FAIL, not a TypeError
+        print(f"FAIL {qname}: empty documents slice at {slice_dir}")
+        sys.exit(1)
     print(f"[blocked] {qname}: {n_reps} replicas, {block_reps} per block")
 
     ocols, orows = None, []
