@@ -141,20 +141,36 @@ object Probe {
         spark.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum"))
       val sw    = new AtomicLong(0)
       val spill = new AtomicLong(0)
+      // per-stage attribution (r15): stageId → (write, spill, #rows written)
+      val byStage = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
       spark.sparkContext.addSparkListener(new SparkListener {
         override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
           if (e.taskMetrics != null) {
             sw.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten)
             spill.addAndGet(e.taskMetrics.diskBytesSpilled)
+            byStage.merge(
+              e.stageId,
+              (e.taskMetrics.shuffleWriteMetrics.bytesWritten,
+               e.taskMetrics.diskBytesSpilled,
+               e.taskMetrics.shuffleWriteMetrics.recordsWritten),
+              (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3)
+            )
           }
       })
       names.foreach { n =>
-        sw.set(0); spill.set(0)
+        sw.set(0); spill.set(0); byStage.clear()
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
         val sec = (System.nanoTime() - t0) / 1e9
         drainListenerBus(spark.sparkContext) // deterministic listener drain (r14 ADVICE)
         println(f"[shufflebytes] $n%-32s ${sec}%8.3f s  shuffleWrite=${sw.get / 1048576.0}%10.1f MB  diskSpill=${spill.get / 1048576.0}%10.1f MB")
+        import scala.jdk.CollectionConverters._
+        byStage.asScala.toSeq
+          .sortBy(-_._2._1)
+          .take(8)
+          .foreach { case (sid, (w, sp, rows)) =>
+            println(f"[shufflebytes]   stage $sid%4d  write=${w / 1048576.0}%9.1f MB  spill=${sp / 1048576.0}%9.1f MB  rows=$rows%12d")
+          }
       }
       spark.stop()
       return
@@ -1033,6 +1049,23 @@ object Probe {
       if (!ok) sys.exit(1)
       return
     }
+    if (which == "planof" || which == "planexec") {
+      // print the formatted physical plan of a declared query over sfDir —
+      // the exchange-audit loupe (runMain graft.Probe <dir> planof <query>).
+      // planexec EXECUTES the plan first so the printed AdaptiveSparkPlan is
+      // the FINAL runtime plan incl. ReusedExchange/ReusedQueryStage nodes —
+      // static explain shows only AQE's initial plan and hides stage reuse.
+      args.drop(2).foreach { n =>
+        println(s"===== $n =====")
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        if (which == "planexec") {
+          val rows = df.queryExecution.executedPlan.execute().count()
+          println(s"-- executed: $rows rows --")
+          println(df.queryExecution.executedPlan.toString)
+        } else df.explain("formatted")
+      }
+      spark.stop(); return
+    }
     if (which == "dispatchcorners") {
       // r14 verdict task 5: print the dispatcher's full cost record
       // (skew, estPairs, pick — the [dedup-dispatch] lines) at the four
@@ -1560,6 +1593,56 @@ object Probe {
       spark.stop()
       return
     }
+    if (which == "dddiag2") {
+      // r15: TRUE-intersection distribution of the q147 candidate pairs —
+      // sizes the headroom a sketch-gated (histogram bound) pre-verify
+      // would have before the array-carrying verify exchange.
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.Kernels
+      import graft.functions.TextFns
+      spark.conf.set("spark.sql.shuffle.partitions", 128) // hash builds at the 1M-doc slice
+      val docs = graft.operators.Dedup.docsWithDups(spark, sfDir)
+        .repartition($"doc_id")
+        .select($"doc_id", array_distinct(Kernels.shingleHashes(TextFns.tokens($"text"), 3)).as("sh0"))
+        .groupBy($"doc_id").agg(first($"sh0").as("sh"))
+        .localCheckpoint()
+      val ex = docs.select($"doc_id", size($"sh").as("n_sh"), explode($"sh").as("shingle"))
+      val dfr = ex.groupBy($"shingle").agg(count(lit(1)).as("df"))
+      val w   = Window.partitionBy($"doc_id").orderBy($"df".asc, $"shingle".asc)
+      val pfx = ex.join(dfr, "shingle").withColumn("pos", row_number().over(w))
+        .filter($"pos" <= expr("n_sh - (3 * n_sh + 4) div 5 + 1"))
+        .select($"doc_id", $"n_sh", $"pos", $"shingle").localCheckpoint()
+      val a = pfx.select($"doc_id".as("id1"), $"n_sh".as("na1"), $"pos".as("pos1"), $"shingle")
+      val b = pfx.select($"doc_id".as("id2"), $"n_sh".as("na2"), $"pos".as("pos2"), $"shingle".as("shingle2"))
+      val cand = a
+        .join(b, // no hash hint: the diag only needs the row set, SMJ is fine
+          $"shingle" === $"shingle2" && $"id1" < $"id2" &&
+            $"na2" * 3 <= $"na1" * 5 && $"na1" * 3 <= $"na2" * 5 &&
+            expr("1 + least(na1 - pos1, na2 - pos2) >= (3 * (na1 + na2) + 7) div 8"))
+        .groupBy($"id1", $"id2")
+        .agg(count(lit(1)).as("m"), max($"pos1").as("p1"), max($"pos2").as("p2"),
+          first($"na1").as("na1"), first($"na2").as("na2"))
+        .filter(expr("m + least(na1 - p1, na2 - p2) >= (3 * (na1 + na2) + 7) div 8"))
+        .select($"id1", $"id2").localCheckpoint()
+      println(s"[dddiag2] candidates=${cand.count()}")
+      val withInter = cand
+        .join(docs.select($"doc_id".as("id1"), $"sh".as("sh1")), "id1")
+        .join(docs.select($"doc_id".as("id2"), $"sh".as("sh2")), "id2")
+        .select(
+          size(array_intersect($"sh1", $"sh2")).as("n_inter"),
+          ((size($"sh1") + size($"sh2")) * 3 + 7).as("alpha8") // α = this div 8
+        )
+      withInter
+        .select(($"n_inter" * 8 >= $"alpha8").as("passes_alpha"),
+          floor($"n_inter" / 5).as("inter_bucket5"))
+        .groupBy($"passes_alpha", $"inter_bucket5")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"passes_alpha", $"inter_bucket5")
+        .show(50, false)
+      spark.stop()
+      return
+    }
     if (which == "adhoc") {
       // decimal vs double vs scaled-long aggregation cost on lineitem
       import spark.implicits._
@@ -1927,7 +2010,8 @@ object Probe {
         "q147_prefix_jaccard_pairs",
         "q160_containment_pairs",
         "q168_containment_prefix_pairs", // q160's plan pair — shared oracle, 2.3× faster on this slice
-        "q171_adaptive_containment_pairs" // the dispatcher judged at rung scale (est-pairs term → prefix)
+        "q171_adaptive_containment_pairs", // the dispatcher judged at rung scale (est-pairs term → prefix)
+        "q172_substring_spans" // r15: exact substring spans — salt keeps window matches per-replica
       )
       Files.createDirectories(Paths.get(ddDir))
       if (freshDir(s"$ddDir/documents.parquet"))
@@ -2065,7 +2149,8 @@ object Probe {
         "q65_minhash_lsh_pairs",
         "q147_prefix_jaccard_pairs",
         "q168_containment_prefix_pairs",
-        "q171_adaptive_containment_pairs" // r14: the dispatcher judged at rung scale
+        "q171_adaptive_containment_pairs", // r14: the dispatcher judged at rung scale
+        "q172_substring_spans" // r15: windows never match cross-replica (salted tokens) → blocked replay sound
       ).filter(only)
       if (ddSet.nonEmpty) {
         Files.createDirectories(Paths.get(ddDir))
@@ -2104,9 +2189,13 @@ object Probe {
       // trained IVF at nprobe=16 — graded at the same 2.2M-vector corner
       // as its q153 full-probe pair; its oracle (grid-exact Lloyd
       // centroids + the shared query tail) replays linearly.
+      // q141 joined in r15: engine side is the kernelized argmax + the
+      // cent_id-bounded pairwise join; its oracle replays through
+      // tools/check_sf100_q141.py (chunked per-vector assignment +
+      // per-cluster pairwise — the check_sf10_q141.py argument at 10×)
       val curSet = Seq(
-        "q139_bm25_topk", "q69_cosine_topk", "q153_ivf_full_probe",
-        "q154_ivf_trained_topk"
+        "q139_bm25_topk", "q69_cosine_topk", "q141_semantic_dedup",
+        "q153_ivf_full_probe", "q154_ivf_trained_topk"
       ).filter(only)
       if (curSet.isEmpty) { spark.stop(); return }
       Files.createDirectories(Paths.get(curDir))

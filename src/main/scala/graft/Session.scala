@@ -26,6 +26,10 @@ object Session {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // shuffle/spill codec, env-overridable for A/B (GRAFT_IO_CODEC):
+      // the 5M-doc dedup rung is scratch-DISK bound (r14: ENOSPC at 61 GB
+      // free) — codec choice is a pure capacity lever there
+      .config("spark.io.compression.codec", sys.env.getOrElse("GRAFT_IO_CODEC", "lz4"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

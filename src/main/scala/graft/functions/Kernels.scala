@@ -217,6 +217,47 @@ object HashKernels {
     bestId
   }
 
+  /** 64-bucket occupancy histogram of a shingle-hash set (bucket =
+    * hash & 63, one unsigned byte per bucket): the 64-byte sketch behind
+    * the LOSSLESS candidate gate of the prefix-dedup verify. For any two
+    * sets, |A∩B| ≤ Σ_b min(histA[b], histB[b]) — every common element
+    * lands in the same bucket on both sides — so a candidate whose
+    * min-sum is below the overlap threshold α is provably below the
+    * Jaccard/containment gate and can be dropped BEFORE the full-array
+    * exchange (the measured 6.4 GB whale stage: 99% of candidates at the
+    * 1M-doc slice have true intersection < 5 while α ≥ 6). Returns null
+    * when a set exceeds 255 elements (a byte bucket could saturate and
+    * the bound would no longer be an upper bound) — the gate keeps
+    * null-sketch candidates, so the fallback is lossless too. */
+  def shingleHist64(sh: ArrayData): Array[Byte] = {
+    val n = sh.numElements()
+    if (n > 255) return null
+    val h = new Array[Byte](64)
+    var i = 0
+    while (i < n) {
+      val b = (sh.getLong(i) & 63L).toInt
+      h(b) = (h(b) + 1).toByte
+      i += 1
+    }
+    h
+  }
+
+  /** Σ_b min(h1[b], h2[b]) over two [[shingleHist64]] sketches — the
+    * upper bound on |A∩B| the candidate gate compares against α. Null on
+    * malformed input (gate keeps the candidate). */
+  def histMinSum(h1: Array[Byte], h2: Array[Byte]): java.lang.Integer = {
+    if (h1 == null || h2 == null || h1.length != 64 || h2.length != 64) return null
+    var s = 0
+    var i = 0
+    while (i < 64) {
+      val a = h1(i) & 0xff
+      val b = h2(i) & 0xff
+      s += math.min(a, b)
+      i += 1
+    }
+    s
+  }
+
   /** Nearest-PQ-code argmin: the code id minimizing the exact integer
     * squared distance Σ(g_i − c_i)² between a grid sub-vector and each
     * codebook entry, ties broken by SMALLEST code id — byte-for-byte the
@@ -332,6 +373,34 @@ object Kernels {
         Seq(GraftBridge.expression(e), GraftBridge.expression(nrm),
           GraftBridge.expression(centIds), GraftBridge.expression(centFlat),
           GraftBridge.expression(centNrms)),
+        inputTypes = Nil,
+        propagateNull = true,
+        returnNullable = true
+      )
+    )
+
+  /** Column form of [[HashKernels.shingleHist64]]: array<long> → binary(64). */
+  def hist64(sh: Column): Column =
+    GraftBridge.column(
+      StaticInvoke(
+        kernelClass,
+        BinaryType,
+        "shingleHist64",
+        Seq(GraftBridge.expression(sh)),
+        inputTypes = Nil,
+        propagateNull = true,
+        returnNullable = true
+      )
+    )
+
+  /** Column form of [[HashKernels.histMinSum]]: (binary, binary) → int. */
+  def histMinSum(h1: Column, h2: Column): Column =
+    GraftBridge.column(
+      StaticInvoke(
+        kernelClass,
+        IntegerType,
+        "histMinSum",
+        Seq(GraftBridge.expression(h1), GraftBridge.expression(h2)),
         inputTypes = Nil,
         propagateNull = true,
         returnNullable = true

@@ -304,6 +304,17 @@ object Dedup {
     //     |A∩B| ≤ 1 + min(n1−pos1, n2−pos2); a true pair therefore always
     //     has a match passing the test, and candidates whose every match
     //     fails it are provably below threshold.
+    // Pair-level positional filter (r15, lossless — the PPJoin verify-time
+    // bound): positions within a doc follow the global (df, shingle) order,
+    // so every common element globally ≤ the LAST matched prefix element
+    // sits in BOTH prefixes and is one of the m join matches, and every
+    // common element after it needs a position > max(pos) on both sides —
+    // hence |A∩B| ≤ m + min(na1 − max(pos1), na2 − max(pos2)). Replacing
+    // the bare `.distinct()` with this same-shaped aggregation (identical
+    // exchange: keyed (id1, id2)) cut the verify join's array-carrying
+    // exchange — the measured 6.4 GB whale stage at the 1M-doc slice,
+    // 64% of q147's total shuffle write — by cutting the junk candidates
+    // that shared only ONE mid-prefix shingle.
     val cand = a
       .hint("shuffle_hash")
       .join(
@@ -312,9 +323,30 @@ object Dedup {
           $"na2" * 3 <= $"na1" * 5 && $"na1" * 3 <= $"na2" * 5 &&
           expr("1 + least(na1 - pos1, na2 - pos2) >= (3 * (na1 + na2) + 7) div 8")
       )
+      .groupBy($"id1", $"id2")
+      .agg(
+        count(lit(1)).as("m"),
+        max($"pos1").as("p1"), max($"pos2").as("p2"),
+        first($"na1").as("na1"), first($"na2").as("na2")
+      )
+      .filter(expr("m + least(na1 - p1, na2 - p2) >= (3 * (na1 + na2) + 7) div 8"))
+      .select($"id1", $"id2", $"na1", $"na2")
+    // Sketch-gated verify (r15): attach each doc's 64-byte bucket
+    // histogram (not its 330-byte shingle array) to the candidate rows and
+    // drop pairs whose PROVABLE intersection ceiling Σ min(h1,h2) is below
+    // α — lossless (see Kernels.shingleHist64). The dddiag2 probe measured
+    // 98.9% of the 15.9M candidates at the 1M-doc slice with true
+    // intersection < 5 against α ≥ 6, so the full-array verify exchange —
+    // the 6.4 GB whale stage, 64% of q147's shuffle write — shrinks to the
+    // ~1% that might actually pass.
+    val hists = docs.select($"doc_id", graft.functions.Kernels.hist64($"sh").as("hst"))
+    val gated = cand
+      .join(hists.select($"doc_id".as("id1"), $"hst".as("h1")), "id1")
+      .join(hists.select($"doc_id".as("id2"), $"hst".as("h2")), "id2")
+      .withColumn("ub", graft.functions.Kernels.histMinSum($"h1", $"h2"))
+      .filter($"ub".isNull || expr("ub >= (3 * (na1 + na2) + 7) div 8"))
       .select($"id1", $"id2")
-      .distinct()
-    cand
+    gated
       .join(docs.select($"doc_id".as("id1"), $"sh".as("sh1")), "id1")
       .join(docs.select($"doc_id".as("id2"), $"sh".as("sh2")), "id2")
       .withColumn("n_inter", size(array_intersect($"sh1", $"sh2")))
@@ -415,12 +447,19 @@ object Dedup {
     // full exploded relation shuffles exactly once in the whole plan.
     val ex = explodedByShingle(docs)
     val pfx = rarestPrefix(ex, "n_sh - (9 * n_sh + 9) div 10 + 1")
-      .select($"doc_id".as("contained_id"), $"n_sh".as("n_a"), $"shingle")
+      .select($"doc_id".as("contained_id"), $"n_sh".as("n_a"), $"pos", $"shingle")
       .repartition($"shingle")
     val full = ex.select($"doc_id".as("container_id"), $"n_sh".as("n_b"), $"shingle".as("shingle2"))
     // container-length filter (LOSSLESS): C ≥ 0.9 needs |A∩B| ≥ ⌈0.9·n_a⌉
     // and |A∩B| ≤ n_b, so 10·n_b ≥ 9·n_a — kills the entire
     // long-contained-in-short direction of the ordered candidate mass
+    // Pair-level positional filter (r15, lossless — see the q147 twin):
+    // the container side is FULL, so every common element globally ≤ the
+    // last matched prefix element of A sits in A's prefix and is matched
+    // (m of them), and the rest need positions > max(pos) in A — hence
+    // |A∩B| ≤ m + (n_a − max(pos)). C ≥ 0.9 needs |A∩B| ≥ ⌈0.9·n_a⌉.
+    // Same-shaped aggregation as the `.distinct()` it replaces; cuts the
+    // junk candidates before the array-carrying verify exchange.
     val cand = pfx
       .hint("shuffle_hash")
       .join(
@@ -428,9 +467,20 @@ object Dedup {
         $"shingle" === $"shingle2" && $"contained_id" =!= $"container_id" &&
           $"n_b" * 10 >= $"n_a" * 9
       )
+      .groupBy($"contained_id", $"container_id")
+      .agg(count(lit(1)).as("m"), max($"pos").as("p1"), first($"n_a").as("n_a"))
+      .filter(expr("m + (n_a - p1) >= (9 * n_a + 9) div 10"))
       .select($"contained_id", $"container_id", $"n_a")
-      .distinct()
-    cand
+    // Sketch-gated verify — the q147 twin (lossless Σ min(h_a,h_b) ceiling
+    // on |A∩B| vs the ⌈0.9·n_a⌉ requirement; see Kernels.shingleHist64).
+    val hists = docs.select($"doc_id", graft.functions.Kernels.hist64($"sh").as("hst"))
+    val gated = cand
+      .join(hists.select($"doc_id".as("contained_id"), $"hst".as("h1")), "contained_id")
+      .join(hists.select($"doc_id".as("container_id"), $"hst".as("h2")), "container_id")
+      .withColumn("ub", graft.functions.Kernels.histMinSum($"h1", $"h2"))
+      .filter($"ub".isNull || expr("ub >= (9 * n_a + 9) div 10"))
+      .select($"contained_id", $"container_id", $"n_a")
+    gated
       .join(docs.select($"doc_id".as("contained_id"), $"sh".as("sh_a")), "contained_id")
       .join(docs.select($"doc_id".as("container_id"), $"sh".as("sh_b")), "container_id")
       .withColumn("n_inter", size(array_intersect($"sh_a", $"sh_b")))
@@ -911,6 +961,96 @@ object Dedup {
       )
       .filter($"n_docs" >= 2)
       .orderBy($"span_md5")
+  }
+
+  /** Declared query (q172): EXACT duplicated-substring SPANS — the
+    * deliverable of suffix-array exact substring dedup (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"): every
+    * maximal region of ≥ L contiguous tokens whose text occurs at least
+    * twice in the corpus (any doc, any offset), reported per document as
+    * (span_start, span_end) token coordinates. Equivalence to the
+    * suffix-array formulation: a substring of length ≥ L is duplicated
+    * iff each of its L-token windows is duplicated, and conversely the
+    * union of duplicated L-windows per doc, merged over overlap/adjacency,
+    * is exactly the set of maximal duplicated regions ≥ L — so sorted
+    * L-window groups compute the same spans the suffix array's LCP scan
+    * finds, in relational form. Distinct from q97 (which counts window
+    * HASH collisions corpus-wide): q172 verifies candidate windows by
+    * their exact TEXT (the md5 anchor only bounds the candidate set —
+    * the PPJoin discipline) and emits maximal per-doc span geometry.
+    *
+    * Corpus: the q160 convention — documents plus planted first-half
+    * excerpts (+2M ids for doc_id%7), so the expected spans are PARTIAL
+    * regions (the copied prefix of each long original), not just
+    * whole-doc exact copies.
+    *
+    * Scale shape (100 TB): the corpus-wide exchange carries slim
+    * (md5, doc_id, pos) anchor rows; window TEXT is re-materialized only
+    * for candidates (windows whose hash repeats — rare), so the text-keyed
+    * exchange is proportional to true duplication; the interval merge is
+    * a per-doc window function over candidate positions only. Never
+    * all-pairs, no suffix array materialized. */
+  def substringSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val L = 15
+    val base = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val docs = base.unionByName(
+      base
+        .filter($"doc_id" % 7 === 0)
+        .select(
+          ($"doc_id" + 2000000L).as("doc_id"),
+          expr("concat_ws(' ', slice(split(text, ' '), 1, (size(split(text, ' ')) + 1) div 2))")
+            .as("text")
+        )
+    )
+    val toks = docs.repartition($"doc_id").select($"doc_id", tokens($"text").as("toks"))
+    val wins = toks
+      .filter(size($"toks") >= L)
+      .select(
+        $"doc_id",
+        posexplode(
+          transform(
+            sequence(lit(1), size($"toks") - (L - 1)),
+            i => md5(concat_ws(" ", slice($"toks", i, lit(L))))
+          )
+        ).as(Seq("p0", "h"))
+      )
+      .select($"doc_id", ($"p0" + 1).as("pos"), $"h")
+    val dupH = wins.groupBy($"h").agg(count(lit(1)).as("n")).filter($"n" >= 2).select($"h")
+    val cand = wins.hint("shuffle_hash").join(dupH.hint("shuffle_hash"), "h")
+      .select($"doc_id", $"pos")
+    // exact verify: candidate window text occurs ≥2 times corpus-wide
+    val candTxt = cand
+      .join(toks, "doc_id")
+      .select($"doc_id", $"pos", concat_ws(" ", expr(s"slice(toks, pos, $L)")).as("wtext"))
+    val dupTxt = candTxt.groupBy($"wtext").agg(count(lit(1)).as("nt")).filter($"nt" >= 2).select($"wtext")
+    val verified = candTxt.join(dupTxt.hint("shuffle_hash"), "wtext").select($"doc_id", $"pos")
+    // merge overlapping/adjacent [pos, pos+L-1] windows into maximal spans
+    val wOrd = Window.partitionBy($"doc_id").orderBy($"pos")
+    val spans = verified
+      .withColumn(
+        "prev_end",
+        max($"pos" + (L - 1)).over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+      )
+      .withColumn(
+        "new_island",
+        when($"prev_end".isNull || $"pos" > $"prev_end" + 1, 1).otherwise(0)
+      )
+      .withColumn("island", sum($"new_island").over(wOrd))
+      .groupBy($"doc_id", $"island")
+      .agg(
+        min($"pos").as("span_start"),
+        (max($"pos") + (L - 1)).as("span_end")
+      )
+    spans
+      .select(
+        $"doc_id",
+        $"span_start",
+        $"span_end",
+        ($"span_end" - $"span_start" + 1).as("n_toks")
+      )
+      .orderBy($"doc_id", $"span_start")
   }
 
   /** CDC-boundary span candidates — the cheap generator of the cost model

@@ -1889,6 +1889,53 @@ object Registry {
       Dedup.adaptiveContainmentPairs,
       Some(containmentSql)
     ),
+    // Exact duplicated-substring spans (Lee et al. 2021's suffix-array
+    // dedup, relational form): maximal ≥15-token regions whose text
+    // repeats anywhere in the q160 excerpt corpus — md5-anchored L-window
+    // candidates, exact-TEXT verify, per-doc interval merge. The oracle
+    // verifies straight off the window text (no hash anchor): if the
+    // engine's anchor stage dropped or fabricated a candidate, the span
+    // geometry would diverge.
+    Q(
+      "q172_substring_spans",
+      Dedup.substringSpans,
+      Some("""
+        WITH base AS (SELECT doc_id, text FROM documents),
+        corpus AS (
+          SELECT doc_id, text FROM base
+          UNION ALL
+          SELECT doc_id + 2000000,
+                 array_to_string(list_slice(string_split(text, ' '), 1,
+                   (len(string_split(text, ' ')) + 1) // 2), ' ')
+          FROM base WHERE doc_id % 7 = 0
+        ), tk AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+        ), wins AS (
+          SELECT doc_id, i.i AS pos,
+                 array_to_string(list_slice(toks, i.i, i.i + 14), ' ') AS wtext
+          FROM tk, (SELECT unnest(range(1, len(toks) - 13)) AS i) i
+          WHERE len(toks) >= 15
+        ), dup AS (
+          SELECT wtext FROM wins GROUP BY wtext HAVING count(*) >= 2
+        ), v AS (
+          SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (wtext)
+        ), m AS (
+          SELECT doc_id, pos,
+                 max(pos + 14) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+          FROM v
+        ), isl AS (
+          SELECT doc_id, pos,
+                 SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM m
+        )
+        SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 14 AS span_end,
+               MAX(pos) + 15 - MIN(pos) AS n_toks
+        FROM isl GROUP BY doc_id, island
+        ORDER BY doc_id, span_start
+      """)
+    ),
     // Skew-adaptive dispatch over the q67/q147 plan pair (the crossover
     // probe measured the choice as skew-dependent); both branches are
     // hash-identical, so the shared q67 oracle also covers the dispatcher.

@@ -412,4 +412,37 @@ class DedupSimilaritySpec extends SparkSpec {
     )
     assert(reverse.count() === 0, "original -> excerpt direction must stay below the gate")
   }
+
+  test("substring spans: every long-enough excerpt reproduces its prefix as a span in the original") {
+    import spark.implicits._
+    val L = 15
+    val out = graft.operators.Dedup.substringSpans(spark, sf).cache()
+    // geometry invariants: spans at least L tokens, coordinates consistent
+    assert(out.filter($"n_toks" < L).count() === 0, "every span covers >= L tokens")
+    assert(out.filter($"span_end" - $"span_start" + 1 =!= $"n_toks").count() === 0)
+    // planted cases: for each %7 original with ceil(n/2) >= L tokens, its
+    // excerpt (+2M) duplicates the original's first ceil(n/2) tokens, so
+    // BOTH docs must carry a span starting at token 1 that covers at least
+    // that shared prefix (exact %10 copies may extend the original's span)
+    val planted = Tables
+      .documents(spark, sf)
+      .filter($"doc_id" % 7 === 0)
+      .select($"doc_id", ((size(split($"text", " ")) + 1) / 2).cast("int").as("half"))
+      .filter($"half" >= L)
+    val origSpan = planted.join(out, Seq("doc_id"))
+      .filter($"span_start" === 1 && $"span_end" >= $"half")
+    assert(origSpan.count() === planted.count(), "original carries the shared-prefix span")
+    val excSpan = planted
+      .select(($"doc_id" + 2000000L).as("doc_id"), $"half")
+      .join(out, Seq("doc_id"))
+      .filter($"span_start" === 1 && $"span_end" === $"half")
+    assert(excSpan.count() === planted.count(), "excerpt is duplicated end-to-end")
+    // no span text is unique: re-verify each reported span's window set
+    // against the corpus would repeat the query; instead assert spans are
+    // disjoint and ordered per doc (maximality implies gaps > 1 token)
+    val overlaps = out.as("a").join(out.as("b"),
+      $"a.doc_id" === $"b.doc_id" && $"a.span_start" < $"b.span_start" &&
+        $"b.span_start" <= $"a.span_end" + 1)
+    assert(overlaps.count() === 0, "maximal spans are disjoint and non-adjacent")
+  }
 }

@@ -36,6 +36,12 @@ def norm_rows(cols, rows):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # --skip a,b,c: exclude queries whose one-shot oracle is infeasible at a
+    # synthetic slice (they verify through their blocked-replay tools
+    # instead: check_sf10_pq.py, check_sf10_q141.py, check_sf100_docs.py)
+    skip = set()
+    if len(sys.argv) > 4 and sys.argv[3] == "--skip":
+        skip = set(sys.argv[4].split(","))
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -46,6 +52,9 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        if any(s in name for s in skip):
+            print(f"SKIP {name} (blocked-replay tool verifies it)")
+            continue
         spark_glob = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not spark_glob:
             print(f"FAIL {name}: no spark result parquet")
