@@ -2145,13 +2145,14 @@ object Probe {
       val ddReps = sys.env.getOrElse("GRAFT_SF100DD_REPS", "1000").toInt
       val ddDir  = if (ddReps == 1000) "/tmp/graft_sf100dd" else s"/tmp/graft_sf100dd_$ddReps"
       val ddOut  = s"${ddDir}_out"
-      val ddSet = Seq(
+      val ddAll = Seq(
         "q65_minhash_lsh_pairs",
         "q147_prefix_jaccard_pairs",
         "q168_containment_prefix_pairs",
         "q171_adaptive_containment_pairs", // r14: the dispatcher judged at rung scale
         "q172_substring_spans" // r15: windows never match cross-replica (salted tokens) → blocked replay sound
-      ).filter(only)
+      )
+      val ddSet = ddAll.filter(only)
       if (ddSet.nonEmpty) {
         Files.createDirectories(Paths.get(ddDir))
         if (freshDir(s"$ddDir/documents.parquet"))
@@ -2177,9 +2178,12 @@ object Probe {
           .parquet(s"$ddOut/$n")
         println(f"[sf100llm] $n%-32s ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
-      Files.writeString(
+      // json always carries the FULL set's oracles: a filtered
+      // (GRAFT_SF100LLM_ONLY) run must not clobber the other queries'
+      // entries — the blocked replays read this file after per-query JVMs
+      if (ddSet.nonEmpty) Files.writeString(
         Paths.get(s"$ddOut/oracle_sql.json"),
-        ddSet.map(n => s"${Verify.jsonStr(n)}: ${Verify.jsonStr(SparkEntry.oracleSql(n))}")
+        ddAll.map(n => s"${Verify.jsonStr(n)}: ${Verify.jsonStr(SparkEntry.oracleSql(n))}")
           .mkString("{", ",", "}")
       )
 
@@ -2193,10 +2197,11 @@ object Probe {
       // cent_id-bounded pairwise join; its oracle replays through
       // tools/check_sf100_q141.py (chunked per-vector assignment +
       // per-cluster pairwise — the check_sf10_q141.py argument at 10×)
-      val curSet = Seq(
+      val curAll = Seq(
         "q139_bm25_topk", "q69_cosine_topk", "q141_semantic_dedup",
         "q153_ivf_full_probe", "q154_ivf_trained_topk"
-      ).filter(only)
+      )
+      val curSet = curAll.filter(only)
       if (curSet.isEmpty) { spark.stop(); return }
       Files.createDirectories(Paths.get(curDir))
       if (freshDir(s"$curDir/documents.parquet") && curSet.contains("q139_bm25_topk"))
@@ -2240,7 +2245,7 @@ object Probe {
       }
       Files.writeString(
         Paths.get(s"$curOut/oracle_sql.json"),
-        curSet
+        curAll
           .map(n => s"${Verify.jsonStr(n)}: ${Verify.jsonStr(SparkEntry.oracleSql(n))}")
           .mkString("{", ",", "}")
       )
