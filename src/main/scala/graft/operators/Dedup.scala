@@ -1020,12 +1020,16 @@ object Dedup {
     val dupH = wins.groupBy($"h").agg(count(lit(1)).as("n")).filter($"n" >= 2).select($"h")
     val cand = wins.hint("shuffle_hash").join(dupH.hint("shuffle_hash"), "h")
       .select($"doc_id", $"pos")
-    // exact verify: candidate window text occurs ≥2 times corpus-wide
-    val candTxt = cand
-      .join(toks, "doc_id")
+    // exact verify: candidate window text occurs ≥2 times corpus-wide.
+    // Both joins are hinted shuffle-hash: the candidate side scales with
+    // the corpus's true duplication, so broadcasting it (Spark's estimate
+    // at fixture scale) is exactly the shape that dies at 100 TB.
+    val candTxt = cand.hint("shuffle_hash")
+      .join(toks.hint("shuffle_hash"), "doc_id")
       .select($"doc_id", $"pos", concat_ws(" ", expr(s"slice(toks, pos, $L)")).as("wtext"))
     val dupTxt = candTxt.groupBy($"wtext").agg(count(lit(1)).as("nt")).filter($"nt" >= 2).select($"wtext")
-    val verified = candTxt.join(dupTxt.hint("shuffle_hash"), "wtext").select($"doc_id", $"pos")
+    val verified = candTxt.hint("shuffle_hash")
+      .join(dupTxt.hint("shuffle_hash"), "wtext").select($"doc_id", $"pos")
     // merge overlapping/adjacent [pos, pos+L-1] windows into maximal spans
     val wOrd = Window.partitionBy($"doc_id").orderBy($"pos")
     val spans = verified

@@ -86,12 +86,10 @@ class CorpusPlanSweepSpec extends SparkSpec {
     // incremental ingest broadcasts the exploded NEW batch (bounded by
     // ingest batch size; the corpus side never shuffles — Dedup :430)
     "q106_incremental_dedup" -> Set("broadcast of an exploded (unbounded) relation"),
-    // k-means assignment crossJoins broadcast(k centroids) per iteration
-    "q107_kmeans_clusters" -> Set("BroadcastNestedLoopJoin"),
-    // SemDeDup coarse-quantizer assignment crossJoins broadcast(k
-    // centroids) — the q76/q107 shape; the pairwise stage itself is an
-    // equi-join on cent_id (Curation.semanticDedup)
-    "q141_semantic_dedup" -> Set("BroadcastNestedLoopJoin"),
+    // (q107/q141 left this list in r15: their assignment crossJoins now go
+    // through Similarity.assignCents — a ONE-ROW broadcast the sweep's
+    // maxOneRow rule already accepts; only the IVF queries' PROBE stage —
+    // 10 queries × the k-row centroid table — still plans a flagged BNLJ)
     // the mixed (hll_union_agg + count) global agg's INPUT is the per-day
     // sketch table — already reduced to ≤ #days rows by the PURE-imperative
     // per-day hll_sketch_agg beneath it, so the corpus-scale level never

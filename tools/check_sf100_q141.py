@@ -19,10 +19,12 @@ import duckdb
 
 slice_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf100cur"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf100cur_out"
-ASSIGN_CHUNKS, PAIR_CHUNKS = 40, 100
+ASSIGN_CHUNKS, PAIR_CHUNKS = 40, 200
 
 con = duckdb.connect()
-con.execute("SET memory_limit='48GB'")
+con.execute("SET memory_limit='32GB'")
+con.execute("SET temp_directory='/tmp/duck_q141_spill'")  # spill, don't OOM
+con.execute("SET preserve_insertion_order=false")
 con.execute(
     f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{slice_dir}/embeddings.parquet/*.parquet')"
 )
@@ -59,16 +61,20 @@ print(f"e done ({time.time() - t0:.0f}s)", flush=True)
 
 con.execute("CREATE TABLE assigned (vec_id BIGINT, cent_id INT, ccos DOUBLE)")
 for k in range(ASSIGN_CHUNKS):
+    # ccos computed ONCE in a derived table that drops the embedding lists
+    # BEFORE the window — the naive double-evaluated form materialized the
+    # chunk's cross product with lists and OOM'd a 44 GB budget
     con.execute(f"""
     INSERT INTO assigned
     SELECT vec_id, cent_id, ccos FROM (
-      SELECT e.vec_id, c.cent_id,
-             (list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i])) / (e.nrm * c.cnrm)) AS ccos,
-             ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-               (list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i])) / (e.nrm * c.cnrm)) DESC,
-               c.cent_id) AS crk
-      FROM e, c2 c
-      WHERE e.vec_id % {ASSIGN_CHUNKS} = {k}
+      SELECT vec_id, cent_id, ccos,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+      FROM (
+        SELECT e.vec_id, c.cent_id,
+               (list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i])) / (e.nrm * c.cnrm)) AS ccos
+        FROM e, c2 c
+        WHERE e.vec_id % {ASSIGN_CHUNKS} = {k}
+      )
     ) WHERE crk = 1
     """)
     print(f"assign chunk {k + 1}/{ASSIGN_CHUNKS} done ({time.time() - t0:.0f}s)", flush=True)
