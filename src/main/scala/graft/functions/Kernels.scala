@@ -186,18 +186,22 @@ object HashKernels {
     * uses java.lang.Double.compare — the same NaN-greatest / -0.0<0.0
     * total order Spark's sort uses — so the pick is identical even at the
     * IEEE edges. Null on a dim mismatch or an empty centroid table,
-    * matching the kernels' null-on-malformed contract. */
+    * matching the kernels' null-on-malformed contract. Ids are LONG:
+    * declared queries use int labels/clusters (widened by the caller) but
+    * the scalerecall probe's sampled quantizer uses vec_ids — reading a
+    * long array with getInt returns garbage SILENTLY (the r15 recall-
+    * collapse regression this signature fixed). */
   def bestCentId(
       e: ArrayData,
       nrm: Double,
       centIds: ArrayData,
       centFlat: ArrayData,
       centNrms: ArrayData
-  ): java.lang.Integer = {
+  ): java.lang.Long = {
     val k = centIds.numElements()
     val n = e.numElements()
     if (k == 0 || centFlat.numElements() != k * n) return null
-    var bestId  = 0
+    var bestId  = 0L
     var bestCos = 0.0
     var first   = true
     var c       = 0
@@ -207,7 +211,7 @@ object HashKernels {
       val off = c * n
       while (i < n) { s += e.getFloat(i).toDouble * centFlat.getFloat(off + i).toDouble; i += 1 }
       val cos = s / (nrm * centNrms.getDouble(c))
-      val id  = centIds.getInt(c)
+      val id  = centIds.getLong(c)
       val cmp = java.lang.Double.compare(cos, bestCos)
       if (first || cmp > 0 || (cmp == 0 && id < bestId)) {
         bestCos = cos; bestId = id; first = false
@@ -362,13 +366,14 @@ object Kernels {
     )
 
   /** Column form of [[HashKernels.bestCentId]]: (array<float>, double,
-    * array<int>, array<float>, array<double>) → int — the IVF coarse
-    * assignment argmax over a broadcast centroid row. */
+    * array<long>, array<float>, array<double>) → long — the IVF coarse
+    * assignment argmax over a broadcast centroid row. Callers widen int
+    * cent ids to long and narrow the result back. */
   def bestCent(e: Column, nrm: Column, centIds: Column, centFlat: Column, centNrms: Column): Column =
     GraftBridge.column(
       StaticInvoke(
         kernelClass,
-        IntegerType,
+        LongType,
         "bestCentId",
         Seq(GraftBridge.expression(e), GraftBridge.expression(nrm),
           GraftBridge.expression(centIds), GraftBridge.expression(centFlat),

@@ -177,8 +177,14 @@ object Similarity {
     * columns plus `cent_id`. */
   private[operators] def assignCents(e: DataFrame, cents: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
+    // ids ride the kernel as LONG regardless of the caller's cent_id type
+    // (int labels/clusters OR the recall probe's vec_id-derived bigints —
+    // a fixed-width getInt on a long array corrupts silently), and the
+    // result narrows back to the caller's exact type so downstream joins
+    // and declared schemas are unchanged.
+    val idType = cents.schema("cent_id").dataType
     val centsRow = cents
-      .agg(array_sort(collect_list(struct($"cent_id", $"cvec", $"cnrm"))).as("cl"))
+      .agg(array_sort(collect_list(struct($"cent_id".cast("long").as("cent_id"), $"cvec", $"cnrm"))).as("cl"))
       .select(
         transform($"cl", s => s.getField("cent_id")).as("cent_ids"),
         flatten(transform($"cl", s => s.getField("cvec"))).as("cent_flat"),
@@ -188,6 +194,7 @@ object Similarity {
       .withColumn(
         "cent_id",
         graft.functions.Kernels.bestCent($"embedding", $"nrm", $"cent_ids", $"cent_flat", $"cent_nrms")
+          .cast(idType)
       )
       .drop("cent_ids", "cent_flat", "cent_nrms")
   }
