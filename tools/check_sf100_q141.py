@@ -59,41 +59,63 @@ FROM eall
 """)
 print(f"e done ({time.time() - t0:.0f}s)", flush=True)
 
-con.execute("CREATE TABLE assigned (vec_id BIGINT, cent_id INT, ccos DOUBLE)")
-for k in range(ASSIGN_CHUNKS):
-    # ccos computed ONCE in a derived table that drops the embedding lists
-    # BEFORE the window — the naive double-evaluated form materialized the
-    # chunk's cross product with lists and OOM'd a 44 GB budget
-    con.execute(f"""
-    INSERT INTO assigned
-    SELECT vec_id, cent_id, ccos FROM (
-      SELECT vec_id, cent_id, ccos,
-             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
-      FROM (
-        SELECT e.vec_id, c.cent_id,
-               (list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i])) / (e.nrm * c.cnrm)) AS ccos
-        FROM e, c2 c
-        WHERE e.vec_id % {ASSIGN_CHUNKS} = {k}
-      )
-    ) WHERE crk = 1
-    """)
-    print(f"assign chunk {k + 1}/{ASSIGN_CHUNKS} done ({time.time() - t0:.0f}s)", flush=True)
+import os
+ASSIGNED_CACHE = "/tmp/q141_sf100_assigned.parquet"
+if os.path.exists(ASSIGNED_CACHE):
+    # the assignment phase is deterministic — reuse a prior run's dump so
+    # a pairwise-phase retry doesn't redo the 2.2B-row argmax
+    con.execute(f"CREATE TABLE assigned AS SELECT * FROM read_parquet('{ASSIGNED_CACHE}')")
+    print(f"assigned loaded from cache ({time.time() - t0:.0f}s)", flush=True)
+else:
+    con.execute("CREATE TABLE assigned (vec_id BIGINT, cent_id INT, ccos DOUBLE)")
+    for k in range(ASSIGN_CHUNKS):
+        # ccos computed ONCE in a derived table that drops the embedding
+        # lists BEFORE the window — the naive double-evaluated form
+        # materialized the chunk's cross product with lists and OOM'd 44 GB
+        con.execute(f"""
+        INSERT INTO assigned
+        SELECT vec_id, cent_id, ccos FROM (
+          SELECT vec_id, cent_id, ccos,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+          FROM (
+            SELECT e.vec_id, c.cent_id,
+                   (list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i])) / (e.nrm * c.cnrm)) AS ccos
+            FROM e, c2 c
+            WHERE e.vec_id % {ASSIGN_CHUNKS} = {k}
+          )
+        ) WHERE crk = 1
+        """)
+        print(f"assign chunk {k + 1}/{ASSIGN_CHUNKS} done ({time.time() - t0:.0f}s)", flush=True)
+    con.execute(f"COPY assigned TO '{ASSIGNED_CACHE}' (FORMAT parquet)")
 
+# one 2.2M-row join TOTAL attaches embeddings to assignments (the
+# per-chunk rebuild dominated wall-clock when done 200×), with the chunk
+# key precomputed; each pairwise chunk then filters this in-memory table.
+# With both join sides a small filtered table, DuckDB can't pick the
+# multi-M-row pair stream as a hash BUILD side (the first form spilled
+# >50 GB per chunk doing exactly that); pairs never cross clusters, so
+# chunking on cent_id stays result-identical.
+con.execute(f"""
+CREATE TABLE ec_all AS
+SELECT a.vec_id, a.cent_id, a.cent_id % {PAIR_CHUNKS} AS ck, a.ccos, e.embedding, e.nrm
+FROM assigned a JOIN e ON a.vec_id = e.vec_id
+""")
+print(f"ec_all built ({time.time() - t0:.0f}s)", flush=True)
 con.execute("CREATE TABLE drp (vec_id BIGINT)")
 for k in range(PAIR_CHUNKS):
     con.execute(f"""
     INSERT INTO drp
     SELECT DISTINCT va AS vec_id FROM (
       SELECT a.vec_id AS va, a.ccos AS ca, b.vec_id AS vb, b.ccos AS cb,
-             round(list_sum(list_transform(range(1, 65), i -> CAST(ea.embedding[i] AS DOUBLE) * eb.embedding[i])) / (ea.nrm * eb.nrm), 6) AS cos
-      FROM assigned a
-      JOIN assigned b ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
-      JOIN e ea ON ea.vec_id = a.vec_id
-      JOIN e eb ON eb.vec_id = b.vec_id
-      WHERE a.cent_id % {PAIR_CHUNKS} = {k}
+             round(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])) / (a.nrm * b.nrm), 6) AS cos
+      FROM (SELECT * FROM ec_all WHERE ck = {k}) a
+      JOIN (SELECT * FROM ec_all WHERE ck = {k}) b
+        ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
     ) WHERE cos >= 0.9 AND (cb < ca OR (cb = ca AND vb < va))
     """)
-    print(f"pairwise chunk {k + 1}/{PAIR_CHUNKS} done ({time.time() - t0:.0f}s)", flush=True)
+    if (k + 1) % 10 == 0 or k == PAIR_CHUNKS - 1:
+        print(f"pairwise chunk {k + 1}/{PAIR_CHUNKS} done ({time.time() - t0:.0f}s)", flush=True)
+con.execute("DROP TABLE IF EXISTS ec_all")
 
 ora = con.sql("""
 SELECT a.vec_id, a.cent_id, round(a.ccos, 6) AS ccos, (d.vec_id IS NOT NULL) AS is_dropped
