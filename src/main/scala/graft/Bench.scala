@@ -8,18 +8,24 @@ import org.apache.spark.sql.SparkSession
   * Each query is materialized through the `noop` sink — `count()` would let
   * Catalyst collapse projection-only plans to a metadata count and measure
   * nothing. One untimed warm-up action absorbs JVM/codegen startup; each
-  * query then reports the best of 2 runs (steady-state, still cheap).
+  * query then reports the best of 3 runs (steady-state, still cheap).
   *
-  * Phase-proofing: host phase (VM clock/IO state after restarts) has moved
-  * identical-code snapshots by ~1.5× between rounds, which reads as a code
-  * regression in an absolute-seconds record. So after timing the engine,
-  * the SAME invocation times the SAME headline queries' oracle SQL in
-  * DuckDB (via `tools/time_oracle.py`, best-effort — skipped silently when
-  * python3/duckdb/the script are absent, e.g. on a real cluster) and the
-  * JSON gains `duckdb_total` + `engine_duckdb_ratio`. Both engines see the
-  * same host phase, so the RATIO is the phase-cancelling number to compare
-  * across rounds; absolute seconds stay for continuity. Disable with
-  * SPARK_GRAFT_PAIR_ORACLE=0.
+  * Phase-proofing (r15 verdict task 1): host phase (VM clock/IO state after
+  * restarts) has moved identical-code snapshots by ~1.5× between rounds, so
+  * the record carries an engine/DuckDB RATIO, not just absolute seconds.
+  * r15 showed the ratio itself can wobble when the engine block and the
+  * DuckDB block run minutes apart (builder solo 2.758× vs driver 2.970× at
+  * the SAME HEAD): phase during the engine block and phase during the
+  * oracle block did not cancel. So the pairing is now INTERLEAVED PER
+  * QUERY: a long-lived DuckDB timer process (`tools/time_oracle.py
+  * --serve`) answers one timed oracle execution per request, and each
+  * query's three engine runs alternate A/B/A/B with its three oracle runs
+  * inside one ~seconds-wide window — both engines see the same host state
+  * per query, and the per-query bests pair off phase-matched. The JSON
+  * gains `duckdb_queries` next to `queries` so a breached band can be
+  * diagnosed per query instead of re-run blind. Oracle pairing is
+  * best-effort — skipped silently when python3/duckdb/the script are
+  * absent (e.g. on a real cluster); disable with SPARK_GRAFT_PAIR_ORACLE=0.
   */
 object Bench {
 
@@ -39,34 +45,81 @@ object Bench {
     b.toString
   }
 
-  /** Time the headline oracles in DuckDB within THIS invocation; None when
-    * the driver-side tooling is unavailable (never an error — the engine
-    * bench must not depend on it). */
-  private def pairedDuckdbTotal(sfDir: String, names: Seq[String]): Option[Double] =
-    try {
-      if (sys.env.get("SPARK_GRAFT_PAIR_ORACLE").contains("0")) return None
-      val script = java.nio.file.Paths.get("tools", "time_oracle.py")
-      if (!java.nio.file.Files.exists(script)) return None
-      val sqls = names.flatMap(n => SparkEntry.oracleSql.get(n).map(n -> _))
-      if (sqls.isEmpty) return None
-      val tmp = java.nio.file.Files.createTempDirectory("graft_bench_oracle")
-      try {
-        val json = sqls
-          .map { case (k, v) => "\"" + k + "\":\"" + jsonEscape(v) + "\"" }
-          .mkString("{", ",", "}")
-        java.nio.file.Files.write(tmp.resolve("oracle_sql.json"), json.getBytes("UTF-8"))
-        val pb = new ProcessBuilder("python3", script.toString, sfDir, tmp.toString, "2")
-        pb.redirectErrorStream(true)
-        val p   = pb.start()
-        val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
-        val ok  = p.waitFor() == 0
-        if (!ok) { System.err.println(s"[bench] paired oracle failed:\n$out"); None }
-        else
-          out.linesIterator
-            .find(_.startsWith("TOTAL\t"))
-            .map(_.split('\t')(1).toDouble)
-      } finally graft.sources.ParquetSink.deleteRecursively(tmp.toString)
-    } catch { case e: Throwable => System.err.println(s"[bench] paired oracle skipped: $e"); None }
+  /** A long-lived `time_oracle.py --serve` process: one timed DuckDB
+    * execution per [[time]] call, interleaved with the caller's engine
+    * runs. Never throws out of the constructor-factory or [[time]] — a
+    * dead/absent timer degrades the bench to engine-only, it must not
+    * fail it. */
+  private final class OracleTimer(p: Process) {
+    private val in  = new java.io.BufferedWriter(new java.io.OutputStreamWriter(p.getOutputStream, "UTF-8"))
+    private val out = new java.io.BufferedReader(new java.io.InputStreamReader(p.getInputStream, "UTF-8"))
+    private var dead = false
+
+    def time(name: String): Option[Double] =
+      if (dead) None
+      else
+        try {
+          in.write(name); in.newLine(); in.flush()
+          // serve mode prints one READY handshake line before any reply —
+          // skip it (it can only precede the very first reply)
+          var line = out.readLine()
+          while (line == "READY") line = out.readLine()
+          if (line == null) { dead = true; None }
+          else {
+            val parts = line.split('\t')
+            if (parts.length == 2 && parts(0) == name && !parts(1).startsWith("ERR"))
+              Some(parts(1).toDouble)
+            else {
+              System.err.println(s"[bench] oracle timer: unexpected reply '$line'")
+              None
+            }
+          }
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] oracle timer died: $e"); dead = true; None
+        }
+
+    def close(): Unit = try { in.close(); p.waitFor() } catch { case _: Throwable => p.destroy() }
+  }
+
+  /** Fixed xorshift64* spin — the unit of canary work (returns a fold so
+    * the JIT can't elide the loop). */
+  private def spin(iters: Long, seed: Long): Long = {
+    var x = seed | 1L
+    var acc = 0L
+    var i = 0L
+    while (i < iters) {
+      x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+      acc ^= x * 0x2545F4914F6CDD1DL
+      i += 1
+    }
+    acc
+  }
+
+  /** Host-speed canary: seconds for a FIXED deterministic CPU workload,
+    * single-thread and all-cores. The engine/DuckDB ratio cancels phase
+    * only to the extent phase hits both engines equally — r15/r16 showed
+    * it does not (a slow VM moved Spark ~30% and DuckDB ~15%, shifting
+    * the ratio with ZERO code change). The canary gives every BENCH_r{N}
+    * an absolute host-speed anchor: compare canary seconds across rounds
+    * before reading anything into engine seconds or the ratio. */
+  private def hostCanary(): (Double, Double) = {
+    val stIters = 400000000L
+    val t0 = System.nanoTime()
+    val sink1 = spin(stIters, 42L)
+    val st = (System.nanoTime() - t0) / 1e9
+    val n = Runtime.getRuntime.availableProcessors()
+    val t1 = System.nanoTime()
+    val threads = (1 to n).map { s =>
+      val th = new Thread(() => { val _ = spin(stIters, s.toLong) })
+      th.start(); th
+    }
+    threads.foreach(_.join())
+    val mt = (System.nanoTime() - t1) / 1e9
+    if (sink1 == 0L) System.err.print("") // keep sink observable
+    (st, mt)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Default to the machine's core count (the driver runs local[32]); a
@@ -98,24 +151,85 @@ object Bench {
     }
 
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
-    // warm-up: touch every table + JIT the pipeline once
+
+    // start the DuckDB timer FIRST so its startup overlaps the engine
+    // warm-up instead of sitting between paired windows
+    val timer: Option[OracleTimer] =
+      try {
+        if (sys.env.get("SPARK_GRAFT_PAIR_ORACLE").contains("0")) None
+        else {
+          val script = java.nio.file.Paths.get("tools", "time_oracle.py")
+          val sqls   = names.flatMap(n => SparkEntry.oracleSql.get(n).map(n -> _))
+          if (!java.nio.file.Files.exists(script) || sqls.isEmpty) None
+          else {
+            val tmp  = java.nio.file.Files.createTempDirectory("graft_bench_oracle")
+            val json = sqls
+              .map { case (k, v) => "\"" + k + "\":\"" + jsonEscape(v) + "\"" }
+              .mkString("{", ",", "}")
+            java.nio.file.Files.write(tmp.resolve("oracle_sql.json"), json.getBytes("UTF-8"))
+            // reverse-registration order: dir first so the file goes first
+            tmp.toFile.deleteOnExit()
+            tmp.resolve("oracle_sql.json").toFile.deleteOnExit()
+            val pb = new ProcessBuilder(
+              "python3", script.toString, "--serve", sfDir, tmp.resolve("oracle_sql.json").toString
+            )
+            pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+            Some(new OracleTimer(pb.start()))
+          }
+        }
+      } catch { case e: Throwable => System.err.println(s"[bench] paired oracle skipped: $e"); None }
+
+    // warm-up: touch every table + JIT the pipeline once (engine), and
+    // consume the timer's READY handshake + one throwaway oracle run so
+    // DuckDB's own cold start (imports, catalog, first parquet open) is
+    // outside every paired window
     try SparkEntry.queries(names.head)(spark, sfDir).write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => () }
-
-    // best of 3: the first run carries janino codegen compilation + C2 JIT
-    // warm-up that a long-lived cluster amortizes away; steady state is the
-    // number comparable across rounds.
-    val results = names.map { n =>
-      val runs = (1 to 3).map(_ => materialize(n)).filter(_ >= 0)
-      n -> (if (runs.isEmpty) -1.0 else runs.min)
+    val liveTimer = timer.filter { t =>
+      val warm = t.time(names.head)
+      warm.isDefined || { System.err.println("[bench] oracle timer failed warm-up; engine-only"); false }
     }
-    val qs    = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+
+    // Per-query interleaved A/B/A/B: (engine, duck) × 3, best-of-3 each.
+    // The first engine run of each query still carries its janino codegen
+    // compile (best-of-3 drops it); each duck run is steady-state after the
+    // warm-up above. Host phase inside a query's ~seconds-wide window is
+    // shared by both engines, so the per-query ratio — and any total built
+    // from these bests — is phase-matched by construction.
+    val results: Seq[(String, Double, Option[Double])] = names.map { n =>
+      val runs = (1 to 3).map { _ =>
+        val e = materialize(n)
+        val d = liveTimer.flatMap(_.time(n))
+        (e, d)
+      }
+      val eBest = { val ok = runs.map(_._1).filter(_ >= 0); if (ok.isEmpty) -1.0 else ok.min }
+      val dBest = { val ok = runs.flatMap(_._2); if (ok.isEmpty) None else Some(ok.min) }
+      (n, eBest, dBest)
+    }
+    liveTimer.foreach(_.close())
+
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // same-invocation DuckDB pairing: the ratio cancels host phase
-    val paired = pairedDuckdbTotal(sfDir, names)
-      .map(d => f""","duckdb_total":$d%.3f,"engine_duckdb_ratio":${total / d}%.3f""")
-      .getOrElse("")
-    val json  = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$paired}"""
+    // ratio over the PAIRED queries only (both sides measured): with the
+    // timer healthy that is all of them, and the two totals are then the
+    // same 17-query sums as before — just phase-matched per query now
+    val paired = {
+      val both = results.collect { case (_, e, Some(d)) if e >= 0 => (e, d) }
+      if (both.isEmpty) ""
+      else {
+        val dq = results.collect { case (k, _, Some(d)) => "\"" + k + "\":" + f"$d%.3f" }
+          .mkString("{", ",", "}")
+        val eTot = both.map(_._1).sum
+        val dTot = both.map(_._2).sum
+        f""","duckdb_queries":$dq,"duckdb_total":$dTot%.3f,"engine_duckdb_ratio":${eTot / dTot}%.3f"""
+      }
+    }
+    // canary AFTER the timed queries (it must not perturb them) but inside
+    // the same invocation — one warm pass first so C2 has compiled spin()
+    val (_, _) = hostCanary()
+    val (canSt, canMt) = hostCanary()
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$paired,"canary_st":$canSt%.3f,"canary_mt":$canMt%.3f}"""
     println(json)
     // Also write the metric to a file: sbt interleaves [info]/[error] log
     // noise into stdout, which broke the driver's machine-parse of this line

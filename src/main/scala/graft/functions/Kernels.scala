@@ -183,9 +183,15 @@ object HashKernels {
     * with NO n×k intermediate rows: the whole centroid table arrives as
     * one broadcast row (ids, row-major flattened vectors, norms) and the
     * k×dim flops run inside a single static call per vector. Comparison
-    * uses java.lang.Double.compare — the same NaN-greatest / -0.0<0.0
-    * total order Spark's sort uses — so the pick is identical even at the
-    * IEEE edges. Null on a dim mismatch or an empty centroid table,
+    * uses java.lang.Double.compare for the order (NaN greatest, like
+    * Spark's sort) but ties additionally equate ±0.0 via primitive `==`,
+    * because Spark's own comparator (SQLOrderingUtil.compareDoubles)
+    * treats -0.0 == 0.0 and falls through to the cent_id tiebreak there —
+    * Double.compare alone orders -0.0 < 0.0 and would diverge at that
+    * edge (unreachable with well-formed nonzero-norm centroids, where a
+    * -0.0 cosine forces a NaN first, but the tie test makes the
+    * equivalence unconditional rather than by-construction; r15 ADVICE).
+    * Null on a dim mismatch or an empty centroid table,
     * matching the kernels' null-on-malformed contract. Ids are LONG:
     * declared queries use int labels/clusters (widened by the caller) but
     * the scalerecall probe's sampled quantizer uses vec_ids — reading a
@@ -213,7 +219,10 @@ object HashKernels {
       val cos = s / (nrm * centNrms.getDouble(c))
       val id  = centIds.getLong(c)
       val cmp = java.lang.Double.compare(cos, bestCos)
-      if (first || cmp > 0 || (cmp == 0 && id < bestId)) {
+      // tie when Double.compare says so OR primitive == does (±0.0):
+      // matches SQLOrderingUtil.compareDoubles' fall-through to the id
+      val tie = cmp == 0 || cos == bestCos
+      if (first || (cmp > 0 && !tie) || (tie && id < bestId)) {
         bestCos = cos; bestId = id; first = false
       }
       c += 1

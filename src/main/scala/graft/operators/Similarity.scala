@@ -196,6 +196,12 @@ object Similarity {
         graft.functions.Kernels.bestCent($"embedding", $"nrm", $"cent_ids", $"cent_flat", $"cent_nrms")
           .cast(idType)
       )
+      // degenerate inputs (empty centroid table, per-row dim mismatch)
+      // null the kernel result; the crossJoin+window this replaced yielded
+      // ZERO rows there, so drop them rather than hand a future caller a
+      // silent null cent_id (r15 ADVICE — current callers inner-join on
+      // cent_id and are unaffected either way)
+      .filter($"cent_id".isNotNull)
       .drop("cent_ids", "cent_flat", "cent_nrms")
   }
 

@@ -50,9 +50,16 @@ def main():
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # exact-name matching only: substring matching let a token like 'q14'
+    # silently skip q141/q147/... and weaken the gate (r15 ADVICE). A skip
+    # token that names no oracle is a loud error, not a no-op.
+    unmatched = skip - set(oracle)
+    if unmatched:
+        print(f"ERROR: --skip names no oracle query: {sorted(unmatched)}")
+        sys.exit(2)
     n_pass = n_fail = 0
     for name in sorted(oracle):
-        if any(s in name for s in skip):
+        if name in skip:
             print(f"SKIP {name} (blocked-replay tool verifies it)")
             continue
         spark_glob = glob.glob(f"{out_dir}/{name}/*.parquet")

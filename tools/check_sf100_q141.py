@@ -61,7 +61,26 @@ print(f"e done ({time.time() - t0:.0f}s)", flush=True)
 
 import os
 ASSIGNED_CACHE = "/tmp/q141_sf100_assigned.parquet"
-if os.path.exists(ASSIGNED_CACHE):
+
+
+def cache_valid():
+    """The cache is keyed by nothing, so validate it against THIS slice
+    before reuse (r15 ADVICE): row count and id range must match the e
+    table exactly — a regenerated slice (different reps/env) fails both
+    and forces a recompute instead of silently grading the wrong corpus."""
+    if not os.path.exists(ASSIGNED_CACHE):
+        return False
+    want = con.sql("SELECT COUNT(*), MIN(vec_id), MAX(vec_id) FROM e").fetchone()
+    got = con.sql(
+        f"SELECT COUNT(*), MIN(vec_id), MAX(vec_id) FROM read_parquet('{ASSIGNED_CACHE}')"
+    ).fetchone()
+    if want != got:
+        print(f"assigned cache STALE (cache {got} != slice {want}) — recomputing", flush=True)
+        return False
+    return True
+
+
+if cache_valid():
     # the assignment phase is deterministic — reuse a prior run's dump so
     # a pairwise-phase retry doesn't redo the 2.2B-row argmax
     con.execute(f"CREATE TABLE assigned AS SELECT * FROM read_parquet('{ASSIGNED_CACHE}')")
