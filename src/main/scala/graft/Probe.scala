@@ -2011,7 +2011,8 @@ object Probe {
         "q160_containment_pairs",
         "q168_containment_prefix_pairs", // q160's plan pair — shared oracle, 2.3× faster on this slice
         "q171_adaptive_containment_pairs", // the dispatcher judged at rung scale (est-pairs term → prefix)
-        "q172_substring_spans" // r15: exact substring spans — salt keeps window matches per-replica
+        "q172_substring_spans", // r15: exact substring spans — salt keeps window matches per-replica
+        "q173_span_removal" // r16: span REMOVAL — same replica-local window argument; output stays doc-id-ordered
       )
       Files.createDirectories(Paths.get(ddDir))
       if (freshDir(s"$ddDir/documents.parquet"))
@@ -2150,7 +2151,8 @@ object Probe {
         "q147_prefix_jaccard_pairs",
         "q168_containment_prefix_pairs",
         "q171_adaptive_containment_pairs", // r14: the dispatcher judged at rung scale
-        "q172_substring_spans" // r15: windows never match cross-replica (salted tokens) → blocked replay sound
+        "q172_substring_spans", // r15: windows never match cross-replica (salted tokens) → blocked replay sound
+        "q173_span_removal" // r16: span removal — same argument (survivor election partitions by replica-local wtext)
       )
       val ddSet = ddAll.filter(only)
       if (ddSet.nonEmpty) {
@@ -2197,9 +2199,15 @@ object Probe {
       // cent_id-bounded pairwise join; its oracle replays through
       // tools/check_sf100_q141.py (chunked per-vector assignment +
       // per-cluster pairwise — the check_sf10_q141.py argument at 10×)
+      // q156/q161 join the rung in r16 (the last ANN rows below their
+      // siblings' 2.2M-vector grade): engine side is the kernelized coarse
+      // + PQ assignments; the oracle replays through tools/check_sf100_pq.py
+      // (the check_sf10_pq.py blocked argument at 10×: per-vector argmax
+      // chunks + one-shot training aggregates)
       val curAll = Seq(
         "q139_bm25_topk", "q69_cosine_topk", "q141_semantic_dedup",
-        "q153_ivf_full_probe", "q154_ivf_trained_topk"
+        "q153_ivf_full_probe", "q154_ivf_trained_topk",
+        "q156_ivf_pq_topk", "q161_ivf_pq_trained_topk"
       )
       val curSet = curAll.filter(only)
       if (curSet.isEmpty) { spark.stop(); return }

@@ -277,12 +277,17 @@ object HashKernels {
     * `row_number() over (order by bd2 ASC, c ASC) = 1` row of the
     * join+window formulation it replaces (long arithmetic throughout, no
     * IEEE edge cases). The per-block codebook arrives as one broadcast row
-    * (ids + row-major flattened entries). Null on a malformed codebook. */
-  def bestCodeId(g: ArrayData, codeIds: ArrayData, codeFlat: ArrayData): java.lang.Integer = {
+    * (ids + row-major flattened entries). Null on a malformed codebook.
+    * Ids are LONG — the repo-wide kernel convention after the r15
+    * getInt-on-long recall collapse: EVERY id array a kernel reads is
+    * widened to long by the caller and the result narrowed back, so no
+    * kernel ever holds a fixed-width-narrower view of a caller's ids
+    * (KernelWidthSpec pins the convention with >2^32 ids per kernel). */
+  def bestCodeId(g: ArrayData, codeIds: ArrayData, codeFlat: ArrayData): java.lang.Long = {
     val k = codeIds.numElements()
     val n = g.numElements()
     if (k == 0 || codeFlat.numElements() != k * n) return null
-    var bestId = 0
+    var bestId = 0L
     var best   = 0L
     var first  = true
     var c      = 0
@@ -291,7 +296,7 @@ object HashKernels {
       var i   = 0
       val off = c * n
       while (i < n) { val d = g.getLong(i) - codeFlat.getLong(off + i); s += d * d; i += 1 }
-      val id = codeIds.getInt(c)
+      val id = codeIds.getLong(c)
       if (first || s < best || (s == best && id < bestId)) { best = s; bestId = id; first = false }
       c += 1
     }
@@ -421,14 +426,15 @@ object Kernels {
       )
     )
 
-  /** Column form of [[HashKernels.bestCodeId]]: (array<long>, array<int>,
-    * array<long>) → int — the PQ code-assignment argmin over a broadcast
-    * per-block codebook row. */
+  /** Column form of [[HashKernels.bestCodeId]]: (array<long>, array<long>,
+    * array<long>) → long — the PQ code-assignment argmin over a broadcast
+    * per-block codebook row. Callers widen int code ids to long and narrow
+    * the result back (the kernel id convention — see [[HashKernels.bestCodeId]]). */
   def bestCode(g: Column, codeIds: Column, codeFlat: Column): Column =
     GraftBridge.column(
       StaticInvoke(
         kernelClass,
-        IntegerType,
+        LongType,
         "bestCodeId",
         Seq(GraftBridge.expression(g), GraftBridge.expression(codeIds),
           GraftBridge.expression(codeFlat)),

@@ -994,6 +994,50 @@ object Dedup {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val L = 15
+    val (_, verified) = verifiedDupWindows(spark, sfDir, L)
+    // merge overlapping/adjacent [pos, pos+L-1] windows into maximal spans
+    val wOrd = Window.partitionBy($"doc_id").orderBy($"pos")
+    val spans = verified.select($"doc_id", $"pos")
+      .withColumn(
+        "prev_end",
+        max($"pos" + (L - 1)).over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+      )
+      .withColumn(
+        "new_island",
+        when($"prev_end".isNull || $"pos" > $"prev_end" + 1, 1).otherwise(0)
+      )
+      .withColumn("island", sum($"new_island").over(wOrd))
+      .groupBy($"doc_id", $"island")
+      .agg(
+        min($"pos").as("span_start"),
+        (max($"pos") + (L - 1)).as("span_end")
+      )
+    spans
+      .select(
+        $"doc_id",
+        $"span_start",
+        $"span_end",
+        ($"span_end" - $"span_start" + 1).as("n_toks")
+      )
+      .orderBy($"doc_id", $"span_start")
+  }
+
+  /** The stage pipeline shared by [[substringSpans]] (q172) and
+    * [[substringSpanRemoval]] (q173): the q160-convention excerpt corpus
+    * tokenized, and its exact-TEXT-verified duplicated L-token windows as
+    * (doc_id, pos, wtext). The corpus-wide exchange carries slim
+    * (md5, doc_id, pos) anchors; window TEXT is re-materialized only for
+    * candidates whose hash repeats, and both candidate joins are hinted
+    * shuffle-hash because the candidate side scales with the corpus's
+    * true duplication — broadcasting it (Spark's fixture-scale estimate)
+    * is exactly the shape that dies at 100 TB. Returns (tokenized docs,
+    * verified windows). */
+  private def verifiedDupWindows(
+      spark: SparkSession,
+      sfDir: String,
+      L: Int
+  ): (DataFrame, DataFrame) = {
+    import spark.implicits._
     val base = Tables.documents(spark, sfDir).select($"doc_id", $"text")
     val docs = base.unionByName(
       base
@@ -1020,19 +1064,59 @@ object Dedup {
     val dupH = wins.groupBy($"h").agg(count(lit(1)).as("n")).filter($"n" >= 2).select($"h")
     val cand = wins.hint("shuffle_hash").join(dupH.hint("shuffle_hash"), "h")
       .select($"doc_id", $"pos")
-    // exact verify: candidate window text occurs ≥2 times corpus-wide.
-    // Both joins are hinted shuffle-hash: the candidate side scales with
-    // the corpus's true duplication, so broadcasting it (Spark's estimate
-    // at fixture scale) is exactly the shape that dies at 100 TB.
     val candTxt = cand.hint("shuffle_hash")
       .join(toks.hint("shuffle_hash"), "doc_id")
       .select($"doc_id", $"pos", concat_ws(" ", expr(s"slice(toks, pos, $L)")).as("wtext"))
     val dupTxt = candTxt.groupBy($"wtext").agg(count(lit(1)).as("nt")).filter($"nt" >= 2).select($"wtext")
     val verified = candTxt.hint("shuffle_hash")
-      .join(dupTxt.hint("shuffle_hash"), "wtext").select($"doc_id", $"pos")
-    // merge overlapping/adjacent [pos, pos+L-1] windows into maximal spans
+      .join(dupTxt.hint("shuffle_hash"), "wtext")
+      .select($"doc_id", $"pos", $"wtext")
+    (toks, verified)
+  }
+
+  /** Declared query (q173): duplicated-substring span REMOVAL — the
+    * published deliverable of Lee et al. 2021's exact substring dedup: the
+    * CLEANED corpus after cutting every duplicated ≥L-token region while
+    * keeping ONE canonical occurrence corpus-wide. Composition of q172's
+    * verified-window machinery with the q120 survivor discipline:
+    *
+    *   1. every exact-TEXT-verified duplicated L-window elects a survivor
+    *      occurrence — the (doc_id, pos)-minimum, the paper's "remove all
+    *      but one" with the same deterministic lowest-id election as the
+    *      q120 endgame;
+    *   2. the NON-survivor occurrences merge per doc into maximal removal
+    *      intervals (q172's island merge over the removal subset);
+    *   3. each touched doc's tokens are cut by a per-row filter against
+    *      its own (collected, ≤ a few) interval structs — untouched docs
+    *      pass through whole, no token explode anywhere on the kept path.
+    *
+    * Output: per-doc token accounting (spans cut, tokens removed/kept) and
+    * the md5 of the cleaned text — a content-exact check of the surgery,
+    * not just the counts. The oracle recomputes everything from raw window
+    * text in SQL, so a mis-elected survivor, a dropped interval, or an
+    * off-by-one cut diverges the hash.
+    *
+    * Scale shape (100 TB): everything q172 already proves at the 5M-doc
+    * rung (slim anchors, candidate-proportional text re-materialization,
+    * shuffle-hash candidate joins), plus one window over the removal set
+    * (duplication-proportional), one groupBy(doc_id) collecting interval
+    * structs (bounded per doc), and a doc_id-partitioned left join back to
+    * the corpus — no new corpus-sized exchange beyond the tokenization the
+    * anchor stage already pays. */
+  def substringSpanRemoval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val L = 15
+    val (toks, verified) = verifiedDupWindows(spark, sfDir, L)
+    // survivor election per duplicated window text: (doc_id, pos)-min keeps
+    val wSurv = Window.partitionBy($"wtext").orderBy($"doc_id", $"pos")
+    val removeWins = verified
+      .withColumn("rn", row_number().over(wSurv))
+      .filter($"rn" > 1)
+      .select($"doc_id", $"pos")
+    // merge the removal windows into maximal per-doc intervals
     val wOrd = Window.partitionBy($"doc_id").orderBy($"pos")
-    val spans = verified
+    val intervals = removeWins
       .withColumn(
         "prev_end",
         max($"pos" + (L - 1)).over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
@@ -1043,18 +1127,48 @@ object Dedup {
       )
       .withColumn("island", sum($"new_island").over(wOrd))
       .groupBy($"doc_id", $"island")
-      .agg(
-        min($"pos").as("span_start"),
-        (max($"pos") + (L - 1)).as("span_end")
-      )
-    spans
+      .agg(min($"pos").as("s"), (max($"pos") + (L - 1)).as("e"))
+    // PURE collect aggregate (the sweep's legal idiom — mixing count/sum in
+    // would drag them onto the interpreted ObjectHashAggregate path); the
+    // span count and removed-token mass derive from the ≤-a-few-element
+    // interval array per row instead
+    val ivs = intervals
+      .groupBy($"doc_id")
+      .agg(array_sort(collect_list(struct($"s", $"e"))).as("ivs"))
       .select(
         $"doc_id",
-        $"span_start",
-        $"span_end",
-        ($"span_end" - $"span_start" + 1).as("n_toks")
+        size($"ivs").cast("long").as("n_cut_spans"),
+        aggregate(
+          $"ivs",
+          lit(0L),
+          (acc, iv) => acc + (iv.getField("e") - iv.getField("s") + lit(1))
+        ).as("toks_removed"),
+        $"ivs"
       )
-      .orderBy($"doc_id", $"span_start")
+    // per-row surgery: keep token i (1-based) unless covered by an interval
+    toks
+      .join(ivs, Seq("doc_id"), "left")
+      .withColumn(
+        "kept",
+        when($"ivs".isNull, $"toks").otherwise(
+          filter(
+            $"toks",
+            (_, i) =>
+              !exists(
+                $"ivs",
+                iv => (i + 1) >= iv.getField("s") && (i + 1) <= iv.getField("e")
+              )
+          )
+        )
+      )
+      .select(
+        $"doc_id",
+        coalesce($"n_cut_spans", lit(0L)).as("n_cut_spans"),
+        coalesce($"toks_removed", lit(0L)).cast("long").as("toks_removed"),
+        size($"kept").cast("long").as("toks_kept"),
+        md5(concat_ws(" ", $"kept")).as("kept_md5")
+      )
+      .orderBy($"doc_id")
   }
 
   /** CDC-boundary span candidates — the cheap generator of the cost model

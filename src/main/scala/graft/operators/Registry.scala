@@ -1936,6 +1936,85 @@ object Registry {
         ORDER BY doc_id, span_start
       """)
     ),
+    // Span REMOVAL (Lee et al. 2021's published deliverable): the cleaned
+    // corpus after cutting all-but-one occurrence of every duplicated
+    // ≥15-token region — q172's verified windows + the q120 lowest-id
+    // survivor election + per-doc interval surgery. The oracle rebuilds
+    // the whole thing from raw window text and re-derives the cleaned
+    // text RELATIONALLY (token positions anti-joined against removal
+    // intervals), so the kept_md5 column is a content-exact check of the
+    // engine's per-row token filter, not just of the counts.
+    Q(
+      "q173_span_removal",
+      Dedup.substringSpanRemoval,
+      Some("""
+        WITH base AS (SELECT doc_id, text FROM documents),
+        corpus AS (
+          SELECT doc_id, text FROM base
+          UNION ALL
+          SELECT doc_id + 2000000,
+                 array_to_string(list_slice(string_split(text, ' '), 1,
+                   (len(string_split(text, ' ')) + 1) // 2), ' ')
+          FROM base WHERE doc_id % 7 = 0
+        ), tk AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+        ), wins AS (
+          SELECT doc_id, i.i AS pos,
+                 array_to_string(list_slice(toks, i.i, i.i + 14), ' ') AS wtext
+          FROM tk, (SELECT unnest(range(1, len(toks) - 13)) AS i) i
+          WHERE len(toks) >= 15
+        ), dup AS (
+          SELECT wtext FROM wins GROUP BY wtext HAVING count(*) >= 2
+        ), v AS (
+          SELECT w.doc_id, w.pos, w.wtext FROM wins w JOIN dup USING (wtext)
+        ), rmv AS (
+          SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   ROW_NUMBER() OVER (PARTITION BY wtext ORDER BY doc_id, pos) AS rn
+            FROM v
+          ) WHERE rn > 1
+        ), m AS (
+          SELECT doc_id, pos,
+                 max(pos + 14) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+          FROM rmv
+        ), isl AS (
+          SELECT doc_id, pos,
+                 SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM m
+        ), iv AS (
+          SELECT doc_id, MIN(pos) AS s, MAX(pos) + 14 AS e
+          FROM isl GROUP BY doc_id, island
+        ), stats AS (
+          SELECT doc_id, COUNT(*) AS n_cut_spans, SUM(e - s + 1) AS toks_removed
+          FROM iv GROUP BY doc_id
+        ), posx AS (
+          SELECT tk.doc_id, i.i AS pos, tk.toks[i.i] AS tok
+          FROM tk, (SELECT unnest(range(1, len(toks) + 1)) AS i) i
+          WHERE tk.doc_id IN (SELECT doc_id FROM iv)
+        ), keptx AS (
+          SELECT p.doc_id, p.pos, p.tok FROM posx p
+          WHERE NOT EXISTS (SELECT 1 FROM iv
+                            WHERE iv.doc_id = p.doc_id AND p.pos BETWEEN iv.s AND iv.e)
+        ), keptagg AS (
+          SELECT doc_id, COUNT(*) AS toks_kept,
+                 array_to_string(list(tok ORDER BY pos), ' ') AS kept
+          FROM keptx GROUP BY doc_id
+        )
+        SELECT tk.doc_id,
+               COALESCE(s.n_cut_spans, 0) AS n_cut_spans,
+               CAST(COALESCE(s.toks_removed, 0) AS BIGINT) AS toks_removed,
+               CAST(CASE WHEN s.doc_id IS NULL THEN len(tk.toks)
+                         ELSE COALESCE(k.toks_kept, 0) END AS BIGINT) AS toks_kept,
+               md5(CASE WHEN s.doc_id IS NULL THEN array_to_string(tk.toks, ' ')
+                        ELSE COALESCE(k.kept, '') END) AS kept_md5
+        FROM tk
+        LEFT JOIN stats s ON tk.doc_id = s.doc_id
+        LEFT JOIN keptagg k ON tk.doc_id = k.doc_id
+        ORDER BY tk.doc_id
+      """)
+    ),
     // Skew-adaptive dispatch over the q67/q147 plan pair (the crossover
     // probe measured the choice as skew-dependent); both branches are
     // hash-identical, so the shared q67 oracle also covers the dispatcher.

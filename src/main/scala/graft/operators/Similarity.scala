@@ -338,9 +338,12 @@ object Similarity {
     * (256M at the sf100 rung) through a window sort. */
   private def pqAssign(blocks: DataFrame, cb: DataFrame): DataFrame = {
     import blocks.sparkSession.implicits._
+    // code ids ride the kernel as LONG (the kernel id convention — see
+    // HashKernels.bestCodeId) and the result narrows back to the declared
+    // int code type; the long cast inside the struct preserves sort order
     val cbRow = cb
       .groupBy($"b")
-      .agg(array_sort(collect_list(struct($"c", $"cvec"))).as("cl"))
+      .agg(array_sort(collect_list(struct($"c".cast("long").as("c"), $"cvec"))).as("cl"))
       .select(
         $"b",
         transform($"cl", s => s.getField("c")).as("code_ids"),
@@ -348,7 +351,10 @@ object Similarity {
       )
     blocks
       .join(broadcast(cbRow), "b")
-      .withColumn("c", graft.functions.Kernels.bestCode($"gvec", $"code_ids", $"code_flat"))
+      .withColumn(
+        "c",
+        graft.functions.Kernels.bestCode($"gvec", $"code_ids", $"code_flat").cast("int")
+      )
       .select($"vec_id", $"b", $"gvec", $"c")
   }
 

@@ -445,4 +445,53 @@ class DedupSimilaritySpec extends SparkSpec {
         $"b.span_start" <= $"a.span_end" + 1)
     assert(overlaps.count() === 0, "maximal spans are disjoint and non-adjacent")
   }
+
+  test("span removal: token conservation, untouched-doc identity, and excerpts actually cut") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.Dedup.substringSpanRemoval(spark, sf).cache()
+    // the corpus is documents + the %7 planted excerpts — one output row each
+    val base = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val corpus = base.unionByName(
+      base.filter($"doc_id" % 7 === 0)
+        .select(($"doc_id" + 2000000L).as("doc_id"),
+          expr("concat_ws(' ', slice(split(text, ' '), 1, (size(split(text, ' ')) + 1) div 2))")
+            .as("text"))
+    )
+    assert(out.count() === corpus.count(), "one accounting row per corpus doc")
+    // conservation: kept + removed == the doc's token count, every doc
+    val joined = corpus
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_toks"), $"text")
+      .join(out, Seq("doc_id"))
+    assert(
+      joined.filter($"toks_kept" + $"toks_removed" =!= $"n_toks").count() === 0,
+      "token conservation"
+    )
+    // untouched docs must hash to their ORIGINAL token-joined text
+    assert(
+      joined
+        .filter($"n_cut_spans" === 0)
+        .filter($"kept_md5" =!= md5(concat_ws(" ", split($"text", " "))))
+        .count() === 0,
+      "zero-cut docs pass through content-identical"
+    )
+    // every planted excerpt duplicates its original's prefix, the original
+    // (lower doc_id) survives, so every long-enough excerpt loses tokens
+    val L = 15
+    val cutExcerpts = joined.filter($"doc_id" >= 2000000L && $"n_toks" >= L)
+    assert(
+      cutExcerpts.filter($"toks_removed" === 0).count() === 0,
+      "every ≥L-token excerpt is cut (its original is the surviving occurrence)"
+    )
+    // and at least one survivor occurrence remains per duplicated window:
+    // the total removed across the corpus must be STRICTLY less than the
+    // total tokens in duplicated spans would be if all occurrences died —
+    // cheap proxy: some doc with a duplicated window has toks_removed == 0
+    assert(
+      joined.filter($"doc_id" < 2000000L && $"doc_id" % 7 === 0 && $"n_toks" >= 2 * L)
+        .filter($"toks_removed" === 0).count() > 0,
+      "long originals survive as the canonical occurrence"
+    )
+    out.unpersist()
+  }
 }

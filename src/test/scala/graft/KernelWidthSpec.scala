@@ -1,0 +1,245 @@
+package graft
+
+import graft.functions.Kernels
+import org.apache.spark.sql.functions._
+
+/** The physical-width matrix (r15 verdict task 3): EVERY compiled kernel
+  * runs against a boxed-Scala reference (plain Seq/Double/Long arithmetic,
+  * never ArrayData) on values that exceed every NARROWER width the
+  * kernel's declared input types admit — long ids and hashes above 2^32,
+  * long grid coordinates above 2^31, doubles with float-unrepresentable
+  * precision, floats at subnormal/large-exponent edges, unsigned bytes
+  * above 127. A kernel that reads any input through a fixed-width
+  * accessor narrower than the declared physical type (the r15
+  * getInt-on-long recall collapse: `centIds.getInt` on a BIGINT array
+  * returned garbage SILENTLY while all 163 declared-corpus hashes stayed
+  * green) diverges from the boxed reference here and fails loudly.
+  *
+  * Negative control, executed once while writing this spec (r16):
+  * reverting `bestCentId` to `centIds.getInt(c)` fails
+  * "bestCentId == boxed argmax on >2^32 centroid ids", and reverting
+  * `bestCodeId` to `codeIds.getInt(c)` fails
+  * "bestCodeId == boxed argmin on >2^32 code ids" — the matrix detects
+  * the reintroduced bug class; at HEAD all cases pass.
+  *
+  * Inputs arrive as DATA columns (toDF, not typedLit), so the kernels run
+  * per-row in the executor through the same UnsafeArrayData layouts the
+  * declared queries feed them — the physical widths under test are the
+  * real on-heap widths, not interpreted-literal stand-ins.
+  */
+class KernelWidthSpec extends SparkSpec {
+
+  // ---- boxed references (no Spark types anywhere) ----
+
+  private def refH60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var j = 0
+    while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
+  private def refMd5Mod60(xs: Seq[String], p: Long): Seq[Long] =
+    xs.map(refH60).map(v => if (p > 0) v % p else v)
+
+  private def refShingle(toks: Seq[String], n: Int, p: Long): Seq[Long] =
+    (0 to toks.length - n).map(i => refH60(toks.slice(i, i + n).mkString(" ")))
+      .map(v => if (p > 0) v % p else v)
+
+  private def refMinhash(hs: Seq[Long], k: Int, p: Long): Seq[Long] =
+    (0 until k).map(s => hs.map(h => ((2L * s + 1) * h + 12289L * s) % p).min)
+
+  private def refSimhash(hs: Seq[Long]): Long =
+    (0 until 48).map { b =>
+      val score = hs.map(v => if (((v >>> b) & 1L) == 1L) 1 else -1).sum
+      if (score > 0) 1L << b else 0L
+    }.sum
+
+  private def refDot(a: Seq[Float], b: Seq[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  private def refDotFD(a: Seq[Float], w: Seq[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * w(i); i += 1 }
+    s
+  }
+
+  private def refBestCent(
+      e: Seq[Float], nrm: Double, ids: Seq[Long], flat: Seq[Float], nrms: Seq[Double]
+  ): Long = {
+    val n = e.length
+    ids.indices
+      .map { c =>
+        var s = 0.0; var i = 0
+        while (i < n) { s += e(i).toDouble * flat(c * n + i).toDouble; i += 1 }
+        (s / (nrm * nrms(c)), ids(c))
+      }
+      .minBy { case (cos, id) => (-cos, id) } // max cos, then min id
+      ._2
+  }
+
+  private def refBestCode(g: Seq[Long], ids: Seq[Long], flat: Seq[Long]): Long = {
+    val n = g.length
+    ids.indices
+      .map { c =>
+        var s = 0L; var i = 0
+        while (i < n) { val d = g(i) - flat(c * n + i); s += d * d; i += 1 }
+        (s, ids(c))
+      }
+      .min
+      ._2
+  }
+
+  private def refHist64(sh: Seq[Long]): Seq[Int] = {
+    val h = new Array[Int](64)
+    sh.foreach(v => h((v & 63L).toInt) += 1)
+    h.toSeq
+  }
+
+  private def refHistMinSum(a: Seq[Int], b: Seq[Int]): Int =
+    a.zip(b).map { case (x, y) => math.min(x, y) }.sum
+
+  // ---- width-stressing corpora ----
+
+  /** 60-bit-scale hashes: all above 2^32, mixed high bits — a getInt read
+    * of any of these is garbage. */
+  private val bigHashes: Seq[Long] =
+    Seq(0x123456789abL, 0xfedcba98765L, (1L << 59) + 17L, (1L << 40) + 3L, 0x7fffffffffffffL)
+
+  test("md5Mod60 == boxed reference (raw + mod-p)") {
+    import spark.implicits._
+    val words = Seq("alpha", "ünïcödé tøkens", "", "a b c", "ZZ")
+    val df = Seq(Tuple1(words)).toDF("arr")
+    val raw = df.select(Kernels.md5Array60($"arr")).head().getSeq[Long](0)
+    assert(raw === refMd5Mod60(words, -1L))
+    val modp = df.select(Kernels.md5Array60($"arr", 1048573L)).head().getSeq[Long](0)
+    assert(modp === refMd5Mod60(words, 1048573L))
+  }
+
+  test("shingleMd5Mod == boxed reference") {
+    import spark.implicits._
+    val toks = Seq("the", "quick", "brown", "fox", "jumps")
+    val df = Seq(Tuple1(toks)).toDF("toks")
+    val got = df.select(Kernels.shingleHashes($"toks", 3, 999983L)).head().getSeq[Long](0)
+    assert(got === refShingle(toks, 3, 999983L))
+  }
+
+  test("minhashSig == boxed reference on >2^32 hashes") {
+    import spark.implicits._
+    val p = graft.functions.TextFns.MinhashP
+    val hs = bigHashes.map(_ % p)
+    val got = Seq(Tuple1(hs)).toDF("hs")
+      .select(Kernels.minhashSigK($"hs", 16, p)).head().getSeq[Long](0)
+    assert(got === refMinhash(hs, 16, p))
+  }
+
+  test("simhash48 == boxed reference on >2^32 hashes") {
+    import spark.implicits._
+    val got = Seq(Tuple1(bigHashes)).toDF("hs").select(Kernels.simhash($"hs")).head().getLong(0)
+    assert(got === refSimhash(bigHashes))
+  }
+
+  test("dotFF == boxed reference at float edges (subnormal, large exponent, sign)") {
+    import spark.implicits._
+    val a = Seq(1.0e-38f, -3.4e38f, 1.17549435e-38f, 0.0f, -0.0f, 42.5f)
+    val b = Seq(2.0f, 1.0e-38f, -1.0f, 5.0f, 7.0f, -0.125f)
+    val got = Seq((a, b)).toDF("a", "b").select(Kernels.dot($"a", $"b")).head().getDouble(0)
+    assert(got === refDot(a, b))
+  }
+
+  test("dotFD == boxed reference on doubles with float-unrepresentable precision") {
+    import spark.implicits._
+    // weights that a getFloat read would corrupt: beyond float precision
+    // (1 + 2^-40) and beyond float range (1e300)
+    val a = Seq(1.0f, 2.0f, -1.5f)
+    val w = Seq(1.0 + math.pow(2, -40), 1.0e300, 7.000000000001)
+    val got = Seq((a, w)).toDF("a", "w").select(Kernels.dotWeights($"a", $"w")).head().getDouble(0)
+    assert(got === refDotFD(a, w))
+  }
+
+  test("bestCentId == boxed argmax on >2^32 centroid ids (the r15 regression shape)") {
+    import spark.implicits._
+    val dim = 4
+    val e = Seq(0.5f, -0.25f, 1.0f, 0.75f)
+    val nrm = math.sqrt(refDot(e, e))
+    val ids = Seq((1L << 33) + 5L, (1L << 40) + 1L, (1L << 35) + 2L)
+    val flat = Seq(
+      0.4f, -0.2f, 0.9f, 0.8f,
+      -0.5f, 0.25f, -1.0f, -0.75f,
+      0.5f, -0.25f, 1.0f, 0.75f
+    )
+    val nrms = (0 until 3).map(c => math.sqrt(refDot(flat.slice(c * dim, c * dim + dim), flat.slice(c * dim, c * dim + dim))))
+    val got = Seq((e, nrm, ids, flat, nrms))
+      .toDF("e", "nrm", "ids", "flat", "nrms")
+      .select(Kernels.bestCent($"e", $"nrm", $"ids", $"flat", $"nrms"))
+      .head().getLong(0)
+    assert(got === refBestCent(e, nrm, ids, flat, nrms))
+    assert(got > (1L << 32), "the winning id must itself exceed int range for the case to bite")
+  }
+
+  test("bestCentId tie on ±0.0 cosine falls through to min id (Spark comparator parity)") {
+    import spark.implicits._
+    // two orthogonal centroids: cosines are exactly 0.0 (and the kernel's
+    // +0.0-seeded best makes any -0.0 edge unreachable — the tie test
+    // equates them regardless); min id must win
+    val e = Seq(1.0f, 0.0f)
+    val ids = Seq(9L, 4L)
+    val flat = Seq(0.0f, 1.0f, 0.0f, -1.0f)
+    val nrms = Seq(1.0, 1.0)
+    val got = Seq((e, 1.0, ids, flat, nrms))
+      .toDF("e", "nrm", "ids", "flat", "nrms")
+      .select(Kernels.bestCent($"e", $"nrm", $"ids", $"flat", $"nrms"))
+      .head().getLong(0)
+    assert(got === 4L)
+  }
+
+  test("bestCodeId == boxed argmin on >2^32 code ids and >2^31 grid values") {
+    import spark.implicits._
+    // grid coordinates near 3e9 (> 2^31) with small deltas: squared
+    // distances stay far from overflow, but a getInt read of g or flat
+    // garbles the argmin; code ids above 2^32 catch a narrowed id read
+    val base = 3000000000L
+    val g = Seq(base + 10L, base - 7L, base + 3L)
+    val ids = Seq((1L << 34) + 2L, (1L << 34) + 1L, (1L << 41) + 9L)
+    val flat = Seq(
+      base + 9L, base - 8L, base + 2L,
+      base + 10L, base - 7L, base + 4L,
+      base - 100L, base + 100L, base - 50L
+    )
+    val got = Seq((g, ids, flat)).toDF("g", "ids", "flat")
+      .select(Kernels.bestCode($"g", $"ids", $"flat"))
+      .head().getLong(0)
+    assert(got === refBestCode(g, ids, flat))
+    assert(got > (1L << 32))
+  }
+
+  test("shingleHist64 + histMinSum == boxed reference on >2^32 hashes (unsigned byte counts)") {
+    import spark.implicits._
+    // 200 hashes into one bucket region pushes counts past 127: the byte
+    // cells must read back UNSIGNED in histMinSum
+    val a = (0 until 200).map(i => (1L << 45) + 64L * i) // all bucket 0, all > 2^32
+    val b = (0 until 150).map(i => (1L << 45) + 64L * i) ++ Seq((1L << 45) + 1L) // bucket 0 ×150 + bucket 1
+    val df = Seq((a, b)).toDF("a", "b")
+    val got = df
+      .select(Kernels.histMinSum(Kernels.hist64($"a"), Kernels.hist64($"b")))
+      .head().getInt(0)
+    assert(got === refHistMinSum(refHist64(a), refHist64(b)))
+    assert(got === 150, "min(200,150) in bucket 0 — a signed byte read would corrupt this")
+  }
+
+  test("shingleHist64 nulls past 255 elements and the gate-side min-sum keeps the candidate") {
+    import spark.implicits._
+    val big = (0 until 256).map(i => (1L << 45) + i.toLong)
+    val row = Seq(Tuple1(big)).toDF("a")
+      .select(
+        Kernels.hist64($"a").as("h"),
+        Kernels.histMinSum(Kernels.hist64($"a"), Kernels.hist64($"a")).as("ms")
+      )
+      .head()
+    assert(row.isNullAt(0), "256-element set must null the sketch (byte saturation)")
+    assert(row.isNullAt(1), "null sketch must null the min-sum (gate keeps the candidate)")
+  }
+}
