@@ -2119,10 +2119,12 @@ object Probe {
       // a dominant DC component (all-positive coordinates), so circular
       // shifts preserve near-equal cosines and the assignment argmax
       // freely crosses replica rotations — 2154/2200 base vectors had a
-      // cross-shift centroid at or above their within-shift best. q141
-      // therefore remains graded at its oracle-feasible maximum (sf10,
-      // 220k vectors, hash-exact via the blocked replay), the same
-      // documented bound as q156/q161's sf1 grading.
+      // cross-shift centroid at or above their within-shift best. The
+      // lift stays rejected — but the bound moved anyway: r15's measured
+      // DuckDB dot rates put the CHUNKED replay at ~15 min, and q141 is
+      // graded hash-exact at the full 2.2M-vector corner via
+      // tools/check_sf100_q141.py (r15), q156/q161 via
+      // tools/check_sf100_pq.py (r16).
       import spark.implicits._
       import java.nio.file.{Files, Paths}
       val off = 10000000L
