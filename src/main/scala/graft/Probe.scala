@@ -1939,6 +1939,13 @@ object Probe {
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val dir    = "/tmp/graft_sf10"
       val outDir = "/tmp/graft_sf10_out"
+      // GRAFT_SF10_ONLY: comma-separated name substrings — lets one new
+      // query join a rung without re-running the whole family (the
+      // sf100llm filter, r16); oracle json always carries the FULL set
+      val only: String => Boolean = sys.env.get("GRAFT_SF10_ONLY") match {
+        case Some(pats) => { val ps = pats.split(','); (n: String) => ps.exists(n.contains) }
+        case None       => _ => true
+      }
       val set = Seq(
         "q01_pricing_summary",
         "q11_join_revenue_by_nation",
@@ -1976,7 +1983,7 @@ object Probe {
       val nLi = spark.read.parquet(s"$dir/lineitem.parquet").count()
       val nEv = spark.read.parquet(s"$dir/events.parquet").count()
       println(s"[sf10] synthetic slice at $dir: lineitem=$nLi events=$nEv rows")
-      set.foreach { n =>
+      set.filter(only).foreach { n =>
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, dir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$n")
@@ -1985,7 +1992,7 @@ object Probe {
       val json = set
         .map(n => s"${Verify.jsonStr(n)}: ${Verify.jsonStr(SparkEntry.oracleSql(n))}")
         .mkString("{", ",", "}")
-      Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+      if (set.exists(only)) Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
 
       // ---- sf10 for the LLM-pipeline families (the engine's stated
       // differentiator — round-11 verdict's top order): the sf1 slice
@@ -2012,7 +2019,8 @@ object Probe {
         "q168_containment_prefix_pairs", // q160's plan pair — shared oracle, 2.3× faster on this slice
         "q171_adaptive_containment_pairs", // the dispatcher judged at rung scale (est-pairs term → prefix)
         "q172_substring_spans", // r15: exact substring spans — salt keeps window matches per-replica
-        "q173_span_removal" // r16: span REMOVAL — same replica-local window argument; output stays doc-id-ordered
+        "q173_span_removal", // r16: span REMOVAL — same replica-local window argument; output stays doc-id-ordered
+        "q174_substring_decontamination" // r16: bench decontamination — derived bench stays in-stride, windows replica-local
       )
       Files.createDirectories(Paths.get(ddDir))
       if (freshDir(s"$ddDir/documents.parquet"))
@@ -2025,13 +2033,13 @@ object Probe {
           .drop("rep2")
           .repartition(32).write.mode("overwrite").parquet(s"$ddDir/documents.parquet")
       println(s"[sf10] dedup slice at $ddDir: documents=${spark.read.parquet(s"$ddDir/documents.parquet").count()} rows")
-      ddSet.foreach { n =>
+      ddSet.filter(only).foreach { n =>
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, ddDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$ddOut/$n")
         println(f"[sf10] $n%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
-      Files.writeString(
+      if (ddSet.exists(only)) Files.writeString(
         Paths.get(s"$ddOut/oracle_sql.json"),
         ddSet.map(n => s"${Verify.jsonStr(n)}: ${Verify.jsonStr(SparkEntry.oracleSql(n))}")
           .mkString("{", ",", "}")
@@ -2078,13 +2086,13 @@ object Probe {
         s"[sf10] curation slice at $curDir: documents=${spark.read.parquet(s"$curDir/documents.parquet").count()}" +
           s" embeddings=${spark.read.parquet(s"$curDir/embeddings.parquet").count()} rows"
       )
-      curSet.foreach { n =>
+      curSet.filter(only).foreach { n =>
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, curDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$curOut/$n")
         println(f"[sf10] $n%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
-      Files.writeString(
+      if (curSet.exists(only)) Files.writeString(
         Paths.get(s"$curOut/oracle_sql.json"),
         curSet.map(n => s"${Verify.jsonStr(n)}: ${Verify.jsonStr(SparkEntry.oracleSql(n))}")
           .mkString("{", ",", "}")
@@ -2154,7 +2162,8 @@ object Probe {
         "q168_containment_prefix_pairs",
         "q171_adaptive_containment_pairs", // r14: the dispatcher judged at rung scale
         "q172_substring_spans", // r15: windows never match cross-replica (salted tokens) → blocked replay sound
-        "q173_span_removal" // r16: span removal — same argument (survivor election partitions by replica-local wtext)
+        "q173_span_removal", // r16: span removal — same argument (survivor election partitions by replica-local wtext)
+        "q174_substring_decontamination" // r16: derived bench ids stay in-stride (+4M/+5M), windows replica-local
       )
       val ddSet = ddAll.filter(only)
       if (ddSet.nonEmpty) {

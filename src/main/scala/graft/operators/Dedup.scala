@@ -1074,6 +1074,111 @@ object Dedup {
     (toks, verified)
   }
 
+  /** Declared query (q174): substring BENCHMARK decontamination — the
+    * published test-set-overlap protocol (GPT-3 appendix C / Lee et al.
+    * 2021 §6.2): a benchmark example is CONTAMINATED when any of its
+    * L-token windows occurs verbatim anywhere in the training corpus, and
+    * the deliverable is the per-example verdict the eval harness uses to
+    * drop examples. Complements q135, which flags TRAINING docs by 3-gram
+    * shingle-hash overlap against an eval set — q174 answers the opposite
+    * question (which BENCHMARK examples are burned?) at exact-window
+    * granularity with exact-TEXT verification (the q172 discipline: the
+    * md5 anchor only bounds the candidate set).
+    *
+    * Fixture benchmark (derived, so the oracle replays it): doc_id %11==4
+    * → the doc's middle-third excerpt under +4M ids (contaminated by
+    * construction when ≥ L tokens); doc_id %13==6 → the doc's tokens
+    * REVERSED under +5M ids (clean — reversed windows don't occur
+    * forward; any accidental hit is computed identically by both engines).
+    *
+    * Scale shape (100 TB): a REAL benchmark is bounded and its window set
+    * would broadcast (the q135/incremental-dedup discipline) — but the
+    * FIXTURE benchmark derives from the corpus (%11/%13), so it grows
+    * linearly and the first 5M-doc rung run proved the broadcast shape
+    * dies there (driver OOM building an ~84M-row window broadcast). The
+    * declared plan therefore hints every benchmark-side join
+    * shuffle-hash: scale-safe at ANY benchmark size, and measured FASTER
+    * than the broadcast plan at fixture scale anyway (the r16 q172 hint
+    * A/B — driver collect+rebroadcast loses to a 32-partition exchange).
+    * Training window TEXT is still re-materialized only for hash-hit
+    * positions (contamination-proportional, the q172 argument); the
+    * corpus-wide exchange carries slim (doc_id, pos, md5) anchors only. */
+  def substringDecontamination(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val L = 15
+    val train = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val benchC = train
+      .filter($"doc_id" % 11 === 4)
+      .select(
+        ($"doc_id" + 4000000L).as("bench_id"),
+        expr(
+          "concat_ws(' ', slice(split(text, ' '), size(split(text, ' ')) div 3 + 1, " +
+            "greatest((size(split(text, ' ')) + 1) div 3, 1)))"
+        ).as("text")
+      )
+    val benchR = train
+      .filter($"doc_id" % 13 === 6)
+      .select(
+        ($"doc_id" + 5000000L).as("bench_id"),
+        expr("concat_ws(' ', reverse(split(text, ' ')))").as("text")
+      )
+    val bench = benchC.unionByName(benchR)
+    def winsOf(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      transform(
+        // NB sequence(1, 0) DESCENDS in Spark — callers must pre-filter
+        // size >= L or the slice start underflows
+        sequence(lit(1), size(toks) - (L - 1)),
+        i => struct(i.as("pos"), concat_ws(" ", slice(toks, i, lit(L))).as("wtext"))
+      )
+    // benchmark windows: small side — carries pos, text AND md5 anchor
+    val btoks = bench.select($"bench_id", tokens($"text").as("toks"))
+    val bwins = btoks
+      .filter(size($"toks") >= L)
+      .select($"bench_id", explode(winsOf($"toks")).as("w"))
+      .select($"bench_id", $"w.pos".as("bpos"), $"w.wtext".as("bwtext"), md5($"w.wtext").as("h"))
+    val bHashes = bwins.select($"h").distinct()
+    // training windows: slim (doc_id, pos, h) anchors, the corpus-wide pass
+    val ttoks = train.repartition($"doc_id").select($"doc_id", tokens($"text").as("toks"))
+    val twins = ttoks
+      .filter(size($"toks") >= L)
+      .select(
+        $"doc_id",
+        posexplode(
+          transform(
+            sequence(lit(1), size($"toks") - (L - 1)),
+            i => md5(concat_ws(" ", slice($"toks", i, lit(L))))
+          )
+        ).as(Seq("p0", "h"))
+      )
+      .select($"doc_id", ($"p0" + 1).as("pos"), $"h")
+    // anchor probe: equi-join on the md5 anchor, shuffle-hash hinted —
+    // the fixture benchmark scales with the corpus, so broadcasting it is
+    // exactly the shape that died at the 5M rung
+    val cand = twins.hint("shuffle_hash").join(bHashes.hint("shuffle_hash"), "h")
+      .select($"doc_id", $"pos")
+    // exact verify: re-materialize ONLY candidate training windows' text
+    val candTxt = cand.hint("shuffle_hash")
+      .join(ttoks.hint("shuffle_hash"), "doc_id")
+      .select(concat_ws(" ", expr(s"slice(toks, pos, $L)")).as("twtext"))
+    val hits = candTxt.hint("shuffle_hash")
+      .join(bwins.hint("shuffle_hash"), $"twtext" === $"bwtext")
+      .select($"bench_id", $"bpos")
+      .distinct()
+    val stats = hits.groupBy($"bench_id").agg(count(lit(1)).as("n_contam_windows"))
+    btoks
+      .select($"bench_id", greatest(size($"toks") - (L - 1), lit(0)).cast("long").as("n_windows"))
+      .join(stats, Seq("bench_id"), "left")
+      .select(
+        $"bench_id",
+        $"n_windows",
+        coalesce($"n_contam_windows", lit(0L)).as("n_contam_windows"),
+        when(coalesce($"n_contam_windows", lit(0L)) > 0, "contaminated")
+          .otherwise("clean")
+          .as("verdict")
+      )
+      .orderBy($"bench_id")
+  }
+
   /** Declared query (q173): duplicated-substring span REMOVAL — the
     * published deliverable of Lee et al. 2021's exact substring dedup: the
     * CLEANED corpus after cutting every duplicated ≥L-token region while

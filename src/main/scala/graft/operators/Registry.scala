@@ -2015,6 +2015,57 @@ object Registry {
         ORDER BY tk.doc_id
       """)
     ),
+    // Substring BENCHMARK decontamination (GPT-3 appendix C / Lee et al.
+    // §6.2): per-benchmark-example contamination verdict at exact
+    // 15-token-window granularity. The oracle joins window TEXTS directly
+    // (no hash anchor), so a dropped anchor candidate or an md5 collision
+    // in the engine's probe stage diverges the verdict.
+    Q(
+      "q174_substring_decontamination",
+      Dedup.substringDecontamination,
+      Some("""
+        WITH train AS (SELECT doc_id, text FROM documents),
+        benchc AS (
+          SELECT doc_id + 4000000 AS bench_id,
+                 array_to_string(list_slice(string_split(text, ' '),
+                   len(string_split(text, ' ')) // 3 + 1,
+                   len(string_split(text, ' ')) // 3
+                     + greatest((len(string_split(text, ' ')) + 1) // 3, 1)), ' ') AS text
+          FROM train WHERE doc_id % 11 = 4
+        ), benchr AS (
+          SELECT doc_id + 5000000 AS bench_id,
+                 array_to_string(list_transform(
+                   range(len(string_split(text, ' ')), 0, -1),
+                   i -> string_split(text, ' ')[i]), ' ') AS text
+          FROM train WHERE doc_id % 13 = 6
+        ), btk AS (
+          SELECT bench_id, string_split(text, ' ') AS toks
+          FROM (SELECT * FROM benchc UNION ALL SELECT * FROM benchr)
+        ), ttk AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM train
+        ), tw AS (
+          SELECT array_to_string(list_slice(toks, i.i, i.i + 14), ' ') AS twtext
+          FROM ttk, (SELECT unnest(range(1, len(toks) - 13)) AS i) i
+          WHERE len(toks) >= 15
+        ), bw AS (
+          SELECT bench_id, i.i AS bpos,
+                 array_to_string(list_slice(toks, i.i, i.i + 14), ' ') AS bwtext
+          FROM btk, (SELECT unnest(range(1, len(toks) - 13)) AS i) i
+          WHERE len(toks) >= 15
+        ), hits AS (
+          SELECT DISTINCT b.bench_id, b.bpos FROM bw b JOIN tw t ON t.twtext = b.bwtext
+        ), stats AS (
+          SELECT bench_id, COUNT(*) AS n_contam_windows FROM hits GROUP BY bench_id
+        )
+        SELECT btk.bench_id,
+               CAST(greatest(len(btk.toks) - 14, 0) AS BIGINT) AS n_windows,
+               COALESCE(s.n_contam_windows, 0) AS n_contam_windows,
+               CASE WHEN COALESCE(s.n_contam_windows, 0) > 0
+                    THEN 'contaminated' ELSE 'clean' END AS verdict
+        FROM btk LEFT JOIN stats s ON btk.bench_id = s.bench_id
+        ORDER BY btk.bench_id
+      """)
+    ),
     // Skew-adaptive dispatch over the q67/q147 plan pair (the crossover
     // probe measured the choice as skew-dependent); both branches are
     // hash-identical, so the shared q67 oracle also covers the dispatcher.

@@ -81,6 +81,11 @@ class CorpusPlanSweepSpec extends SparkSpec {
     // decontamination broadcasts the exploded EVAL side — eval suites are
     // small by nature; broadcasting them IS the 100 TB plan (Dedup :311)
     "q86_decontaminate" -> Set("broadcast of an exploded (unbounded) relation"),
+    // (q174 needs no exemption: its first 5M-rung run REFUTED the
+    // bounded-benchmark broadcast assumption — the fixture benchmark is
+    // corpus-proportional and the broadcast OOM'd — so every
+    // benchmark-side join is shuffle-hash hinted instead; the sweep
+    // seeing no broadcast there is the regression guard)
     // training pipeline composes decontaminate, same eval-side broadcast
     "q95_training_pipeline" -> Set("broadcast of an exploded (unbounded) relation"),
     // incremental ingest broadcasts the exploded NEW batch (bounded by

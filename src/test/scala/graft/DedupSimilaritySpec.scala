@@ -494,4 +494,28 @@ class DedupSimilaritySpec extends SparkSpec {
     )
     out.unpersist()
   }
+
+  test("substring decontamination: excerpts burn, reversed items stay clean, counts conserve") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val L = 15
+    val out = graft.operators.Dedup.substringDecontamination(spark, sf).cache()
+    val d = Tables.documents(spark, sf)
+    val nBench = d.filter($"doc_id" % 11 === 4).count() + d.filter($"doc_id" % 13 === 6).count()
+    assert(out.count() === nBench, "one verdict row per benchmark example")
+    // every middle-third excerpt with at least one window is contaminated —
+    // its windows occur verbatim in the source doc
+    val burnt = out.filter($"bench_id" >= 4000000L && $"bench_id" < 5000000L && $"n_windows" > 0)
+    assert(burnt.filter($"verdict" =!= "contaminated").count() === 0, "every windowed excerpt burns")
+    // ...and a contaminated excerpt's every window hits (the whole excerpt
+    // is a training substring): n_contam_windows == n_windows there
+    assert(burnt.filter($"n_contam_windows" =!= $"n_windows").count() === 0)
+    // reversed items never occur forward on this corpus
+    val rev = out.filter($"bench_id" >= 5000000L)
+    assert(rev.filter($"verdict" =!= "clean").count() === 0, "reversed items stay clean")
+    // zero-window items (short excerpts) are clean by definition
+    assert(out.filter($"n_windows" === 0 && $"verdict" =!= "clean").count() === 0)
+    assert(out.filter($"n_contam_windows" > $"n_windows").count() === 0, "contaminated ≤ total windows")
+    out.unpersist()
+  }
 }
