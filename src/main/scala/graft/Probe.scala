@@ -1889,7 +1889,15 @@ object Probe {
         "q160_containment_pairs",
         "q161_ivf_pq_trained_topk",
         "q168_containment_prefix_pairs", // q160's plan pair rides the same slice under the shared oracle
-        "q171_adaptive_containment_pairs" // r14: the dispatcher, same shared oracle
+        "q171_adaptive_containment_pairs", // r14: the dispatcher, same shared oracle
+        // r16: the substring family under the MAX-duplication regime this
+        // unsalted 10×-replica slice uniquely provides — every window
+        // repeats 10×, so the "candidate-proportional" stages degrade to
+        // full-corpus and the plans must survive it (the salted sf10/sf100
+        // rungs test the opposite, duplication-sparse end)
+        "q172_substring_spans",
+        "q173_span_removal",
+        "q174_substring_decontamination"
       )
       Files.createDirectories(Paths.get(curDir))
       replicate(Tables.documents(spark, sfDir), "doc_id")
