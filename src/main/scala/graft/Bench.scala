@@ -109,14 +109,18 @@ object Bench {
     val sink1 = spin(stIters, 42L)
     val st = (System.nanoTime() - t0) / 1e9
     val n = Runtime.getRuntime.availableProcessors()
+    // accumulate every thread's fold into an observable sink: a discarded
+    // spin() result is legal dead code after C2 inlining, which would let
+    // the JIT elide the MT loop and under-report canary_mt
+    val mtSink = new java.util.concurrent.atomic.AtomicLong(0L)
     val t1 = System.nanoTime()
     val threads = (1 to n).map { s =>
-      val th = new Thread(() => { val _ = spin(stIters, s.toLong) })
+      val th = new Thread(() => { mtSink.addAndGet(spin(stIters, s.toLong)); () })
       th.start(); th
     }
     threads.foreach(_.join())
     val mt = (System.nanoTime() - t1) / 1e9
-    if (sink1 == 0L) System.err.print("") // keep sink observable
+    if ((sink1 ^ mtSink.get()) == 0L) System.err.print("") // keep sinks observable
     (st, mt)
   }
 
@@ -187,7 +191,13 @@ object Bench {
     catch { case _: Throwable => () }
     val liveTimer = timer.filter { t =>
       val warm = t.time(names.head)
-      warm.isDefined || { System.err.println("[bench] oracle timer failed warm-up; engine-only"); false }
+      warm.isDefined || {
+        System.err.println("[bench] oracle timer failed warm-up; engine-only")
+        // close the rejected timer here: nothing else holds a reference, and
+        // a leaked serve process would keep its DuckDB views open all run
+        t.close()
+        false
+      }
     }
 
     // Per-query interleaved A/B/A/B: (engine, duck) × 3, best-of-3 each.

@@ -30,6 +30,30 @@ object Probe {
       }
     } catch { case scala.util.control.NonFatal(_) => Thread.sleep(2000) }
 
+  /** Build fingerprint stamped next to every rung query output (r16 ADVICE:
+    * with GRAFT_SF10_ONLY / GRAFT_SF100LLM_ONLY a partial rerun accumulates
+    * into a persistent /tmp outDir, and check.py would otherwise grade an
+    * OLDER build's leftover parquet as if it were HEAD). The stamp is the
+    * compiled Probe class's mtime — it changes on every rebuild, including
+    * dirty-tree ones where a git SHA would not — and check.py exits 1 when
+    * the graded query dirs carry MIXED stamps. */
+  private lazy val buildStamp: String =
+    try {
+      val loc  = getClass.getProtectionDomain.getCodeSource.getLocation.toURI
+      val base = java.nio.file.Paths.get(loc)
+      val cls  = base.resolve("graft/Probe$.class")
+      val f    = if (java.nio.file.Files.exists(cls)) cls else base
+      s"probe-mtime:${java.nio.file.Files.getLastModifiedTime(f).toMillis}"
+    } catch { case scala.util.control.NonFatal(_) => "probe-mtime:unknown" }
+
+  /** Write one query's rung output plus its build stamp (all eight sf1/sf10/
+    * sf100 materialization sites route through here). */
+  private def writeRung(df: org.apache.spark.sql.DataFrame, outDir: String, n: String): Unit = {
+    df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/$n/_GRAFT_STAMP"), buildStamp)
+  }
+
   /** The `scalecur` synthetic growing-vocabulary corpus: ~40 distinct
     * all-alpha md5-derived tokens per doc (digits translated to letters so
     * every token passes the BPE learner's [a-z]+ gate). `tokLen` defaults
@@ -1838,8 +1862,7 @@ object Probe {
       println(s"[sf1] synthetic slice at $sf1Dir: lineitem=$nLi events=$nEv documents=$nDoc rows")
       sf1Set.foreach { n =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(n)(spark, sf1Dir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$n")
+        writeRung(SparkEntry.queries(n)(spark, sf1Dir), outDir, n)
         println(f"[sf1] $n%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
       val json = sf1Set
@@ -1920,8 +1943,7 @@ object Probe {
       println(s"[sf1] curation slice at $curDir: documents=$nDocC embeddings=$nEmbC rows")
       curSet.foreach { n =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(n)(spark, curDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$curOut/$n")
+        writeRung(SparkEntry.queries(n)(spark, curDir), curOut, n)
         println(f"[sf1] $n%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
       val jsonCur = curSet
@@ -1993,8 +2015,7 @@ object Probe {
       println(s"[sf10] synthetic slice at $dir: lineitem=$nLi events=$nEv rows")
       set.filter(only).foreach { n =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(n)(spark, dir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$n")
+        writeRung(SparkEntry.queries(n)(spark, dir), outDir, n)
         println(f"[sf10] $n%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
       val json = set
@@ -2043,8 +2064,7 @@ object Probe {
       println(s"[sf10] dedup slice at $ddDir: documents=${spark.read.parquet(s"$ddDir/documents.parquet").count()} rows")
       ddSet.filter(only).foreach { n =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(n)(spark, ddDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$ddOut/$n")
+        writeRung(SparkEntry.queries(n)(spark, ddDir), ddOut, n)
         println(f"[sf10] $n%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
       if (ddSet.exists(only)) Files.writeString(
@@ -2096,8 +2116,7 @@ object Probe {
       )
       curSet.filter(only).foreach { n =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(n)(spark, curDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$curOut/$n")
+        writeRung(SparkEntry.queries(n)(spark, curDir), curOut, n)
         println(f"[sf10] $n%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
       if (curSet.exists(only)) Files.writeString(
@@ -2171,7 +2190,7 @@ object Probe {
         "q171_adaptive_containment_pairs", // r14: the dispatcher judged at rung scale
         "q172_substring_spans", // r15: windows never match cross-replica (salted tokens) → blocked replay sound
         "q173_span_removal", // r16: span removal — same argument (survivor election partitions by replica-local wtext)
-        "q174_substring_decontamination" // r16: derived bench ids stay in-stride (+4M/+5M), windows replica-local
+        "q174_substring_decontamination" // r16: derived bench ids stay replica-separable (2·doc_id+parity), windows replica-local
       )
       val ddSet = ddAll.filter(only)
       if (ddSet.nonEmpty) {
@@ -2195,8 +2214,7 @@ object Probe {
       }
       ddSet.foreach { n =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(n)(spark, ddDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$ddOut/$n")
+        writeRung(SparkEntry.queries(n)(spark, ddDir), ddOut, n)
         println(f"[sf100llm] $n%-32s ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
       // json always carries the FULL set's oracles: a filtered
@@ -2266,8 +2284,7 @@ object Probe {
         spark.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum"))
       curSet.foreach { n =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(n)(spark, curDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$curOut/$n")
+        writeRung(SparkEntry.queries(n)(spark, curDir), curOut, n)
         println(f"[sf100llm] $n%-32s ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
       Files.writeString(
@@ -2340,8 +2357,7 @@ object Probe {
         spark.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum"))
       set.foreach { n =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(n)(spark, dir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$n")
+        writeRung(SparkEntry.queries(n)(spark, dir), outDir, n)
         println(f"[sf100] $n%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
       Files.writeString(

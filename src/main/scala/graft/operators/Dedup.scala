@@ -1074,55 +1074,84 @@ object Dedup {
     (toks, verified)
   }
 
-  /** Declared query (q174): substring BENCHMARK decontamination — the
-    * published test-set-overlap protocol (GPT-3 appendix C / Lee et al.
-    * 2021 §6.2): a benchmark example is CONTAMINATED when any of its
-    * L-token windows occurs verbatim anywhere in the training corpus, and
-    * the deliverable is the per-example verdict the eval harness uses to
-    * drop examples. Complements q135, which flags TRAINING docs by 3-gram
-    * shingle-hash overlap against an eval set — q174 answers the opposite
-    * question (which BENCHMARK examples are burned?) at exact-window
-    * granularity with exact-TEXT verification (the q172 discipline: the
-    * md5 anchor only bounds the candidate set).
+  /** The decontamination probe dispatcher's absolute budget: past this many
+    * benchmark windows the broadcast probe is unsafe regardless of corpus
+    * size (the r16 5M-rung experiment OOM'd the driver building an ~84M-row
+    * window broadcast at the default 8 GB heap; 2e6 text-carrying window
+    * rows is ~0.3 GB — a ~40× margin). */
+  private[graft] val BenchWindowBudget = 2.0e6
+
+  /** The dispatcher's RELATIVE term: a benchmark whose window mass exceeds
+    * this fraction of the (sampled) corpus window mass scales WITH the
+    * corpus — it is not "a bounded eval suite", and shuffle-hash is the
+    * scale-right probe even where the absolute budget would technically
+    * admit a broadcast (the fixture corpus-derived benchmark sits at ~9% of
+    * corpus windows at every SF; real bounded benchmarks probe a corpus
+    * orders of magnitude larger than themselves). */
+  private[graft] val BenchCorpusFrac = 0.01
+
+  /** The decontamination dispatch record — both measured terms and the
+    * pick, printed as one `[dedup-dispatch]` line (the q170/q171 cost-record
+    * discipline) so threshold moves stay diffable against logged corners. */
+  private[graft] final case class DecontamDecision(benchWins: Long, estCorpusWins: Double) {
+    def pick: String =
+      if (benchWins <= BenchWindowBudget && benchWins <= BenchCorpusFrac * estCorpusWins)
+        "broadcast"
+      else "shuffle_hash"
+    override def toString: String =
+      f"[dedup-dispatch] kind=decontam benchWins=$benchWins%d (budget $BenchWindowBudget%.1e) " +
+        f"estCorpusWins=$estCorpusWins%.3e (frac cutoff $BenchCorpusFrac) pick=$pick"
+  }
+
+  /** Measure the two decontamination dispatch terms: the benchmark's EXACT
+    * window count (one aggregation over the benchmark side only — never the
+    * corpus) and the corpus window mass estimated from the deterministic
+    * 1/16 doc-id-hash sample (the q170/q171 sampling discipline: one narrow
+    * aggregate over ~6% of the corpus, one scalar of driver state). */
+  private[graft] def decontamDecision(train: DataFrame, bench: DataFrame, L: Int = 15): DecontamDecision = {
+    import train.sparkSession.implicits._
+    val bw = bench
+      .agg(sum(greatest(size(tokens($"text")) - (L - 1), lit(0)).cast("long")))
+      .head()
+    val cw = train
+      .filter(pmod(xxhash64($"doc_id"), lit(16)) === 0)
+      .agg(sum(greatest(size(tokens($"text")) - (L - 1), lit(0)).cast("long")))
+      .head()
+    val d = DecontamDecision(
+      if (bw.isNullAt(0)) 0L else bw.getLong(0),
+      16.0 * (if (cw.isNullAt(0)) 0L else cw.getLong(0))
+    )
+    println(d)
+    d
+  }
+
+  /** Which physical probe plan decontamination will take — exposed for the
+    * DedupSimilaritySpec two-corner decision test. */
+  private[graft] def chooseDecontamPlan(train: DataFrame, bench: DataFrame): String =
+    decontamDecision(train, bench).pick
+
+  /** Decontamination verdict core, parameterized on the probe plan. Both
+    * branches compute the IDENTICAL result (same logical pipeline, same
+    * final sort) — the dispatch can only change the runtime:
     *
-    * Fixture benchmark (derived, so the oracle replays it): doc_id %11==4
-    * → the doc's middle-third excerpt under +4M ids (contaminated by
-    * construction when ≥ L tokens); doc_id %13==6 → the doc's tokens
-    * REVERSED under +5M ids (clean — reversed windows don't occur
-    * forward; any accidental hit is computed identically by both engines).
-    *
-    * Scale shape (100 TB): a REAL benchmark is bounded and its window set
-    * would broadcast (the q135/incremental-dedup discipline) — but the
-    * FIXTURE benchmark derives from the corpus (%11/%13), so it grows
-    * linearly and the first 5M-doc rung run proved the broadcast shape
-    * dies there (driver OOM building an ~84M-row window broadcast). The
-    * declared plan therefore hints every benchmark-side join
-    * shuffle-hash: scale-safe at ANY benchmark size, and measured FASTER
-    * than the broadcast plan at fixture scale anyway (the r16 q172 hint
-    * A/B — driver collect+rebroadcast loses to a 32-partition exchange).
-    * Training window TEXT is still re-materialized only for hash-hit
-    * positions (contamination-proportional, the q172 argument); the
-    * corpus-wide exchange carries slim (doc_id, pos, md5) anchors only. */
-  def substringDecontamination(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val L = 15
-    val train = Tables.documents(spark, sfDir).select($"doc_id", $"text")
-    val benchC = train
-      .filter($"doc_id" % 11 === 4)
-      .select(
-        ($"doc_id" + 4000000L).as("bench_id"),
-        expr(
-          "concat_ws(' ', slice(split(text, ' '), size(split(text, ' ')) div 3 + 1, " +
-            "greatest((size(split(text, ' ')) + 1) div 3, 1)))"
-        ).as("text")
-      )
-    val benchR = train
-      .filter($"doc_id" % 13 === 6)
-      .select(
-        ($"doc_id" + 5000000L).as("bench_id"),
-        expr("concat_ws(' ', reverse(split(text, ' ')))").as("text")
-      )
-    val bench = benchC.unionByName(benchR)
+    *   - `shuffle_hash`: every benchmark-side join is a hash exchange —
+    *     scale-safe at ANY benchmark size (the branch the corpus-derived
+    *     fixture takes; its broadcast shape measurably died at the 5M-doc
+    *     rung), and measured faster at fixture scale too (r16 hint A/B).
+    *   - `broadcast`: the bounded-benchmark 100 TB shape (the
+    *     q135/incremental-dedup discipline, Dedup :837/:430): the distinct
+    *     window-hash set and the text-carrying window set both broadcast,
+    *     so the corpus side ships NOTHING — no repartition, no exchange; it
+    *     is scanned map-side against the broadcast probe. The one
+    *     candidate-side join (re-materializing hash-hit window text) is
+    *     left unhinted: AQE sees the runtime candidate count
+    *     (contamination-proportional) and picks broadcast when it is small
+    *     — the corpus still never shuffles in that case.
+    */
+  private[graft] def decontamVerdicts(
+      train: DataFrame, bench: DataFrame, plan: String, L: Int = 15): DataFrame = {
+    import train.sparkSession.implicits._
+    val bcast = plan == "broadcast"
     def winsOf(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       transform(
         // NB sequence(1, 0) DESCENDS in Spark — callers must pre-filter
@@ -1137,8 +1166,12 @@ object Dedup {
       .select($"bench_id", explode(winsOf($"toks")).as("w"))
       .select($"bench_id", $"w.pos".as("bpos"), $"w.wtext".as("bwtext"), md5($"w.wtext").as("h"))
     val bHashes = bwins.select($"h").distinct()
+    // training tokens: under the broadcast probe the corpus is NEVER
+    // exchanged (map-side scan both passes); under shuffle-hash one
+    // repartition(doc_id) pre-satisfies the candidate re-join
+    val ttoks0 = train.select($"doc_id", tokens($"text").as("toks"))
+    val ttoks  = if (bcast) ttoks0 else train.repartition($"doc_id").select($"doc_id", tokens($"text").as("toks"))
     // training windows: slim (doc_id, pos, h) anchors, the corpus-wide pass
-    val ttoks = train.repartition($"doc_id").select($"doc_id", tokens($"text").as("toks"))
     val twins = ttoks
       .filter(size($"toks") >= L)
       .select(
@@ -1151,19 +1184,28 @@ object Dedup {
         ).as(Seq("p0", "h"))
       )
       .select($"doc_id", ($"p0" + 1).as("pos"), $"h")
-    // anchor probe: equi-join on the md5 anchor, shuffle-hash hinted —
-    // the fixture benchmark scales with the corpus, so broadcasting it is
-    // exactly the shape that died at the 5M rung
-    val cand = twins.hint("shuffle_hash").join(bHashes.hint("shuffle_hash"), "h")
-      .select($"doc_id", $"pos")
+    // anchor probe on the md5 anchor
+    val cand =
+      if (bcast) twins.join(broadcast(bHashes), "h").select($"doc_id", $"pos")
+      else
+        twins.hint("shuffle_hash").join(bHashes.hint("shuffle_hash"), "h")
+          .select($"doc_id", $"pos")
     // exact verify: re-materialize ONLY candidate training windows' text
-    val candTxt = cand.hint("shuffle_hash")
-      .join(ttoks.hint("shuffle_hash"), "doc_id")
-      .select(concat_ws(" ", expr(s"slice(toks, pos, $L)")).as("twtext"))
-    val hits = candTxt.hint("shuffle_hash")
-      .join(bwins.hint("shuffle_hash"), $"twtext" === $"bwtext")
-      .select($"bench_id", $"bpos")
-      .distinct()
+    val candTxt =
+      if (bcast)
+        ttoks.join(cand, "doc_id")
+          .select(concat_ws(" ", expr(s"slice(toks, pos, $L)")).as("twtext"))
+      else
+        cand.hint("shuffle_hash")
+          .join(ttoks.hint("shuffle_hash"), "doc_id")
+          .select(concat_ws(" ", expr(s"slice(toks, pos, $L)")).as("twtext"))
+    val hits =
+      (if (bcast) candTxt.join(broadcast(bwins), $"twtext" === $"bwtext")
+       else
+         candTxt.hint("shuffle_hash")
+           .join(bwins.hint("shuffle_hash"), $"twtext" === $"bwtext"))
+        .select($"bench_id", $"bpos")
+        .distinct()
     val stats = hits.groupBy($"bench_id").agg(count(lit(1)).as("n_contam_windows"))
     btoks
       .select($"bench_id", greatest(size($"toks") - (L - 1), lit(0)).cast("long").as("n_windows"))
@@ -1177,6 +1219,90 @@ object Dedup {
           .as("verdict")
       )
       .orderBy($"bench_id")
+  }
+
+  /** The q174 fixture benchmark (derived from the corpus, so the oracle
+    * replays it): doc_id %11==4 → the doc's middle-third excerpt under
+    * bench_id = 2·doc_id (contaminated by construction when ≥ L tokens);
+    * doc_id %13==6 → the doc's tokens REVERSED under bench_id = 2·doc_id+1
+    * (clean — reversed windows don't occur forward; any accidental hit is
+    * computed identically by both engines). The two families live on
+    * disjoint PARITIES of bench_id — collision-free and totally ordered for
+    * ANY doc_id range (r16 ADVICE: the old +4M/+5M additive offsets
+    * collided whenever some d1 = d2 + 1M existed, and were safe only
+    * because the slice doc_id bands happened to be <1M wide), and still
+    * replica-separable in-stride at the sf10/sf100 rungs (2× the stripe). */
+  private[graft] def fixtureBench(train: DataFrame): DataFrame = {
+    import train.sparkSession.implicits._
+    val benchC = train
+      .filter($"doc_id" % 11 === 4)
+      .select(
+        ($"doc_id" * 2L).as("bench_id"),
+        expr(
+          "concat_ws(' ', slice(split(text, ' '), size(split(text, ' ')) div 3 + 1, " +
+            "greatest((size(split(text, ' ')) + 1) div 3, 1)))"
+        ).as("text")
+      )
+    val benchR = train
+      .filter($"doc_id" % 13 === 6)
+      .select(
+        ($"doc_id" * 2L + 1L).as("bench_id"),
+        expr("concat_ws(' ', reverse(split(text, ' ')))").as("text")
+      )
+    benchC.unionByName(benchR)
+  }
+
+  /** Declared query (q174): substring BENCHMARK decontamination — the
+    * published test-set-overlap protocol (GPT-3 appendix C / Lee et al.
+    * 2021 §6.2): a benchmark example is CONTAMINATED when any of its
+    * L-token windows occurs verbatim anywhere in the training corpus, and
+    * the deliverable is the per-example verdict the eval harness uses to
+    * drop examples. Complements q135, which flags TRAINING docs by 3-gram
+    * shingle-hash overlap against an eval set — q174 answers the opposite
+    * question (which BENCHMARK examples are burned?) at exact-window
+    * granularity with exact-TEXT verification (the q172 discipline: the
+    * md5 anchor only bounds the candidate set).
+    *
+    * Scale shape (100 TB): DISPATCHED on the measured benchmark size
+    * ([[decontamDecision]], the q170/q171 machinery — r16 verdict task 1).
+    * The fixture benchmark derives from the corpus (%11/%13), so it grows
+    * linearly: the dispatcher's relative term reads it at ~9% of corpus
+    * window mass at every SF and picks shuffle-hash — the branch whose
+    * broadcast alternative measurably died at the 5M-doc rung (driver OOM
+    * on an ~84M-row window broadcast). A REAL bounded benchmark (the q175
+    * fixture) dispatches to the broadcast probe, where the 100 TB corpus
+    * ships nothing at all. Both branches are the same logical pipeline, so
+    * the choice can never change the answer — only the runtime. */
+  def substringDecontamination(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val train = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val bench = fixtureBench(train)
+    decontamVerdicts(train, bench, chooseDecontamPlan(train, bench))
+  }
+
+  /** Declared query (q175): decontamination against a BOUNDED benchmark —
+    * the production shape (hundreds-to-thousands of eval examples probing a
+    * corpus orders of magnitude larger). Fixture benchmark: doc_id %97==3 →
+    * the doc's middle-third excerpt under bench_id = doc_id (~1% of docs,
+    * ~0.3% of corpus window mass — comfortably inside both dispatch terms
+    * at every SF, so this query exercises the BROADCAST branch of
+    * [[decontamVerdicts]] end-to-end under its own full DuckDB oracle: the
+    * corpus side plans NO exchange; the benchmark window set broadcasts).
+    * Same verdict semantics as q174; only the benchmark — and therefore
+    * the dispatched plan — differs. */
+  def decontamBoundedBench(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val train = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val bench = train
+      .filter($"doc_id" % 97 === 3)
+      .select(
+        $"doc_id".as("bench_id"),
+        expr(
+          "concat_ws(' ', slice(split(text, ' '), size(split(text, ' ')) div 3 + 1, " +
+            "greatest((size(split(text, ' ')) + 1) div 3, 1)))"
+        ).as("text")
+      )
+    decontamVerdicts(train, bench, chooseDecontamPlan(train, bench))
   }
 
   /** Declared query (q173): duplicated-substring span REMOVAL — the

@@ -2026,14 +2026,14 @@ object Registry {
       Some("""
         WITH train AS (SELECT doc_id, text FROM documents),
         benchc AS (
-          SELECT doc_id + 4000000 AS bench_id,
+          SELECT doc_id * 2 AS bench_id,
                  array_to_string(list_slice(string_split(text, ' '),
                    len(string_split(text, ' ')) // 3 + 1,
                    len(string_split(text, ' ')) // 3
                      + greatest((len(string_split(text, ' ')) + 1) // 3, 1)), ' ') AS text
           FROM train WHERE doc_id % 11 = 4
         ), benchr AS (
-          SELECT doc_id + 5000000 AS bench_id,
+          SELECT doc_id * 2 + 1 AS bench_id,
                  array_to_string(list_transform(
                    range(len(string_split(text, ' ')), 0, -1),
                    i -> string_split(text, ' ')[i]), ' ') AS text
@@ -2041,6 +2041,50 @@ object Registry {
         ), btk AS (
           SELECT bench_id, string_split(text, ' ') AS toks
           FROM (SELECT * FROM benchc UNION ALL SELECT * FROM benchr)
+        ), ttk AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM train
+        ), tw AS (
+          SELECT array_to_string(list_slice(toks, i.i, i.i + 14), ' ') AS twtext
+          FROM ttk, (SELECT unnest(range(1, len(toks) - 13)) AS i) i
+          WHERE len(toks) >= 15
+        ), bw AS (
+          SELECT bench_id, i.i AS bpos,
+                 array_to_string(list_slice(toks, i.i, i.i + 14), ' ') AS bwtext
+          FROM btk, (SELECT unnest(range(1, len(toks) - 13)) AS i) i
+          WHERE len(toks) >= 15
+        ), hits AS (
+          SELECT DISTINCT b.bench_id, b.bpos FROM bw b JOIN tw t ON t.twtext = b.bwtext
+        ), stats AS (
+          SELECT bench_id, COUNT(*) AS n_contam_windows FROM hits GROUP BY bench_id
+        )
+        SELECT btk.bench_id,
+               CAST(greatest(len(btk.toks) - 14, 0) AS BIGINT) AS n_windows,
+               COALESCE(s.n_contam_windows, 0) AS n_contam_windows,
+               CASE WHEN COALESCE(s.n_contam_windows, 0) > 0
+                    THEN 'contaminated' ELSE 'clean' END AS verdict
+        FROM btk LEFT JOIN stats s ON btk.bench_id = s.bench_id
+        ORDER BY btk.bench_id
+      """)
+    ),
+    // Decontamination against a BOUNDED benchmark (the production shape):
+    // ~1% of docs' middle-third excerpts under bench_id = doc_id — the
+    // dispatcher's measured terms both admit the broadcast probe, so this
+    // query grades decontamVerdicts' BROADCAST branch end-to-end (corpus
+    // side plans no exchange). Same window-texts oracle discipline as q174.
+    Q(
+      "q175_decontam_bounded_bench",
+      Dedup.decontamBoundedBench,
+      Some("""
+        WITH train AS (SELECT doc_id, text FROM documents),
+        bench AS (
+          SELECT doc_id AS bench_id,
+                 array_to_string(list_slice(string_split(text, ' '),
+                   len(string_split(text, ' ')) // 3 + 1,
+                   len(string_split(text, ' ')) // 3
+                     + greatest((len(string_split(text, ' ')) + 1) // 3, 1)), ' ') AS text
+          FROM train WHERE doc_id % 97 = 3
+        ), btk AS (
+          SELECT bench_id, string_split(text, ' ') AS toks FROM bench
         ), ttk AS (
           SELECT doc_id, string_split(text, ' ') AS toks FROM train
         ), tw AS (

@@ -81,11 +81,18 @@ class CorpusPlanSweepSpec extends SparkSpec {
     // decontamination broadcasts the exploded EVAL side — eval suites are
     // small by nature; broadcasting them IS the 100 TB plan (Dedup :311)
     "q86_decontaminate" -> Set("broadcast of an exploded (unbounded) relation"),
-    // (q174 needs no exemption: its first 5M-rung run REFUTED the
-    // bounded-benchmark broadcast assumption — the fixture benchmark is
-    // corpus-proportional and the broadcast OOM'd — so every
-    // benchmark-side join is shuffle-hash hinted instead; the sweep
-    // seeing no broadcast there is the regression guard)
+    // (q174 needs no exemption: its fixture benchmark is corpus-
+    // proportional, so the r17 size dispatcher picks the shuffle-hash
+    // branch — the broadcast shape OOM'd at the 5M rung — and the sweep
+    // seeing no broadcast there remains the regression guard; the
+    // two-corner dispatch test in DedupSimilaritySpec pins the decision)
+    // bounded-benchmark decontamination: the dispatcher's MEASURED terms
+    // (≤2e6 windows AND ≤1% of sampled corpus window mass) admit the
+    // broadcast probe, and the broadcast window set is an exploded bench
+    // side — bounded by the decision that selected this branch
+    "q175_decontam_bounded_bench" -> Set(
+      "broadcast of an exploded (unbounded) relation"
+    ),
     // training pipeline composes decontaminate, same eval-side broadcast
     "q95_training_pipeline" -> Set("broadcast of an exploded (unbounded) relation"),
     // incremental ingest broadcasts the exploded NEW batch (bounded by

@@ -504,18 +504,70 @@ class DedupSimilaritySpec extends SparkSpec {
     val nBench = d.filter($"doc_id" % 11 === 4).count() + d.filter($"doc_id" % 13 === 6).count()
     assert(out.count() === nBench, "one verdict row per benchmark example")
     // every middle-third excerpt with at least one window is contaminated —
-    // its windows occur verbatim in the source doc
-    val burnt = out.filter($"bench_id" >= 4000000L && $"bench_id" < 5000000L && $"n_windows" > 0)
+    // its windows occur verbatim in the source doc (excerpt family = EVEN
+    // bench_ids: bench_id = 2·doc_id; reversed family = odd, 2·doc_id+1)
+    val burnt = out.filter(pmod($"bench_id", lit(2)) === 0 && $"n_windows" > 0)
     assert(burnt.filter($"verdict" =!= "contaminated").count() === 0, "every windowed excerpt burns")
     // ...and a contaminated excerpt's every window hits (the whole excerpt
     // is a training substring): n_contam_windows == n_windows there
     assert(burnt.filter($"n_contam_windows" =!= $"n_windows").count() === 0)
     // reversed items never occur forward on this corpus
-    val rev = out.filter($"bench_id" >= 5000000L)
+    val rev = out.filter(pmod($"bench_id", lit(2)) === 1)
     assert(rev.filter($"verdict" =!= "clean").count() === 0, "reversed items stay clean")
     // zero-window items (short excerpts) are clean by definition
     assert(out.filter($"n_windows" === 0 && $"verdict" =!= "clean").count() === 0)
     assert(out.filter($"n_contam_windows" > $"n_windows").count() === 0, "contaminated ≤ total windows")
     out.unpersist()
+  }
+
+  test("decontam dispatcher: corpus-derived bench -> shuffle_hash, bounded bench -> broadcast") {
+    import spark.implicits._
+    val train = Tables.documents(spark, sf).select($"doc_id", $"text")
+    // corner 1: the q174 fixture benchmark derives from the corpus (~9% of
+    // its window mass) — the relative term must force shuffle-hash even
+    // though the absolute window count is tiny at fixture scale (this is
+    // the 5M-rung OOM lesson encoded as a decision, not a constant)
+    val derived = graft.operators.Dedup.fixtureBench(train)
+    assert(graft.operators.Dedup.chooseDecontamPlan(train, derived) === "shuffle_hash")
+    // corner 2: a bounded benchmark (the q175 fixture, ~0.3% of corpus
+    // windows) admits the broadcast probe — the corpus ships nothing
+    val bounded = train
+      .filter($"doc_id" % 97 === 3)
+      .select(
+        $"doc_id".as("bench_id"),
+        expr(
+          "concat_ws(' ', slice(split(text, ' '), size(split(text, ' ')) div 3 + 1, " +
+            "greatest((size(split(text, ' ')) + 1) div 3, 1)))"
+        ).as("text")
+      )
+    assert(graft.operators.Dedup.chooseDecontamPlan(train, bounded) === "broadcast")
+    // the absolute budget overrides the relative term: a "bounded" bench
+    // whose measured window count exceeds the broadcast-safe budget must
+    // fall back to shuffle-hash regardless of the corpus ratio
+    val overBudget = graft.operators.Dedup.DecontamDecision(
+      benchWins = (graft.operators.Dedup.BenchWindowBudget + 1).toLong,
+      estCorpusWins = 1e12)
+    assert(overBudget.pick === "shuffle_hash")
+  }
+
+  test("decontam verdicts are branch-invisible: broadcast and shuffle_hash hash-identical") {
+    import spark.implicits._
+    val train = Tables.documents(spark, sf).select($"doc_id", $"text")
+    // both fixture benchmarks, both branches: 2x2, all four result sets
+    // must agree row-for-row (the dispatch can only change the runtime)
+    for (bench <- Seq(
+        graft.operators.Dedup.fixtureBench(train),
+        train.filter($"doc_id" % 97 === 3).select(
+          $"doc_id".as("bench_id"),
+          expr(
+            "concat_ws(' ', slice(split(text, ' '), size(split(text, ' ')) div 3 + 1, " +
+              "greatest((size(split(text, ' ')) + 1) div 3, 1)))"
+          ).as("text"))
+      )) {
+      val b  = graft.operators.Dedup.decontamVerdicts(train, bench, "broadcast").collect().toSeq
+      val sh = graft.operators.Dedup.decontamVerdicts(train, bench, "shuffle_hash").collect().toSeq
+      assert(b === sh, "probe branches must be result-identical")
+      assert(b.nonEmpty)
+    }
   }
 }

@@ -57,6 +57,23 @@ def main():
     if unmatched:
         print(f"ERROR: --skip names no oracle query: {sorted(unmatched)}")
         sys.exit(2)
+    # Build-stamp coherence (r16 ADVICE): Probe stamps every rung query dir
+    # with the compiled build's fingerprint. With GRAFT_SF10_ONLY-style
+    # partial reruns accumulating into a persistent outDir, MIXED stamps mean
+    # some graded parquet came from an OLDER build — fail loudly instead of
+    # certifying a set no single build produced.
+    stamps = {}
+    for d in sorted(os.listdir(out_dir)):
+        sp = f"{out_dir}/{d}/_GRAFT_STAMP"
+        if os.path.isdir(f"{out_dir}/{d}"):
+            stamps[d] = open(sp).read().strip() if os.path.exists(sp) else "unstamped"
+    if len(set(stamps.values())) > 1:
+        print(f"ERROR: mixed build stamps across graded query dirs: "
+              f"{sorted(set(stamps.values()))}")
+        for d, s in sorted(stamps.items()):
+            print(f"  {d}: {s}")
+        print("rerun the full set with one build (or clear the outDir)")
+        sys.exit(2)
     n_pass = n_fail = 0
     for name in sorted(oracle):
         if name in skip:
