@@ -1920,7 +1920,13 @@ object Probe {
         // rungs test the opposite, duplication-sparse end)
         "q172_substring_spans",
         "q173_span_removal",
-        "q174_substring_decontamination"
+        "q174_substring_decontamination",
+        // r17: the bounded-benchmark broadcast probe and the v2 capstone
+        // (funnel + span removal + decontamination + release write) under
+        // the same max-duplication regime — every stitched run's windows
+        // repeat 10×, so the surgery and the probe see the dense end
+        "q175_decontam_bounded_bench",
+        "q176_corpus_release_v2"
       )
       Files.createDirectories(Paths.get(curDir))
       replicate(Tables.documents(spark, sfDir), "doc_id")
@@ -2087,7 +2093,13 @@ object Probe {
         "q153_ivf_full_probe",
         "q156_ivf_pq_topk",
         "q157_quality_classifier",
-        "q161_ivf_pq_trained_topk"
+        "q161_ivf_pq_trained_topk",
+        // r17: the bounded-bench broadcast probe (5.2k bench docs against
+        // the 500k-doc corpus — the production shape) and the v2 release
+        // capstone; both one-shot replayable (exact dedup collapses the
+        // unsalted 100× corpus before the window-heavy stages)
+        "q175_decontam_bounded_bench",
+        "q176_corpus_release_v2"
       )
       Files.createDirectories(Paths.get(curDir))
       if (freshDir(s"$curDir/documents.parquet"))

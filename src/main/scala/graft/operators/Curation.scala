@@ -429,10 +429,15 @@ object Curation {
     * an alphabetic character, and >= 2 stopword hits. Pure per-row maps —
     * codegen'd, no shuffle besides the presentation sort, linear at any
     * scale. `pass_gopher` is the conjunction a filter stage would keep. */
-  def gopherQuality(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    Tables
-      .spread(Tables.documents(spark, sfDir))
+  def gopherQuality(spark: SparkSession, sfDir: String): DataFrame =
+    gopherQualityOf(Tables.spread(Tables.documents(spark, sfDir)))
+
+  /** The Gopher flags over any (doc_id, text) relation — the declared query
+    * binds the fixture corpus; the q176 capstone binds its stitch-augmented
+    * raw corpus. */
+  private[graft] def gopherQualityOf(docsIn: DataFrame): DataFrame = {
+    import docsIn.sparkSession.implicits._
+    docsIn
       .withColumn("toks", tokens($"text"))
       .withColumn("n_words", size($"toks"))
       .withColumn(
@@ -482,10 +487,16 @@ object Curation {
     * is one exploded-token pass against the two bounded broadcast tables +
     * one per-doc re-aggregation; per-token log-probs snap to the 1e6 grid
     * and sum as LONG, so the weight is order-free and engine-replayable. */
-  def importanceWeights(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val docs = Tables.spread(Tables.documents(spark, sfDir))
-    val tok  = docs.select($"doc_id", explode(tokens($"text")).as("token"))
+  def importanceWeights(spark: SparkSession, sfDir: String): DataFrame =
+    importanceWeightsOf(Tables.spread(Tables.documents(spark, sfDir)))
+
+  /** DSIR weights over any (doc_id, source, text) relation — the declared
+    * query binds the fixture corpus; the q176 capstone binds its
+    * stitch-augmented raw corpus (both unigram models then see the stitch
+    * artifacts, exactly as a crawl-wide model would). */
+  private[graft] def importanceWeightsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val tok = docs.select($"doc_id", explode(tokens($"text")).as("token"))
 
     // (lp table bounded to lmK rows, OOV floor) for a token stream
     def model(t: DataFrame, name: String): (DataFrame, Long) = {
@@ -813,6 +824,171 @@ object Curation {
         coalesce($"n_train", lit(0L)).as("n_train"),
         coalesce($"n_val", lit(0L)).as("n_val"),
         coalesce($"n_test", lit(0L)).as("n_test")
+      )
+      .orderBy($"source")
+  }
+
+  /** Capstone corpus-release V2 (q176) — the WHOLE published LLM-curation
+    * pipeline in one Catalyst plan (r16 verdict task 2): q152's chain with
+    * the substring family composed in after doc-level dedup:
+    *
+    *   raw → Gopher quality gate → DSIR positive-importance selection →
+    *   EXACT dedup (md5 min-id) → NEAR-DUP gate (LSH band smaller-partner)
+    *   → SUBSTRING SPAN REMOVAL over the survivors (Lee et al. 2021's
+    *   cleaned-corpus deliverable, the q173 machinery: every duplicated
+    *   ≥L-token region cut, one canonical occurrence kept corpus-wide) →
+    *   reproducible split → PARTITIONED RELEASE WRITE of the CLEANED text
+    *   → re-read audit → BENCHMARK DECONTAMINATION VERDICTS against the
+    *   released corpus (the q174/q175 protocol: which eval examples are
+    *   still burned AFTER cleaning — probed against the re-read release
+    *   parquet, so the verdict grades the artifact a training run would
+    *   actually consume).
+    *
+    * Output: one row per source with the complete funnel provenance —
+    * n_raw → n_quality → n_import → n_exact → n_final — plus the span
+    * surgery mass (n_span_docs, toks_removed), released token/chunk/split
+    * inventory computed from the re-read parquet (the q80 discipline), and
+    * the per-source benchmark contamination tally (n_bench, n_contam; the
+    * benchmark is the q175 bounded fixture, %97 middle-third excerpts of
+    * RAW docs — examples whose source doc was filtered out or whose
+    * windows were cut by the surgery come back clean).
+    *
+    * Scale shape: every stage is an already-graded plan (q152 + q173 +
+    * q175); span removal adds only duplication-proportional exchanges over
+    * the release survivors, and the decontamination probe takes the
+    * BROADCAST branch — pinned, not dispatched, because the capstone's
+    * benchmark is the bounded fixture whose dispatch corner q175 and the
+    * DedupSimilaritySpec two-corner test already pin (a fixed pick keeps
+    * the released plan deterministic for the corpus-wide plan sweep); the
+    * released parquet is scanned map-side against the broadcast window
+    * set, shipping nothing. */
+  def corpusReleaseV2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFns.h60
+    val L    = 15
+    val base = Tables.documents(spark, sfDir).select($"doc_id", $"source", $"text")
+    // The raw input carries a deterministic STITCHED-DOC slice (doc %17==5
+    // concatenated with its successor, under +3M ids) — the aggregator-page
+    // crawl artifact span-level dedup exists for: a stitched doc passes the
+    // Gopher word-count gate (it is LONGER than its parts), passes exact
+    // dedup (unique text), and mostly passes the LSH near-dup gate (Jaccard
+    // ~0.5 against either part → band-match ~0.23), yet every window of
+    // each embedded run repeats verbatim corpus-wide — exactly the
+    // duplication class that reaches the span-removal stage and nothing
+    // earlier catches. The oracle replays the same injection.
+    val docs = base.unionByName(
+      base.as("a")
+        .join(
+          base.select(($"doc_id" - 1).as("doc_id"), $"text".as("btext")).as("b"),
+          "doc_id"
+        )
+        .filter($"doc_id" % 17 === 5)
+        .select(
+          ($"doc_id" + 3000000L).as("doc_id"),
+          $"source",
+          concat($"text", lit(" "), $"btext").as("text")
+        )
+    )
+    val quality  = gopherQualityOf(Tables.spread(docs)).select($"doc_id", $"pass_gopher")
+    val selected = importanceWeightsOf(Tables.spread(docs)).select($"doc_id", $"is_selected")
+    val staged = docs
+      .join(quality, "doc_id")
+      .join(selected, "doc_id")
+      .withColumn("keep_q", $"pass_gopher")
+      .withColumn("keep_i", $"pass_gopher" && $"is_selected")
+    val exact = staged
+      .filter($"keep_i")
+      .groupBy(md5($"text").as("content_h"))
+      .agg(min($"doc_id").as("doc_id"))
+      .join(docs, "doc_id")
+      .select($"doc_id", $"source", $"text")
+    val bands = graft.streaming.Streaming
+      .nearDupBandsBatch(exact.select($"doc_id", $"text"))
+      .repartition($"bkey")
+    val flagged = bands
+      .hint("shuffle_hash")
+      .join(bands.select($"doc_id".as("a_id"), $"bkey").hint("shuffle_hash"), "bkey")
+      .filter($"a_id" < $"doc_id")
+      .select($"doc_id")
+      .distinct()
+    val kept = exact.join(flagged, Seq("doc_id"), "left_anti")
+    // span removal over the doc-level survivors (q173 core): cut every
+    // duplicated ≥L-token region, keep the (doc_id,pos)-min occurrence
+    val (ktoks, kverified) =
+      graft.operators.Dedup.verifiedDupWindowsOf(kept.select($"doc_id", $"text"), L)
+    val cleaned = graft.operators.Dedup.spanRemovalKept(ktoks, kverified, L)
+    val release = kept
+      .select($"doc_id", $"source")
+      .join(cleaned, "doc_id")
+      .withColumn("text", concat_ws(" ", $"kept"))
+      .withColumn("n_toks", size($"kept").cast("long"))
+      .withColumn("h", h60(concat(lit("split:"), $"doc_id".cast("string"))) % 100)
+      .withColumn("split", when($"h" < 90, "train").when($"h" < 95, "val").otherwise("test"))
+      .select($"doc_id", $"source", $"text", $"n_cut_spans", $"toks_removed", $"n_toks", $"split")
+    val out = graft.sources.ParquetSink.memoFixture(spark, "corpus_release_v2", sfDir) { dir =>
+      release.repartition($"split").write.mode("overwrite").partitionBy("split").parquet(dir)
+    }
+    val relRead = spark.read.parquet(out)
+    // decontamination against the RELEASED artifact: q175's bounded fixture
+    // benchmark (raw-doc excerpts) probed into the cleaned, re-read corpus
+    val bench = docs
+      .filter($"doc_id" % 97 === 3)
+      .select(
+        $"doc_id".as("bench_id"),
+        expr(
+          "concat_ws(' ', slice(split(text, ' '), size(split(text, ' ')) div 3 + 1, " +
+            "greatest((size(split(text, ' ')) + 1) div 3, 1)))"
+        ).as("text")
+      )
+    val verdicts = graft.operators.Dedup
+      .decontamVerdicts(relRead.select($"doc_id", $"text"), bench, "broadcast", L)
+    val benchStats = verdicts
+      .join(docs.select($"doc_id".as("bench_id"), $"source"), "bench_id")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_bench"),
+        sum(($"verdict" === "contaminated").cast("long")).as("n_contam")
+      )
+    val relAgg = relRead
+      .withColumn("n_chunks", expr("(greatest(n_toks - 31, 1) - 1) div 16 + 1"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_final"),
+        sum(($"n_cut_spans" > 0).cast("long")).as("n_span_docs"),
+        sum($"toks_removed").as("toks_removed"),
+        sum($"n_toks").as("sum_toks"),
+        sum($"n_chunks").as("n_chunks"),
+        sum(($"split" === "train").cast("long")).as("n_train"),
+        sum(($"split" === "val").cast("long")).as("n_val"),
+        sum(($"split" === "test").cast("long")).as("n_test")
+      )
+    staged
+      .join(exact.select($"doc_id", lit(true).as("is_exact")), Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_raw"),
+        sum($"keep_q".cast("long")).as("n_quality"),
+        sum($"keep_i".cast("long")).as("n_import"),
+        sum(coalesce($"is_exact", lit(false)).cast("long")).as("n_exact")
+      )
+      .join(relAgg, Seq("source"), "left")
+      .join(benchStats, Seq("source"), "left")
+      .select(
+        $"source",
+        $"n_raw",
+        $"n_quality",
+        $"n_import",
+        $"n_exact",
+        coalesce($"n_final", lit(0L)).as("n_final"),
+        coalesce($"n_span_docs", lit(0L)).as("n_span_docs"),
+        coalesce($"toks_removed", lit(0L)).as("toks_removed"),
+        coalesce($"sum_toks", lit(0L)).as("sum_toks"),
+        coalesce($"n_chunks", lit(0L)).as("n_chunks"),
+        coalesce($"n_train", lit(0L)).as("n_train"),
+        coalesce($"n_val", lit(0L)).as("n_val"),
+        coalesce($"n_test", lit(0L)).as("n_test"),
+        coalesce($"n_bench", lit(0L)).as("n_bench"),
+        coalesce($"n_contam", lit(0L)).as("n_contam")
       )
       .orderBy($"source")
   }

@@ -1048,6 +1048,15 @@ object Dedup {
             .as("text")
         )
     )
+    verifiedDupWindowsOf(docs, L)
+  }
+
+  /** [[verifiedDupWindows]] over an ARBITRARY (doc_id, text) corpus — the
+    * form the q176 capstone composes (span removal over the release
+    * survivors instead of the q172 fixture corpus). Same plan, same
+    * shuffle-hash candidate discipline. */
+  private[graft] def verifiedDupWindowsOf(docs: DataFrame, L: Int): (DataFrame, DataFrame) = {
+    import docs.sparkSession.implicits._
     val toks = docs.repartition($"doc_id").select($"doc_id", tokens($"text").as("toks"))
     val wins = toks
       .filter(size($"toks") >= L)
@@ -1336,9 +1345,29 @@ object Dedup {
     * anchor stage already pays. */
   def substringSpanRemoval(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val L = 15
     val (toks, verified) = verifiedDupWindows(spark, sfDir, L)
+    spanRemovalKept(toks, verified, L)
+      .select(
+        $"doc_id",
+        $"n_cut_spans",
+        $"toks_removed",
+        size($"kept").cast("long").as("toks_kept"),
+        md5(concat_ws(" ", $"kept")).as("kept_md5")
+      )
+      .orderBy($"doc_id")
+  }
+
+  /** The q173 surgery core over prepared (toks, verified) frames: survivor
+    * election, per-doc interval merge, per-row token cut. Returns one row
+    * per doc — (doc_id, n_cut_spans, toks_removed, kept) with `kept` the
+    * post-surgery token array (untouched docs pass through whole). Shared
+    * by [[substringSpanRemoval]] (q173) and the q176 release capstone,
+    * which needs the kept TOKENS (to write the cleaned corpus), not just
+    * their hash. */
+  private[graft] def spanRemovalKept(toks: DataFrame, verified: DataFrame, L: Int): DataFrame = {
+    import toks.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
     // survivor election per duplicated window text: (doc_id, pos)-min keeps
     val wSurv = Window.partitionBy($"wtext").orderBy($"doc_id", $"pos")
     val removeWins = verified
@@ -1396,10 +1425,8 @@ object Dedup {
         $"doc_id",
         coalesce($"n_cut_spans", lit(0L)).as("n_cut_spans"),
         coalesce($"toks_removed", lit(0L)).cast("long").as("toks_removed"),
-        size($"kept").cast("long").as("toks_kept"),
-        md5(concat_ws(" ", $"kept")).as("kept_md5")
+        $"kept"
       )
-      .orderBy($"doc_id")
   }
 
   /** CDC-boundary span candidates — the cheap generator of the cost model

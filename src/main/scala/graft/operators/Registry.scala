@@ -196,9 +196,11 @@ object Registry {
   /** Shared oracle CTE chain: the q148/q152 curation funnel — Gopher
     * quality flags (gq), DSIR log-importance (si, both unigram models
     * capped at the q143 vocabulary bound), and the joined per-doc `staged`
-    * relation carrying (doc_id, source, text, keep_q, keep_i). */
-  private val funnelCtes: String = """t AS (
-          SELECT doc_id, source, text, string_split(text, ' ') AS toks FROM documents
+    * relation carrying (doc_id, source, text, keep_q, keep_i).
+    * Parameterized on the raw-corpus relation name so the q176 capstone can
+    * bind its stitch-augmented `rawdocs` CTE instead of `documents`. */
+  private def funnelCtesOver(rel: String): String = s"""t AS (
+          SELECT doc_id, source, text, string_split(text, ' ') AS toks FROM $rel
         ), m AS (
           SELECT doc_id,
                  CAST(len(toks) AS INT) AS n_words,
@@ -212,9 +214,9 @@ object Registry {
                    AND (frac_alpha >= 0.8) AND (n_stop_hits >= 2)) AS pass_gopher
           FROM m
         ), tok AS (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM $rel
         ), ttok AS (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM $rel
           WHERE source IN ('src0', 'src1')
         ), fc AS (
           SELECT token, COUNT(*) AS freq FROM tok GROUP BY token
@@ -241,8 +243,10 @@ object Registry {
         ), staged AS (
           SELECT d.doc_id, d.source, d.text, g.pass_gopher AS keep_q,
                  (g.pass_gopher AND si.imp6 > 0) AS keep_i
-          FROM documents d JOIN gq g USING (doc_id) JOIN si USING (doc_id)
+          FROM $rel d JOIN gq g USING (doc_id) JOIN si USING (doc_id)
         )"""
+
+  private val funnelCtes: String = funnelCtesOver("documents")
 
   /** The q157 oracle: the batch-perceptron rounds unrolled into chained
     * CTEs, generated from the SAME constants the engine reads
@@ -442,6 +446,167 @@ object Registry {
                CAST(COALESCE(ra.n_val, 0) AS BIGINT) AS n_val,
                CAST(COALESCE(ra.n_test, 0) AS BIGINT) AS n_test
         FROM sa LEFT JOIN ea USING (source) LEFT JOIN ra USING (source)
+        ORDER BY sa.source
+      """)
+    ),
+    // Capstone V2: the q152 release chain with the substring family
+    // composed in — span removal (q173 CTE body over the near-dup
+    // survivors) before the write, decontamination verdicts (q175 CTE
+    // body probing the CLEANED text) after it. One statement replays the
+    // whole published pipeline; the engine's release write round-trips
+    // through parquet, so a lossy write or a mis-cut span breaks the hash.
+    Q(
+      "q176_corpus_release_v2",
+      Curation.corpusReleaseV2,
+      Some(s"""
+        WITH rawdocs AS (
+          SELECT doc_id, source, text FROM documents
+          UNION ALL
+          SELECT a.doc_id + 3000000, a.source, a.text || ' ' || b.text
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+          WHERE a.doc_id % 17 = 5
+        ),
+        ${funnelCtesOver("rawdocs")},
+        ex AS (SELECT MIN(doc_id) AS doc_id FROM staged WHERE keep_i GROUP BY md5(text)),
+        corpus AS (SELECT d.doc_id, d.text FROM rawdocs d JOIN ex USING (doc_id)),
+        $bandCtes,
+        fl AS (
+          SELECT DISTINCT b.doc_id
+          FROM bands b JOIN bands a ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        kept AS (
+          SELECT d.doc_id, d.source, d.text
+          FROM rawdocs d JOIN ex USING (doc_id)
+          WHERE d.doc_id NOT IN (SELECT doc_id FROM fl)
+        ),
+        ktk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM kept),
+        kwins AS (
+          SELECT doc_id, i.i AS pos,
+                 array_to_string(list_slice(toks, i.i, i.i + 14), ' ') AS wtext
+          FROM ktk, (SELECT unnest(range(1, len(toks) - 13)) AS i) i
+          WHERE len(toks) >= 15
+        ),
+        kdup AS (SELECT wtext FROM kwins GROUP BY wtext HAVING count(*) >= 2),
+        kv AS (SELECT w.doc_id, w.pos, w.wtext FROM kwins w JOIN kdup USING (wtext)),
+        krmv AS (
+          SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   ROW_NUMBER() OVER (PARTITION BY wtext ORDER BY doc_id, pos) AS rn
+            FROM kv
+          ) WHERE rn > 1
+        ),
+        km AS (
+          SELECT doc_id, pos,
+                 max(pos + 14) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+          FROM krmv
+        ),
+        kisl AS (
+          SELECT doc_id, pos,
+                 SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM km
+        ),
+        kiv AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 14 AS e FROM kisl GROUP BY doc_id, island),
+        kstats AS (
+          SELECT doc_id, COUNT(*) AS n_cut_spans, SUM(e - s + 1) AS toks_removed
+          FROM kiv GROUP BY doc_id
+        ),
+        kposx AS (
+          SELECT ktk.doc_id, i.i AS pos, ktk.toks[i.i] AS tok
+          FROM ktk, (SELECT unnest(range(1, len(toks) + 1)) AS i) i
+          WHERE ktk.doc_id IN (SELECT doc_id FROM kiv)
+        ),
+        kkeptx AS (
+          SELECT p.doc_id, p.pos, p.tok FROM kposx p
+          WHERE NOT EXISTS (SELECT 1 FROM kiv
+                            WHERE kiv.doc_id = p.doc_id AND p.pos BETWEEN kiv.s AND kiv.e)
+        ),
+        kagg AS (
+          SELECT doc_id, COUNT(*) AS toks_kept,
+                 array_to_string(list(tok ORDER BY pos), ' ') AS ktext
+          FROM kkeptx GROUP BY doc_id
+        ),
+        reltext AS (
+          SELECT k.doc_id, k.source,
+                 CASE WHEN s.doc_id IS NULL THEN k.text ELSE COALESCE(a.ktext, '') END AS text,
+                 COALESCE(s.n_cut_spans, 0) AS n_cut_spans,
+                 CAST(COALESCE(s.toks_removed, 0) AS BIGINT) AS toks_removed,
+                 CAST(CASE WHEN s.doc_id IS NULL THEN len(string_split(k.text, ' '))
+                           ELSE COALESCE(a.toks_kept, 0) END AS BIGINT) AS n_toks,
+                 ('0x' || substr(md5('split:' || CAST(k.doc_id AS VARCHAR)),1,15))::BIGINT % 100 AS h
+          FROM kept k
+          LEFT JOIN kstats s ON k.doc_id = s.doc_id
+          LEFT JOIN kagg a ON k.doc_id = a.doc_id
+        ),
+        rel2v AS (
+          SELECT source, n_toks, n_cut_spans, toks_removed,
+                 CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split,
+                 (GREATEST(n_toks - 31, 1) - 1) // 16 + 1 AS n_chunks
+          FROM reltext
+        ),
+        rav AS (
+          SELECT source, COUNT(*) AS n_final,
+                 CAST(SUM(CASE WHEN n_cut_spans > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_span_docs,
+                 CAST(SUM(toks_removed) AS BIGINT) AS toks_removed,
+                 CAST(SUM(n_toks) AS BIGINT) AS sum_toks,
+                 CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+                 CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+                 CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+                 CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+          FROM rel2v GROUP BY source
+        ),
+        bench AS (
+          SELECT doc_id AS bench_id, source,
+                 array_to_string(list_slice(string_split(text, ' '),
+                   len(string_split(text, ' ')) // 3 + 1,
+                   len(string_split(text, ' ')) // 3
+                     + greatest((len(string_split(text, ' ')) + 1) // 3, 1)), ' ') AS text
+          FROM rawdocs WHERE doc_id % 97 = 3
+        ),
+        btk2 AS (SELECT bench_id, source, string_split(text, ' ') AS toks FROM bench),
+        bw2 AS (
+          SELECT bench_id, i.i AS bpos,
+                 array_to_string(list_slice(toks, i.i, i.i + 14), ' ') AS bwtext
+          FROM btk2, (SELECT unnest(range(1, len(toks) - 13)) AS i) i
+          WHERE len(toks) >= 15
+        ),
+        rtk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM reltext),
+        tw2 AS (
+          SELECT array_to_string(list_slice(toks, i.i, i.i + 14), ' ') AS twtext
+          FROM rtk, (SELECT unnest(range(1, len(toks) - 13)) AS i) i
+          WHERE len(toks) >= 15
+        ),
+        hits2 AS (SELECT DISTINCT b.bench_id FROM bw2 b JOIN tw2 t ON t.twtext = b.bwtext),
+        bstat AS (
+          SELECT source, COUNT(*) AS n_bench,
+                 CAST(SUM(CASE WHEN bench_id IN (SELECT bench_id FROM hits2)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_contam
+          FROM btk2 GROUP BY source
+        ),
+        ea AS (SELECT d.source, COUNT(*) AS n_exact FROM rawdocs d JOIN ex USING (doc_id) GROUP BY d.source),
+        sa AS (
+          SELECT source, COUNT(*) AS n_raw,
+                 CAST(SUM(CASE WHEN keep_q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+                 CAST(SUM(CASE WHEN keep_i THEN 1 ELSE 0 END) AS BIGINT) AS n_import
+          FROM staged GROUP BY source
+        )
+        SELECT sa.source, sa.n_raw, sa.n_quality, sa.n_import,
+               CAST(COALESCE(ea.n_exact, 0) AS BIGINT) AS n_exact,
+               CAST(COALESCE(rav.n_final, 0) AS BIGINT) AS n_final,
+               CAST(COALESCE(rav.n_span_docs, 0) AS BIGINT) AS n_span_docs,
+               CAST(COALESCE(rav.toks_removed, 0) AS BIGINT) AS toks_removed,
+               CAST(COALESCE(rav.sum_toks, 0) AS BIGINT) AS sum_toks,
+               CAST(COALESCE(rav.n_chunks, 0) AS BIGINT) AS n_chunks,
+               CAST(COALESCE(rav.n_train, 0) AS BIGINT) AS n_train,
+               CAST(COALESCE(rav.n_val, 0) AS BIGINT) AS n_val,
+               CAST(COALESCE(rav.n_test, 0) AS BIGINT) AS n_test,
+               CAST(COALESCE(bs.n_bench, 0) AS BIGINT) AS n_bench,
+               CAST(COALESCE(bs.n_contam, 0) AS BIGINT) AS n_contam
+        FROM sa
+        LEFT JOIN ea USING (source)
+        LEFT JOIN rav USING (source)
+        LEFT JOIN bstat bs USING (source)
         ORDER BY sa.source
       """)
     ),

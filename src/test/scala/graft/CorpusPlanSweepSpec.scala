@@ -93,6 +93,12 @@ class CorpusPlanSweepSpec extends SparkSpec {
     "q175_decontam_bounded_bench" -> Set(
       "broadcast of an exploded (unbounded) relation"
     ),
+    // the release capstone composes q175's broadcast decontamination probe
+    // (pinned: its benchmark is the same bounded %97 fixture), so the same
+    // exploded-bench-window broadcast appears — same bound, same reason
+    "q176_corpus_release_v2" -> Set(
+      "broadcast of an exploded (unbounded) relation"
+    ),
     // training pipeline composes decontaminate, same eval-side broadcast
     "q95_training_pipeline" -> Set("broadcast of an exploded (unbounded) relation"),
     // incremental ingest broadcasts the exploded NEW batch (bounded by

@@ -49,4 +49,26 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(sizes.max.toDouble / sizes.min <= 3.0, s"shards roughly balanced: ${sizes.toSeq}")
     assert(back.count() === gated.count(), "write round-trip preserves row count")
   }
+
+  test("release capstone v2: funnel monotone, span surgery fires, decontam bounded") {
+    import spark.implicits._
+    val out = graft.operators.Curation.corpusReleaseV2(spark, sf).cache()
+    // per-source funnel counts can only shrink stage to stage
+    assert(out.filter($"n_quality" > $"n_raw").count() === 0)
+    assert(out.filter($"n_import" > $"n_quality").count() === 0)
+    assert(out.filter($"n_exact" > $"n_import").count() === 0)
+    assert(out.filter($"n_final" > $"n_exact").count() === 0)
+    // the stitched-doc slice guarantees duplication REACHES the span stage
+    // (quality passes it, exact dedup passes it, the LSH gate mostly passes
+    // it) — a silently no-op surgery would zero these
+    val Seq(spanDocs, toksRemoved) =
+      out.agg(sum($"n_span_docs"), sum($"toks_removed")).head().toSeq.map(_.asInstanceOf[Long])
+    assert(spanDocs > 0, "span removal must touch documents on the stitch-augmented corpus")
+    assert(toksRemoved >= spanDocs * 15L, "each cut span removes at least L tokens")
+    // split inventory sums to the release; verdicts stay within the bench
+    assert(out.filter($"n_train" + $"n_val" + $"n_test" =!= $"n_final").count() === 0)
+    assert(out.filter($"n_contam" > $"n_bench").count() === 0)
+    assert(out.filter($"n_span_docs" > $"n_final").count() === 0)
+    out.unpersist()
+  }
 }
