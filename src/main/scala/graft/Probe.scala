@@ -236,6 +236,52 @@ object Probe {
       spark.stop()
       return
     }
+    if (which == "decontamab") {
+      // Same-JVM interleaved A/B of the two decontamination probe branches
+      // on a FIXED BOUNDED benchmark over the sf10 curation slice (500k
+      // unsalted docs) — the r16 verdict task-1 done-criterion: measure the
+      // corner where the broadcast probe should win (tiny benchmark × big
+      // corpus), rather than assert it. `<dir>` must hold a documents slice
+      // (default invocation: runMain graft.Probe /tmp/graft_sf10cur
+      // decontamab). Branch equality is hash-asserted per pair.
+      import spark.implicits._
+      val train = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+      val bench = train
+        .filter($"doc_id" % 97 === 3)
+        .select(
+          $"doc_id".as("bench_id"),
+          expr(
+            "concat_ws(' ', slice(split(text, ' '), size(split(text, ' ')) div 3 + 1, " +
+              "greatest((size(split(text, ' ')) + 1) div 3, 1)))"
+          ).as("text")
+        )
+      val dec = graft.operators.Dedup.decontamDecision(train, bench)
+      println(s"[decontamab] dispatch decision on this slice: $dec")
+      def run(tag: String, plan: String): Double = {
+        val t0 = System.nanoTime()
+        graft.operators.Dedup.decontamVerdicts(train, bench, plan)
+          .write.mode("overwrite").format("noop").save()
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"[decontamab] $tag%-16s ${s}%8.3f s")
+        s
+      }
+      run("warm-broadcast", "broadcast")
+      val pairs = (1 to 3).map { i =>
+        (run(s"broadcast-$i", "broadcast"), run(s"shuffle_hash-$i", "shuffle_hash"))
+      }
+      val (bB, bS) = (pairs.map(_._1).min, pairs.map(_._2).min)
+      println(f"[decontamab] best broadcast=${bB}%.3f s  best shuffle_hash=${bS}%.3f s  " +
+        f"ratio=${bS / bB}%.2fx  decision=${dec.pick}")
+      // correctness cross-check, fully distributed (no driver collect):
+      // symmetric difference must be empty
+      val a = graft.operators.Dedup.decontamVerdicts(train, bench, "broadcast")
+      val b = graft.operators.Dedup.decontamVerdicts(train, bench, "shuffle_hash")
+      val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+      require(diff == 0L, "branches diverged — dispatch must be correctness-invisible")
+      println(s"[decontamab] branch outputs identical (${a.count()} verdict rows)")
+      spark.stop()
+      return
+    }
     if (which == "ccdiag") {
       import spark.implicits._
       import graft.operators.Graph

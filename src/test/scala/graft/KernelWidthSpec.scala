@@ -242,4 +242,102 @@ class KernelWidthSpec extends SparkSpec {
     assert(row.isNullAt(0), "256-element set must null the sketch (byte saturation)")
     assert(row.isNullAt(1), "null sketch must null the min-sum (gate keeps the candidate)")
   }
+
+  test("PERMANENT negative control: a deliberately-narrowed kernel FAILS the matrix") {
+    // r16 verdict task 6: the "reverting to getInt fails" claim was
+    // executed once while writing this spec and then lived only in the
+    // docstring — this test keeps a test-only getInt-on-long kernel
+    // (NarrowedTestKernels.bestCentIdNarrow, the exact r15 regression
+    // shape) compiled and RUNS it through the same UnsafeArrayData path,
+    // asserting the matrix harness detects the divergence. If a future
+    // refactor of the harness (fixture widths, boxed references, data-column
+    // plumbing) ever stops distinguishing the narrowed kernel from the
+    // correct one, this test fails and the harness has lost its teeth.
+    import spark.implicits._
+    val dim = 4
+    val e = Seq(0.5f, -0.25f, 1.0f, 0.75f)
+    val nrm = math.sqrt(refDot(e, e))
+    val ids = Seq((1L << 33) + 5L, (1L << 40) + 1L, (1L << 35) + 2L)
+    val flat = Seq(
+      0.4f, -0.2f, 0.9f, 0.8f,
+      -0.5f, 0.25f, -1.0f, -0.75f,
+      0.5f, -0.25f, 1.0f, 0.75f
+    )
+    val nrms = (0 until 3).map(c =>
+      math.sqrt(refDot(flat.slice(c * dim, c * dim + dim), flat.slice(c * dim, c * dim + dim))))
+    val df = Seq((e, nrm, ids, flat, nrms)).toDF("e", "nrm", "ids", "flat", "nrms")
+    val narrowed = df
+      .select(NarrowedTestKernels.bestCentNarrow($"e", $"nrm", $"ids", $"flat", $"nrms"))
+      .head().getLong(0)
+    val correct = refBestCent(e, nrm, ids, flat, nrms)
+    assert(narrowed !== correct,
+      "the getInt-on-long kernel must DIVERGE from the boxed reference on >2^32 ids — " +
+        "if it agrees, the width matrix can no longer detect the r15 regression class")
+    // pin the failure MODE: silent garbage, not an exception. (getInt on an
+    // 8-byte-stride UnsafeArrayData mis-strides at 4 bytes per element, so
+    // getInt(c) reads half of element c/2 — here the low word of ids(1),
+    // i.e. 1 — which is why the r15 bug corrupted recall without a single
+    // error anywhere.)
+    assert(narrowed === 1L,
+      "the narrowed read returns the low word of a DIFFERENT element (4-byte stride " +
+        "over 8-byte data), the silent-garbage shape the matrix exists to catch")
+  }
+}
+
+/** TEST-ONLY deliberately-narrowed kernel: [[graft.functions.HashKernels
+  * .bestCentId]] with the id read reverted to `getInt` — the exact r15
+  * recall-collapse regression. Exists solely so KernelWidthSpec's negative
+  * control stays executable; never referenced from main sources. */
+object NarrowedTestKernels {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  def bestCentIdNarrow(
+      e: ArrayData,
+      nrm: Double,
+      centIds: ArrayData,
+      centFlat: ArrayData,
+      centNrms: ArrayData
+  ): java.lang.Long = {
+    val k = centIds.numElements()
+    val n = e.numElements()
+    if (k == 0 || centFlat.numElements() != k * n) return null
+    var bestId  = 0L
+    var bestCos = 0.0
+    var first   = true
+    var c       = 0
+    while (c < k) {
+      var s   = 0.0
+      var i   = 0
+      val off = c * n
+      while (i < n) { s += e.getFloat(i).toDouble * centFlat.getFloat(off + i).toDouble; i += 1 }
+      val cos = s / (nrm * centNrms.getDouble(c))
+      val id  = centIds.getInt(c).toLong // THE BUG under test: narrowed read
+      val cmp = java.lang.Double.compare(cos, bestCos)
+      val tie = cmp == 0 || cos == bestCos
+      if (first || (cmp > 0 && !tie) || (tie && id < bestId)) {
+        bestCos = cos; bestId = id; first = false
+      }
+      c += 1
+    }
+    bestId
+  }
+
+  import org.apache.spark.sql.{Column, GraftBridge}
+  import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+  import org.apache.spark.sql.types.LongType
+
+  def bestCentNarrow(e: Column, nrm: Column, centIds: Column, centFlat: Column, centNrms: Column): Column =
+    GraftBridge.column(
+      StaticInvoke(
+        Class.forName("graft.NarrowedTestKernels"),
+        LongType,
+        "bestCentIdNarrow",
+        Seq(GraftBridge.expression(e), GraftBridge.expression(nrm),
+          GraftBridge.expression(centIds), GraftBridge.expression(centFlat),
+          GraftBridge.expression(centNrms)),
+        inputTypes = Nil,
+        propagateNull = true,
+        returnNullable = true
+      )
+    )
 }
