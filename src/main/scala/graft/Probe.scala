@@ -1972,7 +1972,11 @@ object Probe {
         // the same max-duplication regime — every stitched run's windows
         // repeat 10×, so the surgery and the probe see the dense end
         "q175_decontam_bounded_bench",
-        "q176_corpus_release_v2"
+        "q176_corpus_release_v2",
+        // r17: the streaming substring gate at 10× duplication — every
+        // window md5 is claimed 10× across replicas, so the registry takes
+        // maximal same-key traffic while state stays one Long per key
+        "q177_streaming_substring_gate"
       )
       Files.createDirectories(Paths.get(curDir))
       replicate(Tables.documents(spark, sfDir), "doc_id")

@@ -3163,6 +3163,52 @@ object Registry {
         ORDER BY doc_id
       """)
     ),
+    // The q172 family's STREAMING story (r16 verdict stretch 7): exact
+    // substring windows gated at arrival against the md5-window registry,
+    // under the q150 pinned-epoch replay (epoch = (doc_id%7)%4, excerpts
+    // arrive two epochs after their source docs). The oracle recomputes
+    // the verdicts relationally with the identical arrival order: flagged
+    // iff an occurrence of the same window md5 arrived strictly earlier
+    // WITH a smaller doc_id (the no-retroactive-flag contract — an
+    // early-arriving copy is fresh and its later original passes).
+    Q(
+      "q177_streaming_substring_gate",
+      Streaming.substringGateAudit,
+      Some("""
+        WITH base AS (SELECT doc_id, text FROM documents),
+        corpus AS (
+          SELECT doc_id, text FROM base
+          UNION ALL
+          SELECT doc_id + 2000000,
+                 array_to_string(list_slice(string_split(text, ' '), 1,
+                   (len(string_split(text, ' ')) + 1) // 2), ' ')
+          FROM base WHERE doc_id % 7 = 0
+        ), tk AS (
+          SELECT doc_id, (doc_id % 7) % 4 AS ep, string_split(text, ' ') AS toks FROM corpus
+        ), wins AS (
+          SELECT doc_id, ep, i.i AS pos,
+                 md5(array_to_string(list_slice(toks, i.i, i.i + 14), ' ')) AS h
+          FROM tk, (SELECT unnest(range(1, len(toks) - 13)) AS i) i
+          WHERE len(toks) >= 15
+        ), fm AS (
+          SELECT x.doc_id, x.pos, MIN(a.doc_id) AS prior
+          FROM wins x JOIN wins a ON a.h = x.h
+            AND a.doc_id < x.doc_id
+            AND (a.ep < x.ep OR (a.ep = x.ep AND a.doc_id < x.doc_id))
+          GROUP BY x.doc_id, x.pos
+        ), agg AS (
+          SELECT doc_id, COUNT(*) AS n_dup_windows, MIN(prior) AS first_match
+          FROM fm GROUP BY doc_id
+        )
+        SELECT c.doc_id,
+               CAST(greatest(len(string_split(c.text, ' ')) - 14, 0) AS BIGINT) AS n_windows,
+               COALESCE(g.n_dup_windows, 0) AS n_dup_windows,
+               g.first_match,
+               COALESCE(g.n_dup_windows, 0) > 0 AS is_dup_at_arrival
+        FROM corpus c LEFT JOIN agg g USING (doc_id)
+        ORDER BY c.doc_id
+      """)
+    ),
     // The composed flagship: q167's wire tail feeding q150's at-arrival
     // gate. Cursor-ranged epochs make the global arrival order exactly
     // ascending doc_id (epoch = id div 131072; within-batch order is

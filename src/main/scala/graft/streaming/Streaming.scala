@@ -589,6 +589,176 @@ object Streaming {
     spark.read.parquet(out).orderBy($"doc_id")
   }
 
+  /** One per-(doc, window-position) at-arrival flag row for the exact
+    * substring gate: `prior_id` is the smallest doc_id that had already
+    * claimed this 15-token window's md5 when the occurrence arrived (null
+    * if the window was fresh). */
+  final case class WinFlag(doc_id: Long, pos: Int, prior_id: java.lang.Long)
+
+  /** AT-ARRIVAL streaming EXACT-SUBSTRING flags (r16 verdict stretch 7 —
+    * the q172 family's streaming story, built on the q150 discipline): each
+    * arriving document's L-token windows are probed against the registry of
+    * window md5s seen by earlier arrivals; a window whose md5 was already
+    * claimed by a STRICTLY SMALLER doc_id is flagged at arrival, and the
+    * registry is never retroactive (an early-arriving copy is fresh; its
+    * later-arriving original sees only the larger id and passes).
+    *
+    * State is one Long (min claiming doc_id) per distinct window md5 within
+    * the TTL horizon — the honest cost of at-arrival substring detection:
+    * O(distinct windows in horizon), evicted by event-time timeout exactly
+    * like the band registry. Unlike batch q172 the registry is md5-128
+    * ANCHORED rather than exact-text-verified (state cannot hold window
+    * text at scale); the oracle replays the SAME md5 anchor, so the
+    * hash-compare is exact about what the operator claims. */
+  def substringWindowFlags(
+      docs: DataFrame,
+      horizon: scala.concurrent.duration.FiniteDuration,
+      maxLateness: scala.concurrent.duration.FiniteDuration = scala.concurrent.duration.Duration.Zero
+  ): Dataset[WinFlag] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val horizonMs = horizon.toMillis
+    require(horizonMs > 0, "horizon must be positive")
+    val L = 15
+    val wins = docs
+      .withWatermark("ts", s"${maxLateness.toMillis} milliseconds")
+      .withColumn("toks", graft.functions.TextFns.tokens(col("text")))
+      .where(size(col("toks")) >= L)
+      .select(
+        col("doc_id"),
+        col("ts"),
+        posexplode(
+          transform(
+            sequence(lit(1), size(col("toks")) - (L - 1)),
+            i => md5(concat_ws(" ", slice(col("toks"), i, lit(L))))
+          )
+        ).as(Seq("p0", "h"))
+      )
+      .select(col("doc_id"), col("ts"), (col("p0") + 1).cast("int").as("pos"), col("h"))
+      .as[(Long, java.sql.Timestamp, Int, String)]
+    wins
+      .groupByKey(_._4)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, rows: Iterator[(Long, java.sql.Timestamp, Int, String)], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // arrival order within the batch: event time, doc, position
+            val ordered = rows.toArray.sortBy(r => (r._2.getTime, r._1, r._3))
+            var running = state.getOption.getOrElse(Long.MaxValue)
+            var maxTs   = Long.MinValue
+            val out = ordered.iterator.map { r =>
+              val prior: java.lang.Long = if (running == Long.MaxValue) null else Long.box(running)
+              if (r._1 < running) running = r._1
+              if (r._2.getTime > maxTs) maxTs = r._2.getTime
+              WinFlag(r._1, r._3, prior)
+            }.toArray
+            state.update(running)
+            state.setTimeoutTimestamp(maxTs + horizonMs)
+            out.iterator
+          }
+      }
+  }
+
+  /** Declared query (q177): the exact-substring AT-ARRIVAL gate under the
+    * oracle — q150's pinned-epoch replay discipline applied to
+    * [[substringWindowFlags]]. The q172 excerpt corpus (base ∪ %7
+    * half-excerpts under +2M ids) splits into 4 epoch files by
+    * epoch = (doc_id % 7) % 4; 2,000,000 ≡ 2 (mod 7), so every excerpt
+    * arrives in epoch 2 while its source doc (doc_id ≡ 0 mod 7) arrived in
+    * epoch 0 — the excerpts' windows are flagged against the originals'
+    * registry entries, and natural cross-doc window duplicates resolve by
+    * the same (epoch, doc_id) arrival order the oracle replays
+    * relationally. Per-doc deliverable: window inventory, at-arrival
+    * duplicated-window count, and the earliest prior claimant. */
+  def substringGateAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val corpus = {
+      val base = graft.Tables.documents(spark, sfDir).select($"doc_id", $"text")
+      base.unionByName(
+        base
+          .filter($"doc_id" % 7 === 0)
+          .select(
+            ($"doc_id" + 2000000L).as("doc_id"),
+            expr("concat_ws(' ', slice(split(text, ' '), 1, (size(split(text, ' ')) + 1) div 2))")
+              .as("text")
+          )
+      )
+    }
+    val in = graft.sources.ParquetSink.memoFixture(spark, "stream_substring_in", sfDir) { dir =>
+      val docs = corpus
+        .withColumn("epoch", (($"doc_id" % 7) % 4).cast("int"))
+        .withColumn("ts", timestamp_seconds(lit(1704067200L) + $"epoch" * 60))
+      Files.createDirectories(Paths.get(dir))
+      (0 to 3).foreach { e =>
+        val tmp = s"$dir/.tmp_epoch$e"
+        docs
+          .filter($"epoch" === e)
+          .select($"doc_id", $"ts", $"text")
+          .coalesce(1)
+          .write
+          .mode("overwrite")
+          .parquet(tmp)
+        val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst  = Paths.get(dir, f"epoch$e.parquet")
+        Files.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+        graft.sources.ParquetSink.deleteRecursively(tmp)
+        Files.setLastModifiedTime(
+          dst,
+          java.nio.file.attribute.FileTime.fromMillis(1704067200000L + e * 60000L)
+        )
+      }
+    }
+    val out = graft.sources.ParquetSink.memoFixture(spark, "stream_substring_out", sfDir) { outDir =>
+      val root = Files.createTempDirectory("graft_q177").toString
+      try {
+        import scala.concurrent.duration._
+        val stream = spark.readStream
+          .schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(in)
+        val q = substringWindowFlags(stream, horizon = 3650.days)
+          .toDF()
+          .writeStream
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch { (batch: DataFrame, epoch: Long) =>
+            batch
+              .groupBy(col("doc_id"))
+              .agg(
+                sum(when(col("prior_id") < col("doc_id"), 1L).otherwise(0L)).as("n_dup_windows"),
+                min(when(col("prior_id") < col("doc_id"), col("prior_id"))).as("first_match")
+              )
+              .write.mode("overwrite").parquet(s"$root/verdicts/epoch=$epoch")
+            ()
+          }
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+        val v       = spark.read.parquet(s"$root/verdicts")
+        val nEpochs = v.agg(count_distinct($"epoch")).as[Long].head()
+        require(nEpochs >= 2, s"q177 ran $nEpochs epochs — fixture must stream as multiple micro-batches")
+        v.select($"doc_id", $"n_dup_windows", $"first_match")
+          .write.mode("overwrite").parquet(outDir)
+      } finally graft.sources.ParquetSink.deleteRecursively(root)
+    }
+    corpus
+      .select(
+        $"doc_id",
+        greatest(size(graft.functions.TextFns.tokens($"text")) - 14, lit(0)).cast("long").as("n_windows")
+      )
+      .join(spark.read.parquet(out), Seq("doc_id"), "left")
+      .select(
+        $"doc_id",
+        $"n_windows",
+        coalesce($"n_dup_windows", lit(0L)).as("n_dup_windows"),
+        $"first_match",
+        (coalesce($"n_dup_windows", lit(0L)) > 0).as("is_dup_at_arrival")
+      )
+      .orderBy($"doc_id")
+  }
+
   /** Shared core of the q136 audit and the `scalestream` probe: stream the
     * parquet fixture at `inDir` (one file per micro-batch) through the
     * [[nearDupBandMins]] registry with scratch under `root` (caller owns
