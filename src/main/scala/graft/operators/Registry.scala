@@ -236,11 +236,11 @@ object Registry {
           FROM ft, tott ORDER BY freq DESC, token LIMIT 24
         ), oovt AS (
           SELECT CAST(round(ln(1.0 / total) * 1e6) AS BIGINT) AS oovt6 FROM tott
-        ), si AS (
+        ), si AS MATERIALIZED (
           SELECT doc_id, SUM(COALESCE(lpt6, oovt6) - COALESCE(lpc6, oovc6)) AS imp6
           FROM tok LEFT JOIN lpt USING (token) LEFT JOIN lpc USING (token), oovt, oovc
           GROUP BY doc_id
-        ), staged AS (
+        ), staged AS MATERIALIZED (
           SELECT d.doc_id, d.source, d.text, g.pass_gopher AS keep_q,
                  (g.pass_gopher AND si.imp6 > 0) AS keep_i
           FROM $rel d JOIN gq g USING (doc_id) JOIN si USING (doc_id)
@@ -467,20 +467,20 @@ object Registry {
           WHERE a.doc_id % 17 = 5
         ),
         ${funnelCtesOver("rawdocs")},
-        ex AS (SELECT MIN(doc_id) AS doc_id FROM staged WHERE keep_i GROUP BY md5(text)),
+        ex AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id FROM staged WHERE keep_i GROUP BY md5(text)),
         corpus AS (SELECT d.doc_id, d.text FROM rawdocs d JOIN ex USING (doc_id)),
         $bandCtes,
         fl AS (
           SELECT DISTINCT b.doc_id
           FROM bands b JOIN bands a ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
         ),
-        kept AS (
+        kept AS MATERIALIZED (
           SELECT d.doc_id, d.source, d.text
           FROM rawdocs d JOIN ex USING (doc_id)
           WHERE d.doc_id NOT IN (SELECT doc_id FROM fl)
         ),
-        ktk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM kept),
-        kwins AS (
+        ktk AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS toks FROM kept),
+        kwins AS MATERIALIZED (
           SELECT doc_id, i.i AS pos,
                  array_to_string(list_slice(toks, i.i, i.i + 14), ' ') AS wtext
           FROM ktk, (SELECT unnest(range(1, len(toks) - 13)) AS i) i
@@ -507,7 +507,7 @@ object Registry {
                    OVER (PARTITION BY doc_id ORDER BY pos) AS island
           FROM km
         ),
-        kiv AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 14 AS e FROM kisl GROUP BY doc_id, island),
+        kiv AS MATERIALIZED (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 14 AS e FROM kisl GROUP BY doc_id, island),
         kstats AS (
           SELECT doc_id, COUNT(*) AS n_cut_spans, SUM(e - s + 1) AS toks_removed
           FROM kiv GROUP BY doc_id
@@ -527,7 +527,7 @@ object Registry {
                  array_to_string(list(tok ORDER BY pos), ' ') AS ktext
           FROM kkeptx GROUP BY doc_id
         ),
-        reltext AS (
+        reltext AS MATERIALIZED (
           SELECT k.doc_id, k.source,
                  CASE WHEN s.doc_id IS NULL THEN k.text ELSE COALESCE(a.ktext, '') END AS text,
                  COALESCE(s.n_cut_spans, 0) AS n_cut_spans,
@@ -564,7 +564,7 @@ object Registry {
                      + greatest((len(string_split(text, ' ')) + 1) // 3, 1)), ' ') AS text
           FROM rawdocs WHERE doc_id % 97 = 3
         ),
-        btk2 AS (SELECT bench_id, source, string_split(text, ' ') AS toks FROM bench),
+        btk2 AS MATERIALIZED (SELECT bench_id, source, string_split(text, ' ') AS toks FROM bench),
         bw2 AS (
           SELECT bench_id, i.i AS bpos,
                  array_to_string(list_slice(toks, i.i, i.i + 14), ' ') AS bwtext

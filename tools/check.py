@@ -43,6 +43,15 @@ def main():
     if len(sys.argv) > 4 and sys.argv[3] == "--skip":
         skip = set(sys.argv[4].split(","))
     con = duckdb.connect()
+    # an in-memory connection has no temp_directory, so a heavy oracle
+    # (the 500k-doc q176 capstone) OOMs instead of spilling; give it one,
+    # and cap memory below DuckDB's 80%-of-RAM default so a check can
+    # coexist with a concurrently-running engine or blocked replay.
+    # NB: preserve_insertion_order=false is NOT set — measured on this
+    # DuckDB build it can scramble even final-ORDER-BY output (q148's
+    # oracle returned src2 first), and every compare here is row-ordered
+    con.execute("SET temp_directory='/tmp/duck_check_spill'")
+    con.execute("SET memory_limit='48GB'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written dir (e.g. the Probe sf1 synthetic slice)
