@@ -96,6 +96,18 @@ object Bench {
     acc
   }
 
+  /** Healthy band for canary_mt on the reference 32-vCPU driver host (r17
+    * triplet adjudication, BASELINE "r17 triplet" table): the clean cluster
+    * reads 0.93–1.05 s; the two contended readings (co-tenant multi-core
+    * load) read 1.57/1.69 s. The band is deliberately wide — it exists to
+    * catch the ~1.6x contention class the protocol demonstrated live, not
+    * to litigate 5% host drift (canary_st remains the drift anchor). A
+    * reading outside the band marks the WHOLE invocation `contended`: the
+    * r17 rule ("judge the ratio only against readings whose canary_mt sits
+    * in the healthy band"), automated so BENCH_r{N}.json self-annotates
+    * and cross-round reads need no manual adjudication. */
+  private val CanaryMtHealthy: (Double, Double) = (0.5, 1.25)
+
   /** Host-speed canary: seconds for a FIXED deterministic CPU workload,
     * single-thread and all-cores. The engine/DuckDB ratio cancels phase
     * only to the extent phase hits both engines equally — r15/r16 showed
@@ -238,8 +250,9 @@ object Bench {
     // the same invocation — one warm pass first so C2 has compiled spin()
     val (_, _) = hostCanary()
     val (canSt, canMt) = hostCanary()
+    val contended = canMt < CanaryMtHealthy._1 || canMt > CanaryMtHealthy._2
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$paired,"canary_st":$canSt%.3f,"canary_mt":$canMt%.3f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$paired,"canary_st":$canSt%.3f,"canary_mt":$canMt%.3f,"canary_mt_healthy":[${CanaryMtHealthy._1}%.2f,${CanaryMtHealthy._2}%.2f],"contended":$contended}"""
     println(json)
     // Also write the metric to a file: sbt interleaves [info]/[error] log
     // noise into stdout, which broke the driver's machine-parse of this line

@@ -33,18 +33,31 @@ object Probe {
   /** Build fingerprint stamped next to every rung query output (r16 ADVICE:
     * with GRAFT_SF10_ONLY / GRAFT_SF100LLM_ONLY a partial rerun accumulates
     * into a persistent /tmp outDir, and check.py would otherwise grade an
-    * OLDER build's leftover parquet as if it were HEAD). The stamp is the
-    * compiled Probe class's mtime — it changes on every rebuild, including
-    * dirty-tree ones where a git SHA would not — and check.py exits 1 when
-    * the graded query dirs carry MIXED stamps. */
+    * OLDER build's leftover parquet as if it were HEAD). r17 ADVICE closed
+    * a hole in the r16 form: the stamp was the compiled Probe$.class mtime,
+    * but under zinc incremental compilation a body-only operator fix (the
+    * exact scenario the guard targets) does not recompile Probe, so two
+    * different builds stamped identically. The stamp is now a digest over
+    * EVERY class file under the code source (path:size:mtime, the
+    * ParquetSink.contentFingerprint walk) — any recompiled class anywhere
+    * in the build changes it — and check.py exits 2 when the graded query
+    * dirs carry MIXED stamps. */
   private lazy val buildStamp: String =
     try {
       val loc  = getClass.getProtectionDomain.getCodeSource.getLocation.toURI
       val base = java.nio.file.Paths.get(loc)
-      val cls  = base.resolve("graft/Probe$.class")
-      val f    = if (java.nio.file.Files.exists(cls)) cls else base
-      s"probe-mtime:${java.nio.file.Files.getLastModifiedTime(f).toMillis}"
-    } catch { case scala.util.control.NonFatal(_) => "probe-mtime:unknown" }
+      if (java.nio.file.Files.isDirectory(base)) {
+        val parts = scala.collection.mutable.ArrayBuffer[String]()
+        val walk  = java.nio.file.Files.walk(base)
+        try walk.forEach { f =>
+          if (java.nio.file.Files.isRegularFile(f) && f.toString.endsWith(".class"))
+            parts += s"${base.relativize(f)}:${java.nio.file.Files.size(f)}:${java.nio.file.Files.getLastModifiedTime(f).toMillis}"
+        } finally walk.close()
+        s"classes-digest:${java.lang.Integer.toHexString(parts.sorted.mkString(",").hashCode)}"
+      } else
+        // packaged jar: one file, its own mtime identifies the build
+        s"jar-mtime:${java.nio.file.Files.getLastModifiedTime(base).toMillis}"
+    } catch { case scala.util.control.NonFatal(_) => "stamp:unknown" }
 
   /** Write one query's rung output plus its build stamp (all eight sf1/sf10/
     * sf100 materialization sites route through here). */
@@ -1016,6 +1029,177 @@ object Probe {
               val ratio = t1 / t0
               println(
                 f"[scalestream] gate-rate $n0%d→$n1%d (4x rate): ${ratio}%.2fx time ${if (ratio <= 5.0) "OK"
+                  else "VIOLATION (admission falls behind)"}"
+              )
+              if (ratio > 5.0) ok = false
+            case _ => ()
+          }
+        } finally {
+          prior.fold(spark.conf.unset(confKey))(spark.conf.set(confKey, _))
+        }
+      }
+      // ---- q177 WINDOW-md5 registry phases (r17 verdict task 1) ----
+      // The at-arrival exact-substring gate's state is the family's honest
+      // worst case: one Long per DISTINCT 15-token-window md5 in the TTL
+      // horizon — ~26 entries/doc here (40-token docs) vs the band
+      // registry's 4. Same two treatments the band registry got in r11/r12:
+      // (a) TTL plateau on BOTH state-store backends with emission-identity
+      // across them, (b) sustained-admission throughput under arrival-rate
+      // steps on the production RocksDB backend.
+      locally {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import scala.concurrent.duration._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        val perEpoch = 2000
+        val nEpochs  = 8
+        val winsPerDoc = 40 - 14 // 40 fresh tokens → 26 distinct windows/doc
+        def docText(id: Long): String =
+          (0 until 40).map(j => java.lang.Long.toHexString(id * 40L + j + 0x51ed2701L)).mkString(" ")
+        def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+          q.recentProgress.flatMap(_.stateOperators.headOption).map(_.numRowsTotal).lastOption.getOrElse(-1L)
+        val confKey = "spark.sql.streaming.stateStore.providerClass"
+        // one run of the window registry: `horizon` bounds the TTL, epochs
+        // land 1 h apart; returns per-epoch state samples + emitted flags
+        def runWin(label: String, provider: Option[String], horizon: FiniteDuration)
+            : (Seq[Long], Seq[graft.streaming.Streaming.WinFlag]) = {
+          val prior = spark.conf.getOption(confKey)
+          provider.foreach(spark.conf.set(confKey, _))
+          try {
+            val in       = MemoryStream[(Long, java.sql.Timestamp, String)]
+            val sinkName = s"win_ttl_emit_$label"
+            val q = graft.streaming.Streaming
+              .substringWindowFlags(in.toDF().toDF("doc_id", "ts", "text"), horizon = horizon)
+              .toDF()
+              .writeStream
+              .format("memory")
+              .queryName(sinkName)
+              .outputMode("append")
+              .start()
+            val samples =
+              try {
+                (0 until nEpochs).map { e =>
+                  val t = new java.sql.Timestamp(3600000L * (e + 1))
+                  in.addData((0 until perEpoch).map(i => ((e * perEpoch + i).toLong, t, docText((e * perEpoch + i).toLong))))
+                  q.processAllAvailable()
+                  stateRows(q)
+                }
+              } finally q.stop()
+            val flags = spark
+              .table(sinkName)
+              .as[graft.streaming.Streaming.WinFlag]
+              .collect()
+              .toSeq
+              .sortBy(r => (r.doc_id, r.pos))
+            (samples, flags)
+          } finally {
+            prior.fold(spark.conf.unset(confKey))(spark.conf.set(confKey, _))
+          }
+        }
+        val totalDocs = perEpoch.toLong * nEpochs
+        // (a) unbounded horizon (far beyond the 8-hour event span): state
+        // must grow ~26 rows/doc — sanity that we measure the right metric
+        val (unbSamples, unbFlags) = runWin("unbounded", None, 3650.days)
+        println(s"[scalestream] win-ttl: unbounded state/epoch = ${unbSamples.mkString(", ")}")
+        if (unbSamples.last < (winsPerDoc - 4).toLong * totalDocs) {
+          println(s"[scalestream] VIOLATION win registry unbounded state ${unbSamples.last} — expected ~${winsPerDoc}x$totalDocs")
+          ok = false
+        }
+        if (unbFlags.size != winsPerDoc * totalDocs) {
+          println(s"[scalestream] VIOLATION win registry emitted ${unbFlags.size} flags, expected ${winsPerDoc * totalDocs} ($winsPerDoc/doc)")
+          ok = false
+        }
+        // (b) 90-minute TTL, both backends: plateau + emission identity
+        val winBackends = Seq(
+          "default" -> None,
+          "rocksdb" -> Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        )
+        val winRuns = winBackends.map { case (label, p) => (label, runWin(label, p, 90.minutes)) }
+        winRuns.foreach { case (label, (samples, _)) =>
+          println(s"[scalestream] win-ttl: 90min-TTL ($label backend) state/epoch = ${samples.mkString(", ")}")
+          val tail4 = samples.takeRight(4)
+          if (tail4.max > 1.5 * tail4.min) {
+            println(s"[scalestream] VIOLATION win-ttl ($label) state did not plateau: last-4 ${tail4.mkString(", ")}")
+            ok = false
+          }
+          if (samples.last > unbSamples.last / 2) {
+            println(s"[scalestream] VIOLATION win-ttl ($label) final state ${samples.last} not under half of unbounded ${unbSamples.last}")
+            ok = false
+          }
+        }
+        val fl = winRuns.map(_._2._2)
+        if (fl(0) != fl(1)) {
+          println(s"[scalestream] VIOLATION win-ttl flag emissions differ across backends: ${fl(0).size} default vs ${fl(1).size} rocksdb rows")
+          ok = false
+        } else
+          println(s"[scalestream] win-ttl: flag emissions identical across backends (${fl(0).size} rows)")
+      }
+      // window-gate THROUGHPUT (RocksDB): does at-arrival substring
+      // admission keep up as the arrival rate grows? Every 10th doc
+      // duplicates its predecessor so the registry takes hits, not just
+      // inserts. Tripwires: exactly 26 flags per arriving doc (one per
+      // window occurrence — the gate must never drop an arrival under
+      // load), and >5x wall time per 4x arrival-rate step.
+      locally {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import scala.concurrent.duration._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        val confKey = "spark.sql.streaming.stateStore.providerClass"
+        val prior   = spark.conf.getOption(confKey)
+        spark.conf.set(confKey, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val winsPerDoc = 40 - 14
+          def docText(id: Long): String = {
+            val base = if (id % 10 == 0 && id > 0) id - 1 else id
+            (0 until 40).map(j => java.lang.Long.toHexString(base * 40L + j + 0x51ed2701L)).mkString(" ")
+          }
+          def run(perEpoch: Int): (Long, Double) = {
+            val root = java.nio.file.Files.createTempDirectory("graft_winrate").toString
+            try {
+              val in    = MemoryStream[(Long, java.sql.Timestamp, String)]
+              val flags = new java.util.concurrent.atomic.AtomicLong(0L)
+              val q = graft.streaming.Streaming
+                .substringWindowFlags(in.toDF().toDF("doc_id", "ts", "text"), horizon = 90.minutes)
+                .toDF()
+                .writeStream
+                .option("checkpointLocation", s"$root/ckpt")
+                .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+                  flags.addAndGet(batch.count())
+                  ()
+                }
+                .start()
+              val t0 = System.nanoTime()
+              try {
+                (0 until 4).foreach { e =>
+                  val t = new java.sql.Timestamp(3600000L * (e + 1))
+                  in.addData(
+                    (0 until perEpoch).map(i => ((e.toLong * perEpoch + i), t, docText(e.toLong * perEpoch + i)))
+                  )
+                  q.processAllAvailable()
+                }
+              } finally q.stop()
+              (flags.get(), (System.nanoTime() - t0) / 1e9)
+            } finally graft.sources.ParquetSink.deleteRecursively(root)
+          }
+          run(2500) // warm: JIT + RocksDB instance init, untimed
+          val steps = Seq(2500, 10000, 40000).map { per =>
+            val (flags, sec) = run(per)
+            val docsN        = per.toLong * 4
+            val winsN        = winsPerDoc * docsN
+            println(
+              f"[scalestream] win-gate-rate (rocksdb) docs/epoch=$per%6d total=$docsN%7d time=$sec%7.2f s " +
+                f"rate=${docsN / sec}%9.0f docs/s (${winsN / sec}%9.0f windows/s)"
+            )
+            if (flags != winsN) {
+              println(s"[scalestream] VIOLATION win gate emitted $flags flags, expected $winsN ($winsPerDoc/doc)")
+              ok = false
+            }
+            (docsN, sec)
+          }
+          steps.sliding(2).foreach {
+            case Seq((n0, t0), (n1, t1)) =>
+              val ratio = t1 / t0
+              println(
+                f"[scalestream] win-gate-rate $n0%d→$n1%d (4x rate): ${ratio}%.2fx time ${if (ratio <= 5.0) "OK"
                   else "VIOLATION (admission falls behind)"}"
               )
               if (ratio > 5.0) ok = false
@@ -2105,7 +2289,14 @@ object Probe {
         "q171_adaptive_containment_pairs", // the dispatcher judged at rung scale (est-pairs term → prefix)
         "q172_substring_spans", // r15: exact substring spans — salt keeps window matches per-replica
         "q173_span_removal", // r16: span REMOVAL — same replica-local window argument; output stays doc-id-ordered
-        "q174_substring_decontamination" // r16: bench decontamination — derived bench stays in-stride, windows replica-local
+        "q174_substring_decontamination", // r16: bench decontamination — derived bench stays in-stride, windows replica-local
+        // r17: the streaming at-arrival substring gate at rung scale — the
+        // one declared operator that stopped at sf1 (r17 verdict task 1).
+        // The +2M excerpt ids land at offsets 2M/3M inside each 10M replica
+        // stripe (disjoint from the real ids, same argument as q160), and
+        // the salt keeps window matches replica-local so the one-shot
+        // DuckDB window self-join stays linear in the slice.
+        "q177_streaming_substring_gate"
       )
       Files.createDirectories(Paths.get(ddDir))
       if (freshDir(s"$ddDir/documents.parquet"))
@@ -2252,7 +2443,12 @@ object Probe {
         "q171_adaptive_containment_pairs", // r14: the dispatcher judged at rung scale
         "q172_substring_spans", // r15: windows never match cross-replica (salted tokens) → blocked replay sound
         "q173_span_removal", // r16: span removal — same argument (survivor election partitions by replica-local wtext)
-        "q174_substring_decontamination" // r16: derived bench ids stay replica-separable (2·doc_id+parity), windows replica-local
+        "q174_substring_decontamination", // r16: derived bench ids stay replica-separable (2·doc_id+parity), windows replica-local
+        // r17 verdict task 3: the broadcast probe at the 5M-doc corner —
+        // the corpus side must plan NO exchange where the OTHER branch
+        // OOM'd. Bench derivation (%97==3, bench_id = doc_id) stays
+        // in-stride; windows replica-local → check_sf100_docs.py replay
+        "q175_decontam_bounded_bench"
       )
       val ddSet = ddAll.filter(only)
       if (ddSet.nonEmpty) {
@@ -2306,12 +2502,20 @@ object Probe {
       val curAll = Seq(
         "q139_bm25_topk", "q69_cosine_topk", "q141_semantic_dedup",
         "q153_ivf_full_probe", "q154_ivf_trained_topk",
-        "q156_ivf_pq_topk", "q161_ivf_pq_trained_topk"
+        "q156_ivf_pq_topk", "q161_ivf_pq_trained_topk",
+        // r17 verdict task 2: the composed release capstone at the 5M-doc
+        // rung (the sf10cur semantics at 1000×: unsalted, so exact dedup
+        // collapses the replicas and the corpus-sized cost is honestly the
+        // Gopher/DSIR maps + the exact-dedup shuffle; the stitched-doc
+        // slice rides along, %17==5 per replica). Oracle: one-shot
+        // check.py (AS MATERIALIZED CTEs + spill — the sf10 discipline).
+        "q176_corpus_release_v2"
       )
       val curSet = curAll.filter(only)
       if (curSet.isEmpty) { spark.stop(); return }
       Files.createDirectories(Paths.get(curDir))
-      if (freshDir(s"$curDir/documents.parquet") && curSet.contains("q139_bm25_topk"))
+      if (freshDir(s"$curDir/documents.parquet") &&
+          (curSet.contains("q139_bm25_topk") || curSet.contains("q176_corpus_release_v2")))
         rep1000(Tables.documents(spark, sfDir), "doc_id")
           .repartition(64).write.mode("overwrite").parquet(s"$curDir/documents.parquet")
       val edim = Tables.EmbeddingDim
@@ -2320,7 +2524,8 @@ object Probe {
       // assignment stays n×k = 2.2B scored pairs (codegen minutes), and
       // rung-to-rung the index geometry is comparable; the circular shift
       // still decorrelates replicas' vectors from each other's lists.
-      if (freshDir(s"$curDir/embeddings.parquet"))
+      val needsVecs = curSet.exists(n => !Set("q139_bm25_topk", "q176_corpus_release_v2").contains(n))
+      if (needsVecs && freshDir(s"$curDir/embeddings.parquet"))
         rep1000(Tables.embeddings(spark, sfDir), "vec_id")
           // integer replica index FIRST (`/` on longs is double division —
           // casting after the multiply only truncates while base ids stay
@@ -2338,8 +2543,10 @@ object Probe {
           .drop("rep2", "repIx")
           .repartition(32).write.mode("overwrite").parquet(s"$curDir/embeddings.parquet")
       println(
-        s"[sf100llm] curation slice at $curDir:" +
-          s" embeddings=${spark.read.parquet(s"$curDir/embeddings.parquet").count()} rows"
+        s"[sf100llm] curation slice at $curDir:" + (
+          if (needsVecs) s" embeddings=${spark.read.parquet(s"$curDir/embeddings.parquet").count()} rows"
+          else s" documents=${spark.read.parquet(s"$curDir/documents.parquet").count()} rows"
+        )
       )
       graft.Session.sizeShufflesForInput(spark, curDir)
       println(s"[sf100llm] AQE initialPartitionNum=" +

@@ -859,9 +859,39 @@ object Curation {
     * BROADCAST branch — pinned, not dispatched, because the capstone's
     * benchmark is the bounded fixture whose dispatch corner q175 and the
     * DedupSimilaritySpec two-corner test already pin (a fixed pick keeps
-    * the released plan deterministic for the corpus-wide plan sweep); the
-    * released parquet is scanned map-side against the broadcast window
-    * set, shipping nothing. */
+    * the released plan deterministic for the corpus-wide plan sweep). The
+    * pin is GUARDED (r17 verdict task 4): the benchmark must pass
+    * [[Dedup.decontamDecision]]'s budget or the capstone fails loud with
+    * the measured terms — pointing a corpus-scale benchmark here can never
+    * silently take the plan that OOM'd at the 5M-doc rung. The released
+    * parquet is scanned map-side against the broadcast window set,
+    * shipping nothing. */
+  /** The capstone's GUARDED pinned-broadcast decontamination (r17 verdict
+    * task 4): measure the benchmark's window mass
+    * ([[graft.operators.Dedup.decontamDecision]]) and assert it fits the
+    * ABSOLUTE broadcast budget before taking the pinned branch. The
+    * absolute term is the OOM guard (the 5M-rung failure was an ~84M-row
+    * window broadcast; the budget bounds driver+executor copies to a ~40×
+    * margin) — the dispatcher's RELATIVE term is deliberately not asserted
+    * here: the capstone probes the RELEASED corpus, which exact dedup can
+    * legitimately collapse far below the raw corpus the benchmark derives
+    * from (the unsalted sf10/sf100 rungs), making bench/corpus ratio a
+    * scale classifier for the wrong corpus. A benchmark OVER the absolute
+    * budget fails loud with the measured terms, pointing at the dispatched
+    * path whose shuffle-hash branch survives any benchmark size. */
+  private[graft] def guardedBroadcastVerdicts(
+      train: DataFrame, bench: DataFrame, L: Int): DataFrame = {
+    val dec = graft.operators.Dedup.decontamDecision(train, bench, L)
+    require(
+      dec.benchWins <= graft.operators.Dedup.BenchWindowBudget,
+      s"corpusReleaseV2: benchmark exceeds the broadcast-probe budget ($dec) — a corpus-scale " +
+        "benchmark must go through the DISPATCHED decontamination path " +
+        "(Dedup.substringDecontamination / decontamVerdicts with chooseDecontamPlan), " +
+        "whose shuffle-hash branch is the plan that survives the 5M-doc rung"
+    )
+    graft.operators.Dedup.decontamVerdicts(train, bench, "broadcast", L)
+  }
+
   def corpusReleaseV2(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.TextFns.h60
@@ -940,8 +970,7 @@ object Curation {
             "greatest((size(split(text, ' ')) + 1) div 3, 1)))"
         ).as("text")
       )
-    val verdicts = graft.operators.Dedup
-      .decontamVerdicts(relRead.select($"doc_id", $"text"), bench, "broadcast", L)
+    val verdicts = guardedBroadcastVerdicts(relRead.select($"doc_id", $"text"), bench, L)
     val benchStats = verdicts
       .join(docs.select($"doc_id".as("bench_id"), $"source"), "bench_id")
       .groupBy($"source")

@@ -1112,26 +1112,52 @@ object Dedup {
         f"estCorpusWins=$estCorpusWins%.3e (frac cutoff $BenchCorpusFrac) pick=$pick"
   }
 
+  /** Session-scoped memo for [[decontamDecision]] (r17 ADVICE: the decision
+    * is deterministic for a given corpus/benchmark pair, but q174/q175
+    * re-constructed it per invocation — 2 eager aggregations × 3 Bench
+    * iterations of redundant jobs). Keyed on the CANONICALIZED logical plan
+    * pair, so alias/ordering-insensitive plan equality decides identity and
+    * a different slice/benchmark can never reuse a stale decision. Bounded:
+    * cleared wholesale past 64 entries (a session touches a handful). */
+  private val decontamMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+      DecontamDecision]()
+
   /** Measure the two decontamination dispatch terms: the benchmark's EXACT
     * window count (one aggregation over the benchmark side only — never the
     * corpus) and the corpus window mass estimated from the deterministic
     * 1/16 doc-id-hash sample (the q170/q171 sampling discipline: one narrow
-    * aggregate over ~6% of the corpus, one scalar of driver state). */
+    * aggregate over ~6% of the corpus, one scalar of driver state).
+    * Memoized per canonicalized (train, bench) plan pair within the
+    * session; benchmarks pay the probe once. */
   private[graft] def decontamDecision(train: DataFrame, bench: DataFrame, L: Int = 15): DecontamDecision = {
     import train.sparkSession.implicits._
-    val bw = bench
-      .agg(sum(greatest(size(tokens($"text")) - (L - 1), lit(0)).cast("long")))
-      .head()
-    val cw = train
-      .filter(pmod(xxhash64($"doc_id"), lit(16)) === 0)
-      .agg(sum(greatest(size(tokens($"text")) - (L - 1), lit(0)).cast("long")))
-      .head()
-    val d = DecontamDecision(
-      if (bw.isNullAt(0)) 0L else bw.getLong(0),
-      16.0 * (if (cw.isNullAt(0)) 0L else cw.getLong(0))
+    val key = (
+      train.queryExecution.analyzed.canonicalized,
+      bench.queryExecution.analyzed.canonicalized,
+      L
     )
-    println(d)
-    d
+    if (decontamMemo.size > 64) decontamMemo.clear()
+    decontamMemo.computeIfAbsent(
+      key,
+      _ => {
+        val bw = bench
+          .agg(sum(greatest(size(tokens($"text")) - (L - 1), lit(0)).cast("long")))
+          .head()
+        val cw = train
+          .filter(pmod(xxhash64($"doc_id"), lit(16)) === 0)
+          .agg(sum(greatest(size(tokens($"text")) - (L - 1), lit(0)).cast("long")))
+          .head()
+        val d = DecontamDecision(
+          if (bw.isNullAt(0)) 0L else bw.getLong(0),
+          16.0 * (if (cw.isNullAt(0)) 0L else cw.getLong(0))
+        )
+        println(d)
+        d
+      }
+    )
   }
 
   /** Which physical probe plan decontamination will take — exposed for the

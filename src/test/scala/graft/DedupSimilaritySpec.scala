@@ -570,4 +570,58 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(b.nonEmpty)
     }
   }
+
+  test("q176 capstone guard: an over-budget benchmark cannot take the pinned broadcast probe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val train = Tables.documents(spark, sf).select($"doc_id", $"text")
+    // a benchmark whose window mass exceeds the ABSOLUTE broadcast budget
+    // (the 5M-rung OOM class): inflate the corpus-derived fixture bench
+    // past 2e6 windows by replication under distinct bench_ids — the
+    // guarded capstone path must refuse it LOUD, pointing at the
+    // dispatched path, instead of silently taking the plan that OOM'd
+    val base = graft.operators.Dedup.fixtureBench(train)
+    val copies = (2L * graft.operators.Dedup.BenchWindowBudget.toLong /
+      math.max(1L, base.select(sum(greatest(size(split($"text", " ")) - 14, lit(0)).cast("long")))
+        .as[Long].head())) + 1L
+    val huge = base
+      .withColumn("c", explode(sequence(lit(0L), lit(copies))))
+      .select(($"bench_id" * (copies + 1) + $"c").as("bench_id"), $"text")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Curation.guardedBroadcastVerdicts(train, huge, 15)
+    }
+    assert(e.getMessage.contains("DISPATCHED"), s"guard message must route to the dispatched path: ${e.getMessage}")
+    assert(e.getMessage.contains("benchWins="), "guard message must carry the measured terms")
+    // ...and the bounded q175 fixture benchmark passes the guard — as does
+    // the q174 corpus-DERIVED bench at fixture scale: the capstone guard is
+    // the absolute OOM budget, not the dispatcher's relative scale
+    // classifier (the released corpus legitimately collapses below the raw
+    // corpus on the unsalted rungs, see guardedBroadcastVerdicts docs)
+    val bounded = train
+      .filter($"doc_id" % 97 === 3)
+      .select(
+        $"doc_id".as("bench_id"),
+        expr(
+          "concat_ws(' ', slice(split(text, ' '), size(split(text, ' ')) div 3 + 1, " +
+            "greatest((size(split(text, ' ')) + 1) div 3, 1)))"
+        ).as("text")
+      )
+    assert(graft.operators.Curation.guardedBroadcastVerdicts(train, bounded, 15).count() > 0)
+  }
+
+  test("decontam dispatch decision is memoized per (train, bench) plan pair") {
+    import spark.implicits._
+    val train = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val bench = graft.operators.Dedup.fixtureBench(train)
+    val d1 = graft.operators.Dedup.decontamDecision(train, bench)
+    // a re-derived, plan-identical pair must hit the memo (same object back)
+    val train2 = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val d2 = graft.operators.Dedup.decontamDecision(train2, graft.operators.Dedup.fixtureBench(train2))
+    assert(d1 eq d2, "identical canonicalized plans must reuse the memoized decision")
+    // a DIFFERENT benchmark plan must NOT reuse it
+    val other = train.filter($"doc_id" % 97 === 3)
+      .select($"doc_id".as("bench_id"), $"text")
+    val d3 = graft.operators.Dedup.decontamDecision(train, other)
+    assert(!(d3 eq d1) && d3.benchWins != d1.benchWins)
+  }
 }

@@ -45,6 +45,37 @@ def table_glob(slice_dir, table):
     return f"{p}/*.parquet" if os.path.isdir(p) else p
 
 
+def slice_fingerprint(glob_pat):
+    """path:size:mtime digest over the parquet files behind a glob — the
+    cache-validity content key (r17 ADVICE: COUNT/MIN/MAX of vec_id alone
+    let a regenerated slice with the same id range reuse a stale assignment
+    table and grade wrong)."""
+    import glob as _glob
+    import hashlib
+    files = sorted(_glob.glob(glob_pat)) or [glob_pat]
+    parts = [f"{f}:{os.path.getsize(f)}:{int(os.path.getmtime(f) * 1000)}"
+             for f in files if os.path.exists(f)]
+    return hashlib.md5(",".join(parts).encode()).hexdigest()
+
+
+def _cache_load(con, cache, fp, tag):
+    """Load a persisted assignment table iff both the id-range check (done
+    by the caller) and the slice content fingerprint match. Returns ok."""
+    fpf = cache + ".fp"
+    have = open(fpf).read().strip() if os.path.exists(fpf) else None
+    if have != fp:
+        print(f"[{tag}] assigned cache STALE (slice content fingerprint "
+              f"changed) — recomputing", flush=True)
+        return False
+    return True
+
+
+def _cache_store(con, cache, fp):
+    con.execute(f"COPY assigned TO '{cache}' (FORMAT parquet)")
+    with open(cache + ".fp", "w") as f:
+        f.write(fp)
+
+
 def norm_cell(v):
     if v is None:
         return None
@@ -71,8 +102,30 @@ def diff_report(srn, orn):
             return
 
 
+# build-stamp coherence across every compare_engine call in this process
+# (r17 ADVICE: the blocked-replay graders never checked _GRAFT_STAMP, so the
+# sf10/sf100 heavy-query paths lacked the guard check.py has): out_dir →
+# {qname: stamp}; a second distinct stamp within one out_dir fails the grade.
+_seen_stamps = {}
+
+
+def _stamp_ok(out_dir, qname):
+    sp = f"{out_dir}/{qname}/_GRAFT_STAMP"
+    stamp = open(sp).read().strip() if os.path.exists(sp) else "unstamped"
+    seen = _seen_stamps.setdefault(out_dir, {})
+    seen[qname] = stamp
+    vals = set(seen.values())
+    if len(vals) > 1:
+        print(f"ERROR: mixed build stamps under {out_dir}: "
+              f"{sorted((q, s) for q, s in seen.items())}", flush=True)
+        return False
+    return True
+
+
 def compare_engine(con, out_dir, qname, ocols, orows, sort=False):
     """Compare an oracle result against the engine parquet; returns ok."""
+    if not _stamp_ok(out_dir, qname):
+        return False
     sp = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{qname}/*.parquet')")
     scols, srows = sp.columns, sp.fetchall()
     oc, orn = norm(ocols, orows, sort)
@@ -230,7 +283,8 @@ def q141_oracle(con, glob, assign_chunks=20, pair_chunks=10, cache=None,
     print(f"[{tag}] e done ({time.time() - t0:.0f}s)", flush=True)
 
     cached = False
-    if cache and os.path.exists(cache):
+    slice_fp = slice_fingerprint(glob)
+    if cache and os.path.exists(cache) and _cache_load(con, cache, slice_fp, tag):
         want = con.sql("SELECT COUNT(*), MIN(vec_id), MAX(vec_id) FROM e").fetchone()
         got = con.sql(
             f"SELECT COUNT(*), MIN(vec_id), MAX(vec_id) FROM read_parquet('{cache}')"
@@ -264,7 +318,7 @@ def q141_oracle(con, glob, assign_chunks=20, pair_chunks=10, cache=None,
             print(f"[{tag}] assign chunk {k + 1}/{assign_chunks} done ({time.time() - t0:.0f}s)",
                   flush=True)
         if cache:
-            con.execute(f"COPY assigned TO '{cache}' (FORMAT parquet)")
+            _cache_store(con, cache, slice_fp)
 
     # one join TOTAL attaches embeddings to assignments (the per-chunk
     # rebuild dominated wall-clock when done per pairwise chunk), with the
@@ -423,18 +477,22 @@ def pq_prepare(con, glob, pq_assign_chunks=4, tag="pq"):
     print(f"[{tag}] codes done ({time.time() - t0:.0f}s)", flush=True)
 
 
-def pq_query_oracle(con, c2_sql, coarse_chunks=20, cache=None, tag="pq"):
+def pq_query_oracle(con, c2_sql, coarse_chunks=20, cache=None, tag="pq",
+                    glob=None):
     """Coarse quantizer (one-shot c2), chunked per-vector coarse assign,
     one-shot probes + ADC shortlist + exact-rescore tail. Requires
     pq_prepare() to have built e/blocks/cb1/codes on this connection.
-    `cache` persists/validates the coarse assignment (the q141 discipline)."""
+    `cache` persists/validates the coarse assignment (the q141 discipline);
+    pass `glob` (the embeddings parquet glob) with it so the cache key
+    includes the slice content fingerprint, not just the id range."""
     import time
     t0 = time.time()
     for t in ("c2", "assigned", "probes"):
         con.execute(f"DROP TABLE IF EXISTS {t}")
     con.execute(f"CREATE TABLE c2 AS {c2_sql}")
     cached = False
-    if cache and os.path.exists(cache):
+    slice_fp = slice_fingerprint(glob) if glob else "no-glob"
+    if cache and os.path.exists(cache) and _cache_load(con, cache, slice_fp, tag):
         want = con.sql("SELECT COUNT(*), MIN(vec_id), MAX(vec_id) FROM e").fetchone()
         got = con.sql(
             f"SELECT COUNT(*), MIN(vec_id), MAX(vec_id) FROM read_parquet('{cache}')"
@@ -461,7 +519,7 @@ def pq_query_oracle(con, c2_sql, coarse_chunks=20, cache=None, tag="pq"):
             ) WHERE crk = 1
             """)
         if cache:
-            con.execute(f"COPY assigned TO '{cache}' (FORMAT parquet)")
+            _cache_store(con, cache, slice_fp)
     print(f"[{tag}] assigned done ({time.time() - t0:.0f}s)", flush=True)
     con.execute(f"""
     CREATE TABLE probes AS

@@ -22,7 +22,8 @@ def main():
     glob = table_glob(slice_dir, "embeddings")
     pq_prepare(con, glob, pq_assign_chunks=16, tag="pq-sf100")
     c156 = pq_query_oracle(con, LABEL_CENTS_SQL, coarse_chunks=40,
-                           cache="/tmp/q156_sf100_assigned.parquet", tag="pq-sf100")
+                           cache="/tmp/q156_sf100_assigned.parquet", tag="pq-sf100",
+                           glob=glob)
     ok156 = compare_engine(con, out_dir, "q156_ivf_pq_topk", *c156, sort=True)
     c161 = pq_query_oracle(con, TRAINED_CENTS_SQL, coarse_chunks=40, tag="pq-sf100")
     ok161 = compare_engine(con, out_dir, "q161_ivf_pq_trained_topk", *c161, sort=True)
