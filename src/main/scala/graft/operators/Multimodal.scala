@@ -373,6 +373,115 @@ object Multimodal {
     pngDirs.values.forEach(d => graft.sources.ParquetSink.deleteRecursively(d.toString))
   }
 
+  /** One perceptual-hash row: the 64-bit average-hash split into four
+    * 16-bit band keys (b = bit index / 16) — the Hamming-banding unit. */
+  final case class PhashRow(doc_id: Long, b0: Long, b1: Long, b2: Long, b3: Long)
+
+  /** Declared query (q178): PERCEPTUAL-HASH image near-dup — the dedup
+    * discipline (q64/q65/q66) composed across the image boundary (r17
+    * verdict stretch 7). The corpus is the q71 image table plus planted
+    * near-duplicate re-encodes (doc %9==0 under +5M ids, pixel function
+    * offset by salt=1 — every channel shifts +1 mod 256, so the raster is
+    * near-identical except at 255→0 wraps: a genuine small-perturbation
+    * duplicate, not a byte copy). Each PNG is REAL-decoded (ImageIO, the
+    * q71 batch shape) and hashed with a GRID-EXACT average-hash:
+    *
+    *   - 8×8 nearest-neighbor downsample: cell (i,j) samples the decoded
+    *     pixel (i·w/8, j·h/8) (integer division — exact, no resampling
+    *     kernel to replicate);
+    *   - gray = r+g+b (integer, no division);
+    *   - bit(idx) = 64·gray(idx) > Σgray (cross-multiplied integer
+    *     threshold — no rounding anywhere), idx = row·8 + col;
+    *   - the 64 bits pack into four 16-bit band keys.
+    *
+    * Near-dup pairs via the q66 SimHash discipline: candidates share ≥1 of
+    * 4 bands (pigeonhole-complete for Hamming ≤3; banding IS the operator
+    * contract, as in q65/q66), verified at Hamming ≤ 6 computed from the
+    * band-key XOR popcounts. Every arithmetic step is closed-form integer
+    * math over the lossless PNG round trip, so the DuckDB oracle replays
+    * hash, bands, candidates and distances EXACTLY — a decode, sampling,
+    * threshold, or popcount regression breaks the hash compare.
+    *
+    * Scale shape: hash extraction is embarrassingly parallel mapPartitions
+    * over decoded batches (no shuffle); the pair stage shuffles on the
+    * 16-bit band key with both self-join sides reusing ONE exchange
+    * (repartition-before-rename, shuffle_hash — the q65 plan), and the
+    * hashes ride the band rows (4 thin longs) so no join back to the
+    * corpus is ever needed. At 100 TB the PNG bytes arrive via binaryFile
+    * (q125/q159) and the same partitions apply unchanged. */
+  def imagePhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables
+      .spread(Tables.documents(spark, sfDir))
+      .select($"doc_id")
+      .as[Long]
+    val corpus: org.apache.spark.sql.Dataset[(Long, Long, Long)] =
+      ids.map(d => (d, d, 0L)).union(ids.filter(_ % 9 == 0).map(d => (d + 5000000L, d, 1L)))
+    val hashes = corpus
+      .mapPartitions { rows =>
+        rows.map { case (id, base, salt) =>
+          val (w, h) = imageDims(base)
+          val png    = encodePng(base, w, h, salt)
+          val img    = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+          val (dw, dh) = (img.getWidth, img.getHeight) // decoded header dims
+          val grays  = new Array[Long](64)
+          var total  = 0L
+          var idx    = 0
+          while (idx < 64) {
+            val x   = (idx % 8) * dw / 8
+            val y   = (idx / 8) * dh / 8
+            val rgb = img.getRGB(x, y)
+            val g   = ((rgb >>> 16) & 0xff) + ((rgb >>> 8) & 0xff) + (rgb & 0xff)
+            grays(idx) = g.toLong
+            total += g
+            idx += 1
+          }
+          val b = new Array[Long](4)
+          idx = 0
+          while (idx < 64) {
+            if (64L * grays(idx) > total) b(idx / 16) |= 1L << (idx % 16)
+            idx += 1
+          }
+          PhashRow(id, b(0), b(1), b(2), b(3))
+        }
+      }
+      .toDF()
+    // repartition on the band struct BEFORE the per-side renames: both
+    // self-join sides reuse this one exchange (the q65/q66 stage-cache
+    // pattern); the four band keys ride along for the distance compute
+    val bands = hashes
+      .select(
+        $"doc_id",
+        $"b0", $"b1", $"b2", $"b3",
+        explode(
+          transform(
+            sequence(lit(0), lit(3)),
+            b => struct(
+              b.as("band"),
+              element_at(array($"b0", $"b1", $"b2", $"b3"), b + 1).as("key")
+            )
+          )
+        ).as("bk")
+      )
+      .repartition($"bk")
+    val a = bands.select($"doc_id".as("id1"), $"b0".as("a0"), $"b1".as("a1"), $"b2".as("a2"), $"b3".as("a3"), $"bk")
+    val c = bands.select($"doc_id".as("id2"), $"b0".as("c0"), $"b1".as("c1"), $"b2".as("c2"), $"b3".as("c3"), $"bk".as("bk2"))
+    // shuffle-hash, not broadcast: band buckets are unbounded at corpus scale
+    a.hint("shuffle_hash")
+      .join(c.hint("shuffle_hash"), $"bk" === $"bk2" && $"id1" < $"id2")
+      .dropDuplicates("id1", "id2")
+      .select(
+        $"id1",
+        $"id2",
+        (bit_count($"a0".bitwiseXOR($"c0")) + bit_count($"a1".bitwiseXOR($"c1")) +
+          bit_count($"a2".bitwiseXOR($"c2")) + bit_count($"a3".bitwiseXOR($"c3")))
+          .cast("long")
+          .as("hamming")
+      )
+      .filter($"hamming" <= 6)
+      .orderBy($"id1", $"id2")
+  }
+
   def pngFilePipeline(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dir = pngDirs.computeIfAbsent(

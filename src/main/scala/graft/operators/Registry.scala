@@ -3066,6 +3066,58 @@ object Registry {
                CAST(list_sum(vals) * 1000 AS BIGINT) // CAST(width*height*3 AS BIGINT) AS mean_milli
         FROM v ORDER BY doc_id
       """)
+    ),
+    // q178 (r17 verdict stretch 7): perceptual-hash image near-dup — the
+    // dedup discipline composed across the image boundary. The oracle
+    // replays the ENTIRE pipeline in closed form: the same 8×8
+    // nearest-neighbor sample of the q71 raster (integer division), the
+    // same r+g+b gray, the same cross-multiplied average threshold, the
+    // same 16-bit band keys, the same band-equality candidates and the
+    // same XOR-popcount distances — the engine side differs only in that
+    // its pixels come from a REAL ImageIO decode of a real PNG encode
+    // (lossless, so decoded == generated; a codec regression breaks this
+    // hash compare exactly like q71's).
+    Q(
+      "q178_image_phash_pairs",
+      Multimodal.imagePhashPairs,
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, doc_id AS base, 0 AS salt FROM documents
+          UNION ALL
+          SELECT doc_id + 5000000, doc_id, 1 FROM documents WHERE doc_id % 9 = 0
+        ), dims AS (
+          SELECT doc_id, base, salt, base % 16 + 4 AS w, base % 12 + 4 AS h FROM corpus
+        ), cells AS (
+          SELECT doc_id, g.g AS idx, base, salt, w,
+                 ((g.g % 8) * w) // 8 AS x, ((g.g // 8) * h) // 8 AS y
+          FROM dims, (SELECT unnest(range(0, 64)) AS g) g
+        ), grays AS (
+          SELECT doc_id, idx,
+                 ((base*31 + salt + ((y*w + x)*3    )*7) % 256
+                + (base*31 + salt + ((y*w + x)*3 + 1)*7) % 256
+                + (base*31 + salt + ((y*w + x)*3 + 2)*7) % 256) AS gray
+          FROM cells
+        ), bits AS (
+          SELECT doc_id, idx,
+                 CASE WHEN 64*gray > SUM(gray) OVER (PARTITION BY doc_id) THEN 1 ELSE 0 END AS bit
+          FROM grays
+        ), bands AS (
+          SELECT doc_id, idx // 16 AS band,
+                 CAST(SUM(bit * (1 << (idx % 16))) AS BIGINT) AS key
+          FROM bits GROUP BY doc_id, idx // 16
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+          FROM bands a JOIN bands c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+        ), ham AS (
+          SELECT cand.id1, cand.id2,
+                 CAST(SUM(bit_count(xor(ba.key, bc.key))) AS BIGINT) AS hamming
+          FROM cand
+          JOIN bands ba ON ba.doc_id = cand.id1
+          JOIN bands bc ON bc.doc_id = cand.id2 AND bc.band = ba.band
+          GROUP BY cand.id1, cand.id2
+        )
+        SELECT id1, id2, hamming FROM ham WHERE hamming <= 6 ORDER BY id1, id2
+      """)
     )
   )
 

@@ -81,6 +81,21 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("image pHash near-dup: planted re-encodes pair with their originals") {
+    import spark.implicits._
+    val pairs = Multimodal.imagePhashPairs(spark, sf).cache()
+    assert(pairs.filter($"hamming" > 6 || $"hamming" < 0).count() === 0)
+    assert(pairs.filter($"id1" >= $"id2").count() === 0, "pairs are (smaller, larger)")
+    // planted near-dups (+5M ids, pixel salt +1 → identical raster except
+    // at 255→0 wraps) must band-match and verify for nearly all docs; the
+    // few misses are the honest Hamming-LSH recall gap (>3 flipped bits
+    // spread across all 4 bands), replayed identically by the oracle
+    val nCopies = Tables.documents(spark, sf).filter($"doc_id" % 9 === 0).count()
+    val planted = pairs.filter($"id2" === $"id1" + 5000000L).count()
+    assert(planted >= (nCopies * 8) / 10, s"found only $planted of $nCopies planted near-dups")
+    pairs.unpersist()
+  }
+
   test("frame sample emits exactly frames 0 and 2 per document") {
     import spark.implicits._
     val fs = Multimodal.frameSample(spark, sf).cache()
