@@ -39,9 +39,14 @@ def main():
     # --skip a,b,c: exclude queries whose one-shot oracle is infeasible at a
     # synthetic slice (they verify through their blocked-replay tools
     # instead: check_sf10_pq.py, check_sf10_q141.py, check_sf100_docs.py)
-    skip = set()
+    # --only a,b,c: grade ONLY the named queries (per-query sf100 rung runs
+    # accumulate one query at a time into a persistent outDir; the other
+    # oracle entries' outputs may not exist yet). Exact names, like --skip.
+    skip, only = set(), None
     if len(sys.argv) > 4 and sys.argv[3] == "--skip":
         skip = set(sys.argv[4].split(","))
+    if len(sys.argv) > 4 and sys.argv[3] == "--only":
+        only = set(sys.argv[4].split(","))
     con = duckdb.connect()
     # an in-memory connection has no temp_directory, so a heavy oracle
     # (the 500k-doc q176 capstone) OOMs instead of spilling; give it one,
@@ -71,9 +76,9 @@ def main():
     # exact-name matching only: substring matching let a token like 'q14'
     # silently skip q141/q147/... and weaken the gate (r15 ADVICE). A skip
     # token that names no oracle is a loud error, not a no-op.
-    unmatched = skip - set(oracle)
+    unmatched = (skip | (only or set())) - set(oracle)
     if unmatched:
-        print(f"ERROR: --skip names no oracle query: {sorted(unmatched)}")
+        print(f"ERROR: --skip/--only names no oracle query: {sorted(unmatched)}")
         sys.exit(2)
     # Build-stamp coherence (r16 ADVICE): Probe stamps every rung query dir
     # with the compiled build's fingerprint. With GRAFT_SF10_ONLY-style
@@ -83,7 +88,7 @@ def main():
     stamps = {}
     for d in sorted(os.listdir(out_dir)):
         sp = f"{out_dir}/{d}/_GRAFT_STAMP"
-        if os.path.isdir(f"{out_dir}/{d}"):
+        if os.path.isdir(f"{out_dir}/{d}") and (only is None or d in only):
             stamps[d] = open(sp).read().strip() if os.path.exists(sp) else "unstamped"
     if len(set(stamps.values())) > 1:
         print(f"ERROR: mixed build stamps across graded query dirs: "
@@ -106,6 +111,8 @@ def main():
         print(f"WARN: {msg}")
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        if only is not None and name not in only:
+            continue
         if name in skip:
             print(f"SKIP {name} (blocked-replay tool verifies it)")
             continue
@@ -140,6 +147,8 @@ def main():
             print(f"PASS {name} ({len(grn)} rows)")
     # rows-only entries (no oracle): just check non-empty
     for d in sorted(os.listdir(out_dir)):
+        if only is not None and d not in only:
+            continue
         if os.path.isdir(f"{out_dir}/{d}") and d not in oracle:
             files = glob.glob(f"{out_dir}/{d}/*.parquet")
             n = con.sql(f"SELECT COUNT(*) FROM read_parquet('{out_dir}/{d}/*.parquet')").fetchone()[0] if files else 0
