@@ -2160,7 +2160,18 @@ object Probe {
         // r17: the streaming substring gate at 10× duplication — every
         // window md5 is claimed 10× across replicas, so the registry takes
         // maximal same-key traffic while state stays one Long per key
-        "q177_streaming_substring_gate"
+        "q177_streaming_substring_gate",
+        // r18: perceptual-hash image near-dup at 55k images. The closed-
+        // form raster is periodic in doc_id (dims mod 48 × pixel phase mod
+        // 256 → 768 distinct rasters), so this slice is the DENSE corner:
+        // ~72 exact-raster copies per class, every band bucket saturated,
+        // ~2M verified pairs — the q65-on-sf1 regime. The sf10+ rungs are
+        // deliberately NOT graded for q178: at 555k images the same
+        // periodicity makes the PAIR OUTPUT itself quadratic (~200M rows —
+        // any pairwise dedup on a 700×-repeated corpus is; production
+        // routes that regime through the q120 endgame grouping, and the
+        // banding's per-bucket load stays the operator's honest cost)
+        "q178_image_phash_pairs"
       )
       Files.createDirectories(Paths.get(curDir))
       replicate(Tables.documents(spark, sfDir), "doc_id")
