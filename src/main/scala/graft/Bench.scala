@@ -96,17 +96,19 @@ object Bench {
     acc
   }
 
-  /** Healthy band for canary_mt on the reference 32-vCPU driver host (r17
-    * triplet adjudication, BASELINE "r17 triplet" table): the clean cluster
-    * reads 0.93–1.05 s; the two contended readings (co-tenant multi-core
-    * load) read 1.57/1.69 s. The band is deliberately wide — it exists to
-    * catch the ~1.6x contention class the protocol demonstrated live, not
-    * to litigate 5% host drift (canary_st remains the drift anchor). A
-    * reading outside the band marks the WHOLE invocation `contended`: the
-    * r17 rule ("judge the ratio only against readings whose canary_mt sits
-    * in the healthy band"), automated so BENCH_r{N}.json self-annotates
-    * and cross-round reads need no manual adjudication. */
-  private val CanaryMtHealthy: (Double, Double) = (0.5, 1.25)
+  /** Healthy band for canary_mt on the reference 32-vCPU driver host: the
+    * clean cluster reads 0.93–1.05 s across r17+r18 (12 readings); every
+    * adjudicated-contended reading sits at 1.15+ (1.15/1.24/1.35/1.45 in
+    * the r18 eight-run series, 1.57/1.69 in r17's). The 1.10 cutoff
+    * separates the two clusters with margin on both sides — r18 measured
+    * that a wider 1.25 cutoff let a mt=1.147 run pass whose 4.33× ratio
+    * was plainly the contended class (every query, and DuckDB too, moved
+    * together). A reading outside the band marks the WHOLE invocation
+    * `contended`: the r17 rule ("judge the ratio only against readings
+    * whose canary_mt sits in the healthy band"), automated so
+    * BENCH_r{N}.json self-annotates and cross-round reads need no manual
+    * adjudication. canary_st remains the cross-round drift anchor. */
+  private val CanaryMtHealthy: (Double, Double) = (0.5, 1.10)
 
   /** Host-speed canary: seconds for a FIXED deterministic CPU workload,
     * single-thread and all-cores. The engine/DuckDB ratio cancels phase
@@ -115,7 +117,7 @@ object Bench {
     * the ratio with ZERO code change). The canary gives every BENCH_r{N}
     * an absolute host-speed anchor: compare canary seconds across rounds
     * before reading anything into engine seconds or the ratio. */
-  private def hostCanary(): (Double, Double) = {
+  private[graft] def hostCanary(): (Double, Double) = {
     val stIters = 400000000L
     val t0 = System.nanoTime()
     val sink1 = spin(stIters, 42L)

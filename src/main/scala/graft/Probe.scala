@@ -780,6 +780,17 @@ object Probe {
       if (!ok) sys.exit(1)
       return
     }
+    if (which == "canary") {
+      // Standalone host-speed stamp (r17 verdict task 6: walk windows need
+      // canary readings WITHOUT paying a full Bench run): one warm pass so
+      // C2 has compiled spin(), then the recorded reading — same workload
+      // and healthy-band semantics as the Bench JSON fields.
+      val (_, _) = Bench.hostCanary()
+      val (st, mt) = Bench.hostCanary()
+      println(f"[canary] canary_st=$st%.3f canary_mt=$mt%.3f")
+      spark.stop()
+      return
+    }
     if (which == "scalestream") {
       // Engine-only scaling curve for the q136 streaming near-dup registry:
       // the same synthetic dup-injected corpus as `scale` (every 10th doc
