@@ -2182,7 +2182,12 @@ object Probe {
         // any pairwise dedup on a 700×-repeated corpus is; production
         // routes that regime through the q120 endgame grouping, and the
         // banding's per-bucket load stays the operator's honest cost)
-        "q178_image_phash_pairs"
+        "q178_image_phash_pairs",
+        // r18: and the endgame route ITSELF, declared and graded — exact-
+        // hash collapse → rep-level banded pairs → CC → per-image verdict.
+        // Linear output (one row per image), so unlike q178 it also rides
+        // the sf10 rung
+        "q179_image_dedup_endgame"
       )
       Files.createDirectories(Paths.get(curDir))
       replicate(Tables.documents(spark, sfDir), "doc_id")
@@ -2362,7 +2367,12 @@ object Probe {
         // capstone; both one-shot replayable (exact dedup collapses the
         // unsalted 100× corpus before the window-heavy stages)
         "q175_decontam_bounded_bench",
-        "q176_corpus_release_v2"
+        "q176_corpus_release_v2",
+        // r18: the image dedup endgame at 555k images — the linear-output
+        // route for the saturated-hash regime (q178's pairwise form is
+        // output-quadratic here by construction; the endgame collapses the
+        // ~700 same-hash copies per class BEFORE any pairing)
+        "q179_image_dedup_endgame"
       )
       Files.createDirectories(Paths.get(curDir))
       if (freshDir(s"$curDir/documents.parquet"))

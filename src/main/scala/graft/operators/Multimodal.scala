@@ -409,7 +409,11 @@ object Multimodal {
     * hashes ride the band rows (4 thin longs) so no join back to the
     * corpus is ever needed. At 100 TB the PNG bytes arrive via binaryFile
     * (q125/q159) and the same partitions apply unchanged. */
-  def imagePhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The q178/q179 hash stage: the planted-near-dup image corpus (every
+    * %9 doc re-encoded under +5M ids with pixel salt +1), REAL-decoded and
+    * average-hashed into four 16-bit band keys per image. Embarrassingly
+    * parallel — no shuffle. */
+  private def imagePhashes(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val ids = Tables
       .spread(Tables.documents(spark, sfDir))
@@ -417,7 +421,7 @@ object Multimodal {
       .as[Long]
     val corpus: org.apache.spark.sql.Dataset[(Long, Long, Long)] =
       ids.map(d => (d, d, 0L)).union(ids.filter(_ % 9 == 0).map(d => (d + 5000000L, d, 1L)))
-    val hashes = corpus
+    corpus
       .mapPartitions { rows =>
         rows.map { case (id, base, salt) =>
           val (w, h) = imageDims(base)
@@ -446,9 +450,16 @@ object Multimodal {
         }
       }
       .toDF()
-    // repartition on the band struct BEFORE the per-side renames: both
-    // self-join sides reuse this one exchange (the q65/q66 stage-cache
-    // pattern); the four band keys ride along for the distance compute
+  }
+
+  /** The q178/q179 pair stage over any (doc_id, b0..b3) frame: Hamming-
+    * banded candidates (equal on ≥1 of the four 16-bit bands) verified by
+    * XOR-popcount over the band keys. The repartition-before-rename /
+    * shuffle_hash discipline is q65/q66's: both self-join sides reuse ONE
+    * exchange, and band buckets are unbounded at corpus scale so a
+    * broadcast would be the wrong plan. */
+  private def phashBandPairs(hashes: DataFrame): DataFrame = {
+    import hashes.sparkSession.implicits._
     val bands = hashes
       .select(
         $"doc_id",
@@ -466,7 +477,6 @@ object Multimodal {
       .repartition($"bk")
     val a = bands.select($"doc_id".as("id1"), $"b0".as("a0"), $"b1".as("a1"), $"b2".as("a2"), $"b3".as("a3"), $"bk")
     val c = bands.select($"doc_id".as("id2"), $"b0".as("c0"), $"b1".as("c1"), $"b2".as("c2"), $"b3".as("c3"), $"bk".as("bk2"))
-    // shuffle-hash, not broadcast: band buckets are unbounded at corpus scale
     a.hint("shuffle_hash")
       .join(c.hint("shuffle_hash"), $"bk" === $"bk2" && $"id1" < $"id2")
       .dropDuplicates("id1", "id2")
@@ -479,7 +489,74 @@ object Multimodal {
           .as("hamming")
       )
       .filter($"hamming" <= 6)
-      .orderBy($"id1", $"id2")
+  }
+
+  def imagePhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    phashBandPairs(imagePhashes(spark, sfDir)).orderBy($"id1", $"id2")
+  }
+
+  /** Declared query (q179): image dedup ENDGAME — the LINEAR-output
+    * production path for saturated-duplication image corpora, and the
+    * documented answer to q178's dense-corner caveat (a pairwise listing
+    * over a corpus where every image repeats n× is O(n²) OUTPUT no matter
+    * how good the plan; this is the route that regime takes instead):
+    *
+    *   1. EXACT-hash collapse first (the q64 discipline on the 64-bit
+    *      pHash): one groupBy on the four band keys elects the min-id
+    *      representative per distinct hash — the quadratic same-hash mass
+    *      never becomes pairs at all;
+    *   2. Hamming-banded near-dup pairs among the DISTINCT-hash
+    *      representatives only ([[phashBandPairs]] — input bounded by hash
+    *      diversity, not corpus size; two distinct hashes differ in ≥1
+    *      bit, so the exact-dup class never re-enters);
+    *   3. connected components over the representative pair graph (the
+    *      q120 endgame discipline, [[Graph.autoComponents]]: min-label
+    *      with the two-phase O(log² n) fallback), electing the min-id
+    *      cluster survivor;
+    *   4. every image inherits its verdict through its hash group — one
+    *      row per image: exact representative, near-dup cluster id,
+    *      cluster image mass, and the keep flag.
+    *
+    * Scale shape: stages 1 and 4 are one shuffle each over the corpus
+    * (linear); stages 2-3 operate on distinct hashes only. The DuckDB
+    * oracle replays the identical pipeline — closed-form hashes, pivoted
+    * group keys, banded rep pairs, recursive-CTE reachability — so the
+    * hash compare pins survivor election and component structure, not
+    * just counts. */
+  def imageDedupEndgame(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hashes = imagePhashes(spark, sfDir)
+    // exact-hash collapse: min-id representative per distinct 64-bit hash
+    val groups = hashes
+      .groupBy($"b0", $"b1", $"b2", $"b3")
+      .agg(min($"doc_id").as("rep_id"), count(lit(1)).as("n_copies"))
+    // near-dup pairs among representatives only (hamming 1..6 by
+    // construction: distinct groups differ in at least one bit)
+    val repPairs = phashBandPairs(
+      groups.select($"rep_id".as("doc_id"), $"b0", $"b1", $"b2", $"b3")
+    ).select($"id1".as("src"), $"id2".as("dst")).cache()
+    val comp = graft.operators.Graph.autoComponents(
+      groups.select($"rep_id".as("node")),
+      repPairs
+    )
+    val repComp = groups
+      .join(comp, $"rep_id" === $"node")
+      .select($"b0", $"b1", $"b2", $"b3", $"rep_id", $"n_copies", $"comp".as("cluster_id"))
+    val clusterMass = repComp
+      .groupBy($"cluster_id")
+      .agg(sum($"n_copies").as("cluster_images"))
+    hashes
+      .join(repComp, Seq("b0", "b1", "b2", "b3"))
+      .join(clusterMass, "cluster_id")
+      .select(
+        $"doc_id",
+        $"rep_id",
+        $"cluster_id",
+        $"cluster_images",
+        ($"doc_id" === $"cluster_id").as("is_kept")
+      )
+      .orderBy($"doc_id")
   }
 
   def pngFilePipeline(spark: SparkSession, sfDir: String): DataFrame = {

@@ -96,6 +96,32 @@ class OperatorSpec extends SparkSpec {
     pairs.unpersist()
   }
 
+  test("image dedup endgame: linear output, survivor election consistent with the pair graph") {
+    import spark.implicits._
+    val out = Multimodal.imageDedupEndgame(spark, sf).cache()
+    val nImages = Tables.documents(spark, sf).count() +
+      Tables.documents(spark, sf).filter($"doc_id" % 9 === 0).count()
+    assert(out.count() === nImages, "exactly one row per image — the linear-output contract")
+    // survivors are their own cluster id; every cluster has exactly one
+    assert(out.filter($"is_kept" && $"cluster_id" =!= $"doc_id").count() === 0)
+    val perCluster = out.groupBy($"cluster_id")
+      .agg(sum($"is_kept".cast("long")).as("nk"), count(lit(1)).as("n"), first($"cluster_images").as("ci"))
+    assert(perCluster.filter($"nk" =!= 1).count() === 0, "one survivor per cluster")
+    assert(perCluster.filter($"n" =!= $"ci").count() === 0, "cluster_images equals member count")
+    // the survivor is the min doc_id of its cluster (min-label election)
+    val minIds = out.groupBy($"cluster_id").agg(min($"doc_id").as("mn"))
+    assert(minIds.filter($"cluster_id" =!= $"mn").count() === 0)
+    // every q178 near-dup pair lands in one cluster (banding is shared,
+    // and exact-hash members ride their representative)
+    val cl = out.select($"doc_id", $"cluster_id")
+    val crossPairs = Multimodal.imagePhashPairs(spark, sf)
+      .join(cl.withColumnRenamed("doc_id", "id1").withColumnRenamed("cluster_id", "c1"), "id1")
+      .join(cl.withColumnRenamed("doc_id", "id2").withColumnRenamed("cluster_id", "c2"), "id2")
+      .filter($"c1" =!= $"c2")
+    assert(crossPairs.count() === 0, "no verified pair may straddle two clusters")
+    out.unpersist()
+  }
+
   test("frame sample emits exactly frames 0 and 2 per document") {
     import spark.implicits._
     val fs = Multimodal.frameSample(spark, sf).cache()
