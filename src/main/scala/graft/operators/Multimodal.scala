@@ -526,7 +526,13 @@ object Multimodal {
     * just counts. */
   def imageDedupEndgame(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val hashes = imagePhashes(spark, sfDir)
+    // repartition on the four band keys: BOTH consumers of the hash table
+    // (the exact-collapse groupBy and the final per-image verdict join)
+    // key on exactly these columns, so AQE reuses this ONE exchange and
+    // the codec pipeline — the expensive stage — materializes once
+    // (the q65 repartition-before-consumers discipline; measured 241.4 s
+    // → see BASELINE for the post-reuse figure at the 555k-image rung)
+    val hashes = imagePhashes(spark, sfDir).repartition($"b0", $"b1", $"b2", $"b3")
     // exact-hash collapse: min-id representative per distinct 64-bit hash
     val groups = hashes
       .groupBy($"b0", $"b1", $"b2", $"b3")
