@@ -212,6 +212,87 @@ object Probe {
       spark.stop()
       return
     }
+    if (which == "jobcounts") {
+      // Walk-drift attribution phase (r18 verdict task 1): the iterative
+      // families read 3-7× above their r13 walk entries and the appendix
+      // attributed it to "per-job scheduling floor, not code" WITHOUT a
+      // measurement. This phase produces the two terms of that claim so it
+      // can be reconciled (or refuted) against the r13 build run with the
+      // identical instrument:
+      //   - per-query Spark JOB count (plus stages/tasks, wall, the sum of
+      //     per-job walls, and total executor task runtime) — if the loop
+      //     structure grew since r13 (extra probe rounds, extra eager
+      //     actions, extra checkpoint jobs), it shows up HERE;
+      //   - the empty-job floor — median wall of a 1-task and a 32-task
+      //     no-op RDD job on this host/session, the price every extra job
+      //     pays regardless of code.
+      // drift ≈ Δjobs × floor + Δ(task runtime)/slots; anything left over
+      // is driver-side planning between jobs (wall − Σ job walls).
+      // Usage: runMain graft.Probe <sfDir> jobcounts [<query> ...]
+      import org.apache.spark.scheduler._
+      import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+      val names =
+        if (args.length > 2) args.drop(2).toSeq.filterNot(_ == "jobcounts")
+        else Seq(
+          "q107_kmeans_clusters", "q108_pagerank", "q111_recursive_reachability",
+          "q120_dedup_endgame", "q122_chain_components",
+          // non-iterative controls: single-action plans whose drift is
+          // pure floor+host, to separate the two effects
+          "q01_pricing_summary", "q65_minhash_lsh_pairs")
+      val jobs   = new AtomicInteger(0)
+      val stages = new AtomicInteger(0)
+      val tasks  = new AtomicInteger(0)
+      val jobNs  = new AtomicLong(0)
+      val execMs = new AtomicLong(0)
+      val t0s    = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onJobStart(e: SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); t0s.put(e.jobId, System.nanoTime())
+        }
+        override def onJobEnd(e: SparkListenerJobEnd): Unit = {
+          val s = t0s.remove(e.jobId)
+          if (s != null) jobNs.addAndGet(System.nanoTime() - s)
+        }
+        override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+          stages.incrementAndGet(); tasks.addAndGet(e.stageInfo.numTasks)
+        }
+        override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null) execMs.addAndGet(e.taskMetrics.executorRunTime)
+      })
+      // empty-job floor FIRST (cold-start jobs excluded by a warmup batch):
+      // median of 40 one-task and 40 thirty-two-task no-op RDD jobs
+      def floorOf(slices: Int, n: Int): Double = {
+        val sc = spark.sparkContext
+        (1 to 5).foreach(_ => sc.parallelize(0 until slices, slices).count())
+        val ts = (1 to n).map { _ =>
+          val t0 = System.nanoTime()
+          sc.parallelize(0 until slices, slices).count()
+          (System.nanoTime() - t0) / 1e3 // µs
+        }.sorted
+        ts(n / 2) / 1e6 // s
+      }
+      val floor1  = floorOf(1, 40)
+      val floor32 = floorOf(32, 40)
+      println(f"[jobcounts] empty-job floor: 1-task=${floor1}%.4f s  32-task=${floor32}%.4f s")
+      names.foreach { n =>
+        // run 1 discarded (FileIndex listing, code paths JIT, broadcast
+        // warm); run 2 is the counted run — job counts are plan-determined
+        // and stable from run 2 on
+        SparkEntry.queries(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
+        drainListenerBus(spark.sparkContext)
+        jobs.set(0); stages.set(0); tasks.set(0); jobNs.set(0); execMs.set(0); t0s.clear()
+        val t0  = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        drainListenerBus(spark.sparkContext)
+        println(f"[jobcounts] $n%-32s wall=${sec}%7.3f s  jobs=${jobs.get}%4d  " +
+          f"stages=${stages.get}%4d  tasks=${tasks.get}%6d  " +
+          f"sumJobWall=${jobNs.get / 1e9}%7.3f s  execTaskTime=${execMs.get / 1e3}%8.1f s  " +
+          f"jobsXfloor32=${jobs.get * floor32}%6.3f s")
+      }
+      spark.stop()
+      return
+    }
     if (which == "q29ab") {
       // Same-JVM interleaved A/B of the q29 median forms over the sf100
       // slice (phase and page-cache effects cancel across the interleave):

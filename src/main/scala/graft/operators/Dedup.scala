@@ -1116,14 +1116,42 @@ object Dedup {
     * is deterministic for a given corpus/benchmark pair, but q174/q175
     * re-constructed it per invocation — 2 eager aggregations × 3 Bench
     * iterations of redundant jobs). Keyed on the CANONICALIZED logical plan
-    * pair, so alias/ordering-insensitive plan equality decides identity and
-    * a different slice/benchmark can never reuse a stale decision. Bounded:
-    * cleared wholesale past 64 entries (a session touches a handful). */
+    * pair PLUS a content fingerprint of each side's input files (r18
+    * ADVICE: for parquet relations, plan canonicalization reduces to path
+    * identity — data regenerated in-place at the same path within one JVM
+    * would reuse a stale decision, and guardedBroadcastVerdicts' OOM guard
+    * consumes this value, so a stale small benchWins could admit a
+    * broadcast plan that OOMs). The fingerprint is the path:size:mtime
+    * digest discipline of Probe.buildStamp / tools slice_fingerprint.
+    * Bounded: cleared wholesale past 64 entries (a session touches a
+    * handful). */
   private val decontamMemo =
     new java.util.concurrent.ConcurrentHashMap[
       (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int,
+       String, String),
       DecontamDecision]()
+
+  /** MD5 over sorted `path:size:mtime` of a DataFrame's input files — the
+    * Probe.buildStamp discipline applied to DATA instead of class files.
+    * Driver-side metadata only (one FileStatus per file, no data read);
+    * in-memory/non-file plans fingerprint to the empty-digest constant and
+    * rely on plan canonicalization (a LocalRelation's rows are part of its
+    * canonical plan, so that is sound). */
+  private[graft] def inputFingerprint(df: DataFrame): String = {
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    df.inputFiles.sorted.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val line =
+        try {
+          val st = p.getFileSystem(conf).getFileStatus(p)
+          s"$f:${st.getLen}:${st.getModificationTime}"
+        } catch { case _: Exception => s"$f:?" }
+      md.update(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    java.util.Base64.getEncoder.encodeToString(md.digest())
+  }
 
   /** Measure the two decontamination dispatch terms: the benchmark's EXACT
     * window count (one aggregation over the benchmark side only — never the
@@ -1137,7 +1165,9 @@ object Dedup {
     val key = (
       train.queryExecution.analyzed.canonicalized,
       bench.queryExecution.analyzed.canonicalized,
-      L
+      L,
+      inputFingerprint(train),
+      inputFingerprint(bench)
     )
     if (decontamMemo.size > 64) decontamMemo.clear()
     decontamMemo.computeIfAbsent(

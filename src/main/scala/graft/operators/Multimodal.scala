@@ -546,6 +546,13 @@ object Multimodal {
       groups.select($"rep_id".as("node")),
       repPairs
     )
+    // autoComponents localCheckpoints its result, so nothing downstream
+    // references repPairs lazily — drop the cache HERE rather than leaking
+    // one InMemoryRelation per invocation for the session (r18 ADVICE:
+    // Bench runs this query 3×, and the rep-pair set is unbounded at
+    // corpus scale; autoComponents deliberately respects caller caches,
+    // so the lifecycle is ours)
+    repPairs.unpersist()
     val repComp = groups
       .join(comp, $"rep_id" === $"node")
       .select($"b0", $"b1", $"b2", $"b3", $"rep_id", $"n_copies", $"comp".as("cluster_id"))

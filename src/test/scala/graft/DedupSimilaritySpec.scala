@@ -624,4 +624,29 @@ class DedupSimilaritySpec extends SparkSpec {
     val d3 = graft.operators.Dedup.decontamDecision(train, other)
     assert(!(d3 eq d1) && d3.benchWins != d1.benchWins)
   }
+
+  test("decontam memo invalidates when data is regenerated in-place at the same path") {
+    import spark.implicits._
+    // r18 ADVICE corner: parquet plan canonicalization reduces to PATH
+    // identity, so without the content fingerprint a rewrite at the same
+    // path within one JVM reused a stale decision — and the capstone's
+    // OOM guard consumes that value
+    val dir = java.nio.file.Files.createTempDirectory("graft_memo_fp").toString
+    try {
+      Tables.documents(spark, sf).select($"doc_id", $"text")
+        .limit(50).write.mode("overwrite").parquet(dir)
+      val t1 = spark.read.parquet(dir)
+      val d1 = graft.operators.Dedup.decontamDecision(t1, graft.operators.Dedup.fixtureBench(t1))
+      // regenerate IN PLACE with materially different content (different
+      // row count → different window mass and file sizes)
+      Tables.documents(spark, sf).select($"doc_id", $"text")
+        .limit(200).write.mode("overwrite").parquet(dir)
+      val t2 = spark.read.parquet(dir)
+      val d2 = graft.operators.Dedup.decontamDecision(t2, graft.operators.Dedup.fixtureBench(t2))
+      assert(!(d2 eq d1), "regenerated data at the same path must not reuse the stale decision")
+      assert(d2.benchWins != d1.benchWins)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

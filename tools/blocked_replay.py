@@ -119,6 +119,17 @@ def _stamp_ok(out_dir, qname):
         print(f"ERROR: mixed build stamps under {out_dir}: "
               f"{sorted((q, s) for q, s in seen.items())}", flush=True)
         return False
+    # r18 ADVICE: mirror check.py — a grade where EVERY dir is unstamped
+    # passed silently, so a pre-stamp build's leftover rung outputs got no
+    # coherence guarantee. Probe.writeRung stamps everything it writes, so
+    # all-unstamped here means stale outputs: warn, fail under strict mode.
+    if vals == {"unstamped"}:
+        msg = (f"all graded query dirs under {out_dir} are unstamped "
+               f"(no build coherence check possible)")
+        if os.environ.get("GRAFT_STAMP_STRICT") == "1":
+            print(f"ERROR: {msg}", flush=True)
+            return False
+        print(f"WARN: {msg}", flush=True)
     return True
 
 

@@ -75,20 +75,36 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     # exact-name matching only: substring matching let a token like 'q14'
     # silently skip q141/q147/... and weaken the gate (r15 ADVICE). A skip
-    # token that names no oracle is a loud error, not a no-op.
-    unmatched = (skip | (only or set())) - set(oracle)
+    # token that names no oracle is a loud error, not a no-op. --only
+    # additionally accepts names of EXISTING out_dir query dirs (r18
+    # ADVICE: rows-only queries have no oracle entry but are legitimate
+    # --only targets — they grade through the non-empty check below).
+    existing_dirs = {d for d in os.listdir(out_dir)
+                     if os.path.isdir(f"{out_dir}/{d}")}
+    unmatched = skip - set(oracle)
     if unmatched:
-        print(f"ERROR: --skip/--only names no oracle query: {sorted(unmatched)}")
+        print(f"ERROR: --skip names no oracle query: {sorted(unmatched)}")
+        sys.exit(2)
+    unmatched = (only or set()) - (set(oracle) | existing_dirs)
+    if unmatched:
+        print(f"ERROR: --only names no oracle query or out_dir query dir: "
+              f"{sorted(unmatched)}")
         sys.exit(2)
     # Build-stamp coherence (r16 ADVICE): Probe stamps every rung query dir
     # with the compiled build's fingerprint. With GRAFT_SF10_ONLY-style
     # partial reruns accumulating into a persistent outDir, MIXED stamps mean
     # some graded parquet came from an OLDER build — fail loudly instead of
-    # certifying a set no single build produced.
+    # certifying a set no single build produced. The scan deliberately
+    # IGNORES --only (r18 ADVICE): per-query sf100 grading runs one --only
+    # invocation per query in separate processes, and restricting the scan
+    # to the only-named dirs let an outDir accumulated from two builds
+    # grade PASS query-by-query — the exact mixed-build hole this guard
+    # exists to close. --only selects which oracles RUN; coherence is
+    # always judged over the whole outDir.
     stamps = {}
     for d in sorted(os.listdir(out_dir)):
         sp = f"{out_dir}/{d}/_GRAFT_STAMP"
-        if os.path.isdir(f"{out_dir}/{d}") and (only is None or d in only):
+        if os.path.isdir(f"{out_dir}/{d}"):
             stamps[d] = open(sp).read().strip() if os.path.exists(sp) else "unstamped"
     if len(set(stamps.values())) > 1:
         print(f"ERROR: mixed build stamps across graded query dirs: "
