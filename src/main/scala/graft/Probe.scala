@@ -231,19 +231,24 @@ object Probe {
       // Usage: runMain graft.Probe <sfDir> jobcounts [<query> ...]
       import org.apache.spark.scheduler._
       import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
-      val names =
-        if (args.length > 2) args.drop(2).toSeq.filterNot(_ == "jobcounts")
+      val aged  = args.contains("aged")
+      val names = {
+        val explicit = args.drop(2).toSeq.filterNot(t => t == "jobcounts" || t == "aged")
+        if (explicit.nonEmpty) explicit
         else Seq(
           "q107_kmeans_clusters", "q108_pagerank", "q111_recursive_reachability",
           "q120_dedup_endgame", "q122_chain_components",
           // non-iterative controls: single-action plans whose drift is
           // pure floor+host, to separate the two effects
           "q01_pricing_summary", "q65_minhash_lsh_pairs")
+      }
       val jobs   = new AtomicInteger(0)
       val stages = new AtomicInteger(0)
       val tasks  = new AtomicInteger(0)
       val jobNs  = new AtomicLong(0)
       val execMs = new AtomicLong(0)
+      val gcMs   = new AtomicLong(0)
+      val spillB = new AtomicLong(0)
       val t0s    = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
       spark.sparkContext.addSparkListener(new SparkListener {
         override def onJobStart(e: SparkListenerJobStart): Unit = {
@@ -257,7 +262,11 @@ object Probe {
           stages.incrementAndGet(); tasks.addAndGet(e.stageInfo.numTasks)
         }
         override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
-          if (e.taskMetrics != null) execMs.addAndGet(e.taskMetrics.executorRunTime)
+          if (e.taskMetrics != null) {
+            execMs.addAndGet(e.taskMetrics.executorRunTime)
+            gcMs.addAndGet(e.taskMetrics.jvmGCTime)
+            spillB.addAndGet(e.taskMetrics.memoryBytesSpilled)
+          }
       })
       // empty-job floor FIRST (cold-start jobs excluded by a warmup batch):
       // median of 40 one-task and 40 thirty-two-task no-op RDD jobs
@@ -274,13 +283,42 @@ object Probe {
       val floor1  = floorOf(1, 40)
       val floor32 = floorOf(32, 40)
       println(f"[jobcounts] empty-job floor: 1-task=${floor1}%.4f s  32-task=${floor32}%.4f s")
+      if (aged) {
+        // `aged` mode: the walk tables are measured ~170 queries deep into
+        // one session, while a fresh-session jobcounts run is not — if the
+        // per-job floor or the iterative walls GROW with session age
+        // (AppStatusListener store, GC pressure, code-cache churn), that is
+        // the walk-vs-isolated gap. Age the session exactly the way the
+        // walk does (one pass over every declared query), then re-measure.
+        val t0 = System.nanoTime()
+        SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
+          try SparkEntry.queries(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
+          catch { case e: Exception => println(s"[jobcounts] aging pass: $n failed ${e.getMessage}") }
+        }
+        drainListenerBus(spark.sparkContext)
+        println(f"[jobcounts] session aged: full-surface pass took ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        val f1a  = floorOf(1, 40)
+        val f32a = floorOf(32, 40)
+        println(f"[jobcounts] AGED empty-job floor: 1-task=${f1a}%.4f s  32-task=${f32a}%.4f s")
+        // what the pass left behind: cached RDDs (un-unpersisted
+        // cache()/localCheckpoint residue robs execution memory from the
+        // unified pool — the prime suspect for task-time inflation at
+        // identical plans) and broadcast/GC state
+        val sc   = spark.sparkContext
+        val prdd = sc.getPersistentRDDs
+        val cachedMB = sc.getExecutorMemoryStatus.values
+          .map { case (max, free) => (max - free) / 1048576.0 }.sum
+        println(f"[jobcounts] AGED residue: persistentRDDs=${prdd.size}%d  storageUsed=${cachedMB}%.0f MB " +
+          f"(ids ${prdd.keys.toSeq.sorted.takeRight(8).mkString(",")})")
+      }
       names.foreach { n =>
         // run 1 discarded (FileIndex listing, code paths JIT, broadcast
         // warm); run 2 is the counted run — job counts are plan-determined
         // and stable from run 2 on
         SparkEntry.queries(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
         drainListenerBus(spark.sparkContext)
-        jobs.set(0); stages.set(0); tasks.set(0); jobNs.set(0); execMs.set(0); t0s.clear()
+        jobs.set(0); stages.set(0); tasks.set(0); jobNs.set(0); execMs.set(0)
+        gcMs.set(0); spillB.set(0); t0s.clear()
         val t0  = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
         val sec = (System.nanoTime() - t0) / 1e9
@@ -288,6 +326,7 @@ object Probe {
         println(f"[jobcounts] $n%-32s wall=${sec}%7.3f s  jobs=${jobs.get}%4d  " +
           f"stages=${stages.get}%4d  tasks=${tasks.get}%6d  " +
           f"sumJobWall=${jobNs.get / 1e9}%7.3f s  execTaskTime=${execMs.get / 1e3}%8.1f s  " +
+          f"gcTime=${gcMs.get / 1e3}%7.1f s  memSpill=${spillB.get / 1048576.0}%8.1f MB  " +
           f"jobsXfloor32=${jobs.get * floor32}%6.3f s")
       }
       spark.stop()
@@ -2561,7 +2600,17 @@ object Probe {
         // the corpus side must plan NO exchange where the OTHER branch
         // OOM'd. Bench derivation (%97==3, bench_id = doc_id) stays
         // in-stride; windows replica-local → check_sf100_docs.py replay
-        "q175_decontam_bounded_bench"
+        "q175_decontam_bounded_bench",
+        // r18 verdict task 4: the streaming at-arrival substring gate at
+        // the 5M-doc corner — the one family rung the sf100 ladder still
+        // lacked. Epochs ((doc_id%7)%4) and excerpt ids (+2M) derive
+        // arithmetically from doc_id (in-stride) and windows are
+        // replica-local (salted tokens), so check_sf100_docs.py's generic
+        // per-replica replay grades it (certified blocked==one-shot by
+        // certify_blocked.py). Runs on the RocksDB backend: the registry
+        // holds one Long per distinct window md5 and the measured mass at
+        // this corner (printed below) does not belong on the heap.
+        "q177_streaming_substring_gate"
       )
       val ddSet = ddAll.filter(only)
       if (ddSet.nonEmpty) {
@@ -2585,7 +2634,38 @@ object Probe {
       }
       ddSet.foreach { n =>
         val t0 = System.nanoTime()
-        writeRung(SparkEntry.queries(n)(spark, ddDir), ddOut, n)
+        if (n == "q177_streaming_substring_gate") {
+          // (a) REGISTRY-MASS measurement — the streaming family's honest
+          // sf100 envelope, recorded whether or not the rung grade runs:
+          // total window occurrences and DISTINCT window md5s over the
+          // full at-arrival corpus (docs ∪ %7 half-excerpts). The distinct
+          // count IS the unbounded-horizon state row count (one Long per
+          // distinct md5), so state-size projection = distinct × per-entry
+          // cost; with a TTL horizon it is the ceiling.
+          val base = spark.read.parquet(s"$ddDir/documents.parquet").select(col("doc_id"), col("text"))
+          val corp = base.unionByName(
+            base.filter(col("doc_id") % 7 === 0).select(
+              (col("doc_id") + 2000000L).as("doc_id"),
+              expr("concat_ws(' ', slice(split(text, ' '), 1, (size(split(text, ' ')) + 1) div 2))").as("text")))
+          val wins = corp
+            .withColumn("toks", graft.functions.TextFns.tokens(col("text")))
+            .where(size(col("toks")) >= 15)
+            .select(explode(transform(
+              sequence(lit(1), size(col("toks")) - 14),
+              i => md5(concat_ws(" ", slice(col("toks"), i, lit(15)))))).as("h"))
+          val m = wins.agg(count(lit(1)).as("occ"), count_distinct(col("h")).as("dist")).head()
+          println(f"[sf100llm] q177 registry mass: windows=${m.getLong(0)}%,d distinct_md5=${m.getLong(1)}%,d " +
+            f"(unbounded-horizon state rows; ~${m.getLong(1) * 56 / 1e9}%.1f GB raw at 32B key + 8B value + 16B overhead)")
+          // (b) the rung itself on the PRODUCTION state backend: RocksDB —
+          // the measured mass above does not belong on the heap (the
+          // scalestream phase proved emission-identity across backends)
+          val confKey = "spark.sql.streaming.stateStore.providerClass"
+          val prior   = spark.conf.getOption(confKey)
+          spark.conf.set(confKey, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          try writeRung(SparkEntry.queries(n)(spark, ddDir), ddOut, n)
+          finally prior.fold(spark.conf.unset(confKey))(spark.conf.set(confKey, _))
+        } else
+          writeRung(SparkEntry.queries(n)(spark, ddDir), ddOut, n)
         println(f"[sf100llm] $n%-32s ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
       // json always carries the FULL set's oracles: a filtered
@@ -2622,13 +2702,21 @@ object Probe {
         // Gopher/DSIR maps + the exact-dedup shuffle; the stitched-doc
         // slice rides along, %17==5 per replica). Oracle: one-shot
         // check.py (AS MATERIALIZED CTEs + spill — the sf10 discipline).
-        "q176_corpus_release_v2"
+        "q176_corpus_release_v2",
+        // r18 verdict task 2: the image dedup endgame at the 5.56M-image
+        // rung (5M unsalted docs + %9 planted re-encodes) — the
+        // linear-output claim at 1000×, where the exact-collapse stage
+        // absorbs ~7000× duplication per 768-raster class. Oracle:
+        // one-shot check.py (the corpus is UNSALTED, so cross-replica
+        // hash equality is exactly what exact-collapse exploits —
+        // per-replica blocking would be unsound here by construction).
+        "q179_image_dedup_endgame"
       )
       val curSet = curAll.filter(only)
       if (curSet.isEmpty) { spark.stop(); return }
       Files.createDirectories(Paths.get(curDir))
-      if (freshDir(s"$curDir/documents.parquet") &&
-          (curSet.contains("q139_bm25_topk") || curSet.contains("q176_corpus_release_v2")))
+      val docOnly = Set("q139_bm25_topk", "q176_corpus_release_v2", "q179_image_dedup_endgame")
+      if (freshDir(s"$curDir/documents.parquet") && curSet.exists(docOnly))
         rep1000(Tables.documents(spark, sfDir), "doc_id")
           .repartition(64).write.mode("overwrite").parquet(s"$curDir/documents.parquet")
       val edim = Tables.EmbeddingDim
@@ -2637,7 +2725,7 @@ object Probe {
       // assignment stays n×k = 2.2B scored pairs (codegen minutes), and
       // rung-to-rung the index geometry is comparable; the circular shift
       // still decorrelates replicas' vectors from each other's lists.
-      val needsVecs = curSet.exists(n => !Set("q139_bm25_topk", "q176_corpus_release_v2").contains(n))
+      val needsVecs = curSet.exists(n => !docOnly.contains(n))
       if (needsVecs && freshDir(s"$curDir/embeddings.parquet"))
         rep1000(Tables.embeddings(spark, sfDir), "vec_id")
           // integer replica index FIRST (`/` on longs is double division —
@@ -2666,7 +2754,35 @@ object Probe {
         spark.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum"))
       curSet.foreach { n =>
         val t0 = System.nanoTime()
-        writeRung(SparkEntry.queries(n)(spark, curDir), curOut, n)
+        if (n == "q179_image_dedup_endgame") {
+          // r18 verdict task 2 second half: the band-key exchange reuse is
+          // AQE-dependent — verify ONE exchange in the EXECUTED plan at
+          // this scale, not just wall-clock. A QueryExecutionListener
+          // captures the post-execution AQE plan of the rung write itself
+          // (df.queryExecution would re-plan without runtime stages).
+          @volatile var planStr: String = null
+          val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+            override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+              planStr = qe.executedPlan.toString
+            override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+          }
+          spark.listenerManager.register(ql)
+          try writeRung(SparkEntry.queries(n)(spark, curDir), curOut, n)
+          finally {
+            drainListenerBus(spark.sparkContext)
+            spark.listenerManager.unregister(ql)
+          }
+          if (planStr != null) {
+            val exLines = planStr.linesIterator.filter(l =>
+              l.contains("Exchange") || l.contains("QueryStage") || l.contains("InMemory")).toSeq
+            println(s"[sf100llm] q179 executed-plan exchange/stage lines (${exLines.size}):")
+            exLines.take(40).foreach(l => println(s"[sf100llm]   ${l.trim.take(160)}"))
+            val reused = exLines.count(l => l.contains("ReusedExchange") || l.contains("ReusedQueryStage"))
+            println(s"[sf100llm] q179 plan: reused-exchange nodes = $reused " +
+              "(>=1 required — the hash-table exchange must materialize ONCE for both consumers)")
+          } else println("[sf100llm] q179 executed plan NOT captured")
+        } else
+          writeRung(SparkEntry.queries(n)(spark, curDir), curOut, n)
         println(f"[sf100llm] $n%-32s ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
       Files.writeString(

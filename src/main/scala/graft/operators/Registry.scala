@@ -3199,6 +3199,88 @@ object Registry {
         JOIN cm USING (cluster_id)
         ORDER BY h.doc_id
       """)
+    ),
+    // q180 (r18 verdict task 3): the q179 endgame over the binaryFile
+    // FRONT DOOR — real PNG files on disk, ingested distributed, hashed
+    // with the identical kernel, deduped with the identical stages. The
+    // oracle is q179's closed-form replay restricted to the same bounded
+    // doc-id slice the fixture writes; the engine's ids come from file
+    // PATHS and its pixels from decoded file BYTES, so the hash compare
+    // pins the whole file-boundary composition.
+    Q(
+      "q180_image_file_dedup",
+      Multimodal.imageFileDedup,
+      Some("""
+        WITH RECURSIVE sel AS (
+          SELECT doc_id FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id LIMIT 1200
+        ), corpus AS (
+          SELECT doc_id, doc_id AS base, 0 AS salt FROM sel
+          UNION ALL
+          SELECT doc_id + 5000000, doc_id, 1 FROM sel WHERE doc_id % 9 = 0
+        ), dims AS (
+          SELECT doc_id, base, salt, base % 16 + 4 AS w, base % 12 + 4 AS h FROM corpus
+        ), cells AS (
+          SELECT doc_id, g.g AS idx, base, salt, w,
+                 ((g.g % 8) * w) // 8 AS x, ((g.g // 8) * h) // 8 AS y
+          FROM dims, (SELECT unnest(range(0, 64)) AS g) g
+        ), grays AS (
+          SELECT doc_id, idx,
+                 ((base*31 + salt + ((y*w + x)*3    )*7) % 256
+                + (base*31 + salt + ((y*w + x)*3 + 1)*7) % 256
+                + (base*31 + salt + ((y*w + x)*3 + 2)*7) % 256) AS gray
+          FROM cells
+        ), bits AS (
+          SELECT doc_id, idx,
+                 CASE WHEN 64*gray > SUM(gray) OVER (PARTITION BY doc_id) THEN 1 ELSE 0 END AS bit
+          FROM grays
+        ), bands AS (
+          SELECT doc_id, idx // 16 AS band,
+                 CAST(SUM(bit * (1 << (idx % 16))) AS BIGINT) AS key
+          FROM bits GROUP BY doc_id, idx // 16
+        ), hv AS (
+          SELECT doc_id,
+                 MAX(CASE WHEN band = 0 THEN key END) AS k0,
+                 MAX(CASE WHEN band = 1 THEN key END) AS k1,
+                 MAX(CASE WHEN band = 2 THEN key END) AS k2,
+                 MAX(CASE WHEN band = 3 THEN key END) AS k3
+          FROM bands GROUP BY doc_id
+        ), grp AS (
+          SELECT k0, k1, k2, k3, MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+          FROM hv GROUP BY k0, k1, k2, k3
+        ), rb AS (
+          SELECT rep_id, b.b AS band,
+                 CASE b.b WHEN 0 THEN k0 WHEN 1 THEN k1 WHEN 2 THEN k2 ELSE k3 END AS key,
+                 k0, k1, k2, k3
+          FROM grp, (SELECT unnest([0, 1, 2, 3]) AS b) b
+        ), edges AS (
+          SELECT DISTINCT a.rep_id AS id1, c.rep_id AS id2
+          FROM rb a JOIN rb c ON a.band = c.band AND a.key = c.key AND a.rep_id < c.rep_id
+          WHERE bit_count(xor(a.k0, c.k0)) + bit_count(xor(a.k1, c.k1))
+              + bit_count(xor(a.k2, c.k2)) + bit_count(xor(a.k3, c.k3)) <= 6
+        ), sym AS (
+          SELECT id1 AS src, id2 AS dst FROM edges
+          UNION
+          SELECT id2, id1 FROM edges
+        ), reach(node, r) AS (
+          SELECT rep_id, rep_id FROM grp
+          UNION
+          SELECT s.src, r.r FROM sym s JOIN reach r ON s.dst = r.node
+        ), comp AS (
+          SELECT node, MIN(r) AS comp FROM reach GROUP BY node
+        ), rc AS (
+          SELECT g.k0, g.k1, g.k2, g.k3, g.rep_id, g.n_copies, c.comp AS cluster_id
+          FROM grp g JOIN comp c ON g.rep_id = c.node
+        ), cm AS (
+          SELECT cluster_id, CAST(SUM(n_copies) AS BIGINT) AS cluster_images
+          FROM rc GROUP BY cluster_id
+        )
+        SELECT h.doc_id, rc.rep_id, rc.cluster_id, cm.cluster_images,
+               h.doc_id = rc.cluster_id AS is_kept
+        FROM hv h
+        JOIN rc ON h.k0 = rc.k0 AND h.k1 = rc.k1 AND h.k2 = rc.k2 AND h.k3 = rc.k3
+        JOIN cm USING (cluster_id)
+        ORDER BY h.doc_id
+      """)
     )
   )
 

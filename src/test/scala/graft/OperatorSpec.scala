@@ -122,6 +122,40 @@ class OperatorSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("image file dedup (q180): binaryFile route keeps the endgame contract over real PNG files") {
+    import spark.implicits._
+    val out = Multimodal.imageFileDedup(spark, sf).cache()
+    // the fixture slice: every %3 doc (≤1200) plus planted %9 re-encodes
+    val slice = Tables.documents(spark, sf).filter($"doc_id" % 3 === 0)
+      .select($"doc_id").orderBy($"doc_id").limit(1200).as[Long].collect().toSet
+    val expectIds = slice ++ slice.filter(_ % 9 == 0).map(_ + 5000000L)
+    assert(out.count() === expectIds.size.toLong, "one row per PNG file — the linear-output contract")
+    assert(out.select($"doc_id").as[Long].collect().toSet === expectIds,
+      "ids parsed from file paths must be exactly the written fixture set")
+    // survivor/cluster invariants, as q179's
+    assert(out.filter($"is_kept" && $"cluster_id" =!= $"doc_id").count() === 0)
+    val perCluster = out.groupBy($"cluster_id")
+      .agg(sum($"is_kept".cast("long")).as("nk"), count(lit(1)).as("n"), first($"cluster_images").as("ci"))
+    assert(perCluster.filter($"nk" =!= 1).count() === 0, "one survivor per cluster")
+    assert(perCluster.filter($"n" =!= $"ci").count() === 0, "cluster_images equals member count")
+    // the planted re-encode (pixel +1 mod 256) should OVERWHELMINGLY
+    // cluster with its base image — a decode regression on the FILE route
+    // (truncated bytes, wrong column) collapses this to ~0%. Not 100% by
+    // design: banding is pigeonhole-complete only for Hamming ≤3 (the
+    // q65/q66/q178 recall contract), and a 255→0 wrap can push a planted
+    // pair past the ≤6 verify; measured 1-2 strays per SF.
+    val cl = out.select($"doc_id", $"cluster_id")
+    val planted = cl.filter($"doc_id" >= 5000000L)
+      .select(($"doc_id" - 5000000L).as("base"), $"cluster_id".as("cp"))
+    val straddling = planted.join(cl.withColumnRenamed("doc_id", "base"), "base")
+      .filter($"cp" =!= $"cluster_id")
+      .count()
+    val nPlanted = planted.count()
+    assert(straddling <= nPlanted / 10,
+      s"planted near-dups must cluster with their base (got $straddling/$nPlanted astray)")
+    out.unpersist()
+  }
+
   test("frame sample emits exactly frames 0 and 2 per document") {
     import spark.implicits._
     val fs = Multimodal.frameSample(spark, sf).cache()

@@ -43,6 +43,11 @@ PER_REPLICA_QUERIES = [
     "q172_substring_spans",
     "q173_span_removal",
     "q174_substring_decontamination",
+    # r19: the streaming at-arrival gate's relational oracle joins wins on
+    # window md5 (salted text → replica-local) and derives epochs/excerpt
+    # ids arithmetically from doc_id (in-stride), so the generic
+    # per-replica argument covers it unchanged
+    "q177_streaming_substring_gate",
 ]
 REP_OFF = 10_000_000
 N_REPS = 10
