@@ -220,7 +220,15 @@ object Bench {
     // warm-up above. Host phase inside a query's ~seconds-wide window is
     // shared by both engines, so the per-query ratio — and any total built
     // from these bests — is phase-matched by construction.
-    val results: Seq[(String, Double, Option[Double])] = names.map { n =>
+    // mid-run canary (r19): the end-of-run canary misses intra-run
+    // co-tenant bursts — an r19 eight-run series produced a 20.4 s total
+    // self-stamped clean because the burst ended before the closing
+    // canary. One extra sample at the midpoint (BETWEEN queries, so no
+    // timed window is perturbed) halves the blind span; `contended` below
+    // trips if EITHER sample leaves the band.
+    var midMt: Double = -1.0
+    val results: Seq[(String, Double, Option[Double])] = names.zipWithIndex.map { case (n, i) =>
+      if (i == names.size / 2) { hostCanary(); midMt = hostCanary()._2 }
       val runs = (1 to 3).map { _ =>
         val e = materialize(n)
         val d = liveTimer.flatMap(_.time(n))
@@ -252,9 +260,10 @@ object Bench {
     // the same invocation — one warm pass first so C2 has compiled spin()
     val (_, _) = hostCanary()
     val (canSt, canMt) = hostCanary()
-    val contended = canMt < CanaryMtHealthy._1 || canMt > CanaryMtHealthy._2
+    def outOfBand(mt: Double) = mt < CanaryMtHealthy._1 || mt > CanaryMtHealthy._2
+    val contended = outOfBand(canMt) || (midMt > 0 && outOfBand(midMt))
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$paired,"canary_st":$canSt%.3f,"canary_mt":$canMt%.3f,"canary_mt_healthy":[${CanaryMtHealthy._1}%.2f,${CanaryMtHealthy._2}%.2f],"contended":$contended}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$paired,"canary_st":$canSt%.3f,"canary_mt":$canMt%.3f,"canary_mt_mid":$midMt%.3f,"canary_mt_healthy":[${CanaryMtHealthy._1}%.2f,${CanaryMtHealthy._2}%.2f],"contended":$contended}"""
     println(json)
     // Also write the metric to a file: sbt interleaves [info]/[error] log
     // noise into stdout, which broke the driver's machine-parse of this line
