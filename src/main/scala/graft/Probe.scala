@@ -1340,9 +1340,191 @@ object Probe {
           prior.fold(spark.conf.unset(confKey))(spark.conf.set(confKey, _))
         }
       }
+      if (!imageGatePhases(spark)) ok = false
       spark.stop()
       if (!ok) sys.exit(1)
       return
+    }
+    if (which == "imgstream") { // the q181 scalestream phases, standalone
+      val ok2 = imageGatePhases(spark)
+      spark.stop()
+      if (!ok2) sys.exit(1)
+      return
+    }
+    // ---- q181 IMAGE-gate phases (r19): the image at-arrival gate gets
+    // the same two treatments every other streaming family carries —
+    // (a) TTL plateau on BOTH backends with emission identity, (b) an
+    // arrival-rate admission ladder on the production RocksDB backend.
+    // Payloads are REAL PNGs encoded driver-side; the per-pixel value is
+    // a NON-LINEAR mix of the image id (a plain gradient shifted by id
+    // would leave the average-hash bit pattern invariant — measured: 16k
+    // "fresh" images collapsed into 114 buckets — because a constant
+    // shift moves every gray and the mean together). Every 10th image is
+    // an exact byte copy of its predecessor so the registry takes hits.
+    // Called from `scalestream` (canonical) and standalone `imgstream`.
+    def imageGatePhases(spark: org.apache.spark.sql.SparkSession): Boolean = {
+      import spark.implicits._
+      var ok = true
+      locally {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import scala.concurrent.duration._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        def pngOf(id: Long): Array[Byte] = {
+          val base = if (id % 10 == 0 && id > 0) id - 1 else id
+          val img  = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              // murmur-style finalizer: the taken byte must depend on ALL
+              // bits of base (a linear mix truncated to & 0xff reduces to
+              // base mod 256 → 256 raster classes; measured 64 buckets)
+              var hsh = base * 0x9e3779b97f4a7c15L + (x * 8 + y + 1) * 0xc2b2ae3d27d4eb4fL
+              hsh ^= hsh >>> 33; hsh *= 0xff51afd7ed558ccdL; hsh ^= hsh >>> 33
+              val v = (hsh & 0xffL).toInt
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          bos.toByteArray
+        }
+        def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+          q.recentProgress.flatMap(_.stateOperators.headOption).map(_.numRowsTotal).lastOption.getOrElse(-1L)
+        val confKey = "spark.sql.streaming.stateStore.providerClass"
+        // (a) TTL plateau, both backends, emission identity
+        val perEpoch = 2000
+        val nEpochs  = 8
+        def runImg(label: String, provider: Option[String], horizon: FiniteDuration)
+            : (Seq[Long], Seq[(Long, String, Option[Long])]) = {
+          val prior = spark.conf.getOption(confKey)
+          provider.foreach(spark.conf.set(confKey, _))
+          try {
+            val in       = MemoryStream[(Long, java.sql.Timestamp, Array[Byte])]
+            val sinkName = s"img_ttl_emit_$label"
+            val q = graft.streaming.Streaming
+              .imagePhashAtArrivalFlags(in.toDF().toDF("doc_id", "ts", "img"), horizon = horizon)
+              .toDF()
+              .writeStream
+              .format("memory")
+              .queryName(sinkName)
+              .outputMode("append")
+              .start()
+            val samples =
+              try {
+                (0 until nEpochs).map { e =>
+                  val t = new java.sql.Timestamp(3600000L * (e + 1))
+                  in.addData((0 until perEpoch).map(i => ((e * perEpoch + i).toLong, t, pngOf((e * perEpoch + i).toLong))))
+                  q.processAllAvailable()
+                  stateRows(q)
+                }
+              } finally q.stop()
+            import spark.implicits._
+            val flags = spark
+              .table(sinkName)
+              .as[graft.streaming.Streaming.ArrivalFlag]
+              .collect()
+              .toSeq
+              .map(f => (f.doc_id, f.bkey, Option(f.prior_id).map(_.toLong)))
+              .sortBy(r => (r._1, r._2))
+            (samples, flags)
+          } finally {
+            prior.fold(spark.conf.unset(confKey))(spark.conf.set(confKey, _))
+          }
+        }
+        val totalImgs = perEpoch.toLong * nEpochs
+        val (unbS, unbF) = runImg("unbounded", None, 3650.days)
+        println(s"[scalestream] img-ttl: unbounded state/epoch = ${unbS.mkString(", ")}")
+        // distinct buckets grow with fresh images (4 bands/image, shared
+        // across copies); the copies keep it below 4/image — sanity floor
+        if (unbS.last < totalImgs) {
+          println(s"[scalestream] VIOLATION img registry unbounded state ${unbS.last} below floor $totalImgs")
+          ok = false
+        }
+        if (unbF.size != 4L * totalImgs) {
+          println(s"[scalestream] VIOLATION img gate emitted ${unbF.size} flags, expected ${4L * totalImgs} (4/image)")
+          ok = false
+        }
+        val backends = Seq(
+          "default" -> None,
+          "rocksdb" -> Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        )
+        val ttlRuns = backends.map { case (label, p) => (label, runImg(label, p, 90.minutes)) }
+        ttlRuns.foreach { case (label, (samples, _)) =>
+          println(s"[scalestream] img-ttl: 90min-TTL ($label) state/epoch = ${samples.mkString(", ")}")
+          val tail4 = samples.takeRight(4)
+          if (tail4.max > 1.5 * tail4.min) {
+            println(s"[scalestream] VIOLATION img-ttl ($label) state did not plateau: ${tail4.mkString(", ")}")
+            ok = false
+          }
+          if (samples.last > unbS.last / 2) {
+            println(s"[scalestream] VIOLATION img-ttl ($label) final state ${samples.last} not under half of unbounded ${unbS.last}")
+            ok = false
+          }
+        }
+        if (ttlRuns(0)._2._2 != ttlRuns(1)._2._2) {
+          println(s"[scalestream] VIOLATION img-ttl emissions differ across backends")
+          ok = false
+        } else
+          println(s"[scalestream] img-ttl: emissions identical across backends (${ttlRuns(0)._2._2.size} flags)")
+        // (b) admission ladder on RocksDB
+        locally {
+          val prior = spark.conf.getOption(confKey)
+          spark.conf.set(confKey, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          try {
+            def run(per: Int): (Long, Double) = {
+              val root = java.nio.file.Files.createTempDirectory("graft_imgrate").toString
+              try {
+                val in    = MemoryStream[(Long, java.sql.Timestamp, Array[Byte])]
+                val flags = new java.util.concurrent.atomic.AtomicLong(0L)
+                val q = graft.streaming.Streaming
+                  .imagePhashAtArrivalFlags(in.toDF().toDF("doc_id", "ts", "img"), horizon = 90.minutes)
+                  .toDF()
+                  .writeStream
+                  .option("checkpointLocation", s"$root/ckpt")
+                  .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+                    flags.addAndGet(batch.count())
+                    ()
+                  }
+                  .start()
+                val t0 = System.nanoTime()
+                try {
+                  (0 until 4).foreach { e =>
+                    val t = new java.sql.Timestamp(3600000L * (e + 1))
+                    in.addData((0 until per).map(i => ((e.toLong * per + i), t, pngOf(e.toLong * per + i))))
+                    q.processAllAvailable()
+                  }
+                } finally q.stop()
+                (flags.get(), (System.nanoTime() - t0) / 1e9)
+              } finally graft.sources.ParquetSink.deleteRecursively(root)
+            }
+            run(2500) // warm
+            val steps = Seq(2500, 10000, 40000).map { per =>
+              val (flags, sec) = run(per)
+              val n            = per.toLong * 4
+              println(f"[scalestream] img-gate-rate (rocksdb) imgs/epoch=$per%6d total=$n%7d time=$sec%7.2f s rate=${n / sec}%9.0f imgs/s")
+              if (flags != 4L * n) {
+                println(s"[scalestream] VIOLATION img gate emitted $flags flags, expected ${4L * n} (4/image)")
+                ok = false
+              }
+              (n, sec)
+            }
+            steps.sliding(2).foreach {
+              case Seq((n0, t0), (n1, t1)) =>
+                val ratio = t1 / t0
+                println(f"[scalestream] img-gate-rate $n0%d→$n1%d (4x rate): ${ratio}%.2fx time ${if (ratio <= 5.0) "OK"
+                  else "VIOLATION (admission falls behind)"}")
+                if (ratio > 5.0) ok = false
+              case _ => ()
+            }
+          } finally {
+            prior.fold(spark.conf.unset(confKey))(spark.conf.set(confKey, _))
+          }
+        }
+      }
+      ok
     }
     if (which == "scalesim") {
       // Engine-only scaling curve for the ANN/similarity family (the q70

@@ -226,6 +226,105 @@ object Multimodal {
       .orderBy($"doc_id", $"window_idx")
   }
 
+  /** Re-containerize a canonical WAV with a benign LIST/INFO metadata
+    * chunk inserted before the data chunk: IDENTICAL PCM payload,
+    * DIFFERENT file bytes (26 more of them, and a patched RIFF size).
+    * The q182 planted variant — a byte-level dedup (md5 of the file)
+    * would treat it as unique; content dedup must not. */
+  private def wavWithListChunk(canonical: Array[Byte]): Array[Byte] = {
+    def le(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // walk the RIFF chunks to the data header
+    var i = 12
+    while (!(canonical(i) == 'd' && canonical(i + 1) == 'a' &&
+             canonical(i + 2) == 't' && canonical(i + 3) == 'a')) {
+      val sz = (canonical(i + 4) & 0xff) | ((canonical(i + 5) & 0xff) << 8) |
+        ((canonical(i + 6) & 0xff) << 16) | ((canonical(i + 7) & 0xff) << 24)
+      i += 8 + sz + (sz & 1)
+    }
+    val payload = "INFO".getBytes("ISO-8859-1") ++ "ICMT".getBytes("ISO-8859-1") ++
+      le(6) ++ "graft ".getBytes("ISO-8859-1")
+    val chunk = "LIST".getBytes("ISO-8859-1") ++ le(payload.length) ++ payload
+    val out   = new Array[Byte](canonical.length + chunk.length)
+    System.arraycopy(canonical, 0, out, 0, i)
+    System.arraycopy(chunk, 0, out, i, chunk.length)
+    System.arraycopy(canonical, i, out, i + chunk.length, canonical.length - i)
+    val oldRiff = (out(4) & 0xff) | ((out(5) & 0xff) << 8) | ((out(6) & 0xff) << 16) | ((out(7) & 0xff) << 24)
+    val nr      = le(oldRiff + chunk.length)
+    out(4) = nr(0); out(5) = nr(1); out(6) = nr(2); out(7) = nr(3)
+    out
+  }
+
+  /** Declared query (q182): CONTAINER-INVARIANT audio dedup — the q64
+    * exact-dedup discipline across the AUDIO boundary, keyed on DECODED
+    * CONTENT rather than file bytes. The corpus is the q58 audio table
+    * plus planted re-containerized copies (every %11 doc under +7M ids:
+    * the SAME 480 PCM samples wrapped in a WAV that carries an extra
+    * LIST/INFO metadata chunk — different bytes, identical signal; a real
+    * crawl's mix of tag-stripped and tag-carrying files). Each WAV is
+    * REAL-decoded (`AudioSystem.getAudioInputStream` walks the RIFF
+    * chunks — the variant forces it past the LIST chunk), the PCM is
+    * re-read as 16-bit LE samples, and the dedup key is the md5 of the
+    * canonical comma-joined sample string. Output pins BOTH halves of the
+    * claim: `n_bytes` (from the FILE — differs between variants, proving
+    * the containers really differed) and the content groups (rep/copies/
+    * keep — proving the decode made them collapse anyway). Oracle: the
+    * closed-form sample function replays the sample string, its md5, and
+    * the byte arithmetic (44-byte canonical RIFF/fmt/data framing + 26
+    * for the planted chunk). A decoder that md5s bytes instead of
+    * content, or fails to skip unknown RIFF chunks, breaks the hash. */
+  def audioDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables
+      .spread(Tables.documents(spark, sfDir))
+      .select($"doc_id")
+      .as[Long]
+    val corpus = ids
+      .map(d => (d, d, 0))
+      .union(ids.filter(_ % 11 == 0).map(d => (d + 7000000L, d, 1)))
+    val rows = corpus
+      .mapPartitions { rs =>
+        rs.map { case (id, base, variant) =>
+          val canonical = encodeWav(base)
+          (id, if (variant == 1) wavWithListChunk(canonical) else canonical)
+        }
+      }
+      .mapPartitions { rs =>
+        rs.map { case (id, wav) =>
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(wav))
+          val pcm = in.readAllBytes()
+          in.close()
+          val n  = pcm.length / 2
+          val sb = new StringBuilder
+          var t  = 0
+          while (t < n) {
+            if (t > 0) sb.append(',')
+            sb.append((pcm(2 * t) & 0xff) | (pcm(2 * t + 1).toInt << 8)) // LE signed
+            t += 1
+          }
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          (id, wav.length.toLong, md.map("%02x".format(_)).mkString)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "pcm_md5")
+    val grp = rows
+      .groupBy($"pcm_md5")
+      .agg(min($"doc_id").as("rep_id"), count(lit(1)).as("n_copies"))
+    rows
+      .join(grp, "pcm_md5")
+      .select(
+        $"doc_id",
+        $"n_bytes",
+        $"pcm_md5",
+        $"rep_id",
+        $"n_copies",
+        ($"doc_id" === $"rep_id").as("is_kept")
+      )
+      .orderBy($"doc_id")
+  }
+
   // ---- video ----
 
   private def frameDims(d: Long): (Int, Int) = ((d % 8 + 4).toInt, (d % 6 + 4).toInt)
@@ -416,7 +515,7 @@ object Multimodal {
   /** Decode a PNG and compute the grid-exact 8×8 average-hash as four
     * 16-bit band keys — the one hashing kernel q178/q179/q180 share, so
     * the inline-encoded and binaryFile-ingested routes cannot drift. */
-  private def phashBands(png: Array[Byte]): Array[Long] = {
+  private[graft] def phashBands(png: Array[Byte]): Array[Long] = {
     val img      = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
     val (dw, dh) = (img.getWidth, img.getHeight) // decoded header dims
     val grays    = new Array[Long](64)
@@ -440,15 +539,52 @@ object Multimodal {
     b
   }
 
-  private def imagePhashes(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The q178/q179/q181 planted-near-dup image id set: every corpus doc
+    * plus the %9 docs re-encoded under +5M ids with pixel salt +1. */
+  private def imageCorpusIds(spark: SparkSession, sfDir: String) = {
     import spark.implicits._
     val ids = Tables
       .spread(Tables.documents(spark, sfDir))
       .select($"doc_id")
       .as[Long]
-    val corpus: org.apache.spark.sql.Dataset[(Long, Long, Long)] =
-      ids.map(d => (d, d, 0L)).union(ids.filter(_ % 9 == 0).map(d => (d + 5000000L, d, 1L)))
-    corpus
+    ids.map(d => (d, d, 0L)).union(ids.filter(_ % 9 == 0).map(d => (d + 5000000L, d, 1L)))
+  }
+
+  /** The same corpus as REAL PNG BYTES (doc_id, img) — the q181 streaming
+    * fixture's payload: the gate must decode genuine files, not reuse the
+    * closed form. */
+  private[graft] def imageDupCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    imageCorpusIds(spark, sfDir)
+      .mapPartitions { rows =>
+        rows.map { case (id, base, salt) =>
+          val (w, h) = imageDims(base)
+          (id, encodePng(base, w, h, salt))
+        }
+      }
+      .toDF("doc_id", "img")
+  }
+
+  /** Streaming decode stage for the q181 gate (lives HERE because the
+    * imperative per-partition codec loop is the Multimodal surface's
+    * discipline): each (doc_id, ts, png) row is REAL-decoded and hashed
+    * with [[phashBands]], emitting the four band-key rows the shared
+    * at-arrival gate core consumes. */
+  private[graft] def phashBandRowsOf(
+      images: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp, Array[Byte])]
+  ): org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp, String)] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { rows =>
+      rows.flatMap { case (id, ts, png) =>
+        val b = phashBands(png)
+        (0 until 4).map(i => (id, ts, s"p$i:${b(i)}"))
+      }
+    }
+  }
+
+  private def imagePhashes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    imageCorpusIds(spark, sfDir)
       .mapPartitions { rows =>
         rows.map { case (id, base, salt) =>
           val (w, h) = imageDims(base)

@@ -3200,6 +3200,87 @@ object Registry {
         ORDER BY h.doc_id
       """)
     ),
+    // q182: container-invariant audio dedup — q64's exact-dedup
+    // discipline keyed on DECODED PCM content; the planted variants are
+    // re-containerized WAVs (extra LIST/INFO chunk: +26 bytes, same
+    // signal). n_bytes pins that the engine saw different containers;
+    // the groups pin that the decode collapsed them anyway. Exact-dup
+    // classes also arise naturally: sample(d,t) depends on d mod 4096
+    // (7919 coprime to 4096), so docs 4096 apart share all samples.
+    Q(
+      "q182_audio_dedup",
+      Multimodal.audioDedup,
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, doc_id AS base, 0 AS variant FROM documents
+          UNION ALL
+          SELECT doc_id + 7000000, doc_id, 1 FROM documents WHERE doc_id % 11 = 0
+        ), smp AS (
+          SELECT doc_id, base, variant,
+                 CAST(44 + 960 + CASE WHEN variant = 1 THEN 26 ELSE 0 END AS BIGINT) AS n_bytes,
+                 md5(array_to_string(
+                   list_transform(range(0, 480), t -> (base*7919 + t*104729) % 4096 - 2048),
+                   ',')) AS pcm_md5
+          FROM corpus
+        ), grp AS (
+          SELECT pcm_md5, MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+          FROM smp GROUP BY pcm_md5
+        )
+        SELECT s.doc_id, s.n_bytes, s.pcm_md5, g.rep_id, g.n_copies,
+               s.doc_id = g.rep_id AS is_kept
+        FROM smp s JOIN grp g USING (pcm_md5)
+        ORDER BY s.doc_id
+      """)
+    ),
+    // q181: the image family's STREAMING story — the at-arrival pHash
+    // gate under the q150 pinned-epoch replay (epoch = (doc_id%7)%4, ts
+    // pinned to the epoch minute so arrival order is (epoch, doc_id)).
+    // The oracle replays the q178 closed-form hash/band CTEs plus the
+    // arrival-ordered band self-join: an image is flagged iff some band
+    // bucket was already claimed by a SMALLER id that arrived strictly
+    // earlier; first_match is the smallest such claimant.
+    Q(
+      "q181_image_stream_gate",
+      Streaming.imageGateAudit,
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, doc_id AS base, 0 AS salt FROM documents
+          UNION ALL
+          SELECT doc_id + 5000000, doc_id, 1 FROM documents WHERE doc_id % 9 = 0
+        ), dims AS (
+          SELECT doc_id, base, salt, base % 16 + 4 AS w, base % 12 + 4 AS h FROM corpus
+        ), cells AS (
+          SELECT doc_id, g.g AS idx, base, salt, w,
+                 ((g.g % 8) * w) // 8 AS x, ((g.g // 8) * h) // 8 AS y
+          FROM dims, (SELECT unnest(range(0, 64)) AS g) g
+        ), grays AS (
+          SELECT doc_id, idx,
+                 ((base*31 + salt + ((y*w + x)*3    )*7) % 256
+                + (base*31 + salt + ((y*w + x)*3 + 1)*7) % 256
+                + (base*31 + salt + ((y*w + x)*3 + 2)*7) % 256) AS gray
+          FROM cells
+        ), bits AS (
+          SELECT doc_id, idx,
+                 CASE WHEN 64*gray > SUM(gray) OVER (PARTITION BY doc_id) THEN 1 ELSE 0 END AS bit
+          FROM grays
+        ), bands AS (
+          SELECT doc_id, idx // 16 AS band,
+                 CAST(SUM(bit * (1 << (idx % 16))) AS BIGINT) AS key
+          FROM bits GROUP BY doc_id, idx // 16
+        ), wb AS (
+          SELECT doc_id, (doc_id % 7) % 4 AS ep, band, key FROM bands
+        ), fm AS (
+          SELECT b.doc_id, MIN(a.doc_id) AS first_match
+          FROM wb b JOIN wb a ON a.band = b.band AND a.key = b.key
+            AND a.doc_id < b.doc_id
+            AND (a.ep < b.ep OR (a.ep = b.ep AND a.doc_id < b.doc_id))
+          GROUP BY b.doc_id
+        )
+        SELECT c.doc_id, fm.first_match, fm.first_match IS NOT NULL AS is_dup_at_arrival
+        FROM corpus c LEFT JOIN fm USING (doc_id)
+        ORDER BY c.doc_id
+      """)
+    ),
     // q180 (r18 verdict task 3): the q179 endgame over the binaryFile
     // FRONT DOOR — real PNG files on disk, ingested distributed, hashed
     // with the identical kernel, deduped with the identical stages. The

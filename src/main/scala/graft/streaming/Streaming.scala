@@ -426,12 +426,28 @@ object Streaming {
       maxLateness: scala.concurrent.duration.FiniteDuration = scala.concurrent.duration.Duration.Zero
   ): Dataset[ArrivalFlag] = {
     import docs.sparkSession.implicits._
+    atArrivalGateCore(
+      nearDupBandsBatch(docs.withWatermark("ts", s"${maxLateness.toMillis} milliseconds"), carry = Seq("ts"))
+        .select(col("doc_id"), col("ts"), col("bkey"))
+        .as[(Long, java.sql.Timestamp, String)],
+      horizon
+    )
+  }
+
+  /** The at-arrival gate's keyed-state core over ANY (doc_id, ts, bkey)
+    * stream — shared by the minhash band gate (q150), and the image pHash
+    * gate (q181), so every gate family runs the IDENTICAL registry
+    * semantics: one Long (min claiming doc_id) per distinct bucket key in
+    * the TTL horizon, per-arrival prior emission, event-time eviction. */
+  private[graft] def atArrivalGateCore(
+      bands: Dataset[(Long, java.sql.Timestamp, String)],
+      horizon: scala.concurrent.duration.FiniteDuration
+  ): Dataset[ArrivalFlag] = {
+    import bands.sparkSession.implicits._
     import org.apache.spark.sql.streaming.OutputMode
     val horizonMs = horizon.toMillis
     require(horizonMs > 0, "horizon must be positive")
-    nearDupBandsBatch(docs.withWatermark("ts", s"${maxLateness.toMillis} milliseconds"), carry = Seq("ts"))
-      .select(col("doc_id"), col("ts"), col("bkey"))
-      .as[(Long, java.sql.Timestamp, String)]
+    bands
       .groupByKey(_._3)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (key: String, rows: Iterator[(Long, java.sql.Timestamp, String)], state: GroupState[Long]) =>
@@ -455,6 +471,110 @@ object Streaming {
             out.iterator
           }
       }
+  }
+
+  /** AT-ARRIVAL streaming IMAGE near-dup flags (q181 core): each arriving
+    * image's PNG bytes are REAL-decoded (ImageIO) and average-hashed with
+    * the q178 grid-exact kernel ([[graft.operators.Multimodal.phashBands]]
+    * — literally the same function as the batch family, so the stream and
+    * batch routes cannot drift), and its four 16-bit band keys are probed
+    * against the registry of bands seen by earlier arrivals through
+    * [[atArrivalGateCore]] — the identical gate the text families use.
+    * State: 4 Longs per image in the TTL horizon (one per band bucket,
+    * shared across images with equal bands — the q136 registry shape). */
+  def imagePhashAtArrivalFlags(
+      images: DataFrame,
+      horizon: scala.concurrent.duration.FiniteDuration,
+      maxLateness: scala.concurrent.duration.FiniteDuration = scala.concurrent.duration.Duration.Zero
+  ): Dataset[ArrivalFlag] = {
+    import images.sparkSession.implicits._
+    // watermark AFTER the typed decode: event-time metadata does not
+    // survive a typed mapPartitions (the tuple Dataset carries fresh
+    // attributes), so marking before it would leave the gate unwatermarked
+    val bands = graft.operators.Multimodal
+      .phashBandRowsOf(
+        images.select(col("doc_id"), col("ts"), col("img")).as[(Long, java.sql.Timestamp, Array[Byte])]
+      )
+      .toDF("doc_id", "ts", "bkey")
+      .withWatermark("ts", s"${maxLateness.toMillis} milliseconds")
+      .as[(Long, java.sql.Timestamp, String)]
+    atArrivalGateCore(bands, horizon)
+  }
+
+  /** Declared query (q181): the image family's STREAMING story — the
+    * at-arrival pHash gate under the oracle, closing the modality×mode
+    * matrix (text×batch q64-q67, text×stream q136/q150/q177, image×batch
+    * q178-q180, image×stream HERE). The q150 pinned-epoch replay
+    * discipline applied to [[imagePhashAtArrivalFlags]]: the q178 image
+    * corpus (docs ∪ %9 planted re-encodes under +5M ids, pixel salt +1)
+    * splits into 4 epoch files by epoch = (doc_id % 7) % 4 — 5,000,000 ≡ 5
+    * (mod 7), so planted copies land in epochs decoupled from their
+    * originals', exercising both flag directions and the
+    * no-retroactive-flag contract — each file mtime-ordered so
+    * FileStreamSource replays epochs in order, ts pinned to the epoch
+    * minute so within-batch arrival order is doc_id. The payload is real
+    * PNG BYTES; the gate decodes them on the stream. The DuckDB oracle
+    * replays the verdicts relationally: the q178 closed-form band CTEs +
+    * an arrival-ordered band self-join (earlier epoch, or same epoch and
+    * smaller id), min first-match per image — a decode, banding, or
+    * registry regression breaks the hash compare. */
+  def imageGateAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val in = graft.sources.ParquetSink.memoFixture(spark, "stream_imggate_in", sfDir) { dir =>
+      val docs = graft.operators.Multimodal
+        .imageDupCorpus(spark, sfDir)
+        .withColumn("epoch", (($"doc_id" % 7) % 4).cast("int"))
+        .withColumn("ts", timestamp_seconds(lit(1704067200L) + $"epoch" * 60))
+      Files.createDirectories(Paths.get(dir))
+      (0 to 3).foreach { e =>
+        val tmp = s"$dir/.tmp_epoch$e"
+        docs
+          .filter($"epoch" === e)
+          .select($"doc_id", $"ts", $"img")
+          .coalesce(1)
+          .write
+          .mode("overwrite")
+          .parquet(tmp)
+        val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst  = Paths.get(dir, f"epoch$e.parquet")
+        Files.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+        graft.sources.ParquetSink.deleteRecursively(tmp)
+        Files.setLastModifiedTime(
+          dst,
+          java.nio.file.attribute.FileTime.fromMillis(1704067200000L + e * 60000L)
+        )
+      }
+    }
+    val out = graft.sources.ParquetSink.memoFixture(spark, "stream_imggate_out", sfDir) { outDir =>
+      val root = Files.createTempDirectory("graft_q181").toString
+      try {
+        import scala.concurrent.duration._
+        val stream = spark.readStream
+          .schema("doc_id BIGINT, ts TIMESTAMP, img BINARY")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(in)
+        val q = imagePhashAtArrivalFlags(stream, horizon = 3650.days)
+          .toDF()
+          .writeStream
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch { (batch: DataFrame, epoch: Long) =>
+            atArrivalVerdicts(batch).write.mode("overwrite").parquet(s"$root/verdicts/epoch=$epoch")
+            ()
+          }
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+        val v       = spark.read.parquet(s"$root/verdicts")
+        val nEpochs = v.agg(count_distinct($"epoch")).as[Long].head()
+        require(nEpochs >= 2, s"q181 ran $nEpochs epochs — fixture must stream as multiple micro-batches")
+        v.select($"doc_id", $"first_match", $"is_dup_at_arrival")
+          .write
+          .mode("overwrite")
+          .parquet(outDir)
+      } finally graft.sources.ParquetSink.deleteRecursively(root)
+    }
+    spark.read.parquet(out).orderBy($"doc_id")
   }
 
   /** Per-document reduce of [[nearDupAtArrivalFlags]] output — run inside

@@ -50,7 +50,7 @@ class DisciplineSpec extends AnyFunSuite {
     assert(fixed.isEmpty, s"fixed-name temp views (use the UUID sfx pattern):\n${fixed.mkString("\n")}")
   }
 
-  test("driver-side collect() stays confined to the eleven audited sites") {
+  test("driver-side collect() stays confined to the twelve audited sites") {
     // .collect() of row DATA on the driver is the anti-distributed smell;
     // the audited sites are CLI display (x4: the parquet-mode menu+audit
     // pair and the --es wire-mode menu+audit pair — the wire menu is a
@@ -64,8 +64,9 @@ class DisciplineSpec extends AnyFunSuite {
     // QcBuckets+1 = 64 longs — the q157 training loop's driver state,
     // Curation.scala doc), the scalestream probe's cross-backend
     // registry equality check AND (r18) its window-registry sibling —
-    // the win-ttl flag-emission identity compare (both probe-only
-    // diagnostics, bounded by the probe's own synthetic corpus — never a
+    // the win-ttl flag-emission identity compare — AND (r19) the
+    // img-ttl image-gate sibling (all three probe-only diagnostics,
+    // bounded by the probe's own synthetic corpus — never a
     // production path), plus the
     // ES stub server's seed (EsStubServer.fromDataFrame — the TEST DOUBLE
     // impersonating the external cluster that owns the data; the engine
@@ -76,7 +77,7 @@ class DisciplineSpec extends AnyFunSuite {
       "sources/es/EsStubServer.scala")
     val strays  = sites.filterNot(s => allowed.exists(s.startsWith))
     assert(strays.isEmpty, s"new driver collect() site — justify and allowlist or redesign:\n${strays.mkString("\n")}")
-    assert(sites.size <= 11, s"collect() sites grew within allowed files: $sites")
+    assert(sites.size <= 12, s"collect() sites grew within allowed files: $sites")
   }
 
   test("no Scala UDFs; the single typed-Aggregator UDAF is the declared surface") {

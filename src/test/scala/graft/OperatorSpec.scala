@@ -156,6 +156,26 @@ class OperatorSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("audio dedup (q182): re-containerized copies collapse on decoded content, not bytes") {
+    import spark.implicits._
+    val out = Multimodal.audioDedup(spark, sf).cache()
+    val planted = out.filter($"doc_id" >= 7000000L).cache()
+    // the containers really differ: every planted file carries the extra
+    // 26-byte LIST chunk; every original is canonical
+    assert(planted.filter($"n_bytes" =!= 1030L).count() === 0)
+    assert(out.filter($"doc_id" < 7000000L && $"n_bytes" =!= 1004L).count() === 0)
+    // ...and the decode collapses them anyway: every planted copy's group
+    // representative is its base (or an even-smaller same-signal class
+    // member) — never itself
+    assert(planted.filter($"is_kept").count() === 0, "a re-containerized copy must never survive")
+    val withBase = planted
+      .select(($"doc_id" - 7000000L).as("base"), $"pcm_md5".as("pm"))
+      .join(out.withColumnRenamed("doc_id", "base"), "base")
+    assert(withBase.filter($"pm" =!= $"pcm_md5").count() === 0,
+      "planted copy and base must share the content fingerprint")
+    out.unpersist(); planted.unpersist()
+  }
+
   test("frame sample emits exactly frames 0 and 2 per document") {
     import spark.implicits._
     val fs = Multimodal.frameSample(spark, sf).cache()

@@ -472,6 +472,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("image at-arrival gate (q181 core): decoded pHash bands through the shared registry") {
+    import spark.implicits._
+    import scala.concurrent.duration._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // real PNGs encoded in-test: A and its +1-pixel near-dup A' (same
+    // average-hash by construction on a flat raster), and an unrelated B
+    def png(base: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val v = (base + (x * 31 + y * 17)) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val a  = png(10)
+    val a2 = png(11) // +1 shift: same threshold pattern -> same hash bands
+    val b  = png(200)
+    val in = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val verdicts = scala.collection.mutable.Map[Long, (Boolean, Option[Long])]()
+    val q = Streaming
+      .imagePhashAtArrivalFlags(in.toDF().toDF("doc_id", "ts", "img"), horizon = 10.minutes)
+      .toDF()
+      .writeStream
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("graft_imggate").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Streaming
+          .atArrivalVerdicts(batch)
+          .collect()
+          .foreach { r =>
+            verdicts(r.getAs[Long]("doc_id")) =
+              (r.getAs[Boolean]("is_dup_at_arrival"), Option(r.getAs[java.lang.Long]("first_match")).map(_.toLong))
+          }
+        ()
+      }
+      .start()
+    try {
+      in.addData((10L, hts(0), a), (11L, hts(0), b))
+      q.processAllAvailable()
+      assert(verdicts(10L) === ((false, None)), "first image is never flagged")
+      assert(verdicts(11L) === ((false, None)), "unrelated image passes")
+      // cross-batch: the exact copy AND the near-dup re-encode both flag
+      // against the original
+      in.addData((1000010L, hts(5), a), (1000011L, hts(5), a2))
+      q.processAllAvailable()
+      assert(verdicts(1000010L) === ((true, Some(10L))), "exact image copy flags at arrival")
+      assert(verdicts(1000011L) === ((true, Some(10L))), "near-dup re-encode flags via shared bands")
+      assert(verdicts(10L) === ((false, None)), "original never retroactively flagged")
+    } finally q.stop()
+  }
+
   test("near-dup registry: keyed state survives stop/restart on one checkpoint") {
     // The 100 TB deployment claim behind every streaming operator is that a
     // query can be STOPPED and RESUMED from its checkpoint with state
