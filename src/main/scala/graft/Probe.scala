@@ -2892,12 +2892,19 @@ object Probe {
         // one-shot check.py (the corpus is UNSALTED, so cross-replica
         // hash equality is exactly what exact-collapse exploits —
         // per-replica blocking would be unsound here by construction).
-        "q179_image_dedup_endgame"
+        "q179_image_dedup_endgame",
+        // r19: the streaming image gate at the same 5.56M-image corner —
+        // the full 4-epoch file-source replay through the RocksDB-backed
+        // registry. Oracle: tools/check_sf100_q181.py (the q179 hash
+        // LIFT + a window-form arrival replay, both certified against
+        // the declared join-form SQL).
+        "q181_image_stream_gate"
       )
       val curSet = curAll.filter(only)
       if (curSet.isEmpty) { spark.stop(); return }
       Files.createDirectories(Paths.get(curDir))
-      val docOnly = Set("q139_bm25_topk", "q176_corpus_release_v2", "q179_image_dedup_endgame")
+      val docOnly = Set("q139_bm25_topk", "q176_corpus_release_v2", "q179_image_dedup_endgame",
+        "q181_image_stream_gate")
       if (freshDir(s"$curDir/documents.parquet") && curSet.exists(docOnly))
         rep1000(Tables.documents(spark, sfDir), "doc_id")
           .repartition(64).write.mode("overwrite").parquet(s"$curDir/documents.parquet")
@@ -2963,6 +2970,14 @@ object Probe {
             println(s"[sf100llm] q179 plan: reused-exchange nodes = $reused " +
               "(>=1 required — the hash-table exchange must materialize ONCE for both consumers)")
           } else println("[sf100llm] q179 executed plan NOT captured")
+        } else if (n == "q181_image_stream_gate") {
+          // production state backend, same rationale as the q177 rung:
+          // ~22M band-bucket registry entries do not belong on the heap
+          val confKey = "spark.sql.streaming.stateStore.providerClass"
+          val prior   = spark.conf.getOption(confKey)
+          spark.conf.set(confKey, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          try writeRung(SparkEntry.queries(n)(spark, curDir), curOut, n)
+          finally prior.fold(spark.conf.unset(confKey))(spark.conf.set(confKey, _))
         } else
           writeRung(SparkEntry.queries(n)(spark, curDir), curOut, n)
         println(f"[sf100llm] $n%-32s ${(System.nanoTime() - t0) / 1e9}%.3f s")

@@ -532,7 +532,15 @@ object Streaming {
         docs
           .filter($"epoch" === e)
           .select($"doc_id", $"ts", $"img")
-          .coalesce(1)
+          // repartition(1), NOT coalesce(1): coalesce pulls the whole
+          // upstream into the single write task — including the PNG
+          // ENCODE, which at the 5.56M-image rung is the entire fixture
+          // cost single-threaded; the shuffle keeps the encode parallel
+          // and only the write serial (one file per epoch is load-bearing:
+          // FileStreamSource's one-file-per-trigger replay must deliver
+          // each epoch as ONE batch for the oracle's (epoch, doc_id)
+          // arrival order to be exact)
+          .repartition(1)
           .write
           .mode("overwrite")
           .parquet(tmp)
