@@ -1,8 +1,9 @@
 package graft
 
+import graft.functions.Kernels
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.DoubleType
 
 /** Oracle-determinism helpers (SURVEY.md §2.4).
   *
@@ -23,7 +24,7 @@ object Det {
     * `CAST(SUM(CAST(round(x * 1eS) AS BIGINT)) AS DOUBLE) / 1eS`. */
   def decSum(c: Column, scale: Int): Column = {
     val f = math.pow(10.0, scale)
-    (sum(round(c * f).cast(LongType)) / f).cast(DoubleType)
+    (sum(Kernels.roundLong(c * f)) / f).cast(DoubleType)
   }
 
   /** Order-independent average: scaled-long sum divided by count in double
@@ -57,7 +58,7 @@ object Det {
     * below that. */
   def decSumWide(c: Column, scale: Int): Column = {
     val f = math.pow(10.0, scale)
-    (sum(round(c * f).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+    (sum(Kernels.roundLong(c * f).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
       .cast(DoubleType) / f).cast(DoubleType)
   }
 
@@ -77,7 +78,7 @@ object Det {
     * per sum for per-row decimal (Probe adhoc). The extra exchange moves
     * pre-aggregated rows only. */
   def gridPartial(c: Column, scale: Int): Column =
-    sum(round(c * math.pow(10.0, scale)).cast(LongType))
+    sum(Kernels.roundLong(c * math.pow(10.0, scale)))
 
   /** Merge of [[gridPartial]] partials through DECIMAL(38,0), emitted as
     * double — same exact integer, same one double conversion, as

@@ -62,13 +62,22 @@ object Pipeline {
       .filter($"event_type" === eventType)
 
     // O5-O8: infer the props schema from a deterministic sample, nullable.
-    val sample = windowed.orderBy($"event_id").limit(100).select($"props").as[String]
-    val propsSchema = SchemaInfer.allNullable(SchemaInfer.infer(spark, sample))
+    // The 100 sample rows are collected ONCE (one TakeOrdered job) and
+    // re-used for both the inference and the .asvc first-row rendering —
+    // the previous form ran the orderBy+limit pipeline twice (a
+    // distributed read.json inference pass plus a separate take(1)), two
+    // full extra jobs per invocation for identical bytes (r19, guide §1.2:
+    // don't compute things twice). 100 one-line JSON strings on the driver
+    // is not a driver-memory concern.
+    val sampleRows: Array[String] =
+      windowed.orderBy($"event_id").limit(100).select($"props").as[String].take(100)
+    val propsSchema = SchemaInfer.allNullable(
+      SchemaInfer.infer(spark, spark.createDataset(sampleRows.toIndexedSeq)))
     // O9: persist beside the output (overwrite ≡ the reference's dir wipe):
     // the engine-native StructType JSON plus the reference's byte-exact
     // .asvc rendering of the first sample (golden-tested in SchemaInferSpec).
     SchemaInfer.persist(propsSchema, s"$outDir/schema.json")
-    sample.take(1).headOption.foreach { first =>
+    sampleRows.headOption.foreach { first =>
       graft.sources.AvroAsvc.persist(eventType, first, s"$outDir/schema.asvc")
     }
 
@@ -101,7 +110,8 @@ object Pipeline {
         coalesce($"n_rows", lit(0L)).as("n_rows"),
         coalesce($"n_dead", lit(0L)).as("n_dead")
       )
-      .orderBy($"day")
+      // bounded output (one row per day inside the export window)
+      .transform(Tables.sortSmall(_, $"day"))
   }
 
   /** Declared query: the full pipeline on the purchase slice, 30-day window. */

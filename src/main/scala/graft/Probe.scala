@@ -2210,6 +2210,311 @@ object Probe {
       spark.stop()
       return
     }
+    if (which == "r19ab") {
+      // Round-19 optimization A/B harness (guide §1: measure first).
+      // Candidate plan variants for the bench queries, timed against the
+      // declared form before any declared query is touched. Nothing here is
+      // a declared query; hash equality of any adopted variant is proven
+      // separately via Verify + tools/check.py.
+      import spark.implicits._
+      import graft.functions.Kernels
+      val cpusN = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      def t(tag: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+        mk.write.mode("overwrite").format("noop").save() // warm
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          mk.write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[r19ab] $tag%-16s best=${runs.min}%.3f runs=${runs.map(r => f"$r%.3f").mkString(",")}")
+      }
+      val sel: String => Boolean = {
+        val only = args.drop(2).filterNot(_ == "r19ab")
+        if (only.isEmpty) _ => true else n => only.exists(n.startsWith)
+      }
+      // ---------------------------------------------------------- q01 family
+      def q01v(spread: Boolean, c1: Boolean, fastRound: Boolean) = {
+        def gp(c: org.apache.spark.sql.Column, s: Int) =
+          if (fastRound) sum(Kernels.roundLong(c * math.pow(10.0, s)))
+          else Det.gridPartial(c, s)
+        var li: org.apache.spark.sql.DataFrame = Tables
+          .lineitem(spark, sfDir)
+          .filter($"l_shipdate" <= lit("1999-01-01").cast("timestamp"))
+        if (spread) li = li.repartition(cpusN)
+        val grid = li
+          .groupBy($"l_returnflag", $"l_linestatus", spark_partition_id().as("_pid"))
+          .agg(
+            sum($"l_quantity").as("p_qty"),
+            gp($"l_extendedprice", 2).as("p_base"),
+            gp($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("p_disc"),
+            gp($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"), 6).as("p_charge"),
+            gp($"l_discount", 2).as("p_dsc"),
+            count(lit(1)).as("p_n")
+          )
+        val out = grid
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sum($"p_qty").as("sum_qty"),
+            (sum($"p_base").cast("double") / 100.0).as("sum_base_price"),
+            Det.gridMergeWide($"p_disc", 4).as("sum_disc_price"),
+            Det.gridMergeWide($"p_charge", 6).as("sum_charge"),
+            (sum($"p_qty") / sum($"p_n")).as("avg_qty"),
+            (sum($"p_base").cast("double") / 100.0 / sum($"p_n")).as("avg_price"),
+            (sum($"p_dsc").cast("double") / 100.0 / sum($"p_n")).as("avg_disc"),
+            sum($"p_n").as("count_order")
+          )
+        if (c1) out.coalesce(1).sortWithinPartitions($"l_returnflag", $"l_linestatus")
+        else out.orderBy($"l_returnflag", $"l_linestatus")
+      }
+      if (sel("q01")) {
+        t("q01-cur")(SparkEntry.queries("q01_pricing_summary")(spark, sfDir))
+        t("q01-c1")(q01v(spread = false, c1 = true, fastRound = false))
+        t("q01-sp")(q01v(spread = true, c1 = false, fastRound = false))
+        t("q01-spc1")(q01v(spread = true, c1 = true, fastRound = false))
+        t("q01-fr")(q01v(spread = false, c1 = false, fastRound = true))
+        t("q01-spc1fr")(q01v(spread = true, c1 = true, fastRound = true))
+      }
+      // ---------------------------------------------------------- q20 family
+      def q20v(spread: Boolean, c1: Boolean) = {
+        var li: org.apache.spark.sql.DataFrame = Tables.lineitem(spark, sfDir)
+        if (spread) li = li.repartition(cpusN)
+        val out = li
+          .groupBy($"l_returnflag")
+          .agg(
+            countDistinct($"l_orderkey").as("n_orders"),
+            countDistinct($"l_partkey").as("n_parts"),
+            count(lit(1)).as("n_rows")
+          )
+        if (c1) out.coalesce(1).sortWithinPartitions($"l_returnflag")
+        else out.orderBy($"l_returnflag")
+      }
+      if (sel("q20")) {
+        t("q20-cur")(SparkEntry.queries("q20_distinct_agg")(spark, sfDir))
+        t("q20-sp")(q20v(spread = true, c1 = false))
+        t("q20-spc1")(q20v(spread = true, c1 = true))
+      }
+      // ---------------------------------------------------------- q23 family
+      def q23v(spread: Boolean, c1: Boolean) = {
+        var li: org.apache.spark.sql.DataFrame = Tables.lineitem(spark, sfDir)
+        if (spread) li = li.repartition(cpusN)
+        val out = li
+          .cube($"l_returnflag", $"l_linestatus")
+          .agg(
+            sum($"l_quantity").as("sum_qty"),
+            count(lit(1)).as("n"),
+            grouping($"l_returnflag").cast("int").as("g_rf"),
+            grouping($"l_linestatus").cast("int").as("g_ls")
+          )
+          .select(
+            coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+            coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+            $"g_rf", $"g_ls", $"sum_qty", $"n"
+          )
+        if (c1) out.coalesce(1).sortWithinPartitions($"g_rf", $"g_ls", $"returnflag", $"linestatus")
+        else out.orderBy($"g_rf", $"g_ls", $"returnflag", $"linestatus")
+      }
+      if (sel("q23")) {
+        t("q23-cur")(SparkEntry.queries("q23_cube_lineitem")(spark, sfDir))
+        t("q23-sp")(q23v(spread = true, c1 = false))
+        t("q23-spc1")(q23v(spread = true, c1 = true))
+      }
+      // ---------------------------------------------------------- q11 family
+      def q11v(c1: Boolean) = {
+        val nat  = Tables.nation(spark, sfDir)
+        val reg  = Tables.region(spark, sfDir)
+        val cust = Tables.customer(spark, sfDir)
+        val ord  = Tables.orders(spark, sfDir)
+        val li   = Tables.lineitem(spark, sfDir)
+        val out = li
+          .join(ord, $"l_orderkey" === $"o_orderkey")
+          .join(cust, $"o_custkey" === $"c_custkey")
+          .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name", $"n_name", spark_partition_id().as("_pid"))
+          .agg(
+            Det.gridPartial($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("p_rev"),
+            count(lit(1)).as("p_n")
+          )
+          .groupBy($"r_name", $"n_name")
+          .agg(Det.gridMergeWide($"p_rev", 4).as("revenue"), sum($"p_n").as("n_items"))
+        if (c1) out.coalesce(1).sortWithinPartitions($"r_name", $"n_name")
+        else out.orderBy($"r_name", $"n_name")
+      }
+      if (sel("q11")) {
+        t("q11-cur")(SparkEntry.queries("q11_join_revenue_by_nation")(spark, sfDir))
+        t("q11-c1")(q11v(c1 = true))
+      }
+      // ---------------------------------------------------------- q61 family
+      if (sel("q61")) {
+        import graft.functions.TextFns.tokens
+        val stop  = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+        val sdocs = Tables.spread(Tables.documents(spark, sfDir))
+        t("q61-cur")(SparkEntry.queries("q61_quality_score")(spark, sfDir))
+        t("q61-toks")(sdocs.select($"doc_id", size(tokens($"text")).as("n")))
+        t("q61-stop")(
+          sdocs.select($"doc_id",
+            size(filter(tokens($"text"), t => t.isInCollection(stop))).as("n")))
+        t("q61-dist")(
+          sdocs.select($"doc_id", size(array_distinct(tokens($"text"))).as("n")))
+        t("q61-relen")(
+          sdocs.select($"doc_id", length(regexp_replace($"text", " ", "")).as("n")))
+        t("q61-trlen")(
+          sdocs.select($"doc_id", length(translate($"text", " ", "")).as("n")))
+      }
+      // ---------------------------------------------------------- q69 family
+      if (sel("q69")) {
+        import graft.operators.Similarity
+        t("q69-cur")(SparkEntry.queries("q69_cosine_topk")(spark, sfDir))
+        val e = Tables.spread(Tables.embeddings(spark, sfDir))
+          .select($"vec_id", $"embedding", sqrt(Kernels.dot($"embedding", $"embedding")).as("nrm"))
+        val q = e.filter($"vec_id" < 10)
+          .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+        t("q69-dots")(
+          e.join(broadcast(q), $"vec_id" =!= $"query_id")
+            .select($"query_id", $"vec_id",
+              round(Kernels.dot($"qe", $"embedding") / ($"qn" * $"nrm"), 6).as("cos")))
+      }
+      // ---------------------------------------------------------- q80 family
+      if (sel("q80")) {
+        import graft.sources.{AvroAsvc, JsonDecode, SchemaInfer}
+        def q80v2() = {
+          val outDir = graft.sources.ParquetSink.scratchDir(spark, "export_pipeline")
+          val ev = Tables.events(spark, sfDir)
+          val mx = ev.agg(max($"ts")).head().getTimestamp(0)
+          val lo = java.sql.Timestamp.from(mx.toInstant.minus(java.time.Duration.ofDays(30)))
+          val windowed = ev.filter($"ts" >= lit(lo)).filter($"event_type" === "purchase")
+          val sampleRows: Array[String] =
+            windowed.orderBy($"event_id").limit(100).select($"props").as[String].take(100)
+          val propsSchema = SchemaInfer.allNullable(
+            SchemaInfer.infer(spark, spark.createDataset(sampleRows.toIndexedSeq)))
+          SchemaInfer.persist(propsSchema, s"$outDir/schema.json")
+          sampleRows.headOption.foreach { first =>
+            AvroAsvc.persist("purchase", first, s"$outDir/schema.asvc")
+          }
+          val (good, bad) = JsonDecode.decodeWithDeadLetter(windowed, "props", propsSchema.toDDL)
+          good
+            .select($"event_id", $"user_id", $"ts", $"value", $"_parsed.*", to_date($"ts").as("day"))
+            .repartition($"day")
+            .write.mode("overwrite").partitionBy("day").parquet(s"$outDir/data")
+          val exported = spark.read.parquet(s"$outDir/data")
+            .groupBy($"day").agg(count(lit(1)).as("n_rows"))
+          val dead = bad.groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("n_dead"))
+          exported
+            .join(dead, Seq("day"), "full_outer")
+            .select($"day", coalesce($"n_rows", lit(0L)).as("n_rows"),
+              coalesce($"n_dead", lit(0L)).as("n_dead"))
+            .orderBy($"day")
+        }
+        t("q80-cur")(SparkEntry.queries("q80_export_pipeline")(spark, sfDir))
+        t("q80-v2")(q80v2())
+      }
+      // ------------------------------------------------- round-2 variants
+      // q10/q11 join order: dims-first so the fact side joins ONE
+      // pre-reduced side (locally AQE broadcasts it and the fact is never
+      // shuffled; at scale it degrades to the same shuffle joins as now).
+      if (sel("j10")) {
+        t("j10-cur")(SparkEntry.queries("q10_join_revenue_by_order")(spark, sfDir))
+        val cust = Tables.customer(spark, sfDir).filter($"c_mktsegment" === "BUILDING")
+        val ord  = Tables.orders(spark, sfDir)
+        val li   = Tables.lineitem(spark, sfDir)
+        t("j10-dimfirst")(
+          li.join(ord.join(cust, $"o_custkey" === $"c_custkey"), $"l_orderkey" === $"o_orderkey")
+            .groupBy($"l_orderkey", to_date($"o_orderdate").as("order_date"))
+            .agg(Det.decSum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("revenue"))
+            .orderBy($"revenue".desc, $"l_orderkey")
+            .limit(20))
+      }
+      if (sel("j11")) {
+        t("j11-cur")(SparkEntry.queries("q11_join_revenue_by_nation")(spark, sfDir))
+        val nat  = Tables.nation(spark, sfDir)
+        val reg  = Tables.region(spark, sfDir)
+        val cust = Tables.customer(spark, sfDir)
+        val ord  = Tables.orders(spark, sfDir)
+        val li   = Tables.lineitem(spark, sfDir)
+        t("j11-dimfirst") {
+          val dims = ord
+            .join(cust, $"o_custkey" === $"c_custkey")
+            .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+            .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+            .select($"o_orderkey", $"r_name", $"n_name")
+          li.join(dims, $"l_orderkey" === $"o_orderkey")
+            .groupBy($"r_name", $"n_name", spark_partition_id().as("_pid"))
+            .agg(
+              Det.gridPartial($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("p_rev"),
+              count(lit(1)).as("p_n"))
+            .groupBy($"r_name", $"n_name")
+            .agg(Det.gridMergeWide($"p_rev", 4).as("revenue"), sum($"p_n").as("n_items"))
+            .coalesce(1).sortWithinPartitions($"r_name", $"n_name")
+        }
+      }
+      // q69: the spread exchange costs more than it buys (the per-row work
+      // is 10 dot products) — single-task scan + an unshuffled broadcast side
+      if (sel("s69")) {
+        import org.apache.spark.sql.expressions.Window
+        t("s69-cur")(SparkEntry.queries("q69_cosine_topk")(spark, sfDir))
+        def q69v(spreadE: Boolean) = {
+          val base = Tables.embeddings(spark, sfDir)
+          val e0   = if (spreadE) Tables.spread(base) else base
+          val e    = e0.select($"vec_id", $"embedding", sqrt(Kernels.dot($"embedding", $"embedding")).as("nrm"))
+          val q = base
+            .filter($"vec_id" < 10)
+            .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+              sqrt(Kernels.dot($"embedding", $"embedding")).as("qn"))
+          val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+          e.join(broadcast(q), $"vec_id" =!= $"query_id")
+            .withColumn("cos", round(Kernels.dot($"qe", $"embedding") / ($"qn" * $"nrm"), 6))
+            .withColumn("rk", row_number().over(w))
+            .filter($"rk" <= 10)
+            .select($"query_id", $"rk", $"vec_id".as("cand_id"), $"cos")
+            .orderBy($"query_id", $"rk")
+        }
+        t("s69-nospread")(q69v(spreadE = false))
+      }
+      // q20: split the two distincts into separate aggregation pipelines
+      // (no Expand; each side collapses map-side) joined at the end
+      if (sel("s20")) {
+        t("s20-cur")(SparkEntry.queries("q20_distinct_agg")(spark, sfDir))
+        t("s20-split") {
+          val li = Tables.lineitem(spark, sfDir)
+          val no = li.groupBy($"l_returnflag", $"l_orderkey").agg(count(lit(1)).as("c"))
+            .groupBy($"l_returnflag").agg(count(lit(1)).as("n_orders"), sum($"c").as("n_rows"))
+          val np = li.groupBy($"l_returnflag", $"l_partkey").agg(count(lit(1)).as("c2"))
+            .groupBy($"l_returnflag").agg(count(lit(1)).as("n_parts"))
+          no.join(np, Seq("l_returnflag"))
+            .select($"l_returnflag", $"n_orders", $"n_parts", $"n_rows")
+            .coalesce(1).sortWithinPartitions($"l_returnflag")
+        }
+      }
+      // q67: lossless candidate-row prefilter — a pair can only reach
+      // jaccard >= 0.6 if 0.6*(n1+n2) <= 1.6*min(n1,n2); rows failing it
+      // produce groups the post-agg filter would drop anyway
+      if (sel("s67")) {
+        t("s67-cur")(SparkEntry.queries("q67_ngram_jaccard_pairs")(spark, sfDir))
+        t("s67-bound") {
+          import graft.functions.TextFns.tokens
+          val docs = graft.operators.Dedup.docsWithDups(spark, sfDir)
+            .repartition($"doc_id")
+            .select($"doc_id", array_distinct(Kernels.shingleHashes(tokens($"text"), 3)).as("sh0"))
+            .groupBy($"doc_id")
+            .agg(first($"sh0").as("sh"))
+            .select($"doc_id", size($"sh").as("n_sh"), explode($"sh").as("shingle"))
+            .repartition($"shingle")
+          val a = docs.select($"doc_id".as("id1"), $"n_sh".as("n1"), $"shingle")
+          val b = docs.select($"doc_id".as("id2"), $"n_sh".as("n2"), $"shingle".as("shingle2"))
+          a.hint("shuffle_hash")
+            .join(b.hint("shuffle_hash"),
+              $"shingle" === $"shingle2" && $"id1" < $"id2" &&
+                least($"n1", $"n2") * 1.6 >= ($"n1" + $"n2") * 0.6)
+            .groupBy($"id1", $"id2", $"n1", $"n2")
+            .agg(count(lit(1)).as("n_inter"))
+            .withColumn("jaccard", round($"n_inter" / ($"n1" + $"n2" - $"n_inter"), 6))
+            .filter($"jaccard" >= 0.6)
+            .select($"id1", $"id2", $"jaccard")
+            .orderBy($"id1", $"id2")
+        }
+      }
+      spark.stop(); return
+    }
     if (which == "adhoc") {
       // decimal vs double vs scaled-long aggregation cost on lineitem
       import spark.implicits._

@@ -106,6 +106,21 @@ object Tables {
   def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
+  /** Total-order presentation sort for BOUNDED-cardinality outputs —
+    * grouped aggregates over fixed domains (returnflag×linestatus,
+    * region×nation, order priorities, a ≤31-day audit window): at most a
+    * few hundred rows at ANY scale factor. A global `orderBy` plans a
+    * range exchange whose RangePartitioner runs a separate sampling JOB
+    * before the sort stage; for a handful of rows that is pure scheduling
+    * overhead (r19 measured ~0.15–0.25 s per query at sf0.1).
+    * coalesce(1) + local sort produces the identical total order with no
+    * exchange and no sampling pass, and is the right plan at 100 TB too:
+    * the rows entering the sort are the post-aggregation output, whose
+    * cardinality is fixed by the domain, not the data volume. NOT for
+    * outputs that scale with the input — those keep orderBy. */
+  def sortSmall(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
+    df.coalesce(1).sortWithinPartitions(cols: _*)
+
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = read(spark, sfDir, "events")
     // NTZ normalization happens in read(); only the legacy nanosAsLong

@@ -127,6 +127,27 @@ object HashKernels {
     out
   }
 
+  /** Round half-up (away from zero) of a double straight to long —
+    * value-identical to `CAST(round(x) AS BIGINT)` (Spark's Round via
+    * BigDecimal HALF_UP, then the double→long cast) without the per-row
+    * BigDecimal allocation. Equivalence: for integer n, n+0.5 is exactly
+    * representable as a double, so comparing the binary value against
+    * n+0.5 decides exactly like comparing its shortest-decimal rendering
+    * (BigDecimal.valueOf) — and `a - floor(a)` is computed exactly for
+    * finite a ≥ 0 (Sterbenz for a ≥ 1, trivial below 1). Negative inputs
+    * mirror through the sign, matching HALF_UP's away-from-zero. NaN → 0
+    * and ±∞ → Long.{Max,Min}Value replicate the double→long cast edge
+    * cases. GridOverflowSpec cross-checks against the Round form on
+    * adversarial half-way values. */
+  def roundLong(x: Double): Long = {
+    if (java.lang.Double.isNaN(x)) return 0L
+    val a = if (x < 0) -x else x
+    if (a >= 9.223372036854776e18) return if (x < 0) Long.MinValue else Long.MaxValue
+    val f = a.toLong
+    val r = if (a - f >= 0.5) f + 1L else f
+    if (x < 0) -r else r
+  }
+
   /** Dot product of two float vectors accumulated in double, sequential
     * element order — identical IEEE result to
     * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0d, +)`.
@@ -441,6 +462,23 @@ object Kernels {
         inputTypes = Nil,
         propagateNull = true,
         returnNullable = true
+      )
+    )
+
+  /** Column form of [[HashKernels.roundLong]]: double → long, identical to
+    * `round(c).cast("long")` at a fraction of the per-row cost (no
+    * BigDecimal). Used by the [[graft.Det]] grid sums in the benchmark-hot
+    * aggregations. */
+  def roundLong(c: Column): Column =
+    GraftBridge.column(
+      StaticInvoke(
+        kernelClass,
+        LongType,
+        "roundLong",
+        Seq(GraftBridge.expression(c)),
+        inputTypes = Nil,
+        propagateNull = true,
+        returnNullable = false
       )
     )
 

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.Kernels
 import org.apache.spark.sql.functions._
 
 /** Advanced relational surface: SQL-API entry (temp views + spark.sql),
@@ -94,16 +95,16 @@ object Advanced {
         count(lit(1)).as("cnt"),
         sum($"l_quantity".cast("long")).as("p_sx"),
         sum(($"l_quantity" * $"l_quantity").cast("long")).as("p_sxx"),
-        sum(round($"l_extendedprice" * 100).cast("long")).as("p_sy"),
-        sum(round($"l_extendedprice" * $"l_extendedprice" * 10000).cast("decimal(38,0)"))
+        sum(Kernels.roundLong($"l_extendedprice" * 100)).as("p_sy"),
+        sum(Kernels.roundLong($"l_extendedprice" * $"l_extendedprice" * 10000).cast("decimal(38,0)"))
           .as("p_syy"),
         // price*qty on the 1e2 grid: term magnitude ~5e8, and the three
         // returnflag groups are unbounded — LONG runs out near SF ~9e3,
         // so sxy joins syy on the DECIMAL(38) accumulator
-        sum(round($"l_extendedprice" * $"l_quantity" * 100).cast("decimal(38,0)"))
+        sum(Kernels.roundLong($"l_extendedprice" * $"l_quantity" * 100).cast("decimal(38,0)"))
           .as("p_sxy"),
-        sum(round($"l_discount" * 100).cast("long")).as("p_sdc"),
-        sum(round($"l_discount" * $"l_quantity" * 100).cast("long")).as("p_sxd")
+        sum(Kernels.roundLong($"l_discount" * 100)).as("p_sdc"),
+        sum(Kernels.roundLong($"l_discount" * $"l_quantity" * 100)).as("p_sxd")
       )
     val byFlag = Window.partitionBy($"l_returnflag")
     val cumW   = byFlag.orderBy($"l_quantity")
@@ -349,7 +350,7 @@ object Advanced {
         round(max($"clip_lo"), 6).as("clip_lo"),
         round(max($"clip_hi"), 6).as("clip_hi"),
         round(
-          sum(round($"cv" * 1e4).cast("long")).cast("double") / 1e4 / count(lit(1)),
+          sum(Kernels.roundLong($"cv" * 1e4)).cast("double") / 1e4 / count(lit(1)),
           6
         ).as("mean_winsorized")
       )

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.Kernels
 import org.apache.spark.sql.functions._
 
 /** Iterative graph/vector analytics a corpus pipeline runs between dedup
@@ -34,7 +35,7 @@ object Clustering {
     assigned
       .select($"cluster", posexplode($"embedding").as(Seq("pos", "v")))
       .groupBy($"cluster", $"pos")
-      .agg((sum(round($"v" * 1e6).cast("long")) / 1e6 / count(lit(1))).as("m"))
+      .agg((sum(Kernels.roundLong($"v" * 1e6)) / 1e6 / count(lit(1))).as("m"))
       .groupBy($"cluster")
       .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
       .select(
@@ -112,7 +113,7 @@ object Clustering {
       .agg(
         count(lit(1)).as("n_vecs"),
         min($"vec_id").as("min_vec"),
-        (sum(round($"ccos" * 1e6).cast("long")) / 1e6 / count(lit(1))).as("mc")
+        (sum(Kernels.roundLong($"ccos" * 1e6)) / 1e6 / count(lit(1))).as("mc")
       )
       .select($"cluster", $"n_vecs", $"min_vec", round($"mc", 6).as("mean_cos"))
       .orderBy($"cluster")

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.TextFns.tokens
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.functions.Kernels
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators a production LLM-training pipeline runs between
@@ -1083,7 +1084,7 @@ object Curation {
     val cents = e0
       .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
       .groupBy($"label", $"pos")
-      .agg((sum(round($"v" * 1e6).cast("long")) / 1e6 / count(lit(1))).as("m"))
+      .agg((sum(Kernels.roundLong($"v" * 1e6)) / 1e6 / count(lit(1))).as("m"))
       .groupBy($"label")
       .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
       .select(

@@ -205,7 +205,21 @@ object Dedup {
     val a = docs.select($"doc_id".as("id1"), $"n_sh".as("n1"), $"shingle")
     val b = docs.select($"doc_id".as("id2"), $"n_sh".as("n2"), $"shingle".as("shingle2"))
     a.hint("shuffle_hash")
-      .join(b.hint("shuffle_hash"), $"shingle" === $"shingle2" && $"id1" < $"id2")
+      // LOSSLESS size-bound prefilter on the candidate rows (r19): with
+      // i = |A∩B| ≤ min(n1,n2), jaccard ≥ 0.6 forces i ≥ (0.6/1.6)(n1+n2),
+      // so a pair with 16·min(n1,n2) < 6·(n1+n2) (exact integer arithmetic)
+      // can never survive the post-aggregation threshold — dropping its
+      // candidate rows before the count removes whole would-be-rejected
+      // groups and nothing else. (The declared filter is on the 6-decimal
+      // ROUNDED jaccard; as with the prefix plan's lemma, at these set
+      // sizes no rational i/(n1+n2−i) lands inside [0.6−5e−7, 0.6), so the
+      // rounded and true thresholds select the same pairs.) Measured
+      // 1.52 → 1.22 s at sf0.1, output hash-identical.
+      .join(
+        b.hint("shuffle_hash"),
+        $"shingle" === $"shingle2" && $"id1" < $"id2" &&
+          least($"n1", $"n2") * 16 >= ($"n1" + $"n2") * 6
+      )
       .groupBy($"id1", $"id2", $"n1", $"n2")
       .agg(count(lit(1)).as("n_inter"))
       .withColumn("jaccard", round($"n_inter" / ($"n1" + $"n2" - $"n_inter"), 6))

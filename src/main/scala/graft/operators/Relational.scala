@@ -55,7 +55,8 @@ object Relational {
         (sum($"p_dsc").cast("double") / 100.0 / sum($"p_n")).as("avg_disc"),
         sum($"p_n").as("count_order")
       )
-      .orderBy($"l_returnflag", $"l_linestatus")
+      // bounded output (6 returnflag×linestatus groups) — Tables.sortSmall
+      .transform(Tables.sortSmall(_, $"l_returnflag", $"l_linestatus"))
   }
 
   /** O3: group-count + top-k — the reference's headline "terms aggregation"
@@ -83,7 +84,8 @@ object Relational {
       .filter($"ts" >= $"mx" - expr("INTERVAL 7 DAYS"))
       .groupBy(to_date($"ts").as("day"))
       .agg(count(lit(1)).as("n_events"))
-      .orderBy($"day")
+      // bounded output (<= 8 day rows inside the 7-day window)
+      .transform(Tables.sortSmall(_, $"day"))
   }
 
   /** O4: equality predicate on a text field (match_phrase rule_name analog,
@@ -127,8 +129,13 @@ object Relational {
     val cust = Tables.customer(spark, sfDir).filter($"c_mktsegment" === "BUILDING")
     val ord  = Tables.orders(spark, sfDir)
     val li   = Tables.lineitem(spark, sfDir)
-    li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(cust, $"o_custkey" === $"c_custkey")
+    // dims-first join order (r19, guide §3.1): reduce orders by the
+    // selective customer filter BEFORE the fact join, so the fact joins ONE
+    // pre-filtered side. Locally AQE broadcasts the ~1/5-of-orders result
+    // and lineitem is never shuffled; at 100 TB both joins degrade to the
+    // same shuffle joins as the fact-first order. Inner-join reorder —
+    // results identical (oracle-verified).
+    li.join(ord.join(cust, $"o_custkey" === $"c_custkey"), $"l_orderkey" === $"o_orderkey")
       .groupBy($"l_orderkey", to_date($"o_orderdate").as("order_date"))
       .agg(Det.decSum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("revenue"))
       .orderBy($"revenue".desc, $"l_orderkey")
@@ -146,10 +153,18 @@ object Relational {
     val cust = Tables.customer(spark, sfDir)
     val ord  = Tables.orders(spark, sfDir)
     val li   = Tables.lineitem(spark, sfDir)
-    li.join(ord, $"l_orderkey" === $"o_orderkey")
+    // dims-first join order (r19, guide §3.1): resolve orders → customer →
+    // nation → region into one slim (o_orderkey, r_name, n_name) side
+    // before the fact join. Locally AQE broadcasts it and lineitem is
+    // never shuffled; at 100 TB the join pair degrades to the same
+    // shuffle joins as the fact-first order. Inner-join reorder — results
+    // identical (oracle-verified).
+    val dims = ord
       .join(cust, $"o_custkey" === $"c_custkey")
       .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+      .select($"o_orderkey", $"r_name", $"n_name")
+    li.join(dims, $"l_orderkey" === $"o_orderkey")
       // ~125 (region, nation) groups: the 1e4 grid overflows LONG near
       // SF 2e4 — two-level LONG-then-DECIMAL sum (Det.gridPartial; the
       // post-join partition sizes are AQE-bounded, same partial headroom)
@@ -163,7 +178,8 @@ object Relational {
         Det.gridMergeWide($"p_rev", 4).as("revenue"),
         sum($"p_n").as("n_items")
       )
-      .orderBy($"r_name", $"n_name")
+      // bounded output (~125 region×nation groups) — Tables.sortSmall
+      .transform(Tables.sortSmall(_, $"r_name", $"n_name"))
   }
 
   /** Left outer join + null-aware agg: every customer with order stats,
@@ -217,7 +233,8 @@ object Relational {
         coalesce($"n_cust", lit(0L)).as("n_cust"),
         coalesce($"n_supp", lit(0L)).as("n_supp")
       )
-      .orderBy($"nationkey")
+      // bounded output (fixed 25-nation domain)
+      .transform(Tables.sortSmall(_, $"nationkey"))
   }
 
   /** Theta (range-predicate) join via LOSSLESS band blocking: parts priced
@@ -266,7 +283,8 @@ object Relational {
       .join(lateLines, $"o_orderkey" === $"l_orderkey", "left_semi")
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n_orders"))
-      .orderBy($"o_orderpriority")
+      // bounded output (fixed 5-priority domain)
+      .transform(Tables.sortSmall(_, $"o_orderpriority"))
   }
 
   /** TPC-H Q7 shape: shipping volume between two nation pairs by year —
@@ -295,7 +313,8 @@ object Relational {
       // ~14 nation-pair×year groups after the filter; per-group rows still
       // scale linearly with SF — wide accumulator (GridOverflowSpec)
       .agg(graft.Det.decSumWide($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("volume"))
-      .orderBy($"supp_nation", $"cust_nation", $"yr")
+      // bounded output (2 nation pairs x shipdate years)
+      .transform(Tables.sortSmall(_, $"supp_nation", $"cust_nation", $"yr"))
   }
 
   /** TPC-H Q19 shape: disjunctive multi-attribute predicates (OR of ANDed
@@ -330,15 +349,29 @@ object Relational {
     * lives in [[approxDistinct]] (exact-part + tolerance oracle). */
   def distinctAgg(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables
-      .lineitem(spark, sfDir)
+    // Split-distinct plan (r19): the classic multi-countDistinct form
+    // plans ONE Expand (3× the input) whose partial aggregate runs inside
+    // the scan stage — serial on a single-row-group input and 3× the rows
+    // everywhere. Two separate dedup pipelines collapse map-side on their
+    // own key and join on the 3-row group domain (measured 1.23 → 0.82 s
+    // at sf0.1). `count(col)` over the per-key groups mirrors COUNT
+    // (DISTINCT col)'s null semantics exactly (a null key forms a group;
+    // count(col) skips it); n_rows = Σ per-key counts = count(*).
+    val li = Tables.lineitem(spark, sfDir)
+    val no = li
+      .groupBy($"l_returnflag", $"l_orderkey")
+      .agg(count(lit(1)).as("c"))
       .groupBy($"l_returnflag")
-      .agg(
-        countDistinct($"l_orderkey").as("n_orders"),
-        countDistinct($"l_partkey").as("n_parts"),
-        count(lit(1)).as("n_rows")
-      )
-      .orderBy($"l_returnflag")
+      .agg(count($"l_orderkey").as("n_orders"), sum($"c").as("n_rows"))
+    val np = li
+      .groupBy($"l_returnflag", $"l_partkey")
+      .agg(count(lit(1)).as("c2"))
+      .groupBy($"l_returnflag")
+      .agg(count($"l_partkey").as("n_parts"))
+    no.join(np, Seq("l_returnflag"))
+      .select($"l_returnflag", $"n_orders", $"n_parts", $"n_rows")
+      // bounded output (3 returnflag groups)
+      .transform(Tables.sortSmall(_, $"l_returnflag"))
   }
 
   /** approx_count_distinct (HLL++) made fully oracle-checkable: the
@@ -362,7 +395,8 @@ object Relational {
         $"n_orders_exact",
         (abs($"est" - $"n_orders_exact") <= $"n_orders_exact" * 0.05).as("within_tolerance")
       )
-      .orderBy($"l_returnflag")
+      // bounded output (3 returnflag groups)
+      .transform(Tables.sortSmall(_, $"l_returnflag"))
   }
 
   /** ROLLUP: order counts at (status, priority), (status), () levels.
@@ -388,7 +422,8 @@ object Relational {
         $"n",
         $"total"
       )
-      .orderBy($"g_status", $"g_priority", $"status", $"priority")
+      // bounded output (status x priority rollup over fixed domains)
+      .transform(Tables.sortSmall(_, $"g_status", $"g_priority", $"status", $"priority"))
   }
 
   /** CUBE over (returnflag, linestatus) with grouping id. */
@@ -411,7 +446,8 @@ object Relational {
         $"sum_qty",
         $"n"
       )
-      .orderBy($"g_rf", $"g_ls", $"returnflag", $"linestatus")
+      // bounded output (returnflag x linestatus cube)
+      .transform(Tables.sortSmall(_, $"g_rf", $"g_ls", $"returnflag", $"linestatus"))
   }
 
   // ------------------------------------------------------------- windows
@@ -544,6 +580,7 @@ object Relational {
     u.unionByName(i)
       .unionByName(e)
       .select($"op", $"nationkey")
-      .orderBy($"op", $"nationkey")
+      // bounded output (3 ops x fixed 25-nation domain)
+      .transform(Tables.sortSmall(_, $"op", $"nationkey"))
   }
 }

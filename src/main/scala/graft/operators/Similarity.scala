@@ -52,10 +52,17 @@ object Similarity {
   def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val e = Tables.spread(Tables.embeddings(spark, sfDir))
-      .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
-    val q = e.filter($"vec_id" < 10)
-      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+    // No spread barrier here (r19): the per-row work is 10 kernel dots —
+    // light enough that the round-robin exchange cost more than the
+    // parallelism bought back (measured 0.57 → 0.44 s at sf0.1). At scale
+    // the scan itself is parallel. The broadcast side reads the base scan
+    // directly (vec_id < 10 pushed to the scan) instead of hanging off the
+    // spread exchange — one stage, no shuffle, same rows.
+    val base = Tables.embeddings(spark, sfDir)
+    val e    = base.select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+    val q = base
+      .filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), norm($"embedding").as("qn"))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
     e.join(broadcast(q), $"vec_id" =!= $"query_id")
       .withColumn("cos", round(cosine($"qe", $"qn", $"embedding", $"nrm"), 6))
@@ -151,7 +158,7 @@ object Similarity {
     Tables.embeddings(spark, sfDir)
       .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
       .groupBy($"label", $"pos")
-      .agg((sum(round($"v" * 1e6).cast("long")) / 1e6 / count(lit(1))).as("m"))
+      .agg((sum(graft.functions.Kernels.roundLong($"v" * 1e6)) / 1e6 / count(lit(1))).as("m"))
       .groupBy($"label")
       .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
       .select(

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.Kernels
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation operators. At 100 TB the single biggest shuffle-join
@@ -60,7 +61,7 @@ object Skew {
       .groupBy($"category")
       .agg(
         count(lit(1)).as("n_items"),
-        sum(round($"l_extendedprice" * 100).cast("long")).as("cents")
+        sum(Kernels.roundLong($"l_extendedprice" * 100)).as("cents")
       )
       .select(
         $"category",
@@ -79,7 +80,7 @@ object Skew {
       .groupBy($"category")
       .agg(
         count(lit(1)).as("n_items"),
-        sum(round($"l_extendedprice" * 100).cast("long")).as("cents")
+        sum(Kernels.roundLong($"l_extendedprice" * 100)).as("cents")
       )
       .select(
         $"category",

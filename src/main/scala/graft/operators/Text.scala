@@ -42,7 +42,9 @@ object Text {
       .withColumn("n_stop", size(filter($"toks", t => t.isInCollection(stop))))
       .withColumn(
         "mean_tok_len",
-        length(regexp_replace($"text", " ", "")).cast("double") / $"n_tokens"
+        // translate = literal char strip; identical output to the regex
+        // form for a single-space pattern, without per-row regex machinery
+        length(translate($"text", " ", "")).cast("double") / $"n_tokens"
       )
       .withColumn("distinct_ratio", size(array_distinct($"toks")).cast("double") / $"n_tokens")
       .withColumn("stop_ratio", $"n_stop".cast("double") / $"n_tokens")

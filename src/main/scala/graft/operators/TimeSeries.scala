@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.Kernels
 import org.apache.spark.sql.functions._
 
 /** Time-series resampling: regularize each user's event stream onto a daily
@@ -19,7 +20,7 @@ object TimeSeries {
       .groupBy($"user_id", to_date($"ts").as("day"))
       // per-day mean on the Det scaled-long grid: a raw double avg's merge
       // order follows the shuffle and can flip the 6th rounded decimal
-      .agg(round((sum(round($"value" * 1e6).cast("long")) / 1e6) / count(lit(1)), 6).as("v"))
+      .agg(round((sum(Kernels.roundLong($"value" * 1e6)) / 1e6) / count(lit(1)), 6).as("v"))
     val cal = daily
       .groupBy($"user_id")
       .agg(min($"day").as("d0"), max($"day").as("d1"))

@@ -120,18 +120,23 @@ class GridOverflowSpec extends SparkSpec {
   }
 
   test("every scaled-long grid site in src/main is registered here (tripwire)") {
-    // mechanical link between this table and the code: count the
-    // `sum(round(...).cast(long))` sites in main source. A NEW site added
-    // without updating BOTH the code and this audit fails loudly — the
-    // next person must register its bounds (or route it through
-    // decSumWide / the two-level idiom) instead of shipping an unaudited
-    // grid. Registered: 11 query-side sites (Det.decSum + Det.gridPartial
-    // bodies, Advanced x3, Similarity, Clustering x2, Skew x2,
-    // TimeSeries) + Probe diagnostics outside the audit's scope.
+    // mechanical link between this table and the code: count the scaled
+    // grid-sum sites in main source — both the original
+    // `sum(round(...).cast(long))` idiom and the r19 kernel form
+    // `sum(Kernels.roundLong(...))` (value-identical, allocation-free; the
+    // decimal-cast wide sites ride the same kernel and are counted too). A
+    // NEW site added without updating BOTH the code and this audit fails
+    // loudly — the next person must register its bounds (or route it
+    // through decSumWide / the two-level idiom) instead of shipping an
+    // unaudited grid. Registered: query-side sites (Det.decSum +
+    // decSumWide + gridPartial bodies, Advanced x6, Similarity,
+    // Clustering x2, Skew x2, TimeSeries, Curation) + Probe diagnostics
+    // outside the audit's scope.
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get("src/main/scala/graft")
     require(java.nio.file.Files.isDirectory(root), s"run from the repo root: $root not found")
-    val pat  = java.util.regex.Pattern.compile("""sum\(round\(.*\.cast\(("long"|LongType)\)""")
+    val pat = java.util.regex.Pattern.compile(
+      """sum\((round\(.*\.cast\(("long"|LongType)\)|(graft\.functions\.)?Kernels\.roundLong\()""")
     val walk = java.nio.file.Files.walk(root)
     // keys are ROOT-RELATIVE paths (matching DisciplineSpec): a bare-name
     // key would silently exempt any same-named file elsewhere under graft/
@@ -154,8 +159,8 @@ class GridOverflowSpec extends SparkSpec {
     // shift) — a new site anywhere, including a new Probe-named file in a
     // subpackage, shows up as a diff against this map
     val expected = Map(
-      "Det.scala"                   -> 2, // decSum + gridPartial bodies
-      "operators/Advanced.scala"    -> 4, // +q149 winsorized-mean grid
+      "Det.scala"                   -> 3, // decSum + decSumWide + gridPartial bodies
+      "operators/Advanced.scala"    -> 6, // q29 stats grids (incl. 2 wide) + q149 winsorized mean
       "operators/Clustering.scala"  -> 2,
       "operators/Curation.scala"    -> 1, // q141 SemDeDup centroid grid
 
@@ -164,8 +169,8 @@ class GridOverflowSpec extends SparkSpec {
       "operators/TimeSeries.scala"  -> 1,
       // diagnostics outside the audit's bound table (+3 in the q29ab phase:
       // a frozen copy of q29's pre-rewrite percentile form, same grids the
-      // Advanced.scala table already bounds)
-      "Probe.scala"                 -> 6
+      // Advanced.scala table already bounds; +1 in the r19ab A/B harness)
+      "Probe.scala"                 -> 7
     )
     val got = hits.groupBy(_._1).view.mapValues(_.size).toMap
     assert(
@@ -199,6 +204,35 @@ class GridOverflowSpec extends SparkSpec {
       BigDecimal(s.maxAbsTerm) * BigDecimal(10).pow(s.scale) < twoTo53
     )
     assert(broken.isEmpty, s"grids past double exactness:\n${broken.map(_.site).mkString("\n")}")
+  }
+
+  test("Kernels.roundLong is value-identical to round(x).cast(long) (adversarial + property)") {
+    import spark.implicits._
+    // adversarial: exact .5 halves (both signs), values one ulp around a
+    // half, the classic floor(x+0.5) trap (largest double below 0.5),
+    // zero/negative zero, and random magnitudes across the grid range
+    val adversarial = Seq(
+      0.5, -0.5, 1.5, -1.5, 2.5, -2.5, 1234567.5, -1234567.5,
+      Math.nextDown(0.5), Math.nextUp(0.5), -Math.nextDown(0.5),
+      Math.nextDown(2.5), Math.nextUp(2.5), -Math.nextUp(2.5),
+      0.49999999999999994, -0.49999999999999994,
+      0.0, -0.0, 1e15 + 0.5, -(1e15 + 0.5), 104999.915 * 1e6
+    )
+    val rnd = new scala.util.Random(7)
+    val random = Seq.fill(2000)((rnd.nextDouble() - 0.5) * math.pow(10.0, rnd.nextInt(16)))
+    val df = (adversarial ++ random).toDF("x")
+    val mismatches = df
+      .select(
+        $"x",
+        graft.functions.Kernels.roundLong($"x").as("k"),
+        round($"x").cast("long").as("r")
+      )
+      .filter($"k" =!= $"r")
+      .collect()
+    assert(
+      mismatches.isEmpty,
+      s"roundLong diverges from round().cast(long) on: ${mismatches.take(5).mkString(", ")}"
+    )
   }
 
   test("decSum and decSumWide match the exact BigDecimal model (property)") {
