@@ -2513,6 +2513,136 @@ object Probe {
             .orderBy($"id1", $"id2")
         }
       }
+      // ------------------------------------------------- round-3 variants
+      // Scoped AQE coalescing mode: parallelismFirst=false lets AQE
+      // collapse KILOBYTE-sized post-shuffle stages (CC label loops) to
+      // one task instead of 32; measured per-task overhead ~50 ms makes
+      // 32-task tiny stages the iterative families' main cost.
+      def withPfOff[T](body: => T): T = {
+        val k = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+        val old = spark.conf.get(k, "true")
+        spark.conf.set(k, "false")
+        try body finally spark.conf.set(k, old)
+      }
+      if (sel("pf")) {
+        t("pf-120-cur")(SparkEntry.queries("q120_dedup_endgame")(spark, sfDir))
+        withPfOff { t("pf-120-off")(SparkEntry.queries("q120_dedup_endgame")(spark, sfDir)) }
+        t("pf-179-cur")(SparkEntry.queries("q179_image_dedup_endgame")(spark, sfDir))
+        withPfOff { t("pf-179-off")(SparkEntry.queries("q179_image_dedup_endgame")(spark, sfDir)) }
+        // regression check on the shuffle-hash self-join heads (the r13
+        // note: advisory-size coalescing collapsed their fat partitions)
+        t("pf-67-cur")(SparkEntry.queries("q67_ngram_jaccard_pairs")(spark, sfDir))
+        withPfOff { t("pf-67-off")(SparkEntry.queries("q67_ngram_jaccard_pairs")(spark, sfDir)) }
+        t("pf-65-cur")(SparkEntry.queries("q65_minhash_lsh_pairs")(spark, sfDir))
+        withPfOff { t("pf-65-off")(SparkEntry.queries("q65_minhash_lsh_pairs")(spark, sfDir)) }
+      }
+      // q21: single-distinct + HLL — both ride the (rf, orderkey) dedup
+      // pipeline (the HLL sketch is duplicate-insensitive, so the estimate
+      // over deduplicated keys is bit-identical), no Expand at all
+      if (sel("s21")) {
+        t("s21-cur")(SparkEntry.queries("q21_approx_distinct")(spark, sfDir))
+        t("s21-split") {
+          Tables.lineitem(spark, sfDir)
+            .groupBy($"l_returnflag", $"l_orderkey")
+            .agg(count(lit(1)).as("c"))
+            .groupBy($"l_returnflag")
+            .agg(
+              approx_count_distinct($"l_orderkey", 0.02).as("est"),
+              count($"l_orderkey").as("n_orders_exact"))
+            .select(
+              $"l_returnflag",
+              $"n_orders_exact",
+              (abs($"est" - $"n_orders_exact") <= $"n_orders_exact" * 0.05).as("within_tolerance"))
+            .coalesce(1).sortWithinPartitions($"l_returnflag")
+        }
+      }
+      // ------------------------------------------------- round-4 variants
+      // q80: lazily localCheckpoint the decoded frame so the audit's dead
+      // branch reuses the write pass's parse instead of re-decoding
+      if (sel("v80")) {
+        import graft.sources.{AvroAsvc, JsonDecode, SchemaInfer}
+        t("v80-cur")(SparkEntry.queries("q80_export_pipeline")(spark, sfDir))
+        t("v80-ckpt") {
+          val outDir = graft.sources.ParquetSink.scratchDir(spark, "export_pipeline")
+          val ev = Tables.events(spark, sfDir)
+          val mx = ev.agg(max($"ts")).head().getTimestamp(0)
+          val lo = java.sql.Timestamp.from(mx.toInstant.minus(java.time.Duration.ofDays(30)))
+          val windowed = ev.filter($"ts" >= lit(lo)).filter($"event_type" === "purchase")
+          val sampleRows: Array[String] =
+            windowed.orderBy($"event_id").limit(100).select($"props").as[String].take(100)
+          val propsSchema = SchemaInfer.allNullable(
+            SchemaInfer.infer(spark, spark.createDataset(sampleRows.toIndexedSeq)))
+          SchemaInfer.persist(propsSchema, s"$outDir/schema.json")
+          sampleRows.headOption.foreach(AvroAsvc.persist("purchase", _, s"$outDir/schema.asvc"))
+          // inline decodeWithDeadLetter with ONE lazy checkpoint of the
+          // parsed frame: the write pass fills it, the audit's dead branch
+          // re-reads it instead of re-decoding
+          val st = org.apache.spark.sql.types.StructType
+            .fromDDL(propsSchema.toDDL)
+            .add("_corrupt", org.apache.spark.sql.types.StringType)
+          val parsedCk = windowed
+            .withColumn("_parsed",
+              from_json($"props", st, Map("columnNameOfCorruptRecord" -> "_corrupt")))
+            .localCheckpoint(false)
+          val isBad = $"props".isNull || $"_parsed".isNull ||
+            $"_parsed".getField("_corrupt").isNotNull
+          val good = parsedCk.filter(!isBad)
+          val bad  = parsedCk.filter(isBad).drop("_parsed")
+          good
+            .select($"event_id", $"user_id", $"ts", $"value", $"_parsed.*", to_date($"ts").as("day"))
+            .repartition($"day")
+            .write.mode("overwrite").partitionBy("day").parquet(s"$outDir/data")
+          val exported = spark.read.parquet(s"$outDir/data")
+            .groupBy($"day").agg(count(lit(1)).as("n_rows"))
+          val dead = bad.groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("n_dead"))
+          exported
+            .join(dead, Seq("day"), "full_outer")
+            .select($"day", coalesce($"n_rows", lit(0L)).as("n_rows"),
+              coalesce($"n_dead", lit(0L)).as("n_dead"))
+            .coalesce(1).sortWithinPartitions($"day")
+        }
+      }
+      // q145: split the 4-way countDistinct Expand into per-column dedup
+      // pipelines beside one min/max/null pass
+      if (sel("v145")) {
+        t("v145-cur")(SparkEntry.queries("q145_table_profile")(spark, sfDir))
+        t("v145-split") {
+          val li = Tables.lineitem(spark, sfDir)
+          def nd(c: String) = li.groupBy(col(c)).agg(count(lit(1)).as("cc"))
+            .agg(count(col(c)).as(s"${c}_distinct"))
+          val base = li.agg(
+            count(lit(1)).as("n"),
+            sum($"l_quantity".isNull.cast("long")).as("qty_nulls"),
+            min($"l_quantity").cast("double").as("qty_min"),
+            max($"l_quantity").cast("double").as("qty_max"),
+            sum($"l_extendedprice".isNull.cast("long")).as("ep_nulls"),
+            min($"l_extendedprice").cast("double").as("ep_min"),
+            max($"l_extendedprice").cast("double").as("ep_max"),
+            sum($"l_shipdate".isNull.cast("long")).as("sd_nulls"),
+            min(unix_micros($"l_shipdate")).cast("double").as("sd_min"),
+            max(unix_micros($"l_shipdate")).cast("double").as("sd_max"),
+            sum($"l_returnflag".isNull.cast("long")).as("rf_nulls"),
+            min($"l_returnflag").as("rf_min"),
+            max($"l_returnflag").as("rf_max"))
+          val joined = base
+            .crossJoin(nd("l_quantity").withColumnRenamed("l_quantity_distinct", "qty_distinct"))
+            .crossJoin(nd("l_extendedprice").withColumnRenamed("l_extendedprice_distinct", "ep_distinct"))
+            .crossJoin(nd("l_shipdate").withColumnRenamed("l_shipdate_distinct", "sd_distinct"))
+            .crossJoin(nd("l_returnflag").withColumnRenamed("l_returnflag_distinct", "rf_distinct"))
+          joined.select(
+            $"n".as("n_rows"),
+            expr("""stack(4,
+              'l_quantity',      qty_nulls, qty_distinct, qty_min, qty_max, CAST(NULL AS STRING), CAST(NULL AS STRING),
+              'l_extendedprice', ep_nulls,  ep_distinct,  ep_min,  ep_max,  CAST(NULL AS STRING), CAST(NULL AS STRING),
+              'l_shipdate',      sd_nulls,  sd_distinct,  sd_min,  sd_max,  CAST(NULL AS STRING), CAST(NULL AS STRING),
+              'l_returnflag',    rf_nulls,  rf_distinct,  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), rf_min, rf_max)
+              AS (col_name, n_null, n_distinct, min_num, max_num, min_str, max_str)""")
+          ).select(
+            $"col_name", $"n_rows", $"n_null", $"n_distinct",
+            $"min_num", $"max_num", $"min_str", $"max_str"
+          ).coalesce(1).sortWithinPartitions($"col_name")
+        }
+      }
       spark.stop(); return
     }
     if (which == "adhoc") {

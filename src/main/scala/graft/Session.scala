@@ -67,6 +67,27 @@ object Session {
     spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", target.toString)
   }
 
+  /** Run `body` (a driver-side iterative loop whose per-round tables are
+    * small after their first collapse) with AQE's partition coalescing in
+    * SIZE-FIRST mode (`parallelismFirst=false`), restoring the previous
+    * value afterwards. Parallelism-first coalescing keeps every
+    * post-shuffle stage at the session's core count; for the kilobyte
+    * label/feature tables of the CC and classifier loops that means
+    * dozens of ~50 ms tasks per round doing microseconds of work (the r19
+    * measured per-task overhead). Size-first coalescing is scale-adaptive:
+    * big rounds stay wide (advisory sizing), tiny rounds collapse to one
+    * task. Scoped per loop and not session-wide because the shingle/band
+    * self-joins need parallelism-first (advisory-size coalescing collapses
+    * their compute-heavy partitions — the measured q67 3× regression).
+    * Driver-sequential by contract, like the loops that call it. */
+  def withSizeFirstCoalescing[T](spark: SparkSession)(body: => T): T = {
+    val k   = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    val old = spark.conf.get(k, "true")
+    spark.conf.set(k, "false")
+    try body
+    finally spark.conf.set(k, old)
+  }
+
   /** Apply the parity configs to an externally-built session (the driver
     * may smoke-call `SparkEntry.entry` with its own session). Best-effort:
     * anything static in that session is skipped rather than failed. */

@@ -436,31 +436,41 @@ object Advanced {
     * distinct counts expand per column but stay in the same shuffle. */
   def tableProfile(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // spread: the 4-way exact-distinct Expand multiplies every row by 4
-    // before the partial aggregate — compute-bound, so it must not run
-    // inside the fixture's single scan task (at real scale the scan is
-    // split-parallel and the barrier only rebalances)
-    Tables
-      .spread(Tables.lineitem(spark, sfDir))
+    // Split-distinct plan (r19, the q20 discipline): the 4-way exact
+    // countDistinct planned ONE Expand that multiplied every row by 4
+    // before a single serial partial aggregate. Each column instead rides
+    // its own groupBy dedup pipeline (map-side collapse on its own key; a
+    // null key forms a group count(col) skips — exact countDistinct
+    // semantics) and the four 1-row results equi-join the min/max/null
+    // pass on a literal key (broadcast hash joins of single rows, not a
+    // cartesian). Measured 2.23 → 0.83 s at sf0.1.
+    val li = Tables.lineitem(spark, sfDir)
+    def nd(c: String, as: String) = li
+      .groupBy(col(c))
+      .agg(count(lit(1)).as("cc"))
+      .agg(count(col(c)).as(as))
+      .withColumn("k", lit(1))
+    li
       .agg(
         count(lit(1)).as("n"),
         sum($"l_quantity".isNull.cast("long")).as("qty_nulls"),
-        countDistinct($"l_quantity").as("qty_distinct"),
         min($"l_quantity").cast("double").as("qty_min"),
         max($"l_quantity").cast("double").as("qty_max"),
         sum($"l_extendedprice".isNull.cast("long")).as("ep_nulls"),
-        countDistinct($"l_extendedprice").as("ep_distinct"),
         min($"l_extendedprice").cast("double").as("ep_min"),
         max($"l_extendedprice").cast("double").as("ep_max"),
         sum($"l_shipdate".isNull.cast("long")).as("sd_nulls"),
-        countDistinct($"l_shipdate").as("sd_distinct"),
         min(unix_micros($"l_shipdate")).cast("double").as("sd_min"),
         max(unix_micros($"l_shipdate")).cast("double").as("sd_max"),
         sum($"l_returnflag".isNull.cast("long")).as("rf_nulls"),
-        countDistinct($"l_returnflag").as("rf_distinct"),
         min($"l_returnflag").as("rf_min"),
         max($"l_returnflag").as("rf_max")
       )
+      .withColumn("k", lit(1))
+      .join(nd("l_quantity", "qty_distinct"), "k")
+      .join(nd("l_extendedprice", "ep_distinct"), "k")
+      .join(nd("l_shipdate", "sd_distinct"), "k")
+      .join(nd("l_returnflag", "rf_distinct"), "k")
       .select(
         $"n".as("n_rows"),
         expr("""stack(4,
@@ -474,6 +484,7 @@ object Advanced {
         $"col_name", $"n_rows", $"n_null", $"n_distinct",
         $"min_num", $"max_num", $"min_str", $"max_str"
       )
-      .orderBy($"col_name")
+      // bounded output (4 profiled columns)
+      .transform(Tables.sortSmall(_, $"col_name"))
   }
 }

@@ -26,6 +26,13 @@ object Graph {
     * fallback without matching on message text. */
   final class ConvergenceException(msg: String) extends IllegalStateException(msg)
 
+  /** The CC loops run under size-first AQE coalescing — see
+    * [[graft.Session.withSizeFirstCoalescing]] for the rationale and the
+    * measured numbers (q179 18.3 → 12.8 s at sf0.1; the q67 3× regression
+    * that keeps the flip scoped rather than session-wide). */
+  private def withSizeFirstCoalescing[T](spark: SparkSession)(body: => T): T =
+    graft.Session.withSizeFirstCoalescing(spark)(body)
+
   /** Deterministic test graph over `documents`: chain edges (i, i+1) where
     * i % 7 < 2 and jump edges (i, i+10) where i % 13 == 0 — small
     * multi-node components with nontrivial shapes, replayable in SQL. */
@@ -106,6 +113,7 @@ object Graph {
       case n: Number => n.longValue()
       case _         => 0L
     }
+    withSizeFirstCoalescing(nodes.sparkSession) {
     var labels     = nodes.select($"node", $"node".as("comp")).cache()
     var changed    = 1L
     var action     = 0
@@ -154,6 +162,7 @@ object Graph {
     if (!callerCached) e.unpersist()
     onDone(action * rounds)
     result
+    }
   }
 
   /** Diameter-adaptive components: probe with [[minLabelComponents]] for a
@@ -251,6 +260,7 @@ object Graph {
       }
       (l("cnt"), l("cxor"))
     }
+    withSizeFirstCoalescing(nodes.sparkSession) {
     val obs0 = Observation("cc2_r0")
     var e = observedCheckpoint(
       edgeList.select($"src".as("u"), $"dst".as("v")).filter($"u" =!= $"v").distinct(),
@@ -282,6 +292,7 @@ object Graph {
       .join(lbl, Seq("node"), "left")
       .select($"node", coalesce($"comp", $"node").as("comp"))
       .localCheckpoint(true) // lineage-free contract, as minLabelComponents
+    }
   }
 
   /** Declared query: components of the deterministic doc graph — one row

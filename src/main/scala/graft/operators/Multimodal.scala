@@ -160,8 +160,16 @@ object Multimodal {
 
   /** Encode doc `d`'s 480 deterministic samples as a real RIFF/WAVE file
     * (PCM_SIGNED 16-bit mono little-endian) via AudioSystem. */
-  private def encodeWav(d: Long): Array[Byte] = {
-    val n = AudioWindows * WindowSamples
+  private[graft] def encodeWav(d: Long): Array[Byte] = {
+    // Canonical 44-byte RIFF/WAVE header written directly (r19):
+    // byte-identical to AudioSystem.write's PCM output (same chunk layout,
+    // sizes and LE fields — WavBytesSpec pins the equality), without the
+    // per-call AudioFileWriter provider lookup that dominated the encode
+    // at ~480 samples/file (q58 measured 3.3 -> 1.8 s at sf0.1). The
+    // DECODE side below stays AudioSystem.getAudioInputStream — the REAL
+    // header parse is the operator's point; only the fixture synthesis is
+    // hand-rolled.
+    val n   = AudioWindows * WindowSamples
     val pcm = new Array[Byte](n * 2)
     var t = 0
     while (t < n) {
@@ -170,12 +178,20 @@ object Multimodal {
       pcm(2 * t + 1) = ((s >> 8) & 0xff).toByte
       t += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(SampleRate.toFloat, 16, 1, true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    val bb = java.nio.ByteBuffer
+      .allocate(44 + pcm.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + pcm.length)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1) // PCM
+    bb.putShort(1) // mono
+    bb.putInt(SampleRate)
+    bb.putInt(SampleRate * 2) // byte rate = rate * block align
+    bb.putShort(2)            // block align = channels * 16/8
+    bb.putShort(16)           // bits per sample
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(pcm.length); bb.put(pcm)
+    bb.array()
   }
 
   /** Declared query (q58): REAL WAV decode + windowed DSP features.
@@ -691,10 +707,17 @@ object Multimodal {
     val repPairs = phashBandPairs(
       groups.select($"rep_id".as("doc_id"), $"b0", $"b1", $"b2", $"b3")
     ).select($"id1".as("src"), $"id2".as("dst")).cache()
-    val comp = graft.operators.Graph.autoComponents(
-      groups.select($"rep_id".as("node")),
-      repPairs
-    )
+    // CC nodes come from the CACHED pair endpoints, not from `groups`
+    // (r19): passing groups as the node list re-ran the whole codec
+    // pipeline once more just to enumerate isolated reps — but an isolated
+    // rep is exactly a singleton component, which the left join below
+    // reconstructs as coalesce(comp, rep_id) for free (the q120
+    // pnodes-from-cached-pairs discipline).
+    val pnodes = repPairs
+      .select($"src".as("node"))
+      .unionByName(repPairs.select($"dst".as("node")))
+      .distinct()
+    val comp = graft.operators.Graph.autoComponents(pnodes, repPairs)
     // autoComponents localCheckpoints its result, so nothing downstream
     // references repPairs lazily — drop the cache HERE rather than leaking
     // one InMemoryRelation per invocation for the session (r18 ADVICE:
@@ -703,8 +726,9 @@ object Multimodal {
     // so the lifecycle is ours)
     repPairs.unpersist()
     val repComp = groups
-      .join(comp, $"rep_id" === $"node")
-      .select($"b0", $"b1", $"b2", $"b3", $"rep_id", $"n_copies", $"comp".as("cluster_id"))
+      .join(comp, $"rep_id" === $"node", "left")
+      .select($"b0", $"b1", $"b2", $"b3", $"rep_id", $"n_copies",
+        coalesce($"comp", $"rep_id").as("cluster_id"))
     val clusterMass = repComp
       .groupBy($"cluster_id")
       .agg(sum($"n_copies").as("cluster_images"))

@@ -383,12 +383,21 @@ object Relational {
     * estimate landed inside its error contract. */
   def approxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // Both aggregates ride ONE (returnflag, orderkey) dedup pipeline (r19):
+    // the HLL++ sketch is a function of the SET of hashed inputs, so the
+    // estimate over deduplicated keys is bit-identical to the estimate
+    // over raw rows, and count(col) over the per-key groups mirrors
+    // COUNT(DISTINCT col) exactly (nulls form a group count skips). This
+    // removes the distinct-rewrite's serial partial aggregate over the
+    // full table (measured 2.91 → 0.89 s at sf0.1).
     Tables
       .lineitem(spark, sfDir)
+      .groupBy($"l_returnflag", $"l_orderkey")
+      .agg(count(lit(1)).as("c"))
       .groupBy($"l_returnflag")
       .agg(
         approx_count_distinct($"l_orderkey", 0.02).as("est"),
-        countDistinct($"l_orderkey").as("n_orders_exact")
+        count($"l_orderkey").as("n_orders_exact")
       )
       .select(
         $"l_returnflag",
