@@ -1609,12 +1609,17 @@ object Dedup {
   def dedupEndgame(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val corpus = docsWithDups(spark, sfDir)
-    // cache the pair set here: both the endpoint node list and the CC
-    // loop's edge cache reference it (minLabelComponents' own cache() on
-    // the same plan is then a no-op), so minhash runs once
+    // localCheckpoint the pair set (r19; was cache): both the endpoint
+    // node list and the CC loop's edge reference it, so minhash runs once
+    // EITHER way — but with cache() every loop action still re-ANALYZES
+    // the full minhash logical tree on the driver (execution hits memory,
+    // planning does not), and that planning time dominated the loop. The
+    // eager checkpoint truncates the lineage to a scan (q179 measured
+    // 17.7 -> 5.7 s from the same change); blocks are freed by the
+    // context cleaner once the lineage-free comp result drops them.
     val pairs = minhashPairsUnsorted(spark, sfDir)
       .select($"id1".as("src"), $"id2".as("dst"))
-      .cache()
+      .localCheckpoint(true)
     val pnodes = pairs
       .select($"src".as("node"))
       .unionByName(pairs.select($"dst".as("node")))
@@ -1625,10 +1630,6 @@ object Dedup {
     // guard and reroutes through the diameter-free two-phase algorithm
     // (pairs is cached above, so both attempts share one minhash run)
     val comp = Graph.autoComponents(pnodes, pairs, roundsPerAction = 3)
-    // comp is lineage-free (localCheckpointed), so the pair cache this
-    // function owns can drop now — the loop no longer unpersists a
-    // caller-established cache
-    pairs.unpersist()
     val sizes = comp.groupBy($"comp").agg(count(lit(1)).as("cluster_size"))
     val nonSurvivors = comp.filter($"node" =!= $"comp").select($"node".as("doc_id"))
     corpus

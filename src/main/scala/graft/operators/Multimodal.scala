@@ -704,9 +704,16 @@ object Multimodal {
       .agg(min($"doc_id").as("rep_id"), count(lit(1)).as("n_copies"))
     // near-dup pairs among representatives only (hamming 1..6 by
     // construction: distinct groups differ in at least one bit)
+    // localCheckpoint, not cache (r19): the CC loop's every action embeds
+    // the EDGE PLAN in its logical tree (nodes below derive from it too) —
+    // with cache() the execution hits memory but the DRIVER still analyzes
+    // the full codec+band-join tree per action, and that planning time
+    // dominated the loop (wall far above the sum of job walls). The eager
+    // checkpoint truncates the lineage to a scan; blocks are freed by the
+    // context cleaner once the (tiny, lineage-free) comp result drops them.
     val repPairs = phashBandPairs(
       groups.select($"rep_id".as("doc_id"), $"b0", $"b1", $"b2", $"b3")
-    ).select($"id1".as("src"), $"id2".as("dst")).cache()
+    ).select($"id1".as("src"), $"id2".as("dst")).localCheckpoint(true)
     // CC nodes come from the CACHED pair endpoints, not from `groups`
     // (r19): passing groups as the node list re-ran the whole codec
     // pipeline once more just to enumerate isolated reps — but an isolated
@@ -718,13 +725,6 @@ object Multimodal {
       .unionByName(repPairs.select($"dst".as("node")))
       .distinct()
     val comp = graft.operators.Graph.autoComponents(pnodes, repPairs)
-    // autoComponents localCheckpoints its result, so nothing downstream
-    // references repPairs lazily — drop the cache HERE rather than leaking
-    // one InMemoryRelation per invocation for the session (r18 ADVICE:
-    // Bench runs this query 3×, and the rep-pair set is unbounded at
-    // corpus scale; autoComponents deliberately respects caller caches,
-    // so the lifecycle is ours)
-    repPairs.unpersist()
     val repComp = groups
       .join(comp, $"rep_id" === $"node", "left")
       .select($"b0", $"b1", $"b2", $"b3", $"rep_id", $"n_copies",
