@@ -82,13 +82,15 @@ object Pipeline {
     }
 
     // O10-O11: tolerant decode, dead letters kept auditable. Same split
-    // predicate as JsonDecode.decodeWithDeadLetter, inlined around ONE
-    // lazily-checkpointed parse of the window (r19): the audit's
-    // dead-letter branch used to re-run the whole scan+from_json pipeline
-    // a second time after the write pass. The checkpoint holds exactly the
-    // decoded export window — the same order of bytes the sink writes —
-    // trading a bounded local materialization for the second full decode
-    // (measured 2.43 → 1.47 s at sf0.1).
+    // predicate as JsonDecode.decodeWithDeadLetter. The decode runs exactly
+    // ONCE — inside the write pass below. r19 shared it with the audit's
+    // dead-letter branch through a localCheckpoint of the whole decoded
+    // window; r20 removes that materialization entirely (it was data-sized,
+    // executor-local and non-fault-tolerant — the at-scale caveat in the
+    // r19 ADVICE): the audit never needs the decoded rows, because the
+    // window partitions EXACTLY into good ∪ bad, so per-day dead counts are
+    // per-day WINDOW totals minus the re-read exported counts — a ts-only
+    // column-pruned scan with the same pushed filters, no second from_json.
     val corruptSt = org.apache.spark.sql.types.StructType
       .fromDDL(propsSchema.toDDL)
       .add("_corrupt", org.apache.spark.sql.types.StringType)
@@ -97,11 +99,9 @@ object Pipeline {
         "_parsed",
         from_json($"props", corruptSt, Map("columnNameOfCorruptRecord" -> "_corrupt"))
       )
-      .localCheckpoint(false)
     val isBad = $"props".isNull || $"_parsed".isNull ||
       $"_parsed".getField("_corrupt").isNotNull
     val good = parsed.filter(!isBad)
-    val bad  = parsed.filter(isBad).drop("_parsed")
 
     // O12: day-partitioned export of the decoded rows — repartitioned by
     // day first so each partition is one file (the reference's
@@ -114,20 +114,25 @@ object Pipeline {
       .partitionBy("day")
       .parquet(s"$outDir/data")
 
-    // O14: audit = re-read counts joined with dead-letter counts per day.
+    // O14: audit = re-read counts joined with the per-day WINDOW totals.
+    // good/bad partition the window exactly, so n_dead = n_window − n_rows;
+    // the totals side prunes to (ts) with the same pushed filters — the
+    // dead-letter count costs a metadata-cheap scan, not a decode. Every
+    // exported day has window rows by construction, so the left join from
+    // the totals side covers both all-good and all-bad days.
     val exported = spark.read
       .parquet(s"$outDir/data")
       .groupBy($"day")
       .agg(count(lit(1)).as("n_rows"))
-    val dead = bad
+    val totals = windowed
       .groupBy(to_date($"ts").as("day"))
-      .agg(count(lit(1)).as("n_dead"))
-    exported
-      .join(dead, Seq("day"), "full_outer")
+      .agg(count(lit(1)).as("n_win"))
+    totals
+      .join(exported, Seq("day"), "left")
       .select(
         $"day",
         coalesce($"n_rows", lit(0L)).as("n_rows"),
-        coalesce($"n_dead", lit(0L)).as("n_dead")
+        ($"n_win" - coalesce($"n_rows", lit(0L))).as("n_dead")
       )
       // bounded output (one row per day inside the export window)
       .transform(Tables.sortSmall(_, $"day"))

@@ -59,6 +59,12 @@ object Probe {
         s"jar-mtime:${java.nio.file.Files.getLastModifiedTime(base).toMillis}"
     } catch { case scala.util.control.NonFatal(_) => "stamp:unknown" }
 
+  /** Physical partition count of a DataFrame — the r20diag layout loupe.
+    * The ONE .rdd touch in the codebase (DisciplineSpec-allowlisted): a
+    * read-only inspection of the materialized partitioning, never a data
+    * path; every diagnostic partition-count print routes through here. */
+  private def numParts(df: org.apache.spark.sql.DataFrame): Int = df.rdd.getNumPartitions
+
   /** Write one query's rung output plus its build stamp (all eight sf1/sf10/
     * sf100 materialization sites route through here). */
   private def writeRung(df: org.apache.spark.sql.DataFrame, outDir: String, n: String): Unit = {
@@ -2641,6 +2647,238 @@ object Probe {
             $"col_name", $"n_rows", $"n_null", $"n_distinct",
             $"min_num", $"max_num", $"min_str", $"max_str"
           ).coalesce(1).sortWithinPartitions($"col_name")
+        }
+      }
+      spark.stop(); return
+    }
+    if (which == "r20diag") {
+      // Round-20 diagnostics (guide §1: measure before believing).
+      // (a) q157: partition counts of the classifier's checkpointed tables
+      //     under default vs size-first coalescing — the r20 scope change
+      //     moved no task counts, this pins down why.
+      // (b) q179: stage decomposition of the new single-codec-pass endgame
+      //     (hash fill / pair fill / CC / final action), interleaved with
+      //     the r19 lazy form, same JVM, warm.
+      import spark.implicits._
+      import graft.operators.{Graph, Multimodal}
+      import graft.functions.TextFns
+      def t[A](tag: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[r20diag] $tag%-22s ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+      }
+      // ---- (a) q157 internals
+      locally {
+        val QcBuckets = 63
+        def featsOf(): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+          val docs = Tables.spread(Tables.documents(spark, sfDir))
+            .withColumn("toks", TextFns.tokens($"text"))
+            .withColumn("cpos", size(filter($"toks", t => t.isInCollection(Seq("spark", "fast")))))
+            .withColumn("cneg", size(filter($"toks", t => t.isInCollection(Seq("slow", "batch")))))
+            .select($"doc_id", when($"cpos" > $"cneg", 1L).otherwise(-1L).as("y"), $"toks")
+          val feats = docs
+            .select($"doc_id", $"y", explode($"toks").as("tok"))
+            .withColumn("f", (TextFns.h60($"tok") % QcBuckets).cast("int"))
+            .groupBy($"doc_id", $"y", $"f")
+            .agg(count(lit(1)).cast("long").as("x"))
+            .unionByName(docs.select($"doc_id", $"y", lit(QcBuckets).as("f"), lit(1L).as("x")))
+            .localCheckpoint()
+          val docFeats = feats
+            .groupBy($"doc_id", $"y")
+            .agg(collect_list(struct($"f", $"x")).as("fx"))
+            .localCheckpoint()
+          (feats, docFeats)
+        }
+        val (f1, d1) = featsOf()
+        println(s"[r20diag] q157 default-mode: feats=${numParts(f1)} docFeats=${numParts(d1)} partitions")
+        val (f2, d2) = Session.withSizeFirstCoalescing(spark)(featsOf())
+        println(s"[r20diag] q157 size-first:   feats=${numParts(f2)} docFeats=${numParts(d2)} partitions")
+      }
+      // ---- (b) q179 endgame decomposition, new form vs lazy form
+      def endgameInline(checkpointHashes: Boolean): Unit = {
+        val raw = Multimodal.imagePhashes(spark, sfDir)
+        val hashTbl = if (checkpointHashes) t("  hash-fill")(raw.localCheckpoint(true)) else raw
+        val hashes = hashTbl.repartition($"b0", $"b1", $"b2", $"b3")
+        val groups = hashes
+          .groupBy($"b0", $"b1", $"b2", $"b3")
+          .agg(min($"doc_id").as("rep_id"), count(lit(1)).as("n_copies"))
+        val repPairs = t("  pair-fill")(Session.withSizeFirstCoalescing(spark) {
+          Multimodal.phashBandPairs(
+            groups.select($"rep_id".as("doc_id"), $"b0", $"b1", $"b2", $"b3")
+          ).select($"id1".as("src"), $"id2".as("dst")).localCheckpoint(true)
+        })
+        val pnodes = repPairs
+          .select($"src".as("node"))
+          .unionByName(repPairs.select($"dst".as("node")))
+          .distinct()
+        val comp = t("  cc-loop")(Graph.autoComponents(pnodes, repPairs))
+        t("  final-action") {
+          val repComp = groups
+            .join(comp, $"rep_id" === $"node", "left")
+            .select($"b0", $"b1", $"b2", $"b3", $"rep_id", $"n_copies",
+              coalesce($"comp", $"rep_id").as("cluster_id"))
+          val clusterMass = repComp
+            .groupBy($"cluster_id")
+            .agg(sum($"n_copies").as("cluster_images"))
+          hashes
+            .join(repComp, Seq("b0", "b1", "b2", "b3"))
+            .join(clusterMass, "cluster_id")
+            .select($"doc_id", $"rep_id", $"cluster_id", $"cluster_images",
+              ($"doc_id" === $"cluster_id").as("is_kept"))
+            .orderBy($"doc_id")
+            .write.mode("overwrite").format("noop").save()
+        }
+      }
+      // ---- (d) q36 variants: declared histogram form vs the r19 two-
+      //      interpreted-aggregates form vs a spread histogram — warmed
+      //      best-of-3 in one JVM (the r19ab discipline)
+      def t3(tag: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+        mk.write.mode("overwrite").format("noop").save() // warm
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          mk.write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[r20diag] $tag%-16s best=${runs.min}%.3f runs=${runs.map(r => f"$r%.3f").mkString(",")}")
+      }
+      if (args.contains("q36")) {
+        def q36old() = Tables
+          .lineitem(spark, sfDir)
+          .groupBy($"l_returnflag")
+          .agg(
+            expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)").as("aq"),
+            expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("xq")
+          )
+          .select(
+            $"l_returnflag",
+            round($"xq".getItem(0), 6).as("p25_exact"),
+            round($"xq".getItem(1), 6).as("p50_exact"),
+            round($"xq".getItem(2), 6).as("p75_exact"),
+            (abs($"aq".getItem(0) - $"xq".getItem(0)) <= $"xq".getItem(0) * 0.02 &&
+              abs($"aq".getItem(1) - $"xq".getItem(1)) <= $"xq".getItem(1) * 0.02 &&
+              abs($"aq".getItem(2) - $"xq".getItem(2)) <= $"xq".getItem(2) * 0.02)
+              .as("within_tolerance")
+          )
+          .orderBy($"l_returnflag")
+        def q36hist(spread: Boolean) = {
+          import org.apache.spark.sql.expressions.Window
+          val byFlag = Window.partitionBy($"l_returnflag")
+          val cumW = byFlag.orderBy($"l_extendedprice")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          var li = Tables.lineitem(spark, sfDir).filter($"l_extendedprice".isNotNull)
+          if (spread) li = li.repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+          val w = li
+            .groupBy($"l_returnflag", $"l_extendedprice")
+            .agg(count(lit(1)).as("cnt"))
+            .withColumn("cum", sum($"cnt").over(cumW))
+            .withColumn("ntot", sum($"cnt").over(byFlag))
+          def atRank(r: org.apache.spark.sql.Column) =
+            max(when($"cum" - $"cnt" <= r && r < $"cum", $"l_extendedprice"))
+          def exactQ(q: Double) = {
+            val pos = lit(q) * ($"ntot" - 1).cast("double")
+            val lo  = floor(pos).cast("long")
+            val hi  = least(lo + 1, $"ntot" - 1)
+            val wLo = max(lo.cast("double") + 1d - pos)
+            val wHi = max(pos - lo.cast("double"))
+            atRank(lo) * wLo + atRank(hi) * wHi
+          }
+          def approxQ(q: Double) =
+            atRank(floor(lit(q) * ($"ntot" - 1).cast("double")).cast("long"))
+          w.groupBy($"l_returnflag")
+            .agg(exactQ(0.25).as("x25"), exactQ(0.50).as("x50"), exactQ(0.75).as("x75"),
+              approxQ(0.25).as("a25"), approxQ(0.50).as("a50"), approxQ(0.75).as("a75"))
+            .select($"l_returnflag",
+              round($"x25", 6).as("p25_exact"), round($"x50", 6).as("p50_exact"),
+              round($"x75", 6).as("p75_exact"),
+              (abs($"a25" - $"x25") <= $"x25" * 0.02 && abs($"a50" - $"x50") <= $"x50" * 0.02 &&
+                abs($"a75" - $"x75") <= $"x75" * 0.02).as("within_tolerance"))
+            .transform(Tables.sortSmall(_, $"l_returnflag"))
+        }
+        (1 to 2).foreach { _ =>
+          t3("q36-old")(q36old())
+          t3("q36-hist")(q36hist(spread = false))
+          t3("q36-histsp")(q36hist(spread = true))
+          t3("q36-cur")(SparkEntry.queries("q36_approx_percentile")(spark, sfDir))
+        }
+        // decomposition: where does the ~1.7 s go?
+        val li = Tables.lineitem(spark, sfDir).filter($"l_extendedprice".isNotNull)
+        println(s"[r20diag] q36 distinct (rf, price) = " +
+          li.select($"l_returnflag", $"l_extendedprice").distinct().count())
+        t3("q36-scan")(li.select($"l_returnflag", $"l_extendedprice"))
+        val h0 = li.groupBy($"l_returnflag", $"l_extendedprice").agg(count(lit(1)).as("cnt"))
+        t3("q36-histagg")(h0)
+        locally {
+          import org.apache.spark.sql.expressions.Window
+          val byFlag = Window.partitionBy($"l_returnflag")
+          val cumW = byFlag.orderBy($"l_extendedprice")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          t3("q36-cumonly")(h0.withColumn("cum", sum($"cnt").over(cumW)))
+          t3("q36-bothwin")(
+            h0.withColumn("cum", sum($"cnt").over(cumW))
+              .withColumn("ntot", sum($"cnt").over(byFlag)))
+        }
+        spark.stop(); return
+      }
+      if (args.contains("q80")) {
+        (1 to 3).foreach { _ =>
+          t3("q80-cur")(SparkEntry.queries("q80_export_pipeline")(spark, sfDir))
+        }
+        spark.stop(); return
+      }
+      // warm both paths once
+      endgameInline(checkpointHashes = true)
+      (1 to 2).foreach { _ =>
+        t("eg179-ckpt")(endgameInline(checkpointHashes = true))
+        t("eg179-lazy")(endgameInline(checkpointHashes = false))
+      }
+      // ---- (c) the CC loop itself, phase-timed: where do 5-15 s go for a
+      //      ~500-node pair graph? Inline replica of minLabelComponents
+      //      with per-action timers on cache-fill count, observation reads
+      //      and checkpoint rotation.
+      locally {
+        import org.apache.spark.sql.Observation
+        val raw     = Multimodal.imagePhashes(spark, sfDir)
+        val hashTbl = raw.localCheckpoint(true)
+        val groups = hashTbl.repartition($"b0", $"b1", $"b2", $"b3")
+          .groupBy($"b0", $"b1", $"b2", $"b3")
+          .agg(min($"doc_id").as("rep_id"), count(lit(1)).as("n_copies"))
+        val repPairs = Session.withSizeFirstCoalescing(spark) {
+          Multimodal.phashBandPairs(
+            groups.select($"rep_id".as("doc_id"), $"b0", $"b1", $"b2", $"b3")
+          ).select($"id1".as("src"), $"id2".as("dst")).localCheckpoint(true)
+        }
+        println(s"[r20diag] repPairs parts=${numParts(repPairs)} rows=${repPairs.count()}")
+        val pnodes = repPairs.select($"src".as("node"))
+          .unionByName(repPairs.select($"dst".as("node"))).distinct()
+        (1 to 2).foreach { rep =>
+          Session.withSizeFirstCoalescing(spark) {
+            val e   = repPairs
+            val sym = e.unionByName(e.select($"dst".as("src"), $"src".as("dst")))
+            def step(lbl: org.apache.spark.sql.DataFrame, obs: Observation) = {
+              val nbrMin = sym.join(lbl, $"dst" === $"node").groupBy($"src")
+                .agg(min($"comp").as("nbr_comp"))
+              lbl.join(nbrMin, $"node" === $"src", "left")
+                .select($"node", least($"comp", coalesce($"nbr_comp", $"comp")).as("comp"),
+                  when($"nbr_comp" < $"comp", 1L).otherwise(0L).as("ch"))
+                .observe(obs, sum($"ch").as("changed"))
+                .select($"node", $"comp")
+            }
+            var labels  = t(s"  r$rep init-cache")(pnodes.select($"node", $"node".as("comp")).cache())
+            var changed = 1L
+            var action  = 0
+            while (changed > 0 && action < 3) {
+              val obss = (1 to 3).map(r => Observation(s"d_a${action}_r$r"))
+              val next = obss.foldLeft(labels)((l, o) => step(l, o)).cache()
+              t(s"  r$rep a$action count")(next.count())
+              changed = t(s"  r$rep a$action obs")(obss.last.get("changed") match {
+                case n: Number => n.longValue(); case _ => 0L
+              })
+              val prev = labels; labels = next; prev.unpersist()
+              action += 1
+            }
+            val res = t(s"  r$rep final-ckpt")(labels.localCheckpoint(true))
+            labels.unpersist()
+            res.count()
+          }
         }
       }
       spark.stop(); return

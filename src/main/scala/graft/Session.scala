@@ -79,7 +79,16 @@ object Session {
     * task. Scoped per loop and not session-wide because the shingle/band
     * self-joins need parallelism-first (advisory-size coalescing collapses
     * their compute-heavy partitions — the measured q67 3× regression).
-    * Driver-sequential by contract, like the loops that call it. */
+    *
+    * Driver-sequential by contract, like the loops that call it: the
+    * scoping is TEMPORAL (session-global conf flip + restore), so a query
+    * running CONCURRENTLY on the same SparkSession would observe the
+    * flipped mode (r19 ADVICE). Every graft entry point (Verify, Bench,
+    * Probe, the driver) executes declared queries sequentially on one
+    * thread; an embedder that runs graft queries from multiple threads
+    * must give each thread its own `spark.newSession()` (session confs are
+    * per-session, so the flip then cannot leak). Nested scopes on the one
+    * driver thread are safe — save/restore composes. */
   def withSizeFirstCoalescing[T](spark: SparkSession)(body: => T): T = {
     val k   = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
     val old = spark.conf.get(k, "true")

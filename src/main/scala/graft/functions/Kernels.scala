@@ -138,7 +138,16 @@ object HashKernels {
     * mirror through the sign, matching HALF_UP's away-from-zero. NaN → 0
     * and ±∞ → Long.{Max,Min}Value replicate the double→long cast edge
     * cases. GridOverflowSpec cross-checks against the Round form on
-    * adversarial half-way values. */
+    * adversarial half-way values.
+    *
+    * ANSI-mode divergence (r19 ADVICE, recorded): the |x| ≥ 2⁶³ clamp
+    * matches the NON-ANSI double→long cast. Under ANSI mode (the Spark 4
+    * default for `spark.sql.ansi.enabled` sessions; graft sessions run
+    * non-ANSI) the replaced `round(x).cast(long)` would instead throw on
+    * overflow. Every grid this kernel serves is GridOverflowSpec-audited
+    * to stay far inside ±2⁶³ (the wide grids split at 1e2 precisely to
+    * keep partial sums in range), so the clamp is unreachable on declared
+    * paths; a NEW grid must extend that audit before riding the kernel. */
   def roundLong(x: Double): Long = {
     if (java.lang.Double.isNaN(x)) return 0L
     val a = if (x < 0) -x else x

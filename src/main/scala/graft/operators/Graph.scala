@@ -176,18 +176,84 @@ object Graph {
     * per-round constant (two half-rounds, distinct()) on the 99% case.
     * Callers should cache `edgeList` when it is an expensive plan: both
     * attempts then share the one materialization. */
+  /** Driver fast-path budget for [[autoComponents]] (r20): a MATERIALIZED
+    * pair table at or under this many edges is solved with an in-memory
+    * union-find instead of the iterative DataFrame loop. Why: each loop
+    * ACTION costs 1.5–2 s of driver planning + AQE stage-pipeline latency
+    * at fixture scale (measured r20 on a 325-edge rep graph — the cost is
+    * per-action machinery, not data), and at cluster scale every action is
+    * a full cluster sync. 2e6 edges collect to ~32 MB of (long, long)
+    * pairs — the same order as a routine broadcast-join build side and far
+    * under the 8 GB broadcast-relation cap, with union-find state ~3× the
+    * collected size. This is the decontamDecision dispatch discipline: the
+    * budget is measured per run, the over-budget route is the distributed
+    * loop unchanged, and the fast path can never be taken on a plan whose
+    * size the driver has not already paid to know (the edge table must be
+    * cached/checkpointed, so the count is one metadata-cheap job). */
+  private[graft] val CcDriverEdgeBudget = 2000000L
+
   def autoComponents(
       nodes: DataFrame,
       edgeList: DataFrame,
       probeRounds: Int = 9,
       roundsPerAction: Int = 3
-  ): DataFrame =
-    try minLabelComponents(nodes, edgeList, maxIter = probeRounds, roundsPerAction = roundsPerAction)
-    catch {
-      // typed, not message-matched: a reworded message must not silently
-      // turn the fallback off (dedupEndgame relies on this route)
-      case _: Graph.ConvergenceException => twoPhaseComponents(nodes, edgeList)
-    }
+  ): DataFrame = {
+    import nodes.sparkSession.implicits._
+    // Scale dispatch (r20): every production caller (the dedup endgames)
+    // hands this an eagerly-checkpointed, minimally-projected (src, dst)
+    // table, so the edge count is one cheap job over a LogicalRDD scan.
+    // In-budget graphs skip the loop entirely; union-find with smaller-
+    // root-wins linking IS min-label semantics (comp = min reachable id),
+    // so the result is bit-identical to the loop's. Non-materialized edge
+    // plans never take the fast path — counting would re-run an arbitrary
+    // (possibly expensive) plan that the loop would have cached anyway.
+    val materialized =
+      edgeList.storageLevel != org.apache.spark.storage.StorageLevel.NONE ||
+        edgeList.queryExecution.analyzed.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+    if (materialized && edgeList.count() <= CcDriverEdgeBudget) {
+      val edges = edgeList
+        .select($"src".cast("long"), $"dst".cast("long"))
+        .as[(Long, Long)]
+        .collect()
+      // union-find, roots elected by MIN id: linking the larger root under
+      // the smaller keeps every root the component minimum at all times,
+      // so no second min pass is needed; path compression keeps the
+      // amortized cost near-linear despite the min-biased linking
+      val parent = new scala.collection.mutable.LongMap[Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) {
+          val n = parent.getOrElse(c, c); parent(c) = r; c = n
+        }
+        r
+      }
+      val ids = new scala.collection.mutable.LongMap[Boolean]()
+      edges.foreach { case (a, b) =>
+        ids(a) = true; ids(b) = true
+        val ra = find(a)
+        val rb = find(b)
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val lbl = ids.keysIterator
+        .map(x => (x, find(x)))
+        .toSeq
+        .toDF("node", "comp")
+      // isolated nodes (callers may pass a superset of the endpoints) are
+      // their own singleton component — same contract as the loop
+      nodes
+        .join(lbl, Seq("node"), "left")
+        .select($"node", coalesce($"comp", $"node").as("comp"))
+        .localCheckpoint(true) // lineage-free contract, as the loop paths
+    } else
+      try minLabelComponents(nodes, edgeList, maxIter = probeRounds, roundsPerAction = roundsPerAction)
+      catch {
+        // typed, not message-matched: a reworded message must not silently
+        // turn the fallback off (dedupEndgame relies on this route)
+        case _: Graph.ConvergenceException => twoPhaseComponents(nodes, edgeList)
+      }
+  }
 
   /** Large-star/small-star connected components — the two-phase MapReduce
     * CC algorithm (Kiveris et al., "Connected Components in MapReduce and

@@ -598,7 +598,7 @@ object Multimodal {
     }
   }
 
-  private def imagePhashes(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def imagePhashes(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     imageCorpusIds(spark, sfDir)
       .mapPartitions { rows =>
@@ -617,7 +617,7 @@ object Multimodal {
     * shuffle_hash discipline is q65/q66's: both self-join sides reuse ONE
     * exchange, and band buckets are unbounded at corpus scale so a
     * broadcast would be the wrong plan. */
-  private def phashBandPairs(hashes: DataFrame): DataFrame = {
+  private[graft] def phashBandPairs(hashes: DataFrame): DataFrame = {
     import hashes.sparkSession.implicits._
     val bands = hashes
       .select(
@@ -691,13 +691,29 @@ object Multimodal {
     * so the two front doors provably run the identical dedup plan. */
   private def endgameOver(hashesRaw: DataFrame): DataFrame = {
     import hashesRaw.sparkSession.implicits._
-    // repartition on the four band keys: BOTH consumers of the hash table
-    // (the exact-collapse groupBy and the final per-image verdict join)
-    // key on exactly these columns, so AQE reuses this ONE exchange and
-    // the codec pipeline — the expensive stage — materializes once
-    // (the q65 repartition-before-consumers discipline; measured 241.4 s
-    // → see BASELINE for the post-reuse figure at the 555k-image rung)
-    val hashes = hashesRaw.repartition($"b0", $"b1", $"b2", $"b3")
+    val spark = hashesRaw.sparkSession
+    // ONE codec pass total (r20): the repPairs checkpoint fill below and
+    // the caller's final action are SEPARATE executions, and AQE exchange
+    // reuse does not cross executions — so with a lazy hash table the PNG
+    // decode pipeline ran once per action (2× per query; r19 had already
+    // cut 3× → 2×). The hash table is the minimal-width corpus map
+    // (doc_id + four band longs, ~40 B/row, no payload bytes), so an eager
+    // localCheckpoint materializes the codec output exactly once and every
+    // consumer — exact-collapse, rep pairs, the per-image verdict join —
+    // reads the checkpoint scan. Width-bounded by design (the r19 ADVICE
+    // discipline); at the truly-huge corpus rung swap for reliable
+    // checkpoint() storage, the fault-tolerance story is the same as the
+    // repPairs table below. The checkpoint keeps the codec stage's own
+    // partitioning (the spread/binaryFile split), so the decode itself
+    // stays as wide as before.
+    val hashTbl = hashesRaw.localCheckpoint(true)
+    // repartition on the four band keys: BOTH in-plan consumers of the
+    // hash table (the exact-collapse groupBy and the final per-image
+    // verdict join) key on exactly these columns, so AQE reuses this ONE
+    // exchange per action (the q65 repartition-before-consumers
+    // discipline; measured 241.4 s → see BASELINE for the post-reuse
+    // figure at the 555k-image rung)
+    val hashes = hashTbl.repartition($"b0", $"b1", $"b2", $"b3")
     // exact-hash collapse: min-id representative per distinct 64-bit hash
     val groups = hashes
       .groupBy($"b0", $"b1", $"b2", $"b3")
@@ -711,9 +727,22 @@ object Multimodal {
     // dominated the loop (wall far above the sum of job walls). The eager
     // checkpoint truncates the lineage to a scan; blocks are freed by the
     // context cleaner once the (tiny, lineage-free) comp result drops them.
-    val repPairs = phashBandPairs(
-      groups.select($"rep_id".as("doc_id"), $"b0", $"b1", $"b2", $"b3")
-    ).select($"id1".as("src"), $"id2".as("dst")).localCheckpoint(true)
+    // The fill runs under size-first AQE coalescing (r20): its post-shuffle
+    // stages — band-key groupBy, the rep self-join, dedup — move kilobytes
+    // at fixture scale but ran `cores` ~50 ms tasks each under the default
+    // parallelism-first mode (the measured r19 residual: 32-task kilobyte
+    // stages outside the CC-loop scope). Size-first is scale-adaptive
+    // (advisory-sized partitions keep the band join wide when the rep set
+    // is large), and the per-row work here is XOR-popcount — byte-
+    // proportional, unlike the shingle kernels whose compute-heavy
+    // partitions keep the q65/q67 joins parallelism-first. The codec stage
+    // itself is immune either way: it rides a REPARTITION_BY_NUM spread
+    // (or the binaryFile scan), which AQE never coalesces.
+    val repPairs = graft.Session.withSizeFirstCoalescing(spark) {
+      phashBandPairs(
+        groups.select($"rep_id".as("doc_id"), $"b0", $"b1", $"b2", $"b3")
+      ).select($"id1".as("src"), $"id2".as("dst")).localCheckpoint(true)
+    }
     // CC nodes come from the CACHED pair endpoints, not from `groups`
     // (r19): passing groups as the node list re-ran the whole codec
     // pipeline once more just to enumerate isolated reps — but an isolated

@@ -368,7 +368,13 @@ object Relational {
       .agg(count(lit(1)).as("c2"))
       .groupBy($"l_returnflag")
       .agg(count($"l_partkey").as("n_parts"))
-    no.join(np, Seq("l_returnflag"))
+      .withColumnRenamed("l_returnflag", "rf2")
+    // null-SAFE equi-join (r20, r19 ADVICE): both pipelines aggregate the
+    // same rows, so their group-key sets are identical — but a NULL
+    // returnflag group (which the original groupBy+countDistinct form
+    // emitted as a row) would never match under a plain equi-join. <=>
+    // keeps that row; still a hash-joinable equi-condition on a 3-row side.
+    no.join(np, $"l_returnflag" <=> $"rf2")
       .select($"l_returnflag", $"n_orders", $"n_parts", $"n_rows")
       // bounded output (3 returnflag groups)
       .transform(Tables.sortSmall(_, $"l_returnflag"))

@@ -19,7 +19,9 @@ object Scalars {
       .part(spark, sfDir)
       .select(
         $"p_partkey",
-        regexp_replace($"p_name", "-", "_").as("name_sanitized"),
+        // translate, not regexp_replace (r20 sweep): identical single-char
+        // literal map, no regex machinery per row
+        translate($"p_name", "-", "_").as("name_sanitized"),
         upper($"p_brand").as("brand_upper"),
         size(split($"p_type", " ")).as("type_words"),
         array_join(split($"p_type", " "), "_").as("type_joined"),

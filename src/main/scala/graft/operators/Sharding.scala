@@ -203,7 +203,8 @@ object Sharding {
       // u ∈ (0, 1]: (h+1) / 2^60 — both engines convert BIGINT→DOUBLE the
       // same way, and ln on the 1e6 grid is engine-replayable
       .withColumn("u", ($"h" + 1).cast("double") / lit(1152921504606846976.0d))
-      .withColumn("key6", round(log($"u") / $"n_toks" * 1e6).cast("long"))
+      // roundLong kernel (r20 sweep): per-doc projection, no BigDecimal/row
+      .withColumn("key6", graft.functions.Kernels.roundLong(log($"u") / $"n_toks" * 1e6))
       .orderBy($"key6".desc, $"doc_id")
       .limit(k)
     top

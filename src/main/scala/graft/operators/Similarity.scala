@@ -435,7 +435,10 @@ object Similarity {
 
     val g = e.select(
       $"vec_id",
-      transform($"embedding", v => round(v.cast("double") * 1e6).cast("long")).as("grid")
+      // roundLong kernel (r20 sweep): per vector ELEMENT (64×/row) — the
+      // Round expression allocated a BigDecimal per element
+      transform($"embedding", v => graft.functions.Kernels.roundLong(v.cast("double") * 1e6))
+        .as("grid")
     )
     val blocks = pqBlocks(g)
 
@@ -504,7 +507,10 @@ object Similarity {
       )
       .withColumn(
         "q",
-        transform($"embedding", x => round(x.cast("double") * 127.0 / $"mx").cast("int"))
+        // roundLong kernel (r20 sweep): per element; the int cast is exact —
+        // q ∈ [−127, 127] by construction (|x| ≤ mx)
+        transform($"embedding",
+          x => graft.functions.Kernels.roundLong(x.cast("double") * 127.0 / $"mx").cast("int"))
       )
       .select(
         $"vec_id",

@@ -215,7 +215,11 @@ object Vocab {
       .join(broadcast(uni), Seq("w1"), "left")
       .withColumn(
         "lp6",
-        round(log(($"c12" + 1.0) / (coalesce($"c1", lit(0L)) + vocabSize)) * 1e6).cast("long")
+        // roundLong kernel (r20 sweep): this projection runs per BIGRAM row
+        // (data-sized) — the Round expression allocates a BigDecimal per
+        // row; the kernel is value-identical (GridOverflowSpec equivalence)
+        graft.functions.Kernels.roundLong(
+          log(($"c12" + 1.0) / (coalesce($"c1", lit(0L)) + vocabSize)) * 1e6)
       )
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum($"lp6").as("slp"))

@@ -50,7 +50,7 @@ class DisciplineSpec extends AnyFunSuite {
     assert(fixed.isEmpty, s"fixed-name temp views (use the UUID sfx pattern):\n${fixed.mkString("\n")}")
   }
 
-  test("driver-side collect() stays confined to the twelve audited sites") {
+  test("driver-side collect() stays confined to the thirteen audited sites") {
     // .collect() of row DATA on the driver is the anti-distributed smell;
     // the audited sites are CLI display (x4: the parquet-mode menu+audit
     // pair and the --es wire-mode menu+audit pair — the wire menu is a
@@ -71,13 +71,18 @@ class DisciplineSpec extends AnyFunSuite {
     // ES stub server's seed (EsStubServer.fromDataFrame — the TEST DOUBLE
     // impersonating the external cluster that owns the data; the engine
     // path is the HTTP read through EsScrollSource, fixture-bounded by
-    // construction). Scalar .head() pulls are fine and not counted.
+    // construction), plus (r20) the autoComponents driver fast path's edge
+    // collect (Graph.scala) — BUDGET-GUARDED by CcDriverEdgeBudget = 2e6
+    // (src, dst) pairs ≈ 32 MB, the broadcast-build-side class, taken only
+    // when the caller already paid to materialize AND count the pair
+    // table; over-budget graphs run the distributed loop unchanged.
+    // Scalar .head() pulls are fine and not counted.
     val sites   = hits("""\.collect\(\)""")
     val allowed = Set("Cli.scala", "operators/Chunking.scala", "operators/Curation.scala", "Probe.scala",
-      "sources/es/EsStubServer.scala")
+      "sources/es/EsStubServer.scala", "operators/Graph.scala")
     val strays  = sites.filterNot(s => allowed.exists(s.startsWith))
     assert(strays.isEmpty, s"new driver collect() site — justify and allowlist or redesign:\n${strays.mkString("\n")}")
-    assert(sites.size <= 12, s"collect() sites grew within allowed files: $sites")
+    assert(sites.size <= 13, s"collect() sites grew within allowed files: $sites")
   }
 
   test("no Scala UDFs; the single typed-Aggregator UDAF is the declared surface") {
@@ -107,7 +112,11 @@ class DisciplineSpec extends AnyFunSuite {
   }
 
   test("no raw RDD usage in operators (DataFrame/Dataset only)") {
-    val sites = hits("""\.rdd\b""")
+    // Probe.numParts (r20) is the ONE allowlisted touch: a read-only
+    // partition-count inspection for the diagnostic phases — physical
+    // layout metadata, never a data path; every diag print routes through
+    // that helper so this stays a single pinned site.
+    val sites = hits("""\.rdd\b""", except = Set("Probe.scala:66"))
     assert(sites.isEmpty, s"raw .rdd usage:\n${sites.mkString("\n")}")
   }
 

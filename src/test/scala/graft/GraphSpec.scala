@@ -151,6 +151,36 @@ class GraphSpec extends SparkSpec {
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
   }
 
+  test("autoComponents driver fast path matches the loop on materialized edges (r20)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // the production call sites hand autoComponents an eagerly-
+    // localCheckpointed pair table — exactly the materialized shape that
+    // takes the in-budget union-find fast path. The fast path must agree
+    // with the independent two-phase algorithm on every random graph,
+    // including min-id root election, long chains past any probe budget
+    // (the loop path would have rerouted), and superset node lists with
+    // isolated nodes (singleton components via the left join).
+    val nNodes  = 40L
+    val pairGen = for { a <- Gen.choose(1L, nNodes); b <- Gen.choose(1L, nNodes) } yield (a, b)
+    val edgeGen = Gen.choose(0, 80).flatMap(n => Gen.listOfN(n, pairGen))
+    (0 until 4).foreach { i =>
+      val raw   = edgeGen.apply(Gen.Parameters.default, Seed(2000L + i)).get
+      val es    = raw.filter { case (a, b) => a != b }.distinct
+      val nodes = (1L to nNodes).toDF("node")
+      val mat   = es.toDF("src", "dst").localCheckpoint(true)
+      val fast  = Graph.autoComponents(nodes, mat).as[(Long, Long)].collect().toMap
+      val ref   = Graph.twoPhaseComponents(nodes, es.toDF("src", "dst")).as[(Long, Long)].collect().toMap
+      assert(fast === ref, s"seed ${2000 + i}: fast path disagrees on ${es.size} edges")
+    }
+    // a 60-chain (diameter 59): the fast path needs no probe/reroute and
+    // must still label the whole chain with its minimum
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("src", "dst").localCheckpoint(true)
+    val comp  = Graph.autoComponents((1L to 60L).toDF("node"), chain).as[(Long, Long)].collect().toMap
+    assert(comp === (1L to 60L).map(_ -> 1L).toMap)
+  }
+
   test("minhash pairs cluster into duplicate components with the source as survivor") {
     import spark.implicits._
     val pairs = Dedup.minhashLshPairs(spark, sf)
