@@ -2824,6 +2824,36 @@ object Probe {
         }
         spark.stop(); return
       }
+      if (args.contains("heads")) {
+        // verdict task 7: can a SESSION-LEVEL advisory/coalescing change
+        // shrink the floor-bound heads' job counts without hurting the
+        // walk? Jobs are counted per query under each config; q67 rides
+        // along as the harm canary (the known size-first 3x regression).
+        import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+        val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+        spark.sparkContext.addSparkListener(new SparkListener {
+          override def onJobStart(e: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+        })
+        val heads = Seq("q02_top_event_types", "q26_global_topk", "q64_exact_dedup",
+          "q73_session_window", "q67_ngram_jaccard_pairs")
+        def runSet(tag: String): Unit = heads.foreach { n =>
+          val mk = () => SparkEntry.queries(n)(spark, sfDir)
+            .write.mode("overwrite").format("noop").save()
+          mk() // warm
+          drainListenerBus(spark.sparkContext); jobs.set(0)
+          val runs = (1 to 3).map { _ =>
+            val t0 = System.nanoTime(); mk(); (System.nanoTime() - t0) / 1e9
+          }
+          drainListenerBus(spark.sparkContext)
+          println(f"[r20diag] heads/$tag $n%-28s best=${runs.min}%.3f jobs3runs=${jobs.get()}")
+        }
+        runSet("default")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256m")
+        runSet("advisory256m")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        runSet("adv256m+sizefirst")
+        spark.stop(); return
+      }
       // warm both paths once
       endgameInline(checkpointHashes = true)
       (1 to 2).foreach { _ =>

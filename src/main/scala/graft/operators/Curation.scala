@@ -709,16 +709,25 @@ object Curation {
   def curationPipeline(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir).select($"doc_id", $"source", $"text")
+    // Narrow funnel-flag checkpoint (r20, the q176/q152 discipline): the
+    // flags are consumed by the dedup election AND the final audit — one
+    // materialization of the token pipelines instead of two; text stays
+    // lineage-derived from the raw scan.
     val quality  = gopherQuality(spark, sfDir).select($"doc_id", $"pass_gopher")
     val selected = importanceWeights(spark, sfDir).select($"doc_id", $"is_selected")
     val staged = docs
+      .select($"doc_id", $"source")
       .join(quality, "doc_id")
       .join(selected, "doc_id")
       .withColumn("keep_q", $"pass_gopher")
       .withColumn("keep_i", $"pass_gopher" && $"is_selected")
+      .select($"doc_id", $"source", $"keep_q", $"keep_i")
+      .localCheckpoint(true)
     // dedup election within the importance-surviving set only
     val survivors = staged
       .filter($"keep_i")
+      .select($"doc_id")
+      .join(docs, "doc_id")
       .groupBy(md5($"text").as("content_h"))
       .agg(min($"doc_id").as("doc_id"))
       .select($"doc_id", lit(true).as("is_survivor"))
@@ -758,28 +767,42 @@ object Curation {
     * self-join is shuffle_hash on a shared exchange (never a broadcast of
     * an exploded side), the release write repartitions by split so each
     * partition is one file, and the audit joins are per-source
-    * aggregations over bounded keys. The declared form is deliberately
-    * FULLY declarative (every stage re-derives from the documents scan,
-    * which is what lets one DuckDB statement replay it); a 100 TB run
-    * inserts `staged.persist(StorageLevel.DISK_ONLY)` after the funnel
-    * join and `exact.persist` before the band stage — the stages consume
-    * those frames 2-3× each, and a disk-backed materialization replaces
-    * the re-scans without changing a single result bit. */
+    * aggregations over bounded keys. The text-carrying stages re-derive
+    * from the documents scan (which is what lets one DuckDB statement
+    * replay the pipeline); the funnel FLAGS and the exact-survivor ID
+    * list — the frames the stages consume 2-3× each — are narrow eager
+    * localCheckpoints (r20, the materialization this comment used to
+    * defer to "a 100 TB run"), so the quality/importance token pipelines
+    * run once without storing anything data-wide. */
   def corpusRelease(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.TextFns.h60
-    val docs     = Tables.documents(spark, sfDir).select($"doc_id", $"source", $"text")
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"source", $"text")
+    // Shared-subtree reuse (r20, the q176 discipline): without a
+    // materialization every consumer of `exact` (band stage, release,
+    // funnel is_exact) re-ran the quality+importance token pipelines. Two
+    // NARROW eager localCheckpoints — per-doc funnel flags (no text) and
+    // the exact-survivor id list — cut that; text stays lineage-derived
+    // from the raw docs scan, nothing data-wide is stored.
     val quality  = gopherQuality(spark, sfDir).select($"doc_id", $"pass_gopher")
     val selected = importanceWeights(spark, sfDir).select($"doc_id", $"is_selected")
     val staged = docs
+      .select($"doc_id", $"source")
       .join(quality, "doc_id")
       .join(selected, "doc_id")
       .withColumn("keep_q", $"pass_gopher")
       .withColumn("keep_i", $"pass_gopher" && $"is_selected")
-    val exact = staged
+      .select($"doc_id", $"source", $"keep_q", $"keep_i")
+      .localCheckpoint(true)
+    val exactIds = staged
       .filter($"keep_i")
+      .select($"doc_id")
+      .join(docs, "doc_id")
       .groupBy(md5($"text").as("content_h"))
       .agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+      .localCheckpoint(true)
+    val exact = exactIds
       .join(docs, "doc_id")
       .select($"doc_id", $"source", $"text")
     // near-dup gate: LSH bands over the exact-survivor set, one shared
@@ -815,7 +838,7 @@ object Curation {
         sum(($"split" === "test").cast("long")).as("n_test")
       )
     staged
-      .join(exact.select($"doc_id", lit(true).as("is_exact")), Seq("doc_id"), "left")
+      .join(exactIds.select($"doc_id", lit(true).as("is_exact")), Seq("doc_id"), "left")
       .groupBy($"source")
       .agg(
         count(lit(1)).as("n_raw"),

@@ -325,6 +325,11 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "n_bytes", "pcm_md5")
+      // ONE codec pass (r20, the q179 discipline): the decoded-content
+      // table feeds both the group election and the per-file verdict join;
+      // without a materialization the WAV encode+decode ran once per
+      // consumer. Minimal width (id, length, md5), eager, executor-local.
+      .localCheckpoint(true)
     val grp = rows
       .groupBy($"pcm_md5")
       .agg(min($"doc_id").as("rep_id"), count(lit(1)).as("n_copies"))

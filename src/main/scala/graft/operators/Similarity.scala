@@ -440,7 +440,15 @@ object Similarity {
       transform($"embedding", v => graft.functions.Kernels.roundLong(v.cast("double") * 1e6))
         .as("grid")
     )
-    val blocks = pqBlocks(g)
+    // ONE grid/explode pass (r20): the block table is consumed by the two
+    // training passes (cb0 assign, cb1 assign), the encode pass and the
+    // query-block probe — AQE reuses only the spread EXCHANGE across those
+    // subtrees, so the grid transform + block explode re-executed per
+    // consumer. The table is minimal-width (vec_id, b, 8-long gvec); the
+    // eager localCheckpoint materializes it once, the same discipline as
+    // the phash/funnel tables (at the truly-huge rung swap for reliable
+    // checkpoint storage).
+    val blocks = pqBlocks(g).localCheckpoint(true)
 
     // train: seed codebook from vec_id mod nCodes, one Lloyd step
     val cb0 = pqCodebook(blocks.withColumn("c", ($"vec_id" % nCodes).cast("int")))

@@ -65,19 +65,14 @@ class CorpusPlanSweepSpec extends SparkSpec {
     "q154_ivf_trained_topk" -> Set("BroadcastNestedLoopJoin"),
     // IVF-PQ: same bounded coarse-centroid crossJoin as q76; the PQ
     // codebook joins are equi on (b) / (b, code) against a ≤128-row
-    // broadcast codebook, never NL; the ADC query-block side broadcasts
-    // the QUERY SET's exploded sub-vectors — |queries|·PqBlocks ≤ 80
-    // rows, the q70 tiny-query-set class (Similarity.ivfPqQuery `qb`)
-    "q156_ivf_pq_topk" -> Set(
-      "BroadcastNestedLoopJoin",
-      "broadcast of an exploded (unbounded) relation"
-    ),
+    // broadcast codebook, never NL. (The former broadcast-of-exploded
+    // exemption — the ADC query-block side's |queries|·PqBlocks ≤ 80 rows —
+    // retired itself in r20: the block table is now an eager checkpoint,
+    // so the broadcast reads a materialized scan, not an explode.)
+    "q156_ivf_pq_topk" -> Set("BroadcastNestedLoopJoin"),
     // q161 composes q154's trained-quantizer crossJoins (bounded k
-    // centroids) with q156's PQ shapes — both exemptions, same bounds
-    "q161_ivf_pq_trained_topk" -> Set(
-      "BroadcastNestedLoopJoin",
-      "broadcast of an exploded (unbounded) relation"
-    ),
+    // centroids) with q156's PQ shapes — same exemption, same bounds
+    "q161_ivf_pq_trained_topk" -> Set("BroadcastNestedLoopJoin"),
     // decontamination broadcasts the exploded EVAL side — eval suites are
     // small by nature; broadcasting them IS the 100 TB plan (Dedup :311)
     "q86_decontaminate" -> Set("broadcast of an exploded (unbounded) relation"),
